@@ -1,0 +1,48 @@
+"""Load the driver-generated parquet tables (TESTDATA.md).
+
+Column pruning / predicate pushdown reach the parquet scan because we
+hand back the raw reader output (no caching, no materialization).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import TimestampNTZType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor where
+# they follow TPC-H scaling (region/nation are constant-size; the rest
+# grow linearly but stay far below fact tables).
+BROADCAST_DIMS = ("region", "nation", "supplier", "part", "customer")
+
+
+def _read(spark: SparkSession, path: str) -> DataFrame:
+    # Test parquet stores TIMESTAMP(NANOS); this conf lets the vectorized
+    # reader surface them (as TIMESTAMP_NTZ on Spark 4.1). Set at runtime
+    # so it applies under any caller-provided SparkSession. Cast NTZ →
+    # TIMESTAMP (session TZ is UTC) so downstream interval arithmetic and
+    # unix_timestamp behave uniformly.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(path)
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: _read(spark, f"{sf_dir}/{t}.parquet") for t in TABLES}
