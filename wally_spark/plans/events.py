@@ -1,1 +1,334 @@
-"""Placeholder — populated this round."""
+"""Event-time windowing and keyed-state queries over the `events`
+table — the batch expression of the reference's windowing semantics
+(`/root/reference/lib/wallaroo/core/windows/windows.pony`,
+`panes_range_windows.pony`): tumbling/sliding range windows, count
+windows, session (ephemeral) windows, and per-key running state.
+
+The streaming expression of the same operators lives in
+``wally_spark.streaming``; batch queries here are oracle-checkable,
+and both share window-assignment semantics (epoch-aligned, identical
+to ``F.window``).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from wally_spark.plans.registry import register
+from wally_spark.tables import load_tables
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["events"]
+
+
+# --- tumbling range windows (range_windows(r)) ---
+@register(
+    "win_tumbling",
+    oracle="""
+SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY window_start, event_type
+""",
+    tags=("window", "events"),
+)
+def win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wallaroo.range_windows(hours(1)).over(agg) per event_type."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --- sliding range windows (range_windows(r).with_slide(s)) ---
+@register(
+    "win_sliding",
+    oracle="""
+SELECT ((floor(epoch(ts) / 900) - k) * 900)::BIGINT AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events, range(4) t(k)
+GROUP BY window_start, event_type
+""",
+    tags=("window", "events"),
+)
+def win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h windows sliding every 15min: each event lands in exactly
+    range/slide = 4 windows (epoch-aligned), matching F.window
+    semantics; oracle enumerates the same 4 via a range join."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --- session (ephemeral) windows: 10-minute inactivity gap ---
+_SESSION_CTE = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM ordered
+)
+"""
+
+
+@register(
+    "win_session",
+    oracle=_SESSION_CTE
+    + """
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       floor(epoch(min(ts)))::BIGINT AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM sessioned
+GROUP BY user_id, session_idx
+""",
+    tags=("window", "events", "session"),
+)
+def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ephemeral/session windows (ref: ephemeral_window.pony) via
+    gaps-and-islands; the streaming twin uses F.session_window."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.col("ts").cast("double") - F.col("prev_ts").cast("double")
+                    > 600.0
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_idx", F.sum("is_new").over(wrun))
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.floor(F.min(F.unix_timestamp("ts"))).cast("bigint").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_idx").cast("bigint").alias("session_idx"),
+            "session_start",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --- count windows (count_windows(n).over(agg)) ---
+@register(
+    "win_count",
+    oracle="""
+WITH numbered AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, ((rn - 1) // 20)::BIGINT AS win_id,
+       round(sum(value), 2) AS sum_value,
+       count(*) AS n_events
+FROM numbered
+GROUP BY user_id, win_id
+HAVING count(*) = 20
+""",
+    tags=("window", "events", "count_windows"),
+)
+def win_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wallaroo.count_windows(20).over(agg): fires only when the
+    window fills (partial trailing windows unfired), hence HAVING=20."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("win_id", F.floor((F.col("rn") - 1) / 20).cast("bigint"))
+        .groupBy("user_id", "win_id")
+        .agg(
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .where(F.col("n_events") == 20)
+    )
+
+
+# --- per-key running state (state_computation) ---
+@register(
+    "running_total",
+    oracle="""
+WITH cum AS (
+  SELECT user_id, event_id, ts, value,
+         sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS running
+  FROM events
+)
+SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS ts_epoch,
+       round(running, 2) AS running_value
+FROM cum
+WHERE running > 2000
+""",
+    tags=("state", "events"),
+)
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key running total with threshold alert — the batch twin of
+    a Wallaroo state_computation (examples/python/alerts_stateful)."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("running", F.sum("value").over(w))
+        .where(F.col("running") > 2000)
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(F.unix_timestamp("ts")).cast("bigint").alias("ts_epoch"),
+            F.round("running", 2).alias("running_value"),
+        )
+    )
+
+
+# --- top-k per key (rank over partition) ---
+@register(
+    "topk_per_key",
+    oracle="""
+SELECT event_type, event_id, round(value, 2) AS value
+FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rk
+  FROM events)
+WHERE rk <= 3
+""",
+    tags=("rank", "events"),
+)
+def topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("event_type", "event_id", F.round("value", 2).alias("value"))
+    )
+
+
+# --- session statistics rollup ---
+@register(
+    "event_sessionize_stats",
+    oracle=_SESSION_CTE
+    + """
+, per_session AS (
+  SELECT user_id, session_idx, count(*) AS n_events,
+         epoch(max(ts)) - epoch(min(ts)) AS dur
+  FROM sessioned GROUP BY user_id, session_idx
+)
+SELECT user_id, count(*) AS n_sessions,
+       sum(n_events) AS total_events,
+       round(sum(dur), 1) AS total_duration_s
+FROM per_session GROUP BY user_id
+""",
+    tags=("window", "events", "session"),
+)
+def event_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.col("ts").cast("double") - F.col("prev_ts").cast("double") > 600.0),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_idx", F.sum("is_new").over(wrun))
+    )
+    per_session = sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.max("ts").cast("double") - F.min("ts").cast("double")
+        ).alias("dur"),
+    )
+    # Totals rather than averages: a rounded float ratio can land on an
+    # exact .xx5 half-way point where Spark (HALF_UP on decimal string)
+    # and other engines (binary) disagree; totals are hash-stable.
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("total_events"),
+        F.round(F.sum("dur"), 1).alias("total_duration_s"),
+    )
+
+
+# --- JSON property extraction (decoder analog) ---
+@register(
+    "events_json_extract",
+    oracle="""
+SELECT json_extract(props, '$.k')::INT % 10 AS k_bucket,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY k_bucket
+""",
+    tags=("decode", "events"),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read decode of the JSON props column — the engine's
+    analog of Wallaroo's source decoders (machida __init__.py:496)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn(
+            "k_bucket", (F.get_json_object("props", "$.k").cast("int") % 10)
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

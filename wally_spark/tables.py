@@ -8,7 +8,10 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import TimestampNTZType
+from pyspark.sql.types import LongType, TimestampNTZType
+
+# Columns stored as TIMESTAMP(NANOS) in the test parquet (see _read).
+NANOS_TS_COLS = frozenset({"ts"})
 
 TABLES = (
     "region",
@@ -41,6 +44,13 @@ def _read(spark: SparkSession, path: str) -> DataFrame:
     for f in df.schema.fields:
         if isinstance(f.dataType, TimestampNTZType):
             df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+        elif f.name in NANOS_TS_COLS and isinstance(f.dataType, LongType):
+            # TIMESTAMP(NANOS) column surfaced as epoch-nanos long by the
+            # nanosAsLong conf: convert to TIMESTAMP at micros precision
+            # (same floor-truncation DuckDB applies reading ns parquet).
+            df = df.withColumn(
+                f.name, F.timestamp_micros((F.col(f.name) / 1000).cast("long"))
+            )
     return df
 
 
