@@ -1,1 +1,303 @@
-"""Placeholder — populated this round."""
+"""Deduplication operators over `documents` / `embeddings` — the
+scale path a 100 TB pretraining pipeline needs.
+
+Shapes:
+  dedup_exact          — content-hash groupBy (one shuffle on the hash)
+  dedup_minhash        — MinHash signatures → banded LSH → candidate
+                         pairs via bucket join (never O(n²))
+  dedup_ngram_jaccard  — exact Jaccard verification via shingle join
+                         (the verify stage downstream of minhash)
+  dedup_simhash        — 64-bit SimHash fingerprint, Arrow-batched
+                         numpy (rows-only oracle: bit-fold not SQL-able)
+  dedup_embedding      — embedding-cosine near-dup pairs
+
+Hashing is md5-based so Spark and DuckDB agree bit-for-bit; integer /
+lexicographic comparisons only — no float accumulation anywhere except
+the cosine query, whose output is floored to basis points.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from wally_spark.plans.registry import register
+from wally_spark.tables import load_tables
+
+N_HASHES = 8
+BAND_ROWS = 2  # 4 bands of 2 rows each
+
+_SHINGLES_SQL = """
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(words) - 1, 1)),
+           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingles
+  FROM (SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), w -> w <> '') AS words
+        FROM documents)
+  WHERE len(words) >= 3
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["documents"]
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id, shingle (distinct 3-word shingles, exploded)."""
+    docs = _docs(spark, sf_dir)
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    d = docs.select("doc_id", words.alias("words")).where(F.size("words") >= 3)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("words") - 2, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("words", i),
+                F.element_at("words", i + 1),
+                F.element_at("words", i + 2),
+            ),
+        )
+    )
+    return d.select("doc_id", F.explode(shingles).alias("shingle"))
+
+
+# --- exact dedup: content-hash groupBy ---
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc,
+       count(*) AS n_copies
+FROM documents
+GROUP BY content_hash
+""",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper selection per exact content hash. At 100 TB: one shuffle
+    keyed by the hash; hashes are uniform so no skew."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# --- MinHash + banded LSH candidate pairs ---
+def _minhash_exprs():
+    """min(md5(seed:shingle)) per seed — lexicographic min over hex
+    digests is a valid uniform minhash and is engine-identical."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("shingle")).cast("binary"))).alias(
+            f"mh{h}"
+        )
+        for h in range(N_HASHES)
+    ]
+
+
+@register(
+    "dedup_minhash",
+    oracle=f"""
+WITH shingled AS ({_SHINGLES_SQL}),
+exploded AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+),
+sigs AS (
+  SELECT doc_id,
+         {", ".join(f"min(md5('{h}:' || shingle)) AS mh{h}" for h in range(N_HASHES))}
+  FROM exploded GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, mh{2*b} || mh{2*b+1} AS band_key FROM sigs"
+    for b in range(N_HASHES // BAND_ROWS)
+  )}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(DISTINCT a.band_id) AS shared_bands
+FROM bands a JOIN bands b
+  ON a.band_key = b.band_key AND a.band_id = b.band_id
+ AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+""",
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) → 4 bands × 2 rows → bucket-join candidates.
+    At 100 TB the band join shuffles on band_key (uniform), so cost is
+    O(candidates), not O(n²)."""
+    sh = _shingles(spark, sf_dir)
+    sigs = sh.groupBy("doc_id").agg(*_minhash_exprs())
+    bands = None
+    for b in range(N_HASHES // BAND_ROWS):
+        part = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band_id"),
+            F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias("band_key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.countDistinct("a.band_id").alias("shared_bands"))
+    )
+
+
+# --- exact n-gram Jaccard verification ---
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH shingled AS ({_SHINGLES_SQL}),
+exploded AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM exploded GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM exploded a JOIN exploded b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       floor(10000.0 * inter / (sa.n + sb.n - inter))::BIGINT AS jaccard_bp
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 10000.0 * inter / (sa.n + sb.n - inter) >= 1000.0
+""",
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ 0.10 over distinct 3-gram shingles, computed by
+    shingle join (the verification stage for minhash candidates; at
+    100 TB run it only on LSH candidates, not all pairs)."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = 10000.0 * F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        shared.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(jac >= 1000.0)
+        .select("doc_a", "doc_b", F.floor(jac).cast("bigint").alias("jaccard_bp"))
+    )
+
+
+# --- SimHash (Arrow-batched numpy; rows-only oracle) ---
+@register("dedup_simhash", oracle=None, tags=("dedup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document + 16-bit prefix bucket.
+
+    The per-token bit-fold isn't SQL-expressible at reasonable cost, so
+    this is the designated Pandas-UDF path: mapInPandas with numpy over
+    Arrow batches (~vectorized per partition; no driver collect). The
+    driver records a rows-only check for this query.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("simhash", LongType()),
+            StructField("bucket", LongType()),
+        ]
+    )
+
+    def simhash_batches(batches):
+        for pdf in batches:
+            out_id, out_h = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in text.lower().split(" ") if t]
+                acc = np.zeros(64, dtype=np.int64)
+                shifts = np.arange(64, dtype=np.uint64)
+                for t in toks:
+                    h = np.uint64(
+                        int.from_bytes(
+                            hashlib.md5(t.encode()).digest()[:8], "big", signed=False
+                        )
+                    )
+                    bits = (h >> shifts) & np.uint64(1)
+                    acc += 2 * bits.astype(np.int64) - 1
+                sig = int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+                out_id.append(doc_id)
+                out_h.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_id,
+                    "simhash": out_h,
+                    "bucket": [(h >> 48) & 0xFFFF for h in out_h],
+                }
+            )
+
+    return docs.mapInPandas(simhash_batches, schema)
+
+
+# --- embedding-cosine near-duplicate pairs ---
+@register(
+    "dedup_embedding",
+    oracle="""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       floor(10000.0 * list_cosine_similarity(a.embedding, b.embedding))::BIGINT
+         AS cos_bp
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.8
+""",
+    tags=("dedup", "embedding"),
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine > 0.8). Brute-force pair join
+    here (oracle-checkable); the scale path is ann_lsh's bucketed
+    variant. Dot products via zip_with/aggregate stay JVM-side."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    cos = dot / (norm(F.col("ea")) * norm(F.col("eb")))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cos)
+        .where(F.col("cos") > 0.8)
+        .select(
+            "vec_a",
+            "vec_b",
+            F.floor(10000.0 * F.col("cos")).cast("bigint").alias("cos_bp"),
+        )
+    )

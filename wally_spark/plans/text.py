@@ -1,1 +1,230 @@
-"""Placeholder — populated this round."""
+"""Text-analysis operators over the `documents` table — the
+training-data-pipeline surface (language ID, quality scoring, token
+counting, winnowing fingerprints).
+
+Float discipline: ratio outputs are emitted as ``floor(1e4 * ratio)``
+basis points — ``floor`` of an IEEE double is engine-identical,
+whereas ``round`` of a ratio can land on an exact .xx5 midpoint where
+decimal-string and binary rounding disagree.
+
+All hot-path expressions are built-in functions (JVM codegen); no
+Python UDFs in this module.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from wally_spark.plans.registry import register
+from wally_spark.tables import load_tables
+
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+_STOP_EN = ("the", "a", "of", "and", "to", "in", "is")
+_STOP_DE = ("der", "die", "das", "und", "ist", "ein")
+_STOP_FR = ("le", "la", "les", "et", "est", "un")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["documents"]
+
+
+def _sql_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# --- token counting: whitespace + BPE-ish regex ---
+@register(
+    "text_tokens",
+    oracle=f"""
+SELECT doc_id,
+       len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS bpe_tokens,
+       length(text) AS n_chars
+FROM documents
+""",
+    tags=("text",),
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(lower(text), '{_BPE_RE}', 0)")).alias(
+            "bpe_tokens"
+        ),
+        F.length("text").alias("n_chars"),
+    )
+
+
+# --- quality scoring: length/punct/stopword signals ---
+@register(
+    "text_quality",
+    oracle=f"""
+WITH feat AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), w -> w <> '') AS words,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+           AS n_punct
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       len(words) AS n_tokens,
+       floor(10000.0 * n_punct / n_chars)::BIGINT AS punct_bp,
+       floor(10000.0 * len(list_filter(words, w -> w IN ({_sql_list(_STOP_EN)})))
+             / len(words))::BIGINT AS stopword_bp,
+       floor(10000.0 * len(list_distinct(words)) / len(words))::BIGINT
+         AS distinct_bp
+FROM feat
+""",
+    tags=("text",),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals a pretraining pipeline filters on: punctuation
+    density, stopword ratio (fluency proxy), lexical diversity."""
+    docs = _docs(spark, sf_dir)
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    stop_arr = F.array(*[F.lit(w) for w in _STOP_EN])
+    d = docs.select(
+        "doc_id",
+        words.alias("words"),
+        F.length("text").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+        ).alias("n_punct"),
+    )
+    n_tokens = F.size("words")
+    stop_cnt = F.size(F.filter("words", lambda w: F.array_contains(stop_arr, w)))
+    return d.select(
+        "doc_id",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        F.floor(10000.0 * F.col("n_punct") / F.col("n_chars"))
+        .cast("bigint")
+        .alias("punct_bp"),
+        F.floor(10000.0 * stop_cnt / n_tokens).cast("bigint").alias("stopword_bp"),
+        F.floor(10000.0 * F.size(F.array_distinct("words")) / n_tokens)
+        .cast("bigint")
+        .alias("distinct_bp"),
+    )
+
+
+# --- language ID: stopword-hit heuristic with deterministic argmax ---
+@register(
+    "text_langid",
+    oracle=f"""
+WITH feat AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), w -> w <> '') AS words
+  FROM documents
+), hits AS (
+  SELECT doc_id, lang,
+         len(list_filter(words, w -> w IN ({_sql_list(_STOP_EN)}))) AS en_hits,
+         len(list_filter(words, w -> w IN ({_sql_list(_STOP_DE)}))) AS de_hits,
+         len(list_filter(words, w -> w IN ({_sql_list(_STOP_FR)}))) AS fr_hits
+  FROM feat
+)
+SELECT doc_id, lang, en_hits, de_hits, fr_hits,
+       CASE WHEN en_hits = 0 AND de_hits = 0 AND fr_hits = 0 THEN 'unknown'
+            WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+            WHEN de_hits >= fr_hits THEN 'de'
+            ELSE 'fr' END AS predicted
+FROM hits
+""",
+    tags=("text", "langid"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+
+    def hits(stop):
+        arr = F.array(*[F.lit(w) for w in stop])
+        return F.size(F.filter("words", lambda w: F.array_contains(arr, w)))
+
+    d = docs.select("doc_id", "lang", words.alias("words")).select(
+        "doc_id",
+        "lang",
+        hits(_STOP_EN).alias("en_hits"),
+        hits(_STOP_DE).alias("de_hits"),
+        hits(_STOP_FR).alias("fr_hits"),
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "en_hits",
+        "de_hits",
+        "fr_hits",
+        F.when(
+            (F.col("en_hits") == 0) & (F.col("de_hits") == 0) & (F.col("fr_hits") == 0),
+            "unknown",
+        )
+        .when(
+            (F.col("en_hits") >= F.col("de_hits"))
+            & (F.col("en_hits") >= F.col("fr_hits")),
+            "en",
+        )
+        .when(F.col("de_hits") >= F.col("fr_hits"), "de")
+        .otherwise("fr")
+        .alias("predicted"),
+    )
+
+
+# --- winnowing fingerprint: min over rolling 8-token window hashes ---
+@register(
+    "text_fingerprint",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, u.s.pos AS pos,
+         ('0x' || substr(md5(u.s.word), 1, 8))::BIGINT AS th
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             list_filter(string_split(lower(text), ' '), w -> w <> ''),
+             (w, i) -> {'pos': i, 'word': w})) AS s
+    FROM documents) u
+), winsum AS (
+  SELECT doc_id, pos,
+         sum(th) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wh,
+         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wn
+  FROM toks
+)
+SELECT doc_id, min(wh)::BIGINT AS fingerprint, count(*) AS n_windows
+FROM winsum WHERE wn = 8
+GROUP BY doc_id
+""",
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style doc fingerprint: token hashes → rolling 8-token
+    window sums → per-doc min. Integer arithmetic end to end, so it is
+    exactly reproducible across engines and cluster sizes."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    toks = (
+        docs.select("doc_id", F.posexplode(words).alias("pos", "word"))
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5("word"), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("th"),
+        )
+    )
+    w8 = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 7)
+    winsum = toks.select(
+        "doc_id",
+        F.sum("th").over(w8).alias("wh"),
+        F.count(F.lit(1)).over(w8).alias("wn"),
+    ).where(F.col("wn") == 8)
+    return winsum.groupBy("doc_id").agg(
+        F.min("wh").cast("bigint").alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_windows"),
+    )
