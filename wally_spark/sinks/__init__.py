@@ -1,0 +1,151 @@
+"""Sink configs — counterpart of the reference's TCPSinkConfig /
+Kafka sinks (machida/__init__.py:537-598). Batch sinks write once;
+stream sinks configure a writeStream."""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+class SinkConfig:
+    def write_batch(self, df: DataFrame):
+        raise NotImplementedError
+
+    def write_stream(self, df: DataFrame):
+        raise NotImplementedError
+
+
+@dataclass
+class ReturnSink(SinkConfig):
+    """Batch: hand the result DataFrame back to the caller (the
+    default for embedding the engine in a larger job)."""
+
+    def write_batch(self, df):
+        return df
+
+
+@dataclass
+class MemorySink(SinkConfig):
+    """Streaming test sink: results land in an in-memory table."""
+
+    query_name: str
+    output_mode: str = "append"
+
+    def write_stream(self, df):
+        return (
+            df.writeStream.format("memory")
+            .queryName(self.query_name)
+            .outputMode(self.output_mode)
+        )
+
+
+@dataclass
+class ParquetSink(SinkConfig):
+    path: str
+    checkpoint: str | None = None
+    partition_by: tuple[str, ...] = ()
+    mode: str = "overwrite"
+
+    def write_batch(self, df):
+        w = df.write.mode(self.mode)
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(self.path)
+        return df
+
+    def write_stream(self, df):
+        w = df.writeStream.format("parquet").option("path", self.path)
+        if self.checkpoint:
+            w = w.option("checkpointLocation", self.checkpoint)
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        return w
+
+
+@dataclass
+class ConsoleSink(SinkConfig):
+    output_mode: str = "append"
+
+    def write_batch(self, df):
+        df.show(truncate=False)
+        return df
+
+    def write_stream(self, df):
+        return df.writeStream.format("console").outputMode(self.output_mode)
+
+
+@dataclass
+class KafkaSink(SinkConfig):
+    """Reference Kafka sink analog; encodes rows as JSON values."""
+
+    topic: str
+    brokers: str
+    checkpoint: str | None = None
+
+    def _encode(self, df):
+        return df.select(
+            F.to_json(F.struct(*df.columns)).alias("value")
+        )
+
+    def write_batch(self, df):
+        (
+            self._encode(df)
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", self.brokers)
+            .option("topic", self.topic)
+            .save()
+        )
+        return df
+
+    def write_stream(self, df):
+        w = (
+            self._encode(df)
+            .writeStream.format("kafka")
+            .option("kafka.bootstrap.servers", self.brokers)
+            .option("topic", self.topic)
+        )
+        if self.checkpoint:
+            w = w.option("checkpointLocation", self.checkpoint)
+        return w
+
+
+@dataclass
+class TCPSink(SinkConfig):
+    """TCPSinkConfig analog: newline-framed JSON rows to a socket via
+    foreachBatch (each micro-batch partition opens its own
+    connection — no driver funnel). ``dry_run`` collects locally for
+    tests instead of opening sockets."""
+
+    host: str
+    port: int
+    dry_run: bool = False
+    captured: list = field(default_factory=list)
+
+    def _send_partition(self, rows):
+        import socket
+
+        payload = "".join(json.dumps(r.asDict(), default=str) + "\n" for r in rows)
+        if not payload:
+            return
+        with socket.create_connection((self.host, self.port), timeout=10) as s:
+            s.sendall(payload.encode())
+
+    def write_batch(self, df):
+        if self.dry_run:
+            self.captured.extend(df.collect())
+            return df
+        df.foreachPartition(self._send_partition)
+        return df
+
+    def write_stream(self, df):
+        def handle(batch_df, batch_id):
+            if self.dry_run:
+                self.captured.extend(batch_df.collect())
+            else:
+                batch_df.foreachPartition(self._send_partition)
+
+        return df.writeStream.foreachBatch(handle)
