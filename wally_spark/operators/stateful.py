@@ -12,7 +12,7 @@ per-key state across triggers.
 
 from __future__ import annotations
 
-import pickle
+from pyspark import cloudpickle as pickle
 from types import SimpleNamespace
 
 import pandas as pd

@@ -20,7 +20,7 @@ Streaming:
 
 from __future__ import annotations
 
-import pickle
+from pyspark import cloudpickle as pickle
 
 import pandas as pd
 import pyspark.sql.functions as F
