@@ -1,0 +1,90 @@
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is materialized with the noop sink (full execution, no
+driver collect). Run: python bench.py [--sf-dir DIR] [--repeat N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q18_large_customers",
+    "q21_suppliers_kept_waiting",
+    "win_tumbling",
+    "win_sliding",
+    "win_session",
+    "running_total",
+    "app_word_count",
+    "app_market_spread",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_embedding",
+    "ann_bruteforce",
+    "text_quality",
+    "text_fingerprint",
+    "mm_image_meta",
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--queries", default="")
+    args = ap.parse_args()
+
+    from wally_spark.plans import REGISTRY
+    from wally_spark.session import get_spark
+
+    spark = get_spark("wally_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [q for q in (args.queries.split(",") if args.queries else HEADLINE)]
+    sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # warm the JVM + parquet footers once with the cheapest query
+    REGISTRY["q6_forecast_revenue"].spark_fn(spark, args.sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        qd = REGISTRY[name]
+        best = None
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            qd.spark_fn(spark, args.sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+
+    out = {
+        "metric": "headline_query_wall_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
