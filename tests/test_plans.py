@@ -1,0 +1,59 @@
+"""Physical-plan quality gates (SURVEY §6): filters and projections
+must reach the parquet scan, dimension joins must broadcast, and
+codegen must cover the relational hot paths. These assert on
+`.explain("formatted")` output so a regression that silently degrades
+the 100 TB plan fails CI."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_MED
+
+
+def _plan(spark, name: str, execute: bool = False) -> str:
+    from wally_spark.plans import REGISTRY
+
+    df = REGISTRY[name].spark_fn(spark, SF_MED)
+    if execute:  # AQE: codegen annotations only appear in the final plan
+        df.write.format("noop").mode("overwrite").save()
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q6_filter_pushdown(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    # shipdate/discount/quantity predicates reach the scan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q6_column_pruning(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # only the 4 needed columns are read, not all 11
+    assert "l_extendedprice" in read_schema and "l_returnflag" not in read_schema
+
+
+def test_dim_joins_broadcast(spark):
+    for q in ("q3_shipping_priority", "q5_local_supplier", "q10_returned_items"):
+        plan = _plan(spark, q)
+        assert "BroadcastHashJoin" in plan, f"{q}: dimension join didn't broadcast"
+
+
+def test_no_cartesian_in_lsh(spark):
+    plan = _plan(spark, "dedup_minhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_codegen_covers_relational(spark):
+    plan = _plan(spark, "q1_pricing_summary", execute=True)
+    assert "WholeStageCodegen" in plan
+
+
+def test_events_scan_pruned(spark):
+    plan = _plan(spark, "win_tumbling")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read_schema, "unused props column read in window agg"
