@@ -11,15 +11,13 @@ import pytest
 from tests.conftest import SF_MED
 
 
-def _plan(spark, name: str, execute: bool = False) -> str:
+def _plan(spark, name: str, execute: bool = False, mode: str = "formatted") -> str:
     from wally_spark.plans import REGISTRY
 
     df = REGISTRY[name].spark_fn(spark, SF_MED)
-    if execute:  # AQE: codegen annotations only appear in the final plan
-        df.write.format("noop").mode("overwrite").save()
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    if execute:  # AQE: the final plan only exists after execution
+        df.collect()
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
 
 
 def test_q6_filter_pushdown(spark):
@@ -49,8 +47,10 @@ def test_no_cartesian_in_lsh(spark):
 
 
 def test_codegen_covers_relational(spark):
-    plan = _plan(spark, "q1_pricing_summary", execute=True)
-    assert "WholeStageCodegen" in plan
+    plan = _plan(spark, "q1_pricing_summary", execute=True, mode="simple")
+    assert "isFinalPlan=true" in plan
+    # "*(n)" prefixes mark whole-stage-codegen stages in the final plan
+    assert "*(1)" in plan and "*(2)" in plan
 
 
 def test_events_scan_pruned(spark):
