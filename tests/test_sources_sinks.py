@@ -1,0 +1,210 @@
+"""Source/sink configs and the frame codec."""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import threading
+import time
+import uuid
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_SMALL
+from wally_spark import api
+from wally_spark.functions import cosine_similarity, decode_frame, encode_frame
+from wally_spark.sinks import MemorySink, ParquetSink, TCPSink
+from wally_spark.sources import (
+    CSVSourceConfig,
+    DataFrameSource,
+    GenSourceConfig,
+    JSONSourceConfig,
+    KafkaSourceConfig,
+    ParquetSourceConfig,
+    SocketSourceConfig,
+)
+from wally_spark.tables import load_tables
+
+
+def test_parquet_source_roundtrip(spark, tmp_path):
+    cfg = ParquetSourceConfig("events", f"{SF_SMALL}/events.parquet")
+    df = cfg.read_batch(spark)
+    assert df.count() > 0 and "ts" in df.columns
+
+
+def test_csv_json_source_roundtrip(spark, tmp_path):
+    ev = load_tables(spark, SF_SMALL)["events"].limit(100)
+    csv_path, json_path = f"{tmp_path}/ev_csv", f"{tmp_path}/ev_json"
+    ev.select("event_id", "event_type", "value").write.option("header", "true").csv(
+        csv_path
+    )
+    ev.select("event_id", "event_type", "value").write.json(json_path)
+    assert CSVSourceConfig("c", csv_path).read_batch(spark).count() == 100
+    assert JSONSourceConfig("j", json_path).read_batch(spark).count() == 100
+
+
+def test_parquet_sink_batch_and_stream(spark, tmp_path):
+    ev = load_tables(spark, SF_SMALL)["events"].select("event_id", "value")
+    out = f"{tmp_path}/out_parquet"
+    ParquetSink(out).write_batch(ev)
+    assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_tcp_sink_dry_run(spark):
+    ev = load_tables(spark, SF_SMALL)["events"].limit(5)
+    sink = TCPSink("localhost", 9999, dry_run=True)
+    sink.write_batch(ev)
+    assert len(sink.captured) == 5
+
+
+def test_tcp_sink_real_socket(spark):
+    """foreachPartition socket write against an in-test TCP server."""
+    received = []
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(8)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        srv.settimeout(10)
+        while not stop.is_set():
+            try:
+                conn, _ = srv.accept()
+            except (socket.timeout, OSError):
+                break
+            with conn:
+                buf = b""
+                while chunk := conn.recv(65536):
+                    buf += chunk
+                received.extend(json.loads(l) for l in buf.splitlines())
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    ev = load_tables(spark, SF_SMALL)["events"].limit(7).coalesce(1)
+    TCPSink("127.0.0.1", port).write_batch(ev.select("event_id", "value"))
+    time.sleep(0.5)
+    stop.set()
+    srv.close()
+    t.join(timeout=5)
+    assert len(received) == 7 and all("event_id" in r for r in received)
+
+
+def test_socket_source_stream(spark):
+    """Spark socket source fed by an in-test line server."""
+    lines = [f"u{i}|{i * 1.5}" for i in range(10)]
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        srv.settimeout(30)
+        try:
+            conn, _ = srv.accept()
+            with conn:
+                conn.sendall(("\n".join(lines) + "\n").encode())
+                time.sleep(8)
+        except (socket.timeout, OSError):
+            pass
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    cfg = SocketSourceConfig(
+        "s",
+        "127.0.0.1",
+        port,
+        decoder={
+            "user": F.split(F.col("value"), r"\|")[0],
+            "amount": F.split(F.col("value"), r"\|")[1].cast("double"),
+        },
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        cfg.read_stream(spark)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    deadline = time.time() + 30
+    got = 0
+    while time.time() < deadline:
+        got = spark.sql(f"SELECT count(*) c FROM {name}").collect()[0]["c"]
+        if got >= 10:
+            break
+        time.sleep(0.5)
+    q.stop()
+    srv.close()
+    assert got >= 10
+    row = spark.sql(f"SELECT * FROM {name} WHERE user = 'u4'").collect()[0]
+    assert row["amount"] == 6.0
+
+
+def test_gen_source_stream_rate(spark):
+    class Gen:
+        def initial_value(self):
+            return {"n": 0}
+
+        def apply(self, last):
+            return {"n": last["n"] + 1}
+
+    cfg = GenSourceConfig("g", Gen(), rows_per_second=200)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        cfg.read_stream(spark)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    deadline = time.time() + 20
+    got = 0
+    while time.time() < deadline:
+        got = spark.sql(f"SELECT count(*) c FROM {name}").collect()[0]["c"]
+        if got >= 20:
+            break
+        time.sleep(0.5)
+    q.stop()
+    assert got >= 20
+
+
+def test_kafka_source_config_only():
+    cfg = KafkaSourceConfig("k", topic="events", brokers="b1:9092,b2:9092")
+    opts = cfg.reader_options()
+    assert opts["subscribe"] == "events"
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+
+
+def test_frame_codec_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1700000000123, "user-1", "hello wally"), (0, "", "x")],
+        "t long, k string, p string",
+    )
+    framed = df.select(
+        "t",
+        "k",
+        "p",
+        encode_frame(F.col("t"), F.col("k"), F.col("p").cast("binary")).alias("frame"),
+    )
+    decoded = framed.select(
+        "t", "k", "p", decode_frame(F.col("frame")).alias("d")
+    ).select("t", "k", "p", "d.event_time_ms", "d.key", F.col("d.payload").cast("string").alias("payload"))
+    for r in decoded.collect():
+        assert r["event_time_ms"] == r["t"]
+        assert r["key"] == r["k"]
+        assert r["payload"] == r["p"]
+
+
+def test_vector_helpers(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])], "a array<double>, b array<double>"
+    )
+    got = [round(r[0], 6) for r in df.select(cosine_similarity(F.col("a"), F.col("b"))).collect()]
+    assert got == [1.0, 0.0]
