@@ -8,6 +8,7 @@ from wally_spark.plans.registry import REGISTRY, QueryDef, register  # noqa: F40
 
 # Import for side effect: each module registers its queries.
 from wally_spark.plans import tpch  # noqa: F401,E402
+from wally_spark.plans import tpch_ext  # noqa: F401,E402
 from wally_spark.plans import events  # noqa: F401,E402
 from wally_spark.plans import apps  # noqa: F401,E402
 from wally_spark.plans import text  # noqa: F401,E402
