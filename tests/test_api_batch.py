@@ -292,3 +292,38 @@ def test_build_application_requires_sink():
     p = api.source("s", DataFrameSource("s", None))
     with pytest.raises(api.WallyParameterError):
         api.build_application("bad", p)
+
+
+def test_session_windows_batch(spark, events):
+    class SumAgg(api.Aggregation):
+        def initial_accumulator(self):
+            return 0.0
+
+        def update(self, data, acc):
+            return acc + data.value
+
+        def combine(self, a, b):
+            return a + b
+
+        def output(self, key, acc):
+            return {"total": acc}
+
+        def spark_agg(self):
+            return {"total": F.round(F.sum("value"), 2), "n": F.count(F.lit(1))}
+
+    p = (
+        api.source("sw", DataFrameSource("sw", events))
+        .key_by("user_id")
+        .to(api.session_windows(api.minutes(10)).over(SumAgg))
+        .to_sink(ReturnSink())
+    )
+    out = api.build_application("sw", p).run_batch(spark)
+    expected = (
+        events.groupBy(
+            F.session_window("ts", "10 minutes").alias("w"), "user_id"
+        )
+        .agg(F.round(F.sum("value"), 2).alias("total"), F.count(F.lit(1)).alias("n"))
+    )
+    assert out.count() == expected.count()
+    assert out.agg(F.round(F.sum("total"), 0)).collect()[0][0] == \
+        expected.agg(F.round(F.sum("total"), 0)).collect()[0][0]

@@ -217,3 +217,30 @@ def test_stream_panes_late_policies(spark, tmp_path, policy, expected):
     out = _run(_panes_pipeline(spark, path, policy, name), spark, name)
     got = {(r["window_start"].second, r["total"], r["n"]) for r in out.collect()}
     assert got == expected
+
+
+def test_stream_session_windows(spark, tmp_path):
+    path = _write_batches(
+        spark,
+        str(tmp_path),
+        [
+            # session 1: 01,05; gap>10s; session 2: 20
+            [(BASE + "01", "a", 1), (BASE + "05", "a", 2), (BASE + "20", "a", 3)],
+            # far-future event closes session 2 past the watermark
+            [("2024-01-01 00:02:00", "a", 4)],
+        ],
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    p = (
+        api.source("s", DataFrameSource("s", _stream_df(spark, path)))
+        .key_by("user_id")
+        .to(api.session_windows(api.seconds(10)).over(SumAgg))
+        .to_sink(MemorySink(name))
+    )
+    out = _run(api.build_application("t", p).run_stream(spark), spark, name)
+    got = {
+        (r["session_start"].second, r["total"], r["n"]) for r in out.collect()
+    }
+    # sessions [01..05] and [20] closed once the watermark passed; the
+    # 02:00 session stays open at stream end (append mode)
+    assert got == {(1, 3.0, 2), (20, 3.0, 1)}

@@ -240,6 +240,35 @@ class RangeWindowsBuilder:
 
 
 @dataclass
+class SessionWindows:
+    """Inactivity-gap (ephemeral) windows — the reference closes a
+    key's window after a quiet period (ephemeral_window.pony). Not a
+    public builder in machida's API; exposed here because Spark has a
+    native operator for it (F.session_window, batch + streaming)."""
+
+    gap_ns: int
+    aggregation: Aggregation
+
+
+class SessionWindowsBuilder:
+    def __init__(self, gap: int):
+        self.gap_ns = gap
+
+    def over(self, aggregation_cls) -> SessionWindows:
+        agg = aggregation_cls() if isinstance(aggregation_cls, type) else aggregation_cls
+        _validate_aggregation(agg)
+        if agg.spark_agg() is None:
+            raise WallyParameterError(
+                "session_windows needs a spark_agg() fast-path Aggregation"
+            )
+        return SessionWindows(self.gap_ns, agg)
+
+
+def session_windows(gap: int) -> SessionWindowsBuilder:
+    return SessionWindowsBuilder(gap)
+
+
+@dataclass
 class CountWindows:
     count: int
     aggregation: Aggregation
@@ -287,6 +316,8 @@ class Pipeline:
             return self._extend(("to_range_windows", comp))
         if isinstance(comp, CountWindows):
             return self._extend(("to_count_windows", comp))
+        if isinstance(comp, SessionWindows):
+            return self._extend(("to_session_windows", comp))
         if isinstance(comp, Computation):
             return self._extend(("to_state" if comp.is_stateful else "to", comp))
         raise WallyParameterError(f"Not a computation: {comp!r}")

@@ -134,6 +134,25 @@ def count_windows_batch(df: DataFrame, win) -> DataFrame:
     return bucketed.groupBy(KEY_COL, "win_seq").applyInPandas(runner, out_schema)
 
 
+def session_windows_op(df: DataFrame, win, streaming: bool) -> DataFrame:
+    """F.session_window in both modes (batch groups complete data;
+    streaming needs a watermark to close sessions)."""
+    fast = win.aggregation.spark_agg()
+    gap = _ns_to_spark_interval(win.gap_ns)
+    if streaming:
+        df = df.withWatermark(TS_COL, gap)
+    return (
+        df.groupBy(F.session_window(TS_COL, gap).alias("w"), KEY_COL)
+        .agg(*[c.alias(n) for n, c in fast.items()])
+        .select(
+            F.col(KEY_COL),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *fast.keys(),
+        )
+    )
+
+
 # ---------------------------------------------------------------- streaming
 def range_windows_stream_fast(df: DataFrame, win) -> DataFrame:
     agg = win.aggregation

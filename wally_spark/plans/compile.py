@@ -75,6 +75,12 @@ def compile_batch(
             if KEY_COL not in df.columns:
                 df = df.withColumn(KEY_COL, F.lit(""))
             df = range_windows_batch(df, win)
+        elif kind == "to_session_windows":
+            from wally_spark.operators.windows import session_windows_op
+
+            if KEY_COL not in df.columns:
+                df = df.withColumn(KEY_COL, F.lit(""))
+            df = session_windows_op(df, stage[1], streaming=False)
         elif kind == "to_count_windows":
             win: CountWindows = stage[1]
             if KEY_COL not in df.columns:

@@ -67,6 +67,12 @@ def compile_stream(
                 df = range_windows_stream_fast(df, win)
             else:
                 df = range_windows_stream_panes(df, win)
+        elif kind == "to_session_windows":
+            from wally_spark.operators.windows import session_windows_op
+
+            if KEY_COL not in df.columns:
+                df = df.withColumn(KEY_COL, F.lit(""))
+            df = session_windows_op(df, stage[1], streaming=True)
         elif kind == "to_count_windows":
             win: CountWindows = stage[1]
             if KEY_COL not in df.columns:
