@@ -22,3 +22,10 @@ def spark():
     s = get_spark("wally_spark-tests")
     yield s
     s.stop()
+
+
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    """Alias usable inside hypothesis @given tests (function-scoped
+    fixtures can't be combined with @given)."""
+    return spark

@@ -1,0 +1,66 @@
+"""Skew helpers and property-based codec tests (SURVEY §5)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import SF_SMALL
+from wally_spark.operators.skew import salted_agg, salted_join
+from wally_spark.tables import load_tables
+
+
+def test_salted_agg_matches_plain(spark):
+    ev = load_tables(spark, SF_SMALL)["events"]
+    plain = ev.groupBy("event_type").agg(
+        F.round(F.sum("value"), 2).alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    salted = salted_agg(
+        ev,
+        "event_type",
+        {"total": (F.sum("value"), "sum"), "n": (F.count(F.lit(1)), "sum")},
+    ).select("event_type", F.round("total", 2).alias("total"), "n")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_matches_plain(spark):
+    ev = load_tables(spark, SF_SMALL)["events"]
+    dims = spark.createDataFrame(
+        [("view", 1.0), ("click", 2.0), ("purchase", 3.0), ("signup", 4.0), ("error", 5.0)],
+        "event_type string, weight double",
+    )
+    plain = ev.join(dims, "event_type").agg(
+        F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("t")
+    )
+    salted = salted_join(ev, dims, "event_type", n_salts=8).agg(
+        F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("t")
+    )
+    assert plain.collect() == salted.collect()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    t=st.integers(min_value=0, max_value=2**62),
+    key=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40
+    ),
+    payload=st.binary(max_size=200),
+)
+def test_frame_codec_property(spark_global, t, key, payload):
+    """encode→decode is identity for arbitrary (time, key, payload)."""
+    import pyspark.sql.functions as F
+
+    from wally_spark.functions import decode_frame, encode_frame
+
+    spark = spark_global
+    df = spark.createDataFrame([(t, key, bytearray(payload))], "t long, k string, p binary")
+    out = (
+        df.select(encode_frame(F.col("t"), F.col("k"), F.col("p")).alias("frame"))
+        .select(decode_frame(F.col("frame")).alias("d"))
+        .select("d.event_time_ms", "d.key", "d.payload")
+        .collect()[0]
+    )
+    assert out["event_time_ms"] == t
+    assert out["key"] == key
+    assert bytes(out["payload"] or b"") == payload

@@ -1,0 +1,70 @@
+from __future__ import annotations
+
+import uuid
+
+import pyspark.sql.functions as F
+
+from tests.test_api_stream import BASE, _run, _stream_df, _write_batches
+from wally_spark.streaming.ops import dedup_stream, stream_stream_join
+
+
+def test_dedup_stream(spark, tmp_path):
+    path = _write_batches(
+        spark,
+        str(tmp_path),
+        [
+            [(BASE + "01", "a", 1), (BASE + "02", "a", 1), (BASE + "03", "b", 2)],
+            [(BASE + "04", "a", 1), (BASE + "05", "b", 3)],  # a dup across batches
+        ],
+    )
+    deduped = dedup_stream(
+        _stream_df(spark, path), keys=["user_id", "value"], ts="ts", watermark="1 hour"
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    out = _run(
+        deduped.writeStream.format("memory").queryName(name).outputMode("append"),
+        spark,
+        name,
+    )
+    got = sorted((r["user_id"], r["value"]) for r in out.collect())
+    assert got == [("a", 1.0), ("b", 2.0), ("b", 3.0)]
+
+
+def test_stream_stream_join(spark, tmp_path):
+    views = _write_batches(
+        spark,
+        f"{tmp_path}/v",
+        [[(BASE + "01", "a", 100), (BASE + "02", "b", 200)]],
+    )
+    purchases = _write_batches(
+        spark,
+        f"{tmp_path}/p",
+        [[(BASE + "05", "a", 250), (BASE + "06", "b", 150)]],
+    )
+    v = _stream_df(spark, views).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("value").alias("view_value"),
+    )
+    p = _stream_df(spark, purchases).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = stream_stream_join(
+        p,
+        v,
+        on=F.col("p_user") == F.col("v_user"),
+        left_ts="p_ts",
+        right_ts="v_ts",
+        watermark="1 hour",
+        condition=(F.col("purchase_value") > 2.0 * F.col("view_value")),
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    out = _run(
+        joined.writeStream.format("memory").queryName(name).outputMode("append"),
+        spark,
+        name,
+    )
+    got = [(r["p_user"], r["purchase_value"], r["view_value"]) for r in out.collect()]
+    assert got == [("a", 250.0, 100.0)]  # b's 150 < 2*200 rejected

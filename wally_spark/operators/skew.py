@@ -1,0 +1,50 @@
+"""Skew-mitigation helpers (SURVEY §6).
+
+AQE's skew-join handling covers sort-merge joins at runtime; salting
+is for the cases AQE can't split — skewed aggregation keys and
+broadcast-ineligible skewed joins."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def salted_agg(
+    df: DataFrame, key: str, aggs: dict, n_salts: int = 16
+) -> DataFrame:
+    """Two-phase aggregation over a skewed key: phase 1 aggregates
+    (key, salt) — spreading a hot key over ``n_salts`` reducers —
+    phase 2 combines per key. ``aggs`` maps output name →
+    (phase1_expr, phase2_combiner_fn_name): e.g.
+    {"total": (F.sum("v"), "sum"), "n": (F.count(F.lit(1)), "sum")}.
+    """
+    salted = df.withColumn(
+        "__salt", (F.crc32(F.col(key).cast("string")) + F.monotonically_increasing_id()) % n_salts
+    )
+    phase1 = salted.groupBy(key, "__salt").agg(
+        *[expr.alias(f"__p_{name}") for name, (expr, _) in aggs.items()]
+    )
+    phase2 = phase1.groupBy(key).agg(
+        *[
+            getattr(F, comb)(f"__p_{name}").alias(name)
+            for name, (_, comb) in aggs.items()
+        ]
+    )
+    return phase2
+
+
+def salted_join(
+    skewed: DataFrame, small: DataFrame, on: str, n_salts: int = 16
+) -> DataFrame:
+    """Skewed-left join by replicating the small side ``n_salts``
+    times: the hot key's rows scatter across salts instead of landing
+    on one reducer. Use when the small side is too big to broadcast
+    but small enough to replicate n_salts×."""
+    salted_l = skewed.withColumn(
+        "__salt", (F.monotonically_increasing_id() % n_salts).cast("int")
+    )
+    replicated = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_l.join(replicated, [on, "__salt"]).drop("__salt")

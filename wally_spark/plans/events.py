@@ -332,3 +332,48 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+# --- as-of join: latest view state at each purchase ---
+@register(
+    "asof_purchase_view",
+    oracle="""
+WITH views AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS view_value
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+), purchases AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, round(p.value, 2) AS purchase_value,
+       round(v.view_value, 2) AS asof_view_value
+FROM purchases p
+ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+""",
+    tags=("asof", "events"),
+)
+def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union-and-carry, operators/asof.py): each purchase
+    picks up the most recent prior view's value per user — the
+    market_spread pattern (orders checked against latest market state)
+    as a first-class relational operator."""
+    from wally_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("view_value"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(purchases, views, on="user_id", ts="ts", right_cols=("view_value",))
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("purchase_value"),
+        F.round("asof_view_value", 2).alias("asof_view_value"),
+    )
