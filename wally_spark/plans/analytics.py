@@ -1,0 +1,171 @@
+"""Additional analytics surface: multi-level aggregation (ROLLUP),
+exact quantiles, inter-arrival statistics, TF-IDF — operators a user
+of a general-purpose engine expects beyond the reference's stream
+core.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from wally_spark.plans.registry import register
+from wally_spark.tables import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str):
+    return load_tables(spark, sf_dir)
+
+
+# --- ROLLUP: order totals at (status, priority), (status), () levels ---
+@register(
+    "rollup_orders",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    tags=("analytics", "rollup"),
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir)["orders"]
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+# --- exact quantiles per group (continuous interpolation) ---
+@register(
+    "quantiles_by_type",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(min(value), 2) AS vmin,
+       round(max(value), 2) AS vmax
+FROM events
+GROUP BY event_type
+""",
+    tags=("analytics", "quantile"),
+)
+def quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`); the approximate sketch path
+    (approx_percentile/t-digest) is the 100 TB variant but is not
+    cross-engine reproducible, so the exact form carries the oracle."""
+    ev = _t(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.min("value"), 2).alias("vmin"),
+        F.round(F.max("value"), 2).alias("vmax"),
+    )
+
+
+# --- inter-arrival statistics per user (lead/lag) ---
+@register(
+    "interarrival_stats",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)) AS gap_s
+  FROM events
+)
+SELECT user_id, count(*) AS n_gaps,
+       round(sum(gap_s), 1) AS total_gap_s,
+       round(min(gap_s), 1) AS min_gap_s,
+       round(max(gap_s), 1) AS max_gap_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY user_id
+""",
+    tags=("analytics", "window"),
+)
+def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "gap_s",
+        F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w),
+    ).where(F.col("gap_s").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.sum("gap_s"), 1).alias("total_gap_s"),
+        F.round(F.min("gap_s"), 1).alias("min_gap_s"),
+        F.round(F.max("gap_s"), 1).alias("max_gap_s"),
+    )
+
+
+# --- TF-IDF: top terms per document ---
+@register(
+    "tfidf_top_terms",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                    w -> w <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS f,
+         sum(count(*)) OVER (PARTITION BY doc_id) AS doc_len
+  FROM words GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS dfreq FROM words GROUP BY term
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         floor(1000000.0 * (tf.f / tf.doc_len)
+               * ln(n.n_docs / df.dfreq))::BIGINT AS tfidf_ppm,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY (tf.f / tf.doc_len) * ln(n.n_docs / df.dfreq) DESC,
+                    tf.term) AS rk
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf_ppm, rk FROM scored WHERE rk <= 3
+""",
+    tags=("analytics", "text"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms. df table is tiny (vocabulary)
+    → broadcast; the only big shuffle is the (doc, term) groupBy."""
+    docs = _t(spark, sf_dir)["documents"]
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+        ).alias("term"),
+    )
+    tf = (
+        words.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .withColumn("doc_len", F.sum("f").over(Window.partitionBy("doc_id")))
+    )
+    df_tbl = words.groupBy("term").agg(F.countDistinct("doc_id").alias("dfreq"))
+    n_docs = docs.count()
+    tfidf = F.col("f") / F.col("doc_len") * F.log(F.lit(float(n_docs)) / F.col("dfreq"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        tf.join(F.broadcast(df_tbl), "term")
+        .withColumn("tfidf", tfidf)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.floor(1_000_000.0 * F.col("tfidf")).cast("bigint").alias("tfidf_ppm"),
+            "rk",
+        )
+    )
