@@ -68,3 +68,47 @@ def test_stream_stream_join(spark, tmp_path):
     )
     got = [(r["p_user"], r["purchase_value"], r["view_value"]) for r in out.collect()]
     assert got == [("a", 250.0, 100.0)]  # b's 150 < 2*200 rejected
+
+
+def test_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Kill a query between micro-batches; resume from the checkpoint:
+    every input row lands in the output exactly once."""
+    from wally_spark.sinks import IdempotentParquetSink
+
+    src = f"{tmp_path}/src"
+    out = f"{tmp_path}/out"
+    ckpt = f"{tmp_path}/ckpt"
+    _write_batches(
+        spark,
+        str(tmp_path),
+        [
+            [(BASE + "01", "a", 1), (BASE + "02", "b", 2)],
+            [(BASE + "03", "c", 3)],
+            [(BASE + "04", "d", 4)],
+        ],
+    )
+    import os
+
+    os.rename(f"{tmp_path}/stream_src", src)
+
+    def start():
+        sdf = (
+            spark.readStream.schema("ts timestamp, user_id string, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        sink = IdempotentParquetSink(out, ckpt)
+        return sink.write_stream(sdf).trigger(availableNow=True).start()
+
+    # first run: processes everything available, then stops
+    q1 = start()
+    q1.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 4
+    # "crash" already happened (query ended); resume from checkpoint:
+    # no batch is reprocessed, output unchanged
+    q2 = start()
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 4
+    rows = sorted(r["user_id"] for r in spark.read.parquet(out).collect())
+    assert rows == ["a", "b", "c", "d"]

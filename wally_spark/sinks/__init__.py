@@ -149,3 +149,28 @@ class TCPSink(SinkConfig):
                 batch_df.foreachPartition(self._send_partition)
 
         return df.writeStream.foreachBatch(handle)
+
+
+@dataclass
+class IdempotentParquetSink(SinkConfig):
+    """Exactly-once streaming parquet sink: each micro-batch writes to
+    a batchId-keyed subdirectory and skips batches already present, so
+    replays after failure don't duplicate output (the engine-side
+    guarantee the reference's at-least-once connector protocol needs a
+    dedup step for; connectors.py:270 MultiSourceConnector)."""
+
+    path: str
+    checkpoint: str
+
+    def write_stream(self, df):
+        import os
+
+        def handle(batch_df, batch_id):
+            dst = os.path.join(self.path, f"batch_id={batch_id}")
+            if os.path.exists(os.path.join(dst, "_SUCCESS")):
+                return  # replayed batch: already committed
+            batch_df.write.mode("overwrite").parquet(dst)
+
+        return df.writeStream.foreachBatch(handle).option(
+            "checkpointLocation", self.checkpoint
+        )
