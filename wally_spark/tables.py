@@ -54,5 +54,29 @@ def _read(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+class _LazyTables(dict):
+    """Reads a table's parquet footer only on first access, and keeps
+    the DataFrame (an immutable logical plan) for reuse — a query
+    touching 2 of the 10 tables pays for 2 schema reads, not 10."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        super().__init__()
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __missing__(self, t: str) -> DataFrame:
+        if t not in TABLES:
+            raise KeyError(t)
+        df = _read(self._spark, f"{self._sf_dir}/{t}.parquet")
+        self[t] = df
+        return df
+
+
+_CACHE: dict[tuple[int, str], _LazyTables] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    return {t: _read(spark, f"{sf_dir}/{t}.parquet") for t in TABLES}
+    key = (id(spark), sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = _LazyTables(spark, sf_dir)
+    return _CACHE[key]
