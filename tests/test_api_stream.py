@@ -244,3 +244,55 @@ def test_stream_session_windows(spark, tmp_path):
     # sessions [01..05] and [20] closed once the watermark passed; the
     # 02:00 session stays open at stream end (append mode)
     assert got == {(1, 3.0, 2), (20, 3.0, 1)}
+
+
+def test_stream_word_count_app(spark, tmp_path):
+    """Reference word_count end-to-end in streaming: computation_multi
+    split → key_by word → stateful count, state carried across
+    micro-batches (examples/python/word_count/word_count.py)."""
+    import os
+
+    path = os.path.join(str(tmp_path), "docs")
+    os.makedirs(path, exist_ok=True)
+    for i, text in enumerate(["hello wally hello", "wally counts words"]):
+        df = spark.createDataFrame([(text,)], "text string")
+        fdir = os.path.join(str(tmp_path), f"_d{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(fdir)
+        part = [f for f in os.listdir(fdir) if f.endswith(".parquet")][0]
+        dst = os.path.join(path, f"b{i}.parquet")
+        os.rename(os.path.join(fdir, part), dst)
+        os.utime(dst, (1_000_000 + i * 100,) * 2)
+
+    @api.computation_multi("split", schema="word string")
+    def split(rec):
+        return [{"word": w} for w in rec.text.lower().split(" ") if w]
+
+    class WordState:
+        def __init__(self):
+            self.n = 0
+
+    @api.state_computation("count", WordState, schema="word string, running bigint")
+    def count(rec, state):
+        state.n += 1
+        return {"word": rec.word, "running": state.n}
+
+    sdf = (
+        spark.readStream.schema("text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    p = (
+        api.source("wc", DataFrameSource("wc", sdf))
+        .to(split)
+        .key_by("word")
+        .to(count)
+        .to_sink(MemorySink(name))
+    )
+    out = _run(api.build_application("wc", p).run_stream(spark), spark, name)
+    final = {
+        r["word"]: r["mx"]
+        for r in out.groupBy("word").agg(F.max("running").alias("mx")).collect()
+    }
+    # 'wally' appears once per batch → stateful count reaches 2
+    assert final == {"hello": 2, "wally": 2, "counts": 1, "words": 1}

@@ -64,3 +64,58 @@ def test_frame_codec_property(spark_global, t, key, payload):
     assert out["event_time_ms"] == t
     assert out["key"] == key
     assert bytes(out["payload"] or b"") == payload
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # key
+            st.integers(min_value=0, max_value=100),    # ts (s)
+            st.booleans(),                               # is_left
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_asof_join_property(spark_global, data):
+    """asof_join == brute-force most-recent-match on random inputs."""
+    from datetime import datetime, timezone
+
+    from wally_spark.operators.asof import asof_join
+
+    def dt(sec):
+        return datetime.fromtimestamp(sec, timezone.utc).replace(tzinfo=None)
+
+    spark = spark_global
+    left_rows = [
+        (i, k, float(ts)) for i, (k, ts, is_l) in enumerate(data) if is_l
+    ]
+    right_rows = [
+        (i, k, float(ts), float(i * 10)) for i, (k, ts, is_l) in enumerate(data) if not is_l
+    ]
+    if not left_rows:
+        return
+    # dedupe right per (key, ts) keeping max id (mirrors operator contract)
+    best = {}
+    for i, k, ts, v in right_rows:
+        if (k, ts) not in best or i > best[(k, ts)][0]:
+            best[(k, ts)] = (i, v)
+    right_rows = [(i, k, ts, v) for (k, ts), (i, v) in best.items()]
+
+    left = spark.createDataFrame(
+        [(i, k, dt(ts)) for i, k, ts in left_rows],
+        "id long, key long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(i, k, dt(ts), v) for i, k, ts, v in right_rows],
+        "rid long, key long, ts timestamp, val double",
+    )
+    got = {
+        r["id"]: r["asof_val"]
+        for r in asof_join(left, right, on="key", ts="ts", right_cols=("val",)).collect()
+    }
+    for i, k, ts in left_rows:
+        cands = [(rts, v) for (_, rk, rts, v) in right_rows if rk == k and rts <= ts]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, k, ts, got[i], want)
