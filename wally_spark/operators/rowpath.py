@@ -35,7 +35,7 @@ def run_rowpath(df: DataFrame, fn, is_multi: bool, schema: str | None) -> DataFr
                 else:
                     out.append(res if isinstance(res, dict) else vars(res))
             yield pd.DataFrame(out) if out else pd.DataFrame(
-                {c: [] for c in _schema_cols(out_schema)}
+                {c: pd.Series(dtype="object") for c in _schema_cols(out_schema)}
             )
 
     return df.mapInPandas(runner, out_schema)

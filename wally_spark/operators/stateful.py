@@ -59,7 +59,7 @@ def run_state_batch(df: DataFrame, comp, out_schema: str) -> DataFrame:
             comp.fn, comp.state_class, comp.is_multi, pdf, key
         )
         return pd.DataFrame(out) if out else pd.DataFrame(
-            {c.strip().split()[0]: [] for c in out_schema.split(",")}
+            {c.strip().split()[0]: pd.Series(dtype="object") for c in out_schema.split(",")}
         )
 
     return df.groupBy(KEY_COL).applyInPandas(runner, out_schema)
@@ -88,7 +88,7 @@ def run_state_stream(df: DataFrame, comp, out_schema: str) -> DataFrame:
             all_out.extend(out)
         group_state.update((pickle.dumps(state),))
         cols = [c.strip().split()[0] for c in out_schema.split(",")]
-        yield pd.DataFrame(all_out) if all_out else pd.DataFrame({c: [] for c in cols})
+        yield pd.DataFrame(all_out) if all_out else pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
 
     return df.groupBy(KEY_COL).applyInPandasWithState(
         runner,

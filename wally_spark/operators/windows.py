@@ -82,7 +82,7 @@ def range_windows_batch(df: DataFrame, win) -> DataFrame:
             agg.update(rec, acc)
         res = agg.output(key, acc)
         if res is None:
-            return pd.DataFrame({c: [] for c in _out_cols(out_schema)})
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in _out_cols(out_schema)})
         d = dict(res) if isinstance(res, dict) else vars(res)
         d[KEY_COL] = key
         d[WINDOW_START] = ws
@@ -116,7 +116,7 @@ def count_windows_batch(df: DataFrame, win) -> DataFrame:
     def runner(key_tuple, pdf: pd.DataFrame):
         key, seq = key_tuple
         if len(pdf) < win.count:  # only full windows fire
-            return pd.DataFrame({c: [] for c in _out_cols(out_schema)})
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in _out_cols(out_schema)})
         acc = agg.initial_accumulator()
         sc = _sort_cols(pdf)
         if sc:
@@ -125,7 +125,7 @@ def count_windows_batch(df: DataFrame, win) -> DataFrame:
             agg.update(rec, acc)
         res = agg.output(key, acc)
         if res is None:
-            return pd.DataFrame({c: [] for c in _out_cols(out_schema)})
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in _out_cols(out_schema)})
         d = dict(res) if isinstance(res, dict) else vars(res)
         d[KEY_COL] = key
         d["win_seq"] = seq
@@ -243,7 +243,7 @@ def range_windows_stream_panes(df: DataFrame, win) -> DataFrame:
             fire(ws, panes.pop(ws))
         group_state.update((pickle.dumps((panes, max_us)),))
         cols = _out_cols(out_schema)
-        yield pd.DataFrame(out) if out else pd.DataFrame({c: [] for c in cols})
+        yield pd.DataFrame(out) if out else pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
 
     return df.groupBy(KEY_COL).applyInPandasWithState(
         runner,
@@ -287,7 +287,7 @@ def count_windows_stream(df: DataFrame, win) -> DataFrame:
                     acc, n, seq = agg.initial_accumulator(), 0, seq + 1
         group_state.update((pickle.dumps((acc, n, seq)),))
         cols = _out_cols(out_schema)
-        yield pd.DataFrame(out) if out else pd.DataFrame({c: [] for c in cols})
+        yield pd.DataFrame(out) if out else pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
 
     return df.groupBy(KEY_COL).applyInPandasWithState(
         runner,

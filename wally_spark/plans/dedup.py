@@ -128,14 +128,22 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(candidates), not O(n²)."""
     sh = _shingles(spark, sf_dir)
     sigs = sh.groupBy("doc_id").agg(*_minhash_exprs())
-    bands = None
-    for b in range(N_HASHES // BAND_ROWS):
-        part = sigs.select(
-            "doc_id",
-            F.lit(b).alias("band_id"),
-            F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias("band_key"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # one explode instead of a 4-way union: the union shape makes Spark
+    # recompute the signature aggregation per branch
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias(
+                    "band_key"
+                ),
+            )
+            for b in range(N_HASHES // BAND_ROWS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band_id", "b.band_key"
+    )
     a = bands.alias("a")
     b_ = bands.alias("b")
     return (
