@@ -327,3 +327,19 @@ def test_session_windows_batch(spark, events):
     assert out.count() == expected.count()
     assert out.agg(F.round(F.sum("total"), 0)).collect()[0][0] == \
         expected.agg(F.round(F.sum("total"), 0)).collect()[0][0]
+
+
+def test_to_sinks_multiplex(spark, events, tmp_path):
+    from wally_spark.sinks import ParquetSink
+
+    s1 = ParquetSink(f"{tmp_path}/s1")
+    s2 = ParquetSink(f"{tmp_path}/s2")
+    p = (
+        api.source("m", DataFrameSource("m", events))
+        .to(api.computation("sel", exprs={"event_id": F.col("event_id")}))
+        .to_sinks([s1, s2])
+    )
+    api.build_application("m", p).run_batch(spark)
+    n = events.count()
+    assert spark.read.parquet(f"{tmp_path}/s1").count() == n
+    assert spark.read.parquet(f"{tmp_path}/s2").count() == n

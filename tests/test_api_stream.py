@@ -296,3 +296,34 @@ def test_stream_word_count_app(spark, tmp_path):
     }
     # 'wally' appears once per batch → stateful count reaches 2
     assert final == {"hello": 2, "wally": 2, "counts": 1, "words": 1}
+
+
+def test_stream_panes_with_delay(spark, tmp_path):
+    """with_delay keeps panes open past their end: the 03 record in
+    batch2 is NOT late under a 15s delay (wm = 25-15 = 10 at arrival),
+    so it lands in pane [0,10) which only fires once wm passes 10+15."""
+    path = _write_batches(
+        spark,
+        str(tmp_path),
+        [
+            [(BASE + "01", "a", 1), (BASE + "05", "a", 2), (BASE + "12", "a", 12)],
+            [(BASE + "03", "a", 3), (BASE + "25", "a", 25)],
+            [(BASE + "59", "a", 59)],
+        ],
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    p = (
+        api.source("s", DataFrameSource("s", _stream_df(spark, path)))
+        .key_by("user_id")
+        .to(
+            api.range_windows(api.seconds(10))
+            .with_delay(api.seconds(15))
+            .over(PySumAgg)
+        )
+        .to_sink(MemorySink(name))
+    )
+    out = _run(api.build_application("t", p).run_stream(spark), spark, name)
+    got = {(r["window_start"].second, r["total"], r["n"]) for r in out.collect()}
+    # wm ends at 59-15=44: panes [0,10) incl late-but-in-delay 3,
+    # [10,20), [20,30) fire; [50,60) still open
+    assert got == {(0, 6.0, 3), (10, 12.0, 1), (20, 25.0, 1)}
