@@ -14,12 +14,15 @@ from tests.conftest import SF_SMALL
 from wally_spark.tables import load_tables
 
 
-def _events_stream(spark):
+def _events_stream(spark, tmp_path):
     ev = load_tables(spark, SF_SMALL)["events"]
+    src = f"{tmp_path}/events_stream_src"
+    # several files → several micro-batches; timestamps normalized to µs
+    ev.repartition(4).write.mode("overwrite").parquet(src)
     return (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(f"{SF_SMALL}/events.parquet".rsplit("/events.parquet", 1)[0] + "/events.parquet"),
+        .parquet(src),
         ev,
     )
 
@@ -37,8 +40,8 @@ def _run_complete(df, spark):
     return spark.sql(f"SELECT * FROM {name}")
 
 
-def test_tumbling_window_equivalence(spark):
-    sdf, ev = _events_stream(spark)
+def test_tumbling_window_equivalence(spark, tmp_path):
+    sdf, ev = _events_stream(spark, tmp_path)
     stream_out = _run_complete(
         sdf.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
             F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
@@ -55,8 +58,8 @@ def test_tumbling_window_equivalence(spark):
     )
 
 
-def test_global_agg_equivalence(spark):
-    sdf, ev = _events_stream(spark)
+def test_global_agg_equivalence(spark, tmp_path):
+    sdf, ev = _events_stream(spark, tmp_path)
     stream_out = _run_complete(
         sdf.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
