@@ -208,3 +208,16 @@ def test_vector_helpers(spark):
     )
     got = [round(r[0], 6) for r in df.select(cosine_similarity(F.col("a"), F.col("b"))).collect()]
     assert got == [1.0, 0.0]
+
+
+def test_parquet_sink_partitioned(spark, tmp_path):
+    ev = load_tables(spark, SF_SMALL)["events"].select("event_id", "event_type", "value")
+    out = f"{tmp_path}/part_out"
+    ParquetSink(out, partition_by=("event_type",)).write_batch(ev)
+    import os
+
+    parts = [d for d in os.listdir(out) if d.startswith("event_type=")]
+    assert len(parts) == 5
+    # partition pruning: reading one partition only scans that directory
+    one = spark.read.parquet(out).where(F.col("event_type") == "view")
+    assert one.count() == ev.where(F.col("event_type") == "view").count()

@@ -169,3 +169,91 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+# --- pivot: per-user event-type totals as columns ---
+@register(
+    "pivot_user_event_totals",
+    oracle="""
+SELECT user_id,
+       round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0 END), 2) AS view_total,
+       round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 2) AS click_total,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase_total
+FROM events
+GROUP BY user_id
+""",
+    tags=("analytics", "pivot"),
+)
+def pivot_user_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.pivot with explicit value list (no extra distinct pass; the
+    implicit-values form runs a scan just to enumerate them)."""
+    ev = _t(spark, sf_dir)["events"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase"])
+        .agg(F.round(F.sum("value"), 2))
+    )
+    return out.select(
+        "user_id",
+        F.coalesce("view", F.lit(0.0)).alias("view_total"),
+        F.coalesce("click", F.lit(0.0)).alias("click_total"),
+        F.coalesce("purchase", F.lit(0.0)).alias("purchase_total"),
+    )
+
+
+# --- ntile: quartile assignment over order totalprice ---
+@register(
+    "ntile_order_quartiles",
+    oracle="""
+SELECT quartile, count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM (
+  SELECT o_totalprice,
+         ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+  FROM orders)
+GROUP BY quartile
+""",
+    tags=("analytics", "window"),
+)
+def ntile_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir)["orders"]
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+# --- set ops: viewers who never purchased (EXCEPT) and both (INTERSECT) ---
+@register(
+    "setops_viewer_purchasers",
+    oracle="""
+SELECT 'viewer_only' AS cohort, count(*) AS n FROM (
+  SELECT user_id FROM events WHERE event_type = 'view'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT 'viewer_and_purchaser' AS cohort, count(*) AS n FROM (
+  SELECT user_id FROM events WHERE event_type = 'view'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'purchase')
+""",
+    tags=("analytics", "setops"),
+)
+def setops_viewer_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir)["events"]
+    viewers = ev.where(F.col("event_type") == "view").select("user_id").distinct()
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    only = viewers.exceptAll(buyers).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("viewer_only").alias("cohort"), "n"
+    )
+    both = viewers.intersect(buyers).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("viewer_and_purchaser").alias("cohort"), "n"
+    )
+    return only.unionByName(both)
