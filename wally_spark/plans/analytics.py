@@ -166,7 +166,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "term",
             F.floor(1_000_000.0 * F.col("tfidf")).cast("bigint").alias("tfidf_ppm"),
-            "rk",
+            F.col("rk").cast("bigint").alias("rk"),
         )
     )
 
@@ -220,7 +220,7 @@ def ntile_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir)["orders"]
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
-        orders.withColumn("quartile", F.ntile(4).over(w))
+        orders.withColumn("quartile", F.ntile(4).over(w).cast("bigint"))
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

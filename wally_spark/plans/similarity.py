@@ -63,7 +63,7 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            "rank",
+            F.col("rank").cast("bigint").alias("rank"),
             F.floor(10000.0 * F.col("cos")).cast("bigint").alias("cos_bp"),
         )
     )
@@ -148,7 +148,7 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            "rank",
+            F.col("rank").cast("bigint").alias("rank"),
             F.floor(10000.0 * F.col("cos")).cast("bigint").alias("cos_bp"),
         )
     )

@@ -51,11 +51,11 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
     return docs.select(
         "doc_id",
-        F.size(words).alias("ws_tokens"),
-        F.size(F.expr(f"regexp_extract_all(lower(text), '{_BPE_RE}', 0)")).alias(
-            "bpe_tokens"
-        ),
-        F.length("text").alias("n_chars"),
+        F.size(words).cast("bigint").alias("ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(lower(text), '{_BPE_RE}', 0)"))
+        .cast("bigint")
+        .alias("bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
     )
 
 
@@ -101,8 +101,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_cnt = F.size(F.filter("words", lambda w: F.array_contains(stop_arr, w)))
     return d.select(
         "doc_id",
-        "n_chars",
-        n_tokens.alias("n_tokens"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
         F.floor(10000.0 * F.col("n_punct") / F.col("n_chars"))
         .cast("bigint")
         .alias("punct_bp"),
@@ -148,9 +148,9 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select("doc_id", "lang", words.alias("words")).select(
         "doc_id",
         "lang",
-        hits(_STOP_EN).alias("en_hits"),
-        hits(_STOP_DE).alias("de_hits"),
-        hits(_STOP_FR).alias("fr_hits"),
+        hits(_STOP_EN).cast("bigint").alias("en_hits"),
+        hits(_STOP_DE).cast("bigint").alias("de_hits"),
+        hits(_STOP_FR).cast("bigint").alias("fr_hits"),
     )
     return d.select(
         "doc_id",

@@ -255,7 +255,7 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "supp_nation",
             "cust_nation",
-            F.year("l_shipdate").alias("l_year"),
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
