@@ -56,6 +56,31 @@ def compare(spark, name: str, sf_dir: str):
     assert sorted(scols) == sorted(dcols), (
         f"{name}: column mismatch spark={scols} duck={dcols}"
     )
+    # type parity: a strict driver-side schema compare must not fail on
+    # int-vs-bigint drift between the engines
+    duck_to_spark = {
+        "BIGINT": "bigint",
+        "HUGEINT": "bigint",
+        "INTEGER": "int",
+        "DOUBLE": "double",
+        "FLOAT": "float",
+        "VARCHAR": "string",
+        "BOOLEAN": "boolean",
+    }
+    con2 = duck_connection(sf_dir)
+    try:
+        dtypes = {
+            c: t for c, t, *_ in con2.execute(f"DESCRIBE ({qd.oracle})").fetchall()
+        }
+    finally:
+        con2.close()
+    sdtypes = dict(sdf.dtypes)
+    for c, t in dtypes.items():
+        want = duck_to_spark.get(t.upper())
+        if want is not None:
+            assert sdtypes[c] == want, (
+                f"{name}: type mismatch on {c}: duck={t} spark={sdtypes[c]}"
+            )
     assert len(srows) == len(drows), (
         f"{name}: row count spark={len(srows)} duck={len(drows)}"
     )
