@@ -318,3 +318,83 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return rows.mapInPandas(pairs, "vec_a bigint, vec_b bigint, cos_bp bigint")
+
+
+# --- end-to-end curation pipeline: quality → language → dedup → stats ---
+@register(
+    "curation_pipeline",
+    oracle=f"""
+WITH feat AS (
+  SELECT doc_id, source,
+         list_filter(string_split(lower(text), ' '), w -> w <> '') AS words
+  FROM documents
+), quality AS (
+  SELECT doc_id, source FROM feat
+  WHERE len(words) >= 50
+    AND len(list_filter(words, w -> w IN ('the','a','of','and','to','in','is'))) > 0
+), shingled AS ({_SHINGLES_SQL}),
+exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+sizes AS (SELECT doc_id, count(*) AS n FROM exploded GROUP BY doc_id),
+dup_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM exploded a JOIN exploded b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+), dups AS (
+  SELECT DISTINCT doc_b AS dup_doc FROM dup_pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE 10000.0 * inter / (sa.n + sb.n - inter) >= 8000.0
+)
+SELECT source, count(*) AS n_docs
+FROM quality
+WHERE doc_id NOT IN (SELECT dup_doc FROM dups)
+GROUP BY source
+""",
+    tags=("dedup", "pipeline"),
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation composition a pretraining pipeline runs:
+    quality gate (length + fluency) → near-dup removal (keep the
+    lowest doc_id of every >=0.8-Jaccard pair) → per-source corpus
+    stats. Each stage is the same operator exercised standalone by
+    text_quality / dedup_ngram_jaccard; at 100 TB the dup_pairs stage
+    runs on minhash candidates only."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in", "is")])
+    quality = (
+        docs.select("doc_id", "source", words.alias("words"))
+        .where(
+            (F.size("words") >= 50)
+            & (F.size(F.filter("words", lambda w: F.array_contains(stop, w))) > 0)
+        )
+        .select("doc_id", "source")
+    )
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = 10000.0 * F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    dups = (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(jac >= 8000.0)
+        .select(F.col("doc_b").alias("dup_doc"))
+        .distinct()
+    )
+    return (
+        quality.join(dups, quality.doc_id == dups.dup_doc, "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
