@@ -35,6 +35,9 @@ HEADLINE = [
     "ann_bruteforce",
     "text_quality",
     "text_fingerprint",
+    "tfidf_top_terms",
+    "q13_customer_distribution",
+    "pivot_user_event_totals",
     "mm_image_meta",
 ]
 
