@@ -327,3 +327,41 @@ def test_stream_panes_with_delay(spark, tmp_path):
     # wm ends at 59-15=44: panes [0,10) incl late-but-in-delay 3,
     # [10,20), [20,30) fire; [50,60) still open
     assert got == {(0, 6.0, 3), (10, 12.0, 1), (20, 25.0, 1)}
+
+
+def test_stream_merge_keyby_callable_collect(spark, tmp_path):
+    """merge of two streaming pipelines + computed key + collect()."""
+    p1 = _write_batches(
+        spark, f"{tmp_path}/a", [[(BASE + "01", "a", 1), (BASE + "02", "b", 2)]]
+    )
+    p2 = _write_batches(
+        spark, f"{tmp_path}/b", [[(BASE + "03", "c", 30), (BASE + "04", "d", 40)]]
+    )
+    ext = api.key_extractor(lambda rec: "hi" if rec.value >= 10 else "lo")
+
+    class Total:
+        def __init__(self):
+            self.t = 0.0
+
+    @api.state_computation("sum_band", Total, schema="running double")
+    def sum_band(rec, state):
+        state.t += rec.value
+        return {"running": state.t}
+
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    branch = api.source("s2", DataFrameSource("s2", _stream_df(spark, p2)))
+    p = (
+        api.source("s1", DataFrameSource("s1", _stream_df(spark, p1)))
+        .merge(branch)
+        .key_by(ext)
+        .to(sum_band)
+        .to_sink(MemorySink(name))
+    )
+    out = _run(api.build_application("t", p).run_stream(spark), spark, name)
+    finals = {
+        r["k"]: r["mx"]
+        for r in out.groupBy(F.col("__key").alias("k"))
+        .agg(F.max("running").alias("mx"))
+        .collect()
+    }
+    assert finals == {"lo": 3.0, "hi": 70.0}

@@ -221,3 +221,39 @@ def test_parquet_sink_partitioned(spark, tmp_path):
     # partition pruning: reading one partition only scans that directory
     one = spark.read.parquet(out).where(F.col("event_type") == "view")
     assert one.count() == ev.where(F.col("event_type") == "view").count()
+
+
+def test_gen_source_stream_value_at(spark):
+    """Gen with value_at(n): rate ticks map through the generator."""
+
+    class Gen:
+        def initial_value(self):
+            return {"n": 0, "sq": 0}
+
+        def apply(self, last):
+            n = last["n"] + 1
+            return {"n": n, "sq": n * n}
+
+        def value_at(self, i):
+            return {"n": i, "sq": i * i}
+
+    cfg = GenSourceConfig("g", Gen(), rows_per_second=100)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        cfg.read_stream(spark)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    deadline = time.time() + 20
+    got = 0
+    while time.time() < deadline:
+        got = spark.sql(f"SELECT count(*) c FROM {name}").collect()[0]["c"]
+        if got >= 10:
+            break
+        time.sleep(0.5)
+    q.stop()
+    assert got >= 10
+    bad = spark.sql(f"SELECT count(*) c FROM {name} WHERE sq <> n * n").collect()[0]["c"]
+    assert bad == 0

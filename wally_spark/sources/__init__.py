@@ -95,11 +95,39 @@ class GenSourceConfig(SourceConfig):
         return spark.createDataFrame(rows)
 
     def read_stream(self, spark):
-        return (
+        """Rate source drives the generator. If the gen object provides
+        ``value_at(n)`` (a pure function of the sequence index — the
+        Spark-first generator contract, parallelizable across
+        executors), each rate tick n is mapped through it. A gen with
+        only sequential ``apply`` state can't be distributed; then the
+        raw rate rows (timestamp, value) are returned and the caller's
+        first computation decodes them."""
+        rate = (
             spark.readStream.format("rate")
             .option("rowsPerSecond", str(self.rows_per_second))
             .load()
         )
+        value_at = getattr(self.gen_instance, "value_at", None)
+        if value_at is None:
+            return rate
+
+        import pandas as pd
+
+        sample = [value_at(i) for i in range(4)]
+        sample_rows = [v if isinstance(v, dict) else {"value": v} for v in sample]
+        schema = spark.createDataFrame(sample_rows).schema
+
+        def gen_rows(batches):
+            for pdf in batches:
+                rows = [
+                    v if isinstance(v, dict) else {"value": v}
+                    for v in (value_at(int(n)) for n in pdf["value"])
+                ]
+                yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                    {f.name: pd.Series(dtype="object") for f in schema.fields}
+                )
+
+        return rate.mapInPandas(gen_rows, schema)
 
 
 @dataclass
