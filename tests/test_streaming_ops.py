@@ -112,3 +112,35 @@ def test_checkpoint_resume_exactly_once(spark, tmp_path):
     assert spark.read.parquet(out).count() == 4
     rows = sorted(r["user_id"] for r in spark.read.parquet(out).collect())
     assert rows == ["a", "b", "c", "d"]
+
+
+def test_inactivity_sessions_classic(spark, tmp_path):
+    from wally_spark.streaming.ops import inactivity_sessions_classic
+
+    path = _write_batches(
+        spark,
+        str(tmp_path),
+        [
+            [(BASE + "01", "a", 1), (BASE + "05", "a", 2)],
+            # advances the watermark far past a's last+gap → a's session
+            # closes via timeout even though a has no new events
+            [(BASE + "45", "b", 7)],
+            [("2024-01-01 00:02:30", "c", 1)],
+        ],
+    )
+    sdf = _stream_df(spark, path).withWatermark("ts", "1 second")
+    out_df = inactivity_sessions_classic(sdf, gap_s=10)
+    import uuid as _uuid
+
+    name = f"t_{_uuid.uuid4().hex[:8]}"
+    out = _run(
+        out_df.writeStream.format("memory").queryName(name).outputMode("append"),
+        spark,
+        name,
+    )
+    got = {
+        (r["user_id"], r["session_start_s"] % 3600, r["n_events"], r["total"])
+        for r in out.collect()
+    }
+    assert ("a", 1, 2, 3.0) in got
+    assert ("b", 45, 1, 7.0) in got
