@@ -98,3 +98,71 @@ def test_session_gaps_at_10x(spark, big_events):
     )
     dt = _timed(sess)
     assert dt < 180, f"sessionization at 10x took {dt:.1f}s"
+
+
+def test_minhash_lsh_at_100x_docs(spark, tmp_path_factory):
+    """50k synthetic docs (100x sf0.1's 5000) through the banded
+    MinHash path: cost must stay O(docs × shingles), not O(docs²)."""
+    vocab = [f"w{i}" for i in range(30)]
+    docs = spark.range(50_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(120)),
+                lambda i: F.element_at(
+                    F.array(*[F.lit(w) for w in vocab]),
+                    (F.abs(F.xxhash64(F.col("id"), i)) % 30 + 1).cast("int"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    d = docs.select("doc_id", words.alias("words"))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("words") - 2, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("words", i),
+                F.element_at("words", i + 1),
+                F.element_at("words", i + 2),
+            ),
+        )
+    )
+    sh = d.select("doc_id", F.explode(shingles).alias("shingle"))
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{h}:"), F.col("shingle")).cast("binary"))
+            ).alias(f"mh{h}")
+            for h in range(8)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")).alias("band_key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.band_key")
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    dt = _timed(pairs)
+    assert dt < 300, f"minhash LSH at 100x took {dt:.1f}s"
