@@ -228,3 +228,34 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("wh").cast("bigint").alias("fingerprint"),
         F.count(F.lit(1)).alias("n_windows"),
     )
+
+
+# --- normalized exact dedup (C4-style fuzzy-exact stage) ---
+@register(
+    "dedup_normalized",
+    oracle="""
+SELECT md5(norm) AS norm_hash, min(doc_id) AS keeper_doc, count(*) AS n_copies
+FROM (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents)
+GROUP BY norm_hash
+""",
+    tags=("text", "dedup"),
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after normalization (lowercase, strip punctuation,
+    collapse whitespace) — the cheap pre-pass pipelines run before
+    near-dup detection; same one-shuffle shape as dedup_exact."""
+    docs = _docs(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return (
+        docs.select("doc_id", norm.alias("norm"))
+        .groupBy(F.md5(F.col("norm").cast("binary")).alias("norm_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc"), F.count(F.lit(1)).alias("n_copies"))
+    )
