@@ -144,3 +144,50 @@ def test_inactivity_sessions_classic(spark, tmp_path):
     }
     assert ("a", 1, 2, 3.0) in got
     assert ("b", 45, 1, 7.0) in got
+
+
+def test_state_ttl_resets_after_inactivity(spark, tmp_path):
+    """run_state_stream with state_ttl_gap_s: a key idle past the TTL
+    restarts from fresh state — observable as a running-total reset."""
+    import uuid as _uuid
+
+    from wally_spark import api
+    from wally_spark.operators.stateful import KEY_COL, run_state_stream
+
+    class Total:
+        def __init__(self):
+            self.t = 0.0
+
+    @api.state_computation("rt", Total, schema="value double, running double")
+    def rt(rec, state):
+        state.t += rec.value
+        return {"value": rec.value, "running": round(state.t, 2)}
+
+    path = _write_batches(
+        spark,
+        str(tmp_path),
+        [
+            [(BASE + "01", "a", 1), (BASE + "02", "a", 2)],
+            # other-key traffic advances the watermark past a's TTL (10s)
+            [(BASE + "30", "z", 5)],
+            [(BASE + "59", "z", 5)],
+            # a returns: with TTL its state was dropped → running restarts
+            [("2024-01-01 00:01:30", "a", 4)],
+            [("2024-01-01 00:03:00", "z", 5)],
+        ],
+    )
+    sdf = _stream_df(spark, path).withWatermark("ts", "1 second").withColumn(
+        KEY_COL, F.col("user_id")
+    )
+    out_df = run_state_stream(sdf, rt, f"{KEY_COL} string, value double, running double",
+                              state_ttl_gap_s=10)
+    name = f"t_{_uuid.uuid4().hex[:8]}"
+    q = out_df.writeStream.format("memory").queryName(name).outputMode("append")
+    out = _run(q, spark, name)
+    a_rows = {
+        (r["value"], r["running"])
+        for r in out.collect()
+        if r[KEY_COL] == "a"
+    }
+    # 1→1.0, 2→3.0, then (after TTL drop) 4→4.0 not 7.0
+    assert a_rows == {(1.0, 1.0), (2.0, 3.0), (4.0, 4.0)}

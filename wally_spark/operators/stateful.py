@@ -65,35 +65,65 @@ def run_state_batch(df: DataFrame, comp, out_schema: str) -> DataFrame:
     return df.groupBy(KEY_COL).applyInPandas(runner, out_schema)
 
 
-def run_state_stream(df: DataFrame, comp, out_schema: str) -> DataFrame:
+def run_state_stream(
+    df: DataFrame, comp, out_schema: str, state_ttl_gap_s: int | None = None
+) -> DataFrame:
     """applyInPandasWithState with pickled user state across
-    micro-batches (GroupStateTimeout off: state lives until the query
-    stops, like a Wallaroo state step)."""
+    micro-batches.
+
+    Default (``state_ttl_gap_s=None``) matches the reference: a key's
+    state lives until the query stops. At 100 TB with unbounded key
+    cardinality that leaks; pass ``state_ttl_gap_s`` to expire a key's
+    state after that much event-time inactivity (EventTimeTimeout —
+    requires a watermark upstream). An expired key restarts from a
+    fresh ``state_class()`` on its next event.
+    """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     state_schema = "blob binary"
+    cols = [c.strip().split()[0] for c in out_schema.split(",")]
 
     def runner(key_tuple, pdfs, group_state):
         key = key_tuple[0]
+        if group_state.hasTimedOut:
+            group_state.remove()  # idle past TTL: drop the key's state
+            yield pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
+            return
         if group_state.exists:
             (blob,) = group_state.get
             state = pickle.loads(bytes(blob))
         else:
             state = comp.state_class()
         all_out = []
+        last_ts = None
         for pdf in pdfs:
             out, state = _apply_state_fn(
                 comp.fn, comp.state_class, comp.is_multi, pdf, key, state
             )
             all_out.extend(out)
+            if state_ttl_gap_s is not None and "ts" in pdf.columns and len(pdf):
+                m = pdf["ts"].max()
+                last_ts = m if last_ts is None else max(last_ts, m)
         group_state.update((pickle.dumps(state),))
-        cols = [c.strip().split()[0] for c in out_schema.split(",")]
-        yield pd.DataFrame(all_out) if all_out else pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
+        if state_ttl_gap_s is not None and last_ts is not None:
+            expiry_ms = (
+                int(pd.Timestamp(last_ts).value // 1_000_000)
+                + state_ttl_gap_s * 1000
+            )
+            group_state.setTimeoutTimestamp(expiry_ms)
+        yield pd.DataFrame(all_out) if all_out else pd.DataFrame(
+            {c: pd.Series(dtype="object") for c in cols}
+        )
 
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if state_ttl_gap_s is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return df.groupBy(KEY_COL).applyInPandasWithState(
         runner,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
