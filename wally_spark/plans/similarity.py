@@ -152,3 +152,61 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(10000.0 * F.col("cos")).cast("bigint").alias("cos_bp"),
         )
     )
+
+
+@register("ann_quantized", oracle=None, tags=("similarity", "ann", "quantized"))
+def ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k ANN over int8-quantized embeddings (per-vector symmetric
+    scale): 4× less memory/IO than float32, which at 100 TB is the
+    difference between a corpus fitting executor memory or not.
+    Rows-only oracle (quantization rounding is engine-specific); recall
+    vs the exact baseline is asserted in tests/test_similarity_ops.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir)
+    rows = emb.select("vec_id", "embedding")
+    corpus = rows.collect()
+    ids = np.array([r["vec_id"] for r in corpus], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in corpus], dtype=np.float64)
+    # unit-normalize, then quantize to int8 with per-vector scale
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    scales = np.abs(mat).max(axis=1, keepdims=True) / 127.0
+    q = np.round(mat / scales).astype(np.int8)
+    bc = spark.sparkContext.broadcast((ids, q, scales.squeeze(1)))
+
+    def topk(batches):
+        b_ids, b_q, b_s = bc.value
+        for pdf in batches:
+            out_q, out_n, out_r, out_c = [], [], [], []
+            sel = pdf[pdf["vec_id"] < N_QUERIES]
+            if not len(sel):
+                yield pd.DataFrame(
+                    {"query_id": [], "neighbor_id": [], "rank": [], "cos_q_bp": []}
+                ).astype({"query_id": "int64", "neighbor_id": "int64",
+                          "rank": "int64", "cos_q_bp": "int64"})
+                continue
+            a = np.array(list(sel["embedding"]), dtype=np.float64)
+            a = a / np.linalg.norm(a, axis=1, keepdims=True)
+            a_s = np.abs(a).max(axis=1, keepdims=True) / 127.0
+            a_q = np.round(a / a_s).astype(np.int8)
+            # int32 accumulation of int8 dot products, rescaled after
+            dots = a_q.astype(np.int32) @ b_q.astype(np.int32).T
+            cos = dots * a_s * b_s[None, :]
+            for i, qid in enumerate(sel["vec_id"]):
+                order = np.argsort(-cos[i] + (b_ids == qid) * 1e9)
+                kept = [j for j in order if b_ids[j] != qid][:TOP_K]
+                for r, j in enumerate(kept, start=1):
+                    out_q.append(int(qid))
+                    out_n.append(int(b_ids[j]))
+                    out_r.append(r)
+                    out_c.append(int(np.floor(10000.0 * cos[i, j])))
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "rank": out_r,
+                 "cos_q_bp": out_c}
+            )
+
+    return rows.mapInPandas(
+        topk, "query_id bigint, neighbor_id bigint, rank bigint, cos_q_bp bigint"
+    )
