@@ -343,3 +343,51 @@ def test_to_sinks_multiplex(spark, events, tmp_path):
     n = events.count()
     assert spark.read.parquet(f"{tmp_path}/s1").count() == n
     assert spark.read.parquet(f"{tmp_path}/s2").count() == n
+
+
+def test_post_window_computation_chain(spark, events):
+    """window → stateless computation → sink (alerts_windowed shape:
+    the aggregation's output flows through further stages)."""
+
+    class SumAgg(api.Aggregation):
+        def initial_accumulator(self):
+            return 0.0
+
+        def update(self, data, acc):
+            return acc + data.value
+
+        def combine(self, a, b):
+            return a + b
+
+        def output(self, key, acc):
+            return {"total": acc}
+
+        def spark_agg(self):
+            return {"total": F.round(F.sum("value"), 2)}
+
+    alert = api.computation(
+        "alert",
+        exprs={
+            "_where": F.col("total") > 400,
+            "user": F.col("__key"),
+            "window_start": F.col("window_start"),
+            "alert_total": F.col("total"),
+        },
+    )
+    p = (
+        api.source("w", DataFrameSource("w", events))
+        .key_by("user_id")
+        .to(api.range_windows(api.hours(1)).over(SumAgg))
+        .to(alert)
+        .to_sink(ReturnSink())
+    )
+    out = api.build_application("w", p).run_batch(spark)
+    assert out.columns == ["user", "window_start", "alert_total"]
+    assert out.where(F.col("alert_total") <= 400).count() == 0
+    expected = (
+        events.groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.round(F.sum("value"), 2).alias("t"))
+        .where(F.col("t") > 400)
+        .count()
+    )
+    assert out.count() == expected
