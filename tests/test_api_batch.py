@@ -382,7 +382,9 @@ def test_post_window_computation_chain(spark, events):
         .to_sink(ReturnSink())
     )
     out = api.build_application("w", p).run_batch(spark)
-    assert out.columns == ["user", "window_start", "alert_total"]
+    # the key column survives stateless stages (keying persists, like
+    # the reference's key_by scope)
+    assert out.columns == ["__key", "user", "window_start", "alert_total"]
     assert out.where(F.col("alert_total") <= 400).count() == 0
     expected = (
         events.groupBy(F.window("ts", "1 hour"), "user_id")
