@@ -257,3 +257,44 @@ def setops_viewer_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("viewer_and_purchaser").alias("cohort"), "n"
     )
     return only.unionByName(both)
+
+
+# --- cumulative share: running monthly revenue share within a year ---
+@register(
+    "cumulative_revenue_share",
+    oracle="""
+WITH monthly AS (
+  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+         sum(o_totalprice) AS rev
+  FROM orders GROUP BY yr, mo
+)
+SELECT yr, mo,
+       round(rev, 2) AS rev,
+       floor(10000.0 * sum(rev) OVER (PARTITION BY yr ORDER BY mo
+                                      ROWS UNBOUNDED PRECEDING)
+             / sum(rev) OVER (PARTITION BY yr))::BIGINT AS cum_share_bp
+FROM monthly
+""",
+    tags=("analytics", "window"),
+)
+def cumulative_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running share-of-year per month: frame-bounded running sum
+    divided by an unbounded partition total — two window aggregates
+    sharing one shuffle."""
+    orders = _t(spark, sf_dir)["orders"]
+    monthly = orders.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    wrun = Window.partitionBy("yr").orderBy("mo").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("yr")
+    return monthly.select(
+        "yr",
+        "mo",
+        F.round("rev", 2).alias("rev"),
+        F.floor(10000.0 * F.sum("rev").over(wrun) / F.sum("rev").over(wall))
+        .cast("bigint")
+        .alias("cum_share_bp"),
+    )
