@@ -259,3 +259,72 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.md5(F.col("norm").cast("binary")).alias("norm_hash"))
         .agg(F.min("doc_id").alias("keeper_doc"), F.count(F.lit(1)).alias("n_copies"))
     )
+
+
+# --- char-trigram language ID (profiles learned from the corpus) ---
+@register(
+    "text_langid_ngram",
+    oracle="""
+WITH trigrams AS (
+  SELECT doc_id, lang, u.tg AS tg
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_distinct(list_transform(
+             range(1, greatest(length(lower(text)) - 1, 1)),
+             i -> substring(lower(text), i, 3)))) AS tg
+    FROM documents) u(doc_id, lang, tg)
+), profiles AS (
+  SELECT lang, tg FROM (
+    SELECT lang, tg, count(*) AS c,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY count(*) DESC, tg) AS rk
+    FROM trigrams GROUP BY lang, tg)
+  WHERE rk <= 20
+), scores AS (
+  SELECT t.doc_id, p.lang AS cand, count(*) AS overlap
+  FROM trigrams t JOIN profiles p ON t.tg = p.tg
+  GROUP BY t.doc_id, p.lang
+)
+SELECT doc_id, cand AS predicted, overlap FROM (
+  SELECT doc_id, cand, overlap,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY overlap DESC, cand) AS rk
+  FROM scores)
+WHERE rk = 1
+""",
+    tags=("text", "langid"),
+)
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID: per-language top-20 trigram
+    profiles are learned from the labeled corpus in one pass (tiny —
+    broadcast), then each doc takes the argmax-overlap language.
+    Two shuffles total: trigram groupBy and the doc-score groupBy."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    tgs = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, greatest(length(lower(text)) - 2, 1)),"
+            " i -> substring(lower(text), i, 3))"
+        )
+    )
+    trigrams = docs.select("doc_id", "lang", F.explode(tgs).alias("tg"))
+    wlang = Window.partitionBy("lang").orderBy(F.desc("c"), "tg")
+    profiles = (
+        trigrams.groupBy("lang", "tg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rk", F.row_number().over(wlang))
+        .where(F.col("rk") <= 20)
+        .select(F.col("lang").alias("cand"), "tg")
+    )
+    scores = (
+        trigrams.join(F.broadcast(profiles), "tg")
+        .groupBy("doc_id", "cand")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy(F.desc("overlap"), "cand")
+    return (
+        scores.withColumn("rk", F.row_number().over(wdoc))
+        .where(F.col("rk") == 1)
+        .select("doc_id", F.col("cand").alias("predicted"), "overlap")
+    )
