@@ -60,7 +60,7 @@ SELECT event_id, user_id,
             ELSE 'WithdrawalAlert' END AS alert_type,
        round(value, 2) AS amount
 FROM events
-WHERE value > 450 AND event_type IN ('purchase', 'error')
+WHERE value > 300 AND event_type IN ('purchase', 'error')
 """,
     tags=("app", "stateless"),
 )
@@ -69,7 +69,7 @@ def app_alerts_stateless(spark: SparkSession, sf_dir: str) -> DataFrame:
     object when a transaction exceeds a threshold."""
     ev = _t(spark, sf_dir)["events"]
     return (
-        ev.where((F.col("value") > 450) & F.col("event_type").isin("purchase", "error"))
+        ev.where((F.col("value") > 300) & F.col("event_type").isin("purchase", "error"))
         .select(
             "event_id",
             "user_id",
@@ -134,7 +134,7 @@ SELECT ((floor(epoch(ts) / 1200) - k) * 1200)::BIGINT AS window_start,
        round(sum(value), 2) AS total
 FROM events, range(3) t(k)
 GROUP BY window_start, user_id
-HAVING sum(value) > 1500
+HAVING sum(value) > 350
 """,
     tags=("app", "window"),
 )
@@ -146,7 +146,7 @@ def app_alerts_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.window("ts", "1 hour", "20 minutes").alias("w"), "user_id")
         .agg(F.round(F.sum("value"), 2).alias("total"), F.sum("value").alias("_raw"))
-        .where(F.col("_raw") > 1500)
+        .where(F.col("_raw") > 350)
         .select(
             F.unix_timestamp("w.start").alias("window_start"),
             "user_id",

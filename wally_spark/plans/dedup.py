@@ -275,12 +275,12 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        floor(10000.0 * list_cosine_similarity(a.embedding, b.embedding))::BIGINT
          AS cos_bp
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.8
+WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.4
 """,
     tags=("dedup", "embedding"),
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine > 0.8), blocked-BLAS shape:
+    """Embedding near-dup pairs (cosine > 0.4), blocked-BLAS shape:
     the corpus matrix is broadcast once, each Arrow batch of rows does
     one numpy matmul against it (float64 accumulation). This is ~40×
     faster than per-pair higher-order-function lambdas (interpreted,
@@ -306,7 +306,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             a = np.array(list(pdf["embedding"]), dtype=np.float64)
             a = a / np.linalg.norm(a, axis=1, keepdims=True)
             cos = a @ b_mat.T
-            ai, bi = np.where(cos > 0.8)
+            ai, bi = np.where(cos > 0.4)
             keep = a_ids[ai] < b_ids[bi]
             ai, bi = ai[keep], bi[keep]
             yield pd.DataFrame(
