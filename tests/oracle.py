@@ -25,8 +25,11 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # kill -0.0 and float repr jitter
-        return f"{v + 0.0:.9g}"
+        # kill -0.0 and float repr jitter, but KEEP the float type tag:
+        # the driver hashes DuckDB HUGEINT/DECIMAL as 1149.0 while Spark
+        # bigint hashes as 1149 — coercing both to "1149" here hid two
+        # driver hash failures in round 1 (VERDICT.md "What's wrong" #1/#2)
+        return f"f:{v + 0.0:.9g}"
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
@@ -76,6 +79,12 @@ def compare(spark, name: str, sf_dir: str):
         con2.close()
     sdtypes = dict(sdf.dtypes)
     for c, t in dtypes.items():
+        # HUGEINT/DECIMAL survive fetchall() as exact Python values but the
+        # driver's pandas/arrow fetch renders them as floats → silent hash
+        # drift vs Spark bigint. Require explicit ::BIGINT / ::DOUBLE casts.
+        assert t.upper() not in ("HUGEINT", "UHUGEINT") and not t.upper().startswith(
+            "DECIMAL"
+        ), f"{name}: oracle column {c} is {t}; cast it (::BIGINT/::DOUBLE) in the SQL"
         want = duck_to_spark.get(t.upper())
         if want is not None:
             assert sdtypes[c] == want, (

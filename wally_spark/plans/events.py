@@ -266,7 +266,7 @@ def topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
   FROM sessioned GROUP BY user_id, session_idx
 )
 SELECT user_id, count(*) AS n_sessions,
-       sum(n_events) AS total_events,
+       sum(n_events)::BIGINT AS total_events,
        round(sum(dur), 1) AS total_duration_s
 FROM per_session GROUP BY user_id
 """,

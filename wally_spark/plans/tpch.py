@@ -315,9 +315,9 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
             THEN 'late' ELSE 'ontime' END AS ship_class,
        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
        sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
 FROM orders
 JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
