@@ -57,3 +57,25 @@ def test_events_scan_pruned(spark):
     plan = _plan(spark, "win_tumbling")
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "props" not in read_schema, "unused props column read in window agg"
+
+
+def test_no_driver_collect_in_plans():
+    """No registered plan may materialize data on the driver: collect()
+    and toPandas() inside an operator are OOM scale-killers at the
+    100 TB target (round-1 dedup_embedding/ann_quantized regression)."""
+    import ast
+    import pathlib
+
+    plans_dir = pathlib.Path(__file__).parent.parent / "wally_spark" / "plans"
+    banned = {"collect", "toPandas", "toLocalIterator"}
+    offenders = []
+    for p in sorted(plans_dir.glob("*.py")):
+        tree = ast.parse(p.read_text())
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr in banned
+            ):
+                offenders.append(f"{p.name}:{node.lineno} .{node.func.attr}(")
+    assert not offenders, f"driver-side materialization in plans: {offenders}"

@@ -280,44 +280,78 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.4
     tags=("dedup", "embedding"),
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine > 0.4), blocked-BLAS shape:
-    the corpus matrix is broadcast once, each Arrow batch of rows does
-    one numpy matmul against it (float64 accumulation). This is ~40×
-    faster than per-pair higher-order-function lambdas (interpreted,
-    not codegen'd) and is how the verify stage runs at 100 TB — with
-    an LSH prefilter (ann_lsh) bounding the candidate set first, and
-    row-block × column-block nesting once the corpus side exceeds
-    executor memory."""
+    """Embedding near-dup pairs (cosine > 0.4), exact, fully
+    distributed: the classic triangle block join. Vectors are hashed
+    into NB blocks, each unordered block pair (a ≤ b) becomes one row
+    carrying both blocks' matrices, and a numpy matmul scores the pair
+    inside the task. No driver-side materialization anywhere — the
+    round-1 version collect()ed the corpus to the driver, which is an
+    OOM at the 100 TB target.
+
+    Cost model: every vector is replicated NB times (once per partner
+    block), tasks hold two blocks at a time, so NB is chosen to make a
+    block ~executor-memory-sized; the O(n²) comparison work is the
+    semantics' own lower bound and is spread evenly across NB(NB+1)/2
+    independent tasks. At 100 TB the same shape runs with an LSH
+    prefilter (ann_lsh) replacing the all-pairs block product."""
     import numpy as np
     import pandas as pd
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    rows = emb.select("vec_id", "embedding")
-    corpus = rows.collect()  # small dimension table; broadcast below
-    ids = np.array([r["vec_id"] for r in corpus], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in corpus], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    nb = 8  # at scale: n_vectors * dim * 4B / NB ≈ 64 MB per block
+    rows = emb.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(nb)).alias("blk"),
+    )
+    blocks = rows.groupBy("blk").agg(
+        F.collect_list("vec_id").alias("ids"),
+        F.collect_list("embedding").alias("embs"),
+    )
+    a = blocks.select(
+        F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"),
+        F.col("embs").alias("embs_a"),
+    )
+    b = blocks.select(
+        F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"),
+        F.col("embs").alias("embs_b"),
+    )
+    pair_rows = a.join(b, F.col("blk_a") <= F.col("blk_b"))
 
-    def pairs(batches):
-        b_ids, b_mat = bc.value
+    def score(batches):
+        empty = {
+            "vec_a": np.array([], dtype=np.int64),
+            "vec_b": np.array([], dtype=np.int64),
+            "cos_bp": np.array([], dtype=np.int64),
+        }
         for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a = np.array(list(pdf["embedding"]), dtype=np.float64)
-            a = a / np.linalg.norm(a, axis=1, keepdims=True)
-            cos = a @ b_mat.T
-            ai, bi = np.where(cos > 0.4)
-            keep = a_ids[ai] < b_ids[bi]
-            ai, bi = ai[keep], bi[keep]
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ai],
-                    "vec_b": b_ids[bi],
-                    "cos_bp": np.floor(10000.0 * cos[ai, bi]).astype(np.int64),
-                }
-            )
+            if not len(pdf):
+                yield pd.DataFrame(empty)
+                continue
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                ma = np.array([np.asarray(e, dtype=np.float64) for e in row.embs_a])
+                mb = np.array([np.asarray(e, dtype=np.float64) for e in row.embs_b])
+                ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
+                mb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
+                cos = ma @ mb.T
+                ai, bi = np.where(cos > 0.4)
+                if row.blk_a == row.blk_b:
+                    keep = ids_a[ai] < ids_b[bi]
+                else:
+                    keep = np.ones(len(ai), dtype=bool)
+                ai, bi = ai[keep], bi[keep]
+                ia, ib = ids_a[ai], ids_b[bi]
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.minimum(ia, ib),
+                        "vec_b": np.maximum(ia, ib),
+                        "cos_bp": np.floor(10000.0 * cos[ai, bi]).astype(np.int64),
+                    }
+                )
 
-    return rows.mapInPandas(pairs, "vec_a bigint, vec_b bigint, cos_bp bigint")
+    return pair_rows.mapInPandas(score, "vec_a bigint, vec_b bigint, cos_bp bigint")
 
 
 # --- end-to-end curation pipeline: quality → language → dedup → stats ---

@@ -154,59 +154,66 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quantized(emb: DataFrame) -> DataFrame:
+    """vec_id, qv (int8-range ints), scale — per-vector symmetric
+    quantization of the unit-normalized embedding, computed entirely
+    with JVM-side higher-order functions: no UDF, no driver pass, so
+    quantization runs where the data lives (the round-1 version
+    collect()ed the corpus to the driver to quantize it in numpy)."""
+    norm = F.sqrt(
+        F.aggregate("embedding", F.lit(0.0), lambda a, v: a + v * v)
+    )
+    unit = F.transform("embedding", lambda x: x / F.col("norm"))
+    scale = F.array_max(F.transform("unit", lambda x: F.abs(x))) / F.lit(127.0)
+    qv = F.transform("unit", lambda x: F.round(x / F.col("scale")).cast("int"))
+    return (
+        emb.select("vec_id", "embedding")
+        .withColumn("norm", norm)
+        .withColumn("unit", unit)
+        .withColumn("scale", scale)
+        .select("vec_id", qv.alias("qv"), "scale")
+    )
+
+
 @register("ann_quantized", oracle=None, tags=("similarity", "ann", "quantized"))
 def ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k ANN over int8-quantized embeddings (per-vector symmetric
     scale): 4× less memory/IO than float32, which at 100 TB is the
     difference between a corpus fitting executor memory or not.
-    Rows-only oracle (quantization rounding is engine-specific); recall
-    vs the exact baseline is asserted in tests/test_similarity_ops.py.
-    """
-    import numpy as np
-    import pandas as pd
 
+    Fully declarative: corpus and query sides quantize executor-side
+    (_quantized), the small query set broadcasts, integer dot products
+    accumulate exactly in bigint, and a window takes top-k. The corpus
+    never shuffles and never touches the driver. Rows-only oracle
+    (quantization rounding is engine-specific); recall vs the exact
+    baseline is asserted in tests/test_similarity_ops.py."""
     emb = _emb(spark, sf_dir)
-    rows = emb.select("vec_id", "embedding")
-    corpus = rows.collect()
-    ids = np.array([r["vec_id"] for r in corpus], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in corpus], dtype=np.float64)
-    # unit-normalize, then quantize to int8 with per-vector scale
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    scales = np.abs(mat).max(axis=1, keepdims=True) / 127.0
-    q = np.round(mat / scales).astype(np.int8)
-    bc = spark.sparkContext.broadcast((ids, q, scales.squeeze(1)))
-
-    def topk(batches):
-        b_ids, b_q, b_s = bc.value
-        for pdf in batches:
-            out_q, out_n, out_r, out_c = [], [], [], []
-            sel = pdf[pdf["vec_id"] < N_QUERIES]
-            if not len(sel):
-                yield pd.DataFrame(
-                    {"query_id": [], "neighbor_id": [], "rank": [], "cos_q_bp": []}
-                ).astype({"query_id": "int64", "neighbor_id": "int64",
-                          "rank": "int64", "cos_q_bp": "int64"})
-                continue
-            a = np.array(list(sel["embedding"]), dtype=np.float64)
-            a = a / np.linalg.norm(a, axis=1, keepdims=True)
-            a_s = np.abs(a).max(axis=1, keepdims=True) / 127.0
-            a_q = np.round(a / a_s).astype(np.int8)
-            # int32 accumulation of int8 dot products, rescaled after
-            dots = a_q.astype(np.int32) @ b_q.astype(np.int32).T
-            cos = dots * a_s * b_s[None, :]
-            for i, qid in enumerate(sel["vec_id"]):
-                order = np.argsort(-cos[i] + (b_ids == qid) * 1e9)
-                kept = [j for j in order if b_ids[j] != qid][:TOP_K]
-                for r, j in enumerate(kept, start=1):
-                    out_q.append(int(qid))
-                    out_n.append(int(b_ids[j]))
-                    out_r.append(r)
-                    out_c.append(int(np.floor(10000.0 * cos[i, j])))
-            yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "rank": out_r,
-                 "cos_q_bp": out_c}
-            )
-
-    return rows.mapInPandas(
-        topk, "query_id bigint, neighbor_id bigint, rank bigint, cos_q_bp bigint"
+    qz = _quantized(emb)
+    q = qz.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("scale").alias("q_scale"),
+    )
+    c = qz.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv").alias("c_qv"),
+        F.col("scale").alias("c_scale"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q_qv", "c_qv", lambda x, y: (x * y).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_q"), "neighbor_id")
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_q", dot * F.col("q_scale") * F.col("c_scale"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.floor(10000.0 * F.col("cos_q")).cast("bigint").alias("cos_q_bp"),
+        )
     )
