@@ -166,3 +166,67 @@ def test_minhash_lsh_at_100x_docs(spark, tmp_path_factory):
     )
     dt = _timed(pairs)
     assert dt < 300, f"minhash LSH at 100x took {dt:.1f}s"
+
+
+def test_candidate_jaccard_at_100x_docs(spark, tmp_path_factory):
+    """Registered dedup_ngram_jaccard at 100× docs WITH a hot-shingle
+    block: 800 docs share a common prefix, which under the round-1 full
+    shingle self-join alone contributes ~640k×8 join rows from the hot
+    shingles; the candidate-bounded path must stay O(candidates)."""
+    sf_dir = str(tmp_path_factory.mktemp("jacscale"))
+    vocab = F.array(*[F.lit(f"w{i}") for i in range(5000)])
+    rand_words = F.transform(
+        F.sequence(F.lit(1), F.lit(120)),
+        lambda i: F.element_at(
+            vocab, (F.abs(F.xxhash64(F.col("doc_id"), i)) % 5000 + 1).cast("int")
+        ),
+    )
+    hot = F.concat_ws(" ", *[F.lit(f"hot{i}") for i in range(10)])
+    docs = spark.range(50_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") < 800,
+            F.concat(hot, F.lit(" "), F.concat_ws(" ", rand_words)),
+        )
+        .otherwise(F.concat_ws(" ", rand_words))
+        .alias("text"),
+        F.lit("synth").alias("source"),
+    )
+    docs.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    from wally_spark.plans import REGISTRY
+
+    t0 = time.perf_counter()
+    REGISTRY["dedup_ngram_jaccard"].spark_fn(spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    assert dt < 300, f"candidate-bounded jaccard at 100x took {dt:.1f}s"
+
+
+def test_blocked_embedding_pairs_at_5x(spark, tmp_path_factory):
+    """Registered dedup_embedding (triangle block join) at 5× sf0.1
+    vectors: 10k×10k cosines must run as distributed block matmuls with
+    no driver materialization (collect() is banned by test_plans)."""
+    sf_dir = str(tmp_path_factory.mktemp("embscale"))
+    emb = spark.range(10_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (
+                (F.abs(F.xxhash64(F.col("id"), i)) % 2000).cast("float") / 1000.0
+                - 1.0
+            ),
+        ).alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    emb.write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+
+    from wally_spark.plans import REGISTRY
+
+    t0 = time.perf_counter()
+    REGISTRY["dedup_embedding"].spark_fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dt = time.perf_counter() - t0
+    assert dt < 300, f"blocked embedding pairs at 5x took {dt:.1f}s"

@@ -160,7 +160,55 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- exact n-gram Jaccard verification ---
+# --- exact n-gram Jaccard verification, bounded by LSH candidates ---
+# SQL fragment shared by the jaccard / curation oracles: minhash bands →
+# distinct candidate pairs (assumes CTEs `exploded` is in scope).
+_CAND_SQL = f"""
+sigs AS (
+  SELECT doc_id,
+         {", ".join(f"min(md5('{h}:' || shingle)) AS mh{h}" for h in range(N_HASHES))}
+  FROM exploded GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, mh{2*b} || mh{2*b+1} AS band_key FROM sigs"
+    for b in range(N_HASHES // BAND_ROWS)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.band_id = b.band_id
+   AND a.doc_id < b.doc_id
+)"""
+
+
+def _candidate_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jac_bp_expr-ready cols): exact Jaccard computed
+    ONLY on minhash candidate pairs. The shingle join is keyed by the
+    candidate pair, so cost is O(candidates × shingles-per-doc) — a hot
+    shingle in k docs no longer produces k² rows (the round-1 full
+    self-join was quadratic on hot shingles at the 100 TB target)."""
+    cands = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        cands.join(sa_sh, "doc_a")
+        .join(sb_sh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return shared.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+
+
+def _jac_bp():
+    return 10000.0 * F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -168,12 +216,14 @@ WITH shingled AS ({_SHINGLES_SQL}),
 exploded AS (
   SELECT doc_id, unnest(shingles) AS shingle FROM shingled
 ),
+{_CAND_SQL},
 sizes AS (SELECT doc_id, count(*) AS n FROM exploded GROUP BY doc_id),
 shared AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM exploded a JOIN exploded b
-    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY doc_a, doc_b
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN exploded a ON a.doc_id = c.doc_a
+  JOIN exploded b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
 )
 SELECT doc_a, doc_b,
        floor(10000.0 * inter / (sa.n + sb.n - inter))::BIGINT AS jaccard_bp
@@ -185,30 +235,15 @@ WHERE 10000.0 * inter / (sa.n + sb.n - inter) >= 1000.0
     tags=("dedup", "jaccard"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard ≥ 0.10 over distinct 3-gram shingles, computed by
-    shingle join (the verification stage for minhash candidates; at
-    100 TB run it only on LSH candidates, not all pairs)."""
-    sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = 10000.0 * F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    """Exact Jaccard ≥ 0.10 over distinct 3-gram shingles, verified on
+    minhash LSH candidate pairs only (the full composition a 100 TB
+    pipeline runs: candidates from dedup_minhash, exact verify here).
+    The md5-based minhash is deterministic, so the DuckDB oracle
+    expresses the identical composition — parity stays exact."""
+    jac = _candidate_jaccard(spark, sf_dir)
     return (
-        shared.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .where(jac >= 1000.0)
-        .select("doc_a", "doc_b", F.floor(jac).cast("bigint").alias("jaccard_bp"))
+        jac.where(_jac_bp() >= 1000.0)
+        .select("doc_a", "doc_b", F.floor(_jac_bp()).cast("bigint").alias("jaccard_bp"))
     )
 
 
@@ -368,12 +403,14 @@ WITH feat AS (
     AND len(list_filter(words, w -> w IN ('the','a','of','and','to','in','is'))) > 0
 ), shingled AS ({_SHINGLES_SQL}),
 exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+{_CAND_SQL},
 sizes AS (SELECT doc_id, count(*) AS n FROM exploded GROUP BY doc_id),
 dup_pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM exploded a JOIN exploded b
-    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY doc_a, doc_b
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN exploded a ON a.doc_id = c.doc_a
+  JOIN exploded b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
 ), dups AS (
   SELECT DISTINCT doc_b AS dup_doc FROM dup_pairs
   JOIN sizes sa ON sa.doc_id = doc_a
@@ -392,8 +429,9 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality gate (length + fluency) → near-dup removal (keep the
     lowest doc_id of every >=0.8-Jaccard pair) → per-source corpus
     stats. Each stage is the same operator exercised standalone by
-    text_quality / dedup_ngram_jaccard; at 100 TB the dup_pairs stage
-    runs on minhash candidates only."""
+    text_quality / dedup_ngram_jaccard; the dup stage runs on minhash
+    candidates only (the bounded 100 TB shape — see
+    _candidate_jaccard), mirrored exactly in the oracle."""
     docs = load_tables(spark, sf_dir)["documents"]
     words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
     stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in", "is")])
@@ -405,25 +443,9 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source")
     )
-    sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = 10000.0 * F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     dups = (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .where(jac >= 8000.0)
+        _candidate_jaccard(spark, sf_dir)
+        .where(_jac_bp() >= 8000.0)
         .select(F.col("doc_b").alias("dup_doc"))
         .distinct()
     )
