@@ -20,3 +20,31 @@ def test_quantized_ann_recall(spark):
         len(exact_sets[q] & quant_sets[q]) / len(exact_sets[q]) for q in exact_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_lsh_ann_recall_on_planted_near_dups(spark, tmp_path):
+    """Banded LSH (8x4 OR-amplification) must recall >= 0.8 of the
+    true near-dups (cos >= 0.8) — the regime LSH exists for. The
+    driver tables' embeddings are near-uniform (top cos ~0.4, where
+    hyperplane LSH makes no recall promise), so this plants them:
+    queries 0..9 are noisy copies of corpus vectors 100..109."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    corpus = rng.standard_normal((500, 64))
+    corpus[:10] = corpus[100:110] + 0.05 * rng.standard_normal((10, 64))
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(i, [float(x) for x in corpus[i]], 0) for i in range(500)],
+        "vec_id bigint, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+
+    from wally_spark.plans import REGISTRY
+
+    exact = REGISTRY["ann_bruteforce"].spark_fn(spark, sf_dir).collect()
+    lsh = REGISTRY["ann_lsh"].spark_fn(spark, sf_dir).collect()
+    want = {(r["query_id"], r["neighbor_id"]) for r in exact if r["cos_bp"] >= 8000}
+    assert len(want) >= 10, "fixture must contain the planted near-dups"
+    got = {(r["query_id"], r["neighbor_id"]) for r in lsh}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} on {len(want)} near-dup pairs"

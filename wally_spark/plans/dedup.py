@@ -247,59 +247,117 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- SimHash (Arrow-batched numpy; rows-only oracle) ---
-@register("dedup_simhash", oracle=None, tags=("dedup", "simhash"))
+# --- SimHash: md5-per-token bit-fold, pure JVM expressions ---
+# Token hash = first 8 bytes of md5 (big-endian uint64). Bit j of the
+# fold is the majority vote of bit j across all token hashes. Both
+# engines compute nibbles via position-in-'0123456789abcdef' so the
+# arithmetic is literally identical.
+_HEXPOS = "0123456789abcdef"
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), w -> w <> '') AS words
+  FROM documents
+), nibs AS (
+  SELECT doc_id,
+         list_transform(words, t -> list_transform(range(1, 17),
+           k -> strpos('{_HEXPOS}', substr(md5(t), k, 1)) - 1)) AS tok_nibs
+  FROM toks
+), votes AS (
+  SELECT doc_id,
+         list_transform(range(0, 64), j -> CASE WHEN
+           list_sum(list_transform(tok_nibs,
+             nb -> 2 * ((nb[16 - (j // 4)] >> (j % 4)) & 1) - 1)) > 0
+           THEN 1 ELSE 0 END) AS maj
+  FROM nibs
+)
+SELECT doc_id,
+       (list_sum(list_transform(range(0, 63),
+          j -> maj[j + 1] * (1::BIGINT << j)))::HUGEINT
+        - maj[64]::HUGEINT * 9223372036854775808)::BIGINT AS simhash,
+       list_sum(list_transform(range(48, 64),
+          j -> maj[j + 1] * (1::BIGINT << (j - 48))))::BIGINT AS bucket
+FROM votes
+""",
+    tags=("dedup", "simhash"),
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document + 16-bit prefix bucket.
+    """64-bit SimHash per document + 16-bit prefix bucket, computed
+    entirely with JVM-side higher-order functions: one md5 per token,
+    one fold pass accumulating all 64 majority counters per document
+    (round 1 ran a per-token Python/hashlib loop inside mapInPandas —
+    the slowest operator style in the repo — and had no oracle).
 
-    The per-token bit-fold isn't SQL-expressible at reasonable cost, so
-    this is the designated Pandas-UDF path: mapInPandas with numpy over
-    Arrow batches (~vectorized per partition; no driver collect). The
-    driver records a rows-only check for this query.
-    """
-    import hashlib
-
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql.types import LongType, StructField, StructType
-
+    Spark lacks dynamic-shift builtins (shiftright needs a literal), so
+    bit j of nibble v is a lookup into a constant 64-entry table
+    indexed v*4 + (j%4); DuckDB uses native `>>`. Same values."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("simhash", LongType()),
-            StructField("bucket", LongType()),
-        ]
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    d = docs.select("doc_id", words.alias("words"))
+    # per token: the 16 hex nibbles of md5's first 8 bytes (conv(c,16,10)
+    # == strpos('0123456789abcdef', c) - 1 used by the oracle)
+    d = d.withColumn(
+        "hashes", F.transform("words", lambda t: F.md5(t.cast("binary")))
+    ).withColumn(
+        "tok_nibs",
+        F.transform(
+            "hashes",
+            lambda h: F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda k: F.conv(F.substring(h, k, F.lit(1)), 16, 10).cast("int"),
+            ),
+        ),
     )
+    # BITS[v*4 + s + 1] = (v >> s) & 1
+    bits_tbl = F.array(*[F.lit((v >> s) & 1) for v in range(16) for s in range(4)])
 
-    def simhash_batches(batches):
-        for pdf in batches:
-            out_id, out_h = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = [t for t in text.lower().split(" ") if t]
-                acc = np.zeros(64, dtype=np.int64)
-                shifts = np.arange(64, dtype=np.uint64)
-                for t in toks:
-                    h = np.uint64(
-                        int.from_bytes(
-                            hashlib.md5(t.encode()).digest()[:8], "big", signed=False
-                        )
-                    )
-                    bits = (h >> shifts) & np.uint64(1)
-                    acc += 2 * bits.astype(np.int64) - 1
-                sig = int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
-                out_id.append(doc_id)
-                out_h.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
-            yield pd.DataFrame(
-                {
-                    "doc_id": out_id,
-                    "simhash": out_h,
-                    "bucket": [(h >> 48) & 0xFFFF for h in out_h],
-                }
+    def vote_vec(nb):
+        # ±1 vote vector over bits j=0..63: bit j lives in hex position
+        # 16 - j//4 (big-endian), at offset j%4 within the nibble
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: 2
+            * F.element_at(
+                bits_tbl,
+                (
+                    F.element_at(nb, (16 - F.floor(j / 4)).cast("int")) * 4
+                    + (j % 4)
+                    + 1
+                ).cast("int"),
             )
+            - 1,
+        )
 
-    return docs.mapInPandas(simhash_batches, schema)
+    counts = F.aggregate(
+        "tok_nibs",
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, nb: F.zip_with(acc, vote_vec(nb), lambda x, y: x + y),
+    )
+    d = d.withColumn(
+        "maj",
+        F.transform(counts, lambda c: F.when(c > 0, F.lit(1)).otherwise(F.lit(0))),
+    )
+    # two's-complement: weight for bit 63 is -2^63
+    pow2 = F.array(
+        *[F.lit(1 << j).cast("bigint") for j in range(63)]
+        + [F.lit(-9223372036854775808)]
+    )
+    pow2_16 = F.array(*[F.lit(1 << j).cast("bigint") for j in range(16)])
+    simhash = F.aggregate(
+        F.zip_with("maj", pow2, lambda m, p: m.cast("bigint") * p),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
+    bucket = F.aggregate(
+        F.zip_with(F.slice("maj", 49, 16), pow2_16, lambda m, p: m.cast("bigint") * p),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
+    return d.select("doc_id", simhash.alias("simhash"), bucket.alias("bucket"))
 
 
 # --- embedding-cosine near-duplicate pairs ---

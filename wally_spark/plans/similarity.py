@@ -69,10 +69,11 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lsh_signature(col):
-    """Random-hyperplane signature: plane p's component j is ±1 from
-    the parity of md5(p:j) — deterministic, no stored plane matrix, so
-    executors rebuild it for free (no broadcast needed at 100 TB).
+def lsh_signature(col, n_planes: int = N_PLANES, start: int = 0):
+    """Random-hyperplane signature from planes [start, start+n_planes):
+    plane p's component j is ±1 from the parity of md5(p:j) —
+    deterministic, no stored plane matrix, so executors rebuild it for
+    free (no broadcast needed at 100 TB).
 
     Bit p of the signature = [ sum_j(±1 * v_j) > 0 ].
     Built entirely from higher-order functions: stays JVM-side.
@@ -107,42 +108,67 @@ def lsh_signature(col):
         )
 
     sig = F.lit(0).cast("long")
-    for p in range(N_PLANES):
-        sig = sig + F.when(plane_dot(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    for i, p in enumerate(range(start, start + n_planes)):
+        sig = sig + F.when(plane_dot(p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return sig
+
+
+N_BANDS = 8
+PLANES_PER_BAND = 4
+
+
+def _banded(df: DataFrame, id_alias: str, emb_alias: str) -> DataFrame:
+    """Explode a vector table into (id, emb, band_id, band_sig) rows —
+    one row per band, each band a PLANES_PER_BAND-bit hyperplane
+    signature over its own disjoint plane set."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                lsh_signature(
+                    F.col("embedding"), PLANES_PER_BAND, b * PLANES_PER_BAND
+                ).alias("band_sig"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return df.select(
+        F.col("vec_id").alias(id_alias),
+        F.col("embedding").alias(emb_alias),
+        F.explode(band_structs).alias("b"),
+    ).select(id_alias, emb_alias, "b.band_id", "b.band_sig")
 
 
 @register("ann_lsh", oracle=None, tags=("similarity", "ann", "lsh"))
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: corpus and queries get 12-bit hyperplane
-    signatures; candidates are corpus vectors sharing the query's
-    bucket; exact cosine re-ranks within the bucket.
+    """Banded hyperplane-LSH ANN with OR-amplification: 8 bands × 4
+    planes; a corpus vector is a candidate if it collides with the
+    query in ANY band (P[miss] = (1-p^4)^8, so a cos≈0.9 neighbor is
+    found with ~99.8% probability vs ~45% for round 1's single 12-bit
+    band); exact cosine re-ranks the deduplicated candidates.
+    tests/test_similarity_ops.py asserts recall vs ann_bruteforce on
+    the high-cosine neighbors.
 
     Rows-only oracle (signature bit-fold not SQL-expressible cheaply).
-    At 100 TB: one pass to bucket the corpus (narrow), shuffle only on
-    the 4096-value bucket key, queries probe single buckets.
-    """
+    At 100 TB: one narrow pass signs the corpus, shuffle is only on the
+    (band_id, band_sig) key, band count and width are the recall/cost
+    dials."""
     emb = _emb(spark, sf_dir)
-    sig = lsh_signature(F.col("embedding"))
-    bucketed = emb.select("vec_id", "embedding", sig.alias("bucket"))
-    q = bucketed.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("bucket").alias("qbucket"),
-    )
-    c = bucketed.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("ce"),
-        "bucket",
+    c = _banded(emb, "neighbor_id", "ce")
+    q = _banded(emb.where(F.col("vec_id") < N_QUERIES), "query_id", "qe")
+    cand = (
+        c.alias("c")
+        .join(
+            F.broadcast(q.alias("q")),
+            (F.col("c.band_id") == F.col("q.band_id"))
+            & (F.col("c.band_sig") == F.col("q.band_sig"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
-        c.join(
-            F.broadcast(q),
-            (F.col("bucket") == F.col("qbucket"))
-            & (F.col("query_id") != F.col("neighbor_id")),
-        )
-        .withColumn("cos", _cos(F.col("qe"), F.col("ce")))
+        cand.withColumn("cos", _cos(F.col("qe"), F.col("ce")))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
         .select(
@@ -217,3 +243,23 @@ def ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(10000.0 * F.col("cos_q")).cast("bigint").alias("cos_q_bp"),
         )
     )
+
+
+@register("ann_index_probe", oracle=None, tags=("similarity", "ann", "index"))
+def ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent banded-LSH index: build once (bucketed table keyed by
+    (band_id, band_sig) — the resident structure a similarity service
+    keeps at 100 TB), then probe with the standard query set. Agrees
+    exactly with the transient ann_lsh (tests/test_ann_index.py);
+    rows-only oracle like it."""
+    import hashlib
+
+    from wally_spark.operators.ann_index import build_ann_index, query_ann_index
+
+    emb = _emb(spark, sf_dir)
+    table = "ann_idx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    build_ann_index(spark, emb, table, n_buckets=16)
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return query_ann_index(spark, table, q, top_k=TOP_K)
