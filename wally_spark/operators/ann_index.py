@@ -23,6 +23,17 @@ def build_ann_index(
     """Materialize (vec_id, embedding, band_id, band_sig) — one row per
     band — bucketed by the band key so probes are partition-pruned
     bucket reads, never corpus scans."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    # The default in-memory catalog forgets tables between sessions but
+    # their warehouse directories persist; saveAsTable then fails with
+    # LOCATION_ALREADY_EXISTS. Drop both before (re)building.
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(warehouse, table.lower()), ignore_errors=True)
+
     banded = _banded(emb, "vec_id", "embedding")
     (
         banded.write.mode("overwrite")

@@ -19,8 +19,14 @@ def salted_agg(
     (phase1_expr, phase2_combiner_fn_name): e.g.
     {"total": (F.sum("v"), "sum"), "n": (F.count(F.lit(1)), "sum")}.
     """
+    # Deterministic salt: monotonically_increasing_id() is
+    # nondeterministic across task retries — after a fetch failure,
+    # recomputed rows could land in different salt partitions and be
+    # dropped or double-counted. Hashing the full row content is stable
+    # under re-execution (identical duplicate rows share a salt, which
+    # only matters if a hot key's rows are also byte-identical).
     salted = df.withColumn(
-        "__salt", (F.crc32(F.col(key).cast("string")) + F.monotonically_increasing_id()) % n_salts
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     )
     phase1 = salted.groupBy(key, "__salt").agg(
         *[expr.alias(f"__p_{name}") for name, (expr, _) in aggs.items()]
@@ -41,8 +47,13 @@ def salted_join(
     times: the hot key's rows scatter across salts instead of landing
     on one reducer. Use when the small side is too big to broadcast
     but small enough to replicate n_salts×."""
+    # Row-content hash, not monotonically_increasing_id(): deterministic
+    # under task retry (see salted_agg).
     salted_l = skewed.withColumn(
-        "__salt", (F.monotonically_increasing_id() % n_salts).cast("int")
+        "__salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)
+        ).cast("int"),
     )
     replicated = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

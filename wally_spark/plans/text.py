@@ -272,7 +272,7 @@ WITH trigrams AS (
            unnest(list_distinct(list_transform(
              range(1, greatest(length(lower(text)) - 1, 1)),
              i -> substring(lower(text), i, 3)))) AS tg
-    FROM documents) u(doc_id, lang, tg)
+    FROM documents WHERE length(text) >= 3) u(doc_id, lang, tg)
 ), profiles AS (
   SELECT lang, tg FROM (
     SELECT lang, tg, count(*) AS c,
@@ -308,7 +308,12 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> substring(lower(text), i, 3))"
         )
     )
-    trigrams = docs.select("doc_id", "lang", F.explode(tgs).alias("tg"))
+    # length >= 3 on BOTH sides: for 1-2 char docs Spark's sequence
+    # bound emits one short 'trigram' while DuckDB's range emits none
+    trigrams = (
+        docs.where(F.length("text") >= 3)
+        .select("doc_id", "lang", F.explode(tgs).alias("tg"))
+    )
     wlang = Window.partitionBy("lang").orderBy(F.desc("c"), "tg")
     profiles = (
         trigrams.groupBy("lang", "tg")
