@@ -79,3 +79,21 @@ def test_no_driver_collect_in_plans():
             ):
                 offenders.append(f"{p.name}:{node.lineno} .{node.func.attr}(")
     assert not offenders, f"driver-side materialization in plans: {offenders}"
+
+
+def test_bucketed_q3_no_exchange(spark):
+    """q3 over pre-bucketed facts must not shuffle: the orderkey join
+    and groupBy reuse write-time bucketing (SURVEY §2.7); only the
+    final top-k ordering may move data."""
+    from wally_spark.plans.bucketed import bucketed_facts
+
+    bucketed_facts(spark, SF_MED)  # build so the plan sees bucketed scans
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # keep the fact-fact join a sort-merge so the property is visible
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10240")
+    try:
+        plan = _plan(spark, "q3_bucketed")
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -16,3 +16,4 @@ from wally_spark.plans import dedup  # noqa: F401,E402
 from wally_spark.plans import similarity  # noqa: F401,E402
 from wally_spark.plans import multimodal  # noqa: F401,E402
 from wally_spark.plans import analytics  # noqa: F401,E402
+from wally_spark.plans import bucketed  # noqa: F401,E402
