@@ -1,0 +1,122 @@
+"""Streaming twins of the stateful §2.4 registry queries, asserted
+equivalent to their batch answers (win_count, topk_per_key,
+interarrival_stats). The reference is streaming-first — parity means
+both modes produce the same result.
+
+Delivery-order note: the order-sensitive twins (count windows,
+interarrival) assume per-key in-order arrival, the same guarantee the
+reference's key_by routing gives a state_computation; the source here
+writes the events table as time-ordered files (global sort split into
+sequential micro-batches, mtime-ordered)."""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMALL
+from wally_spark.streaming.ops import (
+    count_windows_stream,
+    interarrival_stream,
+    topk_stream,
+)
+from wally_spark.tables import load_tables
+
+N_FILES = 4
+
+
+def _ordered_stream(spark, tmp_path):
+    """events as a bounded file stream: globally (ts, event_id)-sorted,
+    split into N_FILES sequential micro-batch files."""
+    ev = (
+        load_tables(spark, SF_SMALL)["events"]
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    pdf = ev.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    src = os.path.join(str(tmp_path), "events_ordered")
+    os.makedirs(src, exist_ok=True)
+    step = (len(pdf) + N_FILES - 1) // N_FILES
+    for i in range(N_FILES):
+        chunk = spark.createDataFrame(pdf.iloc[i * step : (i + 1) * step], ev.schema)
+        stage = os.path.join(str(tmp_path), f"_stage{i}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"batch_{i:03d}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+    return (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        ev,
+    )
+
+
+def _run_append(df, spark):
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _latest_per_key(df, key):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key)
+    return (
+        df.withColumn("__mx", F.max("ver").over(w))
+        .where(F.col("ver") == F.col("__mx"))
+        .drop("ver", "__mx")
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_count_windows_stream_equivalence(spark, tmp_path):
+    sdf, _ = _ordered_stream(spark, tmp_path)
+    out = _run_append(count_windows_stream(sdf, n=20), spark)
+    stream_rows = out.select(
+        "user_id", "win_id", F.round("sum_value", 2).alias("sum_value"), "n_events"
+    )
+    from wally_spark.plans import REGISTRY
+
+    batch_rows = REGISTRY["win_count"].spark_fn(spark, SF_SMALL)
+    assert _rows(stream_rows) == _rows(batch_rows)
+
+
+def test_topk_stream_equivalence(spark, tmp_path):
+    sdf, _ = _ordered_stream(spark, tmp_path)
+    out = _run_append(topk_stream(sdf, k=3), spark)
+    stream_rows = _latest_per_key(out, "event_type").select(
+        "event_type", "event_id", F.round("value", 2).alias("value")
+    )
+    from wally_spark.plans import REGISTRY
+
+    batch_rows = REGISTRY["topk_per_key"].spark_fn(spark, SF_SMALL)
+    assert _rows(stream_rows) == _rows(batch_rows)
+
+
+def test_interarrival_stream_equivalence(spark, tmp_path):
+    sdf, _ = _ordered_stream(spark, tmp_path)
+    out = _run_append(interarrival_stream(sdf), spark)
+    stream_rows = _latest_per_key(out, "user_id").select(
+        "user_id",
+        "n_gaps",
+        F.round("total_gap_s", 1).alias("total_gap_s"),
+        F.round("min_gap_s", 1).alias("min_gap_s"),
+        F.round("max_gap_s", 1).alias("max_gap_s"),
+    )
+    from wally_spark.plans import REGISTRY
+
+    batch_rows = REGISTRY["interarrival_stats"].spark_fn(spark, SF_SMALL)
+    assert _rows(stream_rows) == _rows(batch_rows)

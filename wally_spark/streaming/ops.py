@@ -92,3 +92,165 @@ def inactivity_sessions_classic(df: DataFrame, gap_s: int) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def count_windows_stream(df: DataFrame, n: int = 20) -> DataFrame:
+    """Streaming twin of the registered `win_count` batch query: per-key
+    count windows that fire exactly when the n-th event arrives
+    (wallaroo count_windows(n).over(agg); partial trailing windows never
+    fire). Assumes per-key in-order delivery — the same guarantee the
+    reference's key_by routing provides — which the equivalence test
+    arranges with time-ordered source files.
+
+    Input: (ts, user_id, value); output one row per FILLED window:
+    (user_id, win_id, sum_value, n_events). State per key is one open
+    window (win_idx, count, running sum) — O(keys), unbounded streams
+    safe."""
+    import pandas as pd
+
+    from pyspark import cloudpickle
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, win_id long, sum_value double, n_events long"
+
+    def runner(key, pdfs, state):
+        user = key[0]
+        if state.exists:
+            (blob,) = state.get
+            win_idx, cnt, total = cloudpickle.loads(bytes(blob))
+        else:
+            win_idx, cnt, total = 0, 0, 0.0
+        fired = []
+        for pdf in pdfs:
+            for value in pdf["value"]:
+                cnt += 1
+                total += float(value)
+                if cnt == n:
+                    fired.append((user, win_idx, total, n))
+                    win_idx, cnt, total = win_idx + 1, 0, 0.0
+        state.update((cloudpickle.dumps((win_idx, cnt, total)),))
+        if fired:
+            yield pd.DataFrame(
+                fired, columns=["user_id", "win_id", "sum_value", "n_events"]
+            )
+        else:
+            yield pd.DataFrame(
+                {c.split()[0]: pd.Series(dtype="object") for c in out_schema.split(",")}
+            )
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        runner,
+        outputStructType=out_schema,
+        stateStructType="blob binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def topk_stream(df: DataFrame, k: int = 3) -> DataFrame:
+    """Streaming twin of `topk_per_key`: per-key top-k by value
+    (ties: lower event_id wins), maintained incrementally — O(k) state
+    per key, order-insensitive so no delivery-order assumption. Emits
+    the current top-k with a monotonically increasing `ver` each time a
+    key sees data; downstream takes max(ver) per key for the final
+    answer (memory-sink append mode has no retraction)."""
+    import pandas as pd
+
+    from pyspark import cloudpickle
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "event_type string, event_id long, value double, ver long"
+
+    def runner(key, pdfs, state):
+        etype = key[0]
+        if state.exists:
+            (blob,) = state.get
+            top, ver = cloudpickle.loads(bytes(blob))
+        else:
+            top, ver = [], 0
+        for pdf in pdfs:
+            for event_id, value in zip(pdf["event_id"], pdf["value"]):
+                top.append((-float(value), int(event_id)))
+                top.sort()
+                del top[k:]
+        ver += 1
+        state.update((cloudpickle.dumps((top, ver)),))
+        yield pd.DataFrame(
+            {
+                "event_type": [etype] * len(top),
+                "event_id": [eid for _, eid in top],
+                "value": [-nv for nv, _ in top],
+                "ver": [ver] * len(top),
+            }
+        )
+
+    return df.groupBy("event_type").applyInPandasWithState(
+        runner,
+        outputStructType=out_schema,
+        stateStructType="blob binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def interarrival_stream(df: DataFrame) -> DataFrame:
+    """Streaming twin of `interarrival_stats`: per-key gap statistics
+    between consecutive events, carried as (last_ts, n, sum, min, max)
+    state — O(keys). Assumes per-key in-order delivery (see
+    count_windows_stream). Emits running stats with `ver`; downstream
+    takes max(ver) per key."""
+    import pandas as pd
+
+    from pyspark import cloudpickle
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id long, n_gaps long, total_gap_s double,"
+        " min_gap_s double, max_gap_s double, ver long"
+    )
+
+    def runner(key, pdfs, state):
+        user = key[0]
+        if state.exists:
+            (blob,) = state.get
+            last_s, n, tot, mn, mx, ver = cloudpickle.loads(bytes(blob))
+        else:
+            last_s, n, tot, mn, mx, ver = None, 0, 0.0, None, None, 0
+        for pdf in pdfs:
+            for ts in pdf["ts"]:
+                # µs-exact double seconds, matching Spark's
+                # cast(ts as double): ns epoch exceeds 2^53 so divide
+                # from the µs integer, not the ns one
+                s = (pd.Timestamp(ts).value // 1000) / 1e6
+                if last_s is not None:
+                    gap = s - last_s
+                    n += 1
+                    tot += gap
+                    mn = gap if mn is None else min(mn, gap)
+                    mx = gap if mx is None else max(mx, gap)
+                last_s = s
+        ver += 1
+        state.update((cloudpickle.dumps((last_s, n, tot, mn, mx, ver)),))
+        if n:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user],
+                    "n_gaps": [n],
+                    "total_gap_s": [tot],
+                    "min_gap_s": [mn],
+                    "max_gap_s": [mx],
+                    "ver": [ver],
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                {c.split()[0].strip(): pd.Series(dtype="object") for c in out_schema.split(",")}
+            )
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        runner,
+        outputStructType=out_schema,
+        stateStructType="blob binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
