@@ -257,3 +257,111 @@ def test_gen_source_stream_value_at(spark):
     assert got >= 10
     bad = spark.sql(f"SELECT count(*) c FROM {name} WHERE sq <> n * n").collect()[0]["c"]
     assert bad == 0
+
+
+def test_tcp_sink_framed_stream_real_socket(spark, tmp_path):
+    """Stream-mode TCP sink sending the reference's length-prefixed
+    wire format (encode_frame) over a real socket; the server parses
+    frames byte-for-byte per ConnectorEncoder's layout
+    (machida/lib/wallaroo/__init__.py:432-454)."""
+    chunks = []
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(8)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        srv.settimeout(15)
+        while not stop.is_set():
+            try:
+                conn, _ = srv.accept()
+            except (socket.timeout, OSError):
+                break
+            with conn:
+                buf = b""
+                while chunk := conn.recv(65536):
+                    buf += chunk
+                chunks.append(buf)
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    ev = (
+        load_tables(spark, SF_SMALL)["events"]
+        .orderBy("event_id")
+        .limit(9)
+        .select(
+            (F.unix_timestamp("ts") * 1000).alias("t_ms"),
+            F.col("user_id").cast("string").alias("key"),
+            F.col("event_type").cast("binary").alias("payload"),
+        )
+    )
+    src = f"{tmp_path}/framed_src"
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(ev.schema).parquet(src)
+    framed = sdf.select(
+        encode_frame(F.col("t_ms"), F.col("key"), F.col("payload")).alias("frame")
+    ).coalesce(1)
+    q = (
+        TCPSink("127.0.0.1", port, framed=True)
+        .write_stream(framed)
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    time.sleep(0.5)
+    stop.set()
+    srv.close()
+    t.join(timeout=5)
+
+    frames = []
+    for buf in chunks:
+        while buf:
+            total = int.from_bytes(buf[:4], "big")
+            body, buf = buf[4 : 4 + total], buf[4 + total :]
+            t_ms = int.from_bytes(body[:8], "big")
+            klen = int.from_bytes(body[8:12], "big")
+            key = body[12 : 12 + klen].decode()
+            payload = body[12 + klen :].decode()
+            frames.append((t_ms, key, payload))
+    expected = {
+        (r["t_ms"], r["key"], bytes(r["payload"]).decode()) for r in ev.collect()
+    }
+    assert len(frames) == 9 and set(frames) == expected
+
+
+def test_kafka_connector_contract():
+    """No broker exists in this container, so the option-building is
+    pinned against golden configs for BOTH directions (reference
+    CustomKafkaSource/SinkCLIParser, machida __init__.py:548-600)."""
+    from wally_spark.sinks import KafkaSink
+
+    src = KafkaSourceConfig(
+        "k", topic="events", brokers="b1:9092,b2:9092", starting_offsets="latest"
+    )
+    assert src.reader_options() == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "events",
+        "startingOffsets": "latest",
+    }
+    sink = KafkaSink(topic="alerts", brokers="b1:9092")
+    assert sink.writer_options() == {
+        "kafka.bootstrap.servers": "b1:9092",
+        "topic": "alerts",
+    }
+
+
+def test_kafka_sink_value_encoding(spark):
+    """Kafka messages carry one JSON `value` column (string) — the
+    shape format('kafka') requires."""
+    from wally_spark.sinks import KafkaSink
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    enc = KafkaSink("t", "b:9092")._encode(df)
+    assert enc.columns == ["value"]
+    assert dict(enc.dtypes)["value"] == "string"
+    vals = sorted(json.loads(r["value"])["s"] for r in enc.collect())
+    assert vals == ["a", "b"]

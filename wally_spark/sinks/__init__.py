@@ -80,11 +80,22 @@ class ConsoleSink(SinkConfig):
 
 @dataclass
 class KafkaSink(SinkConfig):
-    """Reference Kafka sink analog; encodes rows as JSON values."""
+    """Reference Kafka sink analog (CustomKafkaSinkCLIParser,
+    machida/lib/wallaroo/__init__.py:575-600); encodes rows as JSON
+    values. ``writer_options`` is the single source of truth for the
+    connector options — pinned against golden configs in
+    tests/test_sources_sinks.py since no broker exists in this
+    container."""
 
     topic: str
     brokers: str
     checkpoint: str | None = None
+
+    def writer_options(self) -> dict[str, str]:
+        return {
+            "kafka.bootstrap.servers": self.brokers,
+            "topic": self.topic,
+        }
 
     def _encode(self, df):
         return df.select(
@@ -92,22 +103,16 @@ class KafkaSink(SinkConfig):
         )
 
     def write_batch(self, df):
-        (
-            self._encode(df)
-            .write.format("kafka")
-            .option("kafka.bootstrap.servers", self.brokers)
-            .option("topic", self.topic)
-            .save()
-        )
+        w = self._encode(df).write.format("kafka")
+        for k, v in self.writer_options().items():
+            w = w.option(k, v)
+        w.save()
         return df
 
     def write_stream(self, df):
-        w = (
-            self._encode(df)
-            .writeStream.format("kafka")
-            .option("kafka.bootstrap.servers", self.brokers)
-            .option("topic", self.topic)
-        )
+        w = self._encode(df).writeStream.format("kafka")
+        for k, v in self.writer_options().items():
+            w = w.option(k, v)
         if self.checkpoint:
             w = w.option("checkpointLocation", self.checkpoint)
         return w
@@ -115,24 +120,34 @@ class KafkaSink(SinkConfig):
 
 @dataclass
 class TCPSink(SinkConfig):
-    """TCPSinkConfig analog: newline-framed JSON rows to a socket via
-    foreachBatch (each micro-batch partition opens its own
-    connection — no driver funnel). ``dry_run`` collects locally for
-    tests instead of opening sockets."""
+    """TCPSinkConfig analog (reference lib/wallaroo/core/sink/tcp_sink):
+    rows to a socket via foreachBatch / foreachPartition — each
+    partition opens its own connection, no driver funnel. Two wire
+    modes: newline-framed JSON (default), or ``framed=True`` sending a
+    pre-encoded binary ``frame`` column (functions/framing.encode_frame,
+    the reference's length-prefixed wire format) as raw bytes.
+    ``dry_run`` collects locally for tests instead of opening sockets.
+    Real-socket round-trips are tested in tests/test_sources_sinks.py."""
 
     host: str
     port: int
     dry_run: bool = False
+    framed: bool = False
     captured: list = field(default_factory=list)
 
     def _send_partition(self, rows):
         import socket
 
-        payload = "".join(json.dumps(r.asDict(), default=str) + "\n" for r in rows)
+        if self.framed:
+            payload = b"".join(bytes(r["frame"]) for r in rows)
+        else:
+            payload = "".join(
+                json.dumps(r.asDict(), default=str) + "\n" for r in rows
+            ).encode()
         if not payload:
             return
         with socket.create_connection((self.host, self.port), timeout=10) as s:
-            s.sendall(payload.encode())
+            s.sendall(payload)
 
     def write_batch(self, df):
         if self.dry_run:
