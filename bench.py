@@ -16,30 +16,9 @@ import os
 import sys
 import time
 
-HEADLINE = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q18_large_customers",
-    "q21_suppliers_kept_waiting",
-    "win_tumbling",
-    "win_sliding",
-    "win_session",
-    "running_total",
-    "app_word_count",
-    "app_market_spread",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_embedding",
-    "ann_bruteforce",
-    "text_quality",
-    "text_fingerprint",
-    "tfidf_top_terms",
-    "q13_customer_distribution",
-    "pivot_user_event_totals",
-    "mm_image_meta",
-]
+# Bench the ENTIRE registry (VERDICT r1 #9: no unbenched registered
+# queries). Populated in main() from wally_spark.plans.REGISTRY.
+HEADLINE: list[str] = []
 
 
 def main() -> int:
@@ -57,6 +36,7 @@ def main() -> int:
     spark = get_spark("wally_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    HEADLINE[:] = list(REGISTRY)
     names = [q for q in (args.queries.split(",") if args.queries else HEADLINE)]
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 

@@ -302,17 +302,28 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
-    tgs = F.array_distinct(
-        F.expr(
-            "transform(sequence(1, greatest(length(lower(text)) - 2, 1)),"
-            " i -> substring(lower(text), i, 3))"
-        )
-    )
     # length >= 3 on BOTH sides: for 1-2 char docs Spark's sequence
-    # bound emits one short 'trigram' while DuckDB's range emits none
+    # bound emits one short 'trigram' while DuckDB's range emits none.
+    # Trigrams via codegen explode + substring(col, col) rather than a
+    # transform/array_distinct HOF pair (interpreted per character —
+    # ~7 s of the round-1 9 s at sf0.1); the dropDuplicates shuffle it
+    # costs is narrow (doc_id, tg) rows, and the two downstream readers
+    # share it through exchange reuse.
     trigrams = (
         docs.where(F.length("text") >= 3)
-        .select("doc_id", "lang", F.explode(tgs).alias("tg"))
+        .select("doc_id", "lang", F.lower("text").alias("lt"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.sequence(F.lit(1), F.length("lt") - 2)
+            ).alias("i"),
+            "lt",
+        )
+        .select(
+            "doc_id", "lang", F.substring("lt", F.col("i"), F.lit(3)).alias("tg")
+        )
+        .dropDuplicates(["doc_id", "tg"])
     )
     wlang = Window.partitionBy("lang").orderBy(F.desc("c"), "tg")
     profiles = (
