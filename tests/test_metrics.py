@@ -44,5 +44,52 @@ def test_metrics_listener(spark, tmp_path):
             lines = [json.loads(l) for l in f]
         assert any(l["query_name"] == name for l in lines)
         assert listener.totals()["rows"] >= 3
+        # per-source detail present on every batch metric
+        assert all(m.sources for m in mine)
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_metrics_per_operator(spark, tmp_path):
+    """A stateful (windowed-agg) query surfaces per-operator state
+    metrics — the reference monitoring hub's per-step view."""
+    import pyspark.sql.functions as F
+
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        path = _write_batches(
+            spark,
+            str(tmp_path),
+            [
+                [(BASE + "01", "a", 1), (BASE + "02", "b", 2)],
+                [(BASE + "03", "a", 3)],
+            ],
+        )
+        name = f"t_{uuid.uuid4().hex[:8]}"
+        agg = (
+            _stream_df(spark, path)
+            .withWatermark("ts", "1 minute")
+            .groupBy(F.window("ts", "1 minute"), "user_id")
+            .agg(F.sum("value").alias("total"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            if listener.per_operator():
+                break
+            time.sleep(0.3)
+        ops = listener.per_operator()
+        assert ops, "no state operator metrics recorded"
+        (op_name, agg_m) = next(iter(ops.items()))
+        assert "stateStore" in op_name or agg_m["rows_total"] >= 0
+        assert agg_m["rows_updated"] >= 2  # a and b state rows touched
     finally:
         spark.streams.removeListener(listener)

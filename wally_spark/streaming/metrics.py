@@ -24,6 +24,11 @@ class BatchMetric:
     process_rows_per_second: float
     batch_duration_ms: int
     watermark: str | None
+    # per-stage detail (reference: metrics UI reports per pipeline
+    # STEP, not just per pipeline): one dict per stateful operator /
+    # per source in the micro-batch
+    state_operators: list = field(default_factory=list)
+    sources: list = field(default_factory=list)
 
 
 @dataclass
@@ -49,6 +54,24 @@ class MetricsListener(StreamingQueryListener):
             process_rows_per_second=p.processedRowsPerSecond or 0.0,
             batch_duration_ms=p.batchDuration,
             watermark=(p.eventTime or {}).get("watermark"),
+            state_operators=[
+                {
+                    "operator": so.operatorName,
+                    "rows_total": so.numRowsTotal,
+                    "rows_updated": so.numRowsUpdated,
+                    "rows_removed": so.numRowsRemoved,
+                    "memory_bytes": so.memoryUsedBytes,
+                }
+                for so in (p.stateOperators or [])
+            ],
+            sources=[
+                {
+                    "description": s.description,
+                    "rows": s.numInputRows,
+                    "rows_per_sec": s.processedRowsPerSecond or 0.0,
+                }
+                for s in (p.sources or [])
+            ],
         )
         with self._lock:
             self.history.append(m)
@@ -72,3 +95,23 @@ class MetricsListener(StreamingQueryListener):
             "wall_ms": ms,
             "rows_per_sec": rows / (ms / 1000.0) if ms else 0.0,
         }
+
+    def per_operator(self) -> dict:
+        """Stateful-operator rollup across the recorded batches:
+        {operator name: {batches, rows_updated (sum), rows_total /
+        memory_bytes (last batch)}} — the per-step view the reference's
+        monitoring hub renders per pipeline stage."""
+        out: dict[str, dict] = {}
+        with self._lock:
+            for m in self.history:
+                for so in m.state_operators:
+                    agg = out.setdefault(
+                        so["operator"],
+                        {"batches": 0, "rows_updated": 0,
+                         "rows_total": 0, "memory_bytes": 0},
+                    )
+                    agg["batches"] += 1
+                    agg["rows_updated"] += so["rows_updated"]
+                    agg["rows_total"] = so["rows_total"]
+                    agg["memory_bytes"] = so["memory_bytes"]
+        return out
