@@ -120,3 +120,84 @@ def test_interarrival_stream_equivalence(spark, tmp_path):
 
     batch_rows = REGISTRY["interarrival_stats"].spark_fn(spark, SF_SMALL)
     assert _rows(stream_rows) == _rows(batch_rows)
+
+
+def _run_complete(df, spark):
+    import uuid as _uuid
+
+    name = f"t_{_uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_running_total_stream_equivalence(spark, tmp_path):
+    from wally_spark.plans import REGISTRY
+    from wally_spark.streaming.ops import running_total_stream
+
+    sdf, _ = _ordered_stream(spark, tmp_path)
+    out = _run_append(running_total_stream(sdf, threshold=2000.0), spark)
+    stream_rows = out.select(
+        "user_id", "event_id", "ts_epoch",
+        F.round("running_value", 2).alias("running_value"),
+    )
+    batch_rows = REGISTRY["running_total"].spark_fn(spark, SF_SMALL)
+    assert _rows(stream_rows) == _rows(batch_rows)
+
+
+def test_sliding_windows_stream_equivalence(spark, tmp_path):
+    from wally_spark.plans import REGISTRY
+    from wally_spark.streaming.ops import sliding_windows_stream
+
+    sdf, _ = _ordered_stream(spark, tmp_path)
+    out = _run_complete(sliding_windows_stream(sdf), spark)
+    batch_rows = REGISTRY["win_sliding"].spark_fn(spark, SF_SMALL)
+    assert _rows(out) == _rows(batch_rows)
+
+
+def test_session_windows_stream_equivalence(spark, tmp_path):
+    """F.session_window over micro-batches merges to exactly the batch
+    gaps-and-islands sessions (session_idx excluded: a merge-order
+    artifact the batch numbering has and streaming doesn't)."""
+    from wally_spark.plans import REGISTRY
+    from wally_spark.streaming.ops import session_windows_stream
+
+    sdf, _ = _ordered_stream(spark, tmp_path)
+    out = _run_complete(session_windows_stream(sdf), spark)
+    batch_rows = REGISTRY["win_session"].spark_fn(spark, SF_SMALL).select(
+        "user_id", "session_start", "n_events", "sum_value"
+    )
+    assert _rows(out) == _rows(batch_rows)
+
+
+def test_sessionize_stats_stream_equivalence(spark, tmp_path):
+    """The event_sessionize_stats rollup over STREAMED sessions: the
+    per-user totals computed from session_windows_stream's output match
+    the registered batch query — the session detection runs streaming,
+    the rollup is the downstream consumer's batch over the sink."""
+    from wally_spark.plans import REGISTRY
+    from wally_spark.streaming.ops import session_windows_stream
+
+    sdf, ev = _ordered_stream(spark, tmp_path)
+    sess = _run_complete(
+        sdf.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.max("ts").cast("double") - F.min("ts").cast("double")
+            ).alias("dur"),
+        ),
+        spark,
+    )
+    stream_rows = sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("total_events"),
+        F.round(F.sum("dur"), 1).alias("total_duration_s"),
+    )
+    batch_rows = REGISTRY["event_sessionize_stats"].spark_fn(spark, SF_SMALL)
+    assert _rows(stream_rows) == _rows(batch_rows)

@@ -254,3 +254,93 @@ def interarrival_stream(df: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_total_stream(df: DataFrame, threshold: float = 2000.0) -> DataFrame:
+    """Streaming twin of the registered `running_total` batch query
+    (the Wallaroo state_computation shape, alerts_stateful): per-key
+    cumulative sum, emitting one alert row per event whose running
+    total exceeds the threshold. State per key is a single double —
+    O(keys), unbounded-stream safe. Assumes per-key in-order delivery
+    (see count_windows_stream). Emits the raw running value; the
+    caller applies F.round so stream and batch round identically
+    (Python round() is banker's, Spark's is HALF_UP)."""
+    import pandas as pd
+
+    from pyspark import cloudpickle
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, event_id long, ts_epoch long, running_value double"
+
+    def runner(key, pdfs, state):
+        user = key[0]
+        if state.exists:
+            (blob,) = state.get
+            running = cloudpickle.loads(bytes(blob))
+        else:
+            running = 0.0
+        fired = []
+        for pdf in pdfs:
+            for event_id, ts, value in zip(pdf["event_id"], pdf["ts"], pdf["value"]):
+                running += float(value)
+                if running > threshold:
+                    epoch_s = (pd.Timestamp(ts).value // 1000) // 1_000_000
+                    fired.append((user, int(event_id), int(epoch_s), running))
+        state.update((cloudpickle.dumps(running),))
+        if fired:
+            yield pd.DataFrame(
+                fired, columns=["user_id", "event_id", "ts_epoch", "running_value"]
+            )
+        else:
+            yield pd.DataFrame(
+                {c.split()[0]: pd.Series(dtype="object") for c in out_schema.split(",")}
+            )
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        runner,
+        outputStructType=out_schema,
+        stateStructType="blob binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def sliding_windows_stream(df: DataFrame) -> DataFrame:
+    """Streaming twin of `win_sliding`: the identical declarative plan
+    (1h windows sliding every 15min) — Spark's windowed aggregation is
+    mode-agnostic, so the twin IS the batch expression over a streaming
+    DataFrame (run in complete/update mode, or append with watermark)."""
+    return (
+        df.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_windows_stream(df: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Streaming twin of `win_session`: F.session_window with the same
+    10-minute inactivity gap the batch gaps-and-islands uses
+    (ref: lib/wallaroo/core/windows/ephemeral_window.pony). Sessions
+    merge incrementally across micro-batches; complete mode (or append
+    + watermark) yields the final merged sessions."""
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.floor(F.unix_timestamp("w.start")).cast("bigint").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
