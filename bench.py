@@ -57,6 +57,9 @@ def main() -> int:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        # a 67-query sweep ages the session (shuffle files, JVM heap);
+        # collect between queries so query N doesn't pay query N-1's GC
+        spark.sparkContext._jvm.System.gc()
 
     out = {
         "metric": "headline_query_wall_time",
