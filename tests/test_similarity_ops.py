@@ -48,3 +48,63 @@ def test_lsh_ann_recall_on_planted_near_dups(spark, tmp_path):
     got = {(r["query_id"], r["neighbor_id"]) for r in lsh}
     recall = len(want & got) / len(want)
     assert recall >= 0.8, f"LSH recall {recall:.2f} on {len(want)} near-dup pairs"
+
+
+def test_embedding_kmeans_gates(spark):
+    """Determinism, full cluster coverage, and assignment quality for
+    the iterative k-means (rows-only oracle, so the gates live here)."""
+    from wally_spark.plans import REGISTRY
+
+    a = REGISTRY["embedding_kmeans"].spark_fn(spark, SF_MED).collect()
+    b = REGISTRY["embedding_kmeans"].spark_fn(spark, SF_MED).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    clusters = {r["cluster"] for r in a}
+    assert clusters == set(range(8))  # every cluster populated
+    # every vector is assigned exactly once
+    assert len(a) == len({r["vec_id"] for r in a})
+
+
+def test_embedding_kmeans_matches_numpy_reference(spark):
+    """The distributed Lloyd's run agrees with a single-process numpy
+    reference (same init: K lowest vec_ids; same ITERS) — the oracle
+    for an op DuckDB can't express. Also checks the Lloyd's guarantee
+    (non-increasing inertia) along the reference trajectory."""
+    import numpy as np
+
+    import wally_spark.plans.embeddings as E
+    from wally_spark.plans import REGISTRY
+
+    rows = sorted(
+        E._emb(spark, SF_MED).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cents = m[: E.K].copy()
+
+    def dists(c):
+        return (m * m).sum(1, keepdims=True) - 2 * (m @ c.T) + (c * c).sum(1)
+
+    prev = None
+    for _ in range(E.ITERS):
+        best = dists(cents).argmin(1)
+        nxt = cents.copy()
+        for k in range(E.K):
+            if (best == k).any():
+                nxt[k] = m[best == k].mean(0)
+        cents = nxt
+        cur = dists(cents).min(1).sum()
+        assert prev is None or cur <= prev + 1e-9
+        prev = cur
+    d = dists(cents)
+    best = d.argmin(1)
+    ref = {
+        int(i): (int(b), int(np.floor(10000.0 * np.sqrt(max(dd, 0.0)))))
+        for i, b, dd in zip(ids, best, d[np.arange(len(m)), best])
+    }
+
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist_bp"])
+        for r in REGISTRY["embedding_kmeans"].spark_fn(spark, SF_MED).collect()
+    }
+    assert got == ref

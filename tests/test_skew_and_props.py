@@ -119,3 +119,24 @@ def test_asof_join_property(spark_global, data):
         cands = [(rts, v) for (_, rk, rts, v) in right_rows if rk == k and rts <= ts]
         want = max(cands)[1] if cands else None
         assert got[i] == want, (i, k, ts, got[i], want)
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A 5-vertex chain (diameter forces several propagation rounds),
+    a separate 2-clique, and a singleton: labels are the component-min
+    everywhere."""
+    from wally_spark.operators.components import connected_components
+
+    vertices = spark.createDataFrame([(i,) for i in range(1, 9)], "id long")
+    edges = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1), (6, 7)], "src long, dst long"
+    )
+    got = {
+        (r["id"], r["comp"])
+        for r in connected_components(vertices, edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+        (6, 6), (7, 6),
+        (8, 8),
+    }

@@ -1,0 +1,78 @@
+"""Distributed connected components — the cluster-resolution step a
+curation pipeline runs AFTER near-dup pair generation (group candidate
+pairs into duplicate clusters, keep one document per cluster; the
+C4/RefinedWeb dedup shape). The reference has no graph surface; this
+is an engine extension (SURVEY §2.7).
+
+Algorithm: min-label propagation to a fixpoint — each vertex
+repeatedly takes the minimum label among itself and its neighbors.
+Converges in O(component diameter) rounds; near-dup clusters are
+near-cliques, so 2-4 rounds in practice. Per round: one shuffle keyed
+on edge source (neighbor-min aggregate) and one vertex-keyed left
+join — both partition-parallel, nothing on the driver but the loop
+counter and a one-number convergence probe. `localCheckpoint`
+truncates lineage each round so plans don't grow exponentially; on a
+real cluster use a reliable checkpoint dir (or the large-star /
+small-star variant) for fault tolerance past a few hundred rounds —
+irrelevant at diameter ≤ ~10.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    vertex_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Returns (id, comp): every vertex labeled with the minimum
+    vertex id of its connected component. Vertices absent from any
+    edge keep their own id. The convergence probe is sum(comp), which
+    strictly decreases while any label can still shrink."""
+    # checkpoint the (possibly expensive) edge plan BEFORE the
+    # symmetrizing union — otherwise both union branches recompute it
+    e0 = edges.select(F.col(src).alias("es"), F.col(dst).alias("ed")).localCheckpoint()
+    sym = e0.union(e0.select(F.col("ed"), F.col("es"))).localCheckpoint()
+    # propagate ONLY over vertices that appear in an edge — in a dedup
+    # graph that's a tiny fraction of the corpus, so the per-round
+    # joins touch |edges| rows, not |corpus|; isolated vertices join
+    # back with their own id at the end (one wide pass, outside the
+    # loop)
+    labels = (
+        sym.select(F.col("es").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    prev = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym["es"] == labels["id"])
+            .groupBy("ed")
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["ed"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_min", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        cur = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur == prev:
+            break
+        prev = cur
+    return (
+        vertices.select(F.col(vertex_col).alias("id"))
+        .join(labels, "id", "left")
+        .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+    )

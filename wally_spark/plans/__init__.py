@@ -17,3 +17,5 @@ from wally_spark.plans import similarity  # noqa: F401,E402
 from wally_spark.plans import multimodal  # noqa: F401,E402
 from wally_spark.plans import analytics  # noqa: F401,E402
 from wally_spark.plans import bucketed  # noqa: F401,E402
+from wally_spark.plans import embeddings  # noqa: F401,E402
+from wally_spark.plans import sampling  # noqa: F401,E402

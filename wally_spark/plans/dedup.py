@@ -247,6 +247,58 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- near-dup cluster resolution: connected components over pairs ---
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE shingled AS ({_SHINGLES_SQL}),
+exploded AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+),
+{_CAND_SQL},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b, doc_a FROM cand
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster
+FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+GROUP BY d.doc_id
+""",
+    tags=("dedup", "clusters", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: the step AFTER candidate pairs in
+    a real curation pipeline (C4/RefinedWeb keep one doc per near-dup
+    cluster). Connected components over the minhash-LSH candidate
+    pairs via distributed min-label propagation
+    (operators/components.py); every document gets
+    cluster = min(doc_id) of its component, singletons label
+    themselves, and `doc_id == cluster` selects the keepers.
+
+    The oracle expresses the same fixpoint as a recursive transitive
+    closure — both engines see the identical md5-derived pair set, so
+    parity is exact. Scale: per round one edge-keyed shuffle + one
+    vertex-keyed join, O(diameter) rounds (near-dup clusters are
+    near-cliques: 2-4), lineage truncated per round."""
+    from wally_spark.operators.components import connected_components
+
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    docs = _docs(spark, sf_dir).select("doc_id")
+    comp = connected_components(
+        docs, pairs, vertex_col="doc_id", src="doc_a", dst="doc_b"
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("cluster")
+    )
+
+
 # --- SimHash: md5-per-token bit-fold, pure JVM expressions ---
 # Token hash = first 8 bytes of md5 (big-endian uint64). Bit j of the
 # fold is the majority vote of bit j across all token hashes. Both

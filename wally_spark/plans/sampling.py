@@ -1,0 +1,100 @@
+"""Deterministic sampling / splitting over `documents` — the data-
+mixing ops a training pipeline runs when composing a corpus:
+
+  sample_stratified — exact per-stratum fractions (not sampleBy's
+    Bernoulli approximation): rank docs inside each (lang) stratum by
+    a content-independent hash order and keep the top ceil(frac·n).
+    Deterministic, so reruns and engines agree bit-for-bit, and the
+    sample is stable under corpus append-only growth of OTHER strata.
+  split_train_holdout — hash-based train/holdout assignment (the
+    leakage-safe alternative to random splits: a document's side is a
+    pure function of its id, so re-ingestion can't migrate it).
+
+Scale: both are one window / one projection over the scan — rank is
+per-stratum (shuffle keyed on lang, partial nothing), assignment is
+stateless. 100 TB-safe.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from wally_spark.plans.registry import register
+from wally_spark.tables import load_tables
+
+FRAC = 0.2  # per-stratum sample fraction
+HOLDOUT_PCT = 10  # % of docs in the holdout split
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["documents"]
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+SELECT doc_id, lang, rn::BIGINT AS rank_in_stratum
+FROM ranked WHERE rn <= ceil({FRAC} * n)
+""",
+    tags=("sampling", "curation"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact {FRAC:.0%}-per-language sample in md5(doc_id) hash order —
+    deterministic where df.sampleBy is Bernoulli-approximate."""
+    docs = _docs(spark, sf_dir)
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    wn = Window.partitionBy("lang")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .where(F.col("rn") <= F.ceil(FRAC * F.col("n")))
+        .select("doc_id", "lang", F.col("rn").cast("bigint").alias("rank_in_stratum"))
+    )
+
+
+@register(
+    "split_train_holdout",
+    oracle=f"""
+SELECT CASE WHEN list_sum(list_transform(range(1, 9),
+         k -> (strpos('0123456789abcdef',
+                      substr(md5(doc_id::VARCHAR), k, 1)) - 1)::BIGINT
+              * (1::BIGINT << (4 * (8 - k)))))::BIGINT % 100
+            < {HOLDOUT_PCT}
+            THEN 'holdout' ELSE 'train' END AS split,
+       count(*) AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM documents GROUP BY split
+""",
+    tags=("sampling", "split"),
+)
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-assigned train/holdout split summary. Native 64-bit string
+    hashes differ between engines, so BOTH sides derive the bucket
+    from md5's first 8 hex chars as a shared 32-bit integer (Spark:
+    conv(substr, 16, 10); DuckDB: nibble arithmetic) — identical
+    assignment everywhere, so a document can never migrate splits on
+    re-ingestion."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("bigint") % 100
+    split = F.when(bucket < HOLDOUT_PCT, "holdout").otherwise("train")
+    return docs.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
