@@ -230,3 +230,50 @@ def test_blocked_embedding_pairs_at_5x(spark, tmp_path_factory):
     ).save()
     dt = time.perf_counter() - t0
     assert dt < 300, f"blocked embedding pairs at 5x took {dt:.1f}s"
+
+
+def test_connected_components_at_scale(spark):
+    """1M vertices / 600k-edge graph (mixed chains + cliques):
+    propagation stays partition-parallel, rounds bounded by diameter."""
+    from wally_spark.operators.components import connected_components
+
+    vertices = spark.range(1_000_000).select(F.col("id"))
+    # chains of length 5: (i -> i+1) unless i % 5 == 4; plus skips
+    edges = (
+        spark.range(750_000)
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+        .where(F.col("id") % 5 != 4)
+    )
+    t0 = time.perf_counter()
+    out = connected_components(vertices, edges)
+    n_comp = out.select("comp").distinct().count()
+    dt = time.perf_counter() - t0
+    # 150k chain components + 250k singletons
+    assert n_comp == 400_000
+    assert dt < 300, f"connected components at 1M took {dt:.1f}s"
+
+
+def test_prefix_sum_packing_at_100x_docs(spark, tmp_path_factory):
+    """pack_chunks at 100× docs: the two-phase prefix sum must stay
+    partition-parallel (no single-task global window) and exactly
+    tile the corpus."""
+    sf_dir = str(tmp_path_factory.mktemp("packscale"))
+    words = F.transform(
+        F.sequence(F.lit(1), (F.abs(F.xxhash64("id")) % 200 + 1).cast("int")),
+        lambda i: F.lit("w"),
+    )
+    spark.range(500_000).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text")
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    from wally_spark.plans import REGISTRY
+
+    t0 = time.perf_counter()
+    out = REGISTRY["pack_chunks"].spark_fn(spark, sf_dir)
+    agg = out.agg(
+        F.sum("n_tokens").alias("tot"), F.max("last_chunk").alias("mx")
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    # chunks exactly tile the concatenated corpus
+    assert agg["mx"] == (agg["tot"] - 1) // 512
+    assert dt < 300, f"prefix-sum packing at 100x took {dt:.1f}s"

@@ -19,7 +19,6 @@ Scale shapes:
 
 from __future__ import annotations
 
-import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -76,60 +75,12 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid update is one (cluster, pos) aggregate per round.
     Rows-only oracle (iterative float argmin isn't reasonably
     SQL-expressible); pytest gates determinism, full cluster coverage,
-    and non-increasing inertia per round."""
-    import numpy as np
+    and exact agreement with a single-process numpy reference."""
+    from wally_spark.operators.kmeans import lloyd_kmeans
 
-    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-    cents = np.array(
-        [
-            r["embedding"]
-            for r in emb.where(F.col("vec_id") < K)
-            .orderBy("vec_id")
-            .collect()
-        ],
-        dtype=np.float64,
-    )  # (K, dim) — bounded driver state, like MLlib
-
-    def assign_udf(cmat):
-        c = cmat.copy()
-
-        def assign(emb_series: "pd.Series") -> "pd.DataFrame":
-            if not len(emb_series):
-                return pd.DataFrame({"cluster": [], "dist": []})
-            m = np.array(emb_series.tolist(), dtype=np.float64)
-            # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin over c
-            d = (
-                (m * m).sum(1, keepdims=True)
-                - 2.0 * (m @ c.T)
-                + (c * c).sum(1)
-            )
-            best = d.argmin(1)
-            return pd.DataFrame(
-                {"cluster": best, "dist": np.sqrt(np.maximum(d[np.arange(len(m)), best], 0.0))}
-            )
-
-        return F.pandas_udf(assign, "cluster long, dist double")
-
-    for _ in range(ITERS):
-        a = emb.withColumn("a", assign_udf(cents)(F.col("embedding")))
-        upd = (
-            a.select("a.cluster", F.posexplode("embedding").alias("p", "v"))
-            .groupBy("cluster", "p")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
-            .collect()
-        )
-        nxt = cents.copy()  # empty clusters keep their old centroid
-        by_c: dict[int, dict[int, float]] = {}
-        for r in upd:
-            by_c.setdefault(r["cluster"], {})[r["p"]] = r["m"]
-        for cid, comps in by_c.items():
-            for p, v in comps.items():
-                nxt[cid, p] = v
-        cents = nxt
-
-    a = emb.withColumn("a", assign_udf(cents)(F.col("embedding")))
-    return a.select(
+    out = lloyd_kmeans(_emb(spark, sf_dir), k=K, iters=ITERS)
+    return out.select(
         "vec_id",
-        F.col("a.cluster").alias("cluster"),
-        F.floor(10000.0 * F.col("a.dist")).cast("bigint").alias("dist_bp"),
+        "cluster",
+        F.floor(10000.0 * F.col("dist")).cast("bigint").alias("dist_bp"),
     )

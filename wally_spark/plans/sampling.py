@@ -98,3 +98,90 @@ def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+CHUNK = 512  # tokens per training context window
+N_PREFIX_BUCKETS = 256  # ordered hash-prefix buckets for the prefix sum
+
+
+@register(
+    "pack_chunks",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+           AS n_tokens,
+         md5(doc_id::VARCHAR) AS h
+  FROM documents
+), ordered AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off0
+  FROM toks
+)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+       (off0 // {CHUNK})::BIGINT AS first_chunk,
+       ((off0 + n_tokens - 1) // {CHUNK})::BIGINT AS last_chunk,
+       ((off0 + n_tokens - 1) // {CHUNK} - off0 // {CHUNK} + 1)::BIGINT
+         AS n_chunks
+FROM ordered WHERE n_tokens > 0
+""",
+    tags=("packing", "curation"),
+)
+def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing assignment: documents are
+    concatenated in deterministic md5(doc_id) order and cut into
+    CHUNK-token context windows; each doc learns its global token
+    offset and the chunk range it lands in.
+
+    The global offset is an EXCLUSIVE PREFIX SUM over the whole
+    corpus. A naive `Window.orderBy(...)` with no partition collapses
+    to ONE task — the classic global-window scale trap. This plan runs
+    the distributed two-phase prefix sum instead: (1) docs fall into
+    N_PREFIX_BUCKETS ordered hash-prefix buckets (the bucket id is the
+    first byte of the same md5 that defines the global order, so
+    bucket order ⊆ global order); (2) per-bucket token totals — a few
+    hundred longs — come to the driver and prefix-sum there; (3) each
+    bucket's offset is joined back (broadcast) and a per-bucket window
+    finishes the cumsum in parallel. At 100 TB every stage is
+    partition-parallel; driver state is N_PREFIX_BUCKETS longs."""
+    docs = _docs(spark, sf_dir)
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    toks = docs.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_tokens"),
+        h.alias("h"),
+    ).withColumn(
+        "bucket", F.conv(F.substring("h", 1, 2), 16, 10).cast("int")
+    )
+    from wally_spark.operators.prefix import bucket_offsets
+
+    boff = bucket_offsets(spark, toks, "bucket", "n_tokens", N_PREFIX_BUCKETS)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off0 = F.col("bucket_off") + F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        toks.join(F.broadcast(boff), "bucket")
+        .withColumn("off0", off0)
+        .where(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(F.col("off0") / CHUNK).cast("bigint").alias("first_chunk"),
+            F.floor((F.col("off0") + F.col("n_tokens") - 1) / CHUNK)
+            .cast("bigint")
+            .alias("last_chunk"),
+            (
+                F.floor((F.col("off0") + F.col("n_tokens") - 1) / CHUNK)
+                - F.floor(F.col("off0") / CHUNK)
+                + 1
+            )
+            .cast("bigint")
+            .alias("n_chunks"),
+        )
+    )
