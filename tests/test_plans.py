@@ -97,3 +97,19 @@ def test_bucketed_q3_no_exchange(spark):
         assert "SortMergeJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_pack_chunks_no_global_window(spark):
+    """The packing prefix sum must never plan a single-partition global
+    window — the whole point of the two-phase bucket design."""
+    plan = _plan(spark, "pack_chunks")
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan  # the per-bucket cumsum is still a window
+
+
+def test_centroids_partial_aggregation(spark):
+    """embedding_centroids must partial-aggregate map-side: the
+    exchange carries (label, pos) partial sums, not exploded vector
+    components."""
+    plan = _plan(spark, "embedding_centroids")
+    assert "partial_avg" in plan and "partial_count" in plan, plan
