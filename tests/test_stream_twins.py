@@ -201,3 +201,40 @@ def test_sessionize_stats_stream_equivalence(spark, tmp_path):
     )
     batch_rows = REGISTRY["event_sessionize_stats"].spark_fn(spark, SF_SMALL)
     assert _rows(stream_rows) == _rows(batch_rows)
+
+
+def test_ann_probe_stream_equivalence(spark, tmp_path):
+    """The streaming similarity service (persistent index probed per
+    micro-batch of queries) returns exactly the batch probe's ranked
+    neighbors, independent of how the query stream is batched."""
+    import os
+
+    from wally_spark.operators.ann_index import build_ann_index, query_ann_index
+    from wally_spark.streaming.ops import ann_probe_foreach_batch
+    from wally_spark.tables import load_tables
+
+    emb = load_tables(spark, SF_SMALL)["embeddings"]
+    table = "ann_idx_stream_twin"
+    build_ann_index(spark, emb, table, n_buckets=16)
+
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    src = os.path.join(str(tmp_path), "qstream")
+    # 3 files -> 3 micro-batches of queries
+    q.repartition(3).write.mode("overwrite").parquet(src)
+    out = os.path.join(str(tmp_path), "probe_out")
+    sq = (
+        spark.readStream.schema(q.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(ann_probe_foreach_batch(spark, table, out))
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(180)
+
+    got = _rows(spark.read.parquet(out).drop("batch_id"))
+    want = _rows(query_ann_index(spark, table, q))
+    assert got == want and len(got) == 50

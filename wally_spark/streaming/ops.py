@@ -344,3 +344,32 @@ def session_windows_stream(df: DataFrame, gap: str = "10 minutes") -> DataFrame:
             "sum_value",
         )
     )
+
+
+def ann_probe_foreach_batch(spark, index_table: str, output_path: str, top_k: int = 5):
+    """Streaming similarity service: returns a foreachBatch function
+    that probes the persistent banded-LSH index
+    (operators/ann_index.py) with each micro-batch of
+    (query_id, embedding) vectors and appends ranked neighbors to
+    `output_path`. The steady-state serving shape at 100 TB: the
+    corpus index is built once, bucketed on disk; each arriving query
+    batch is signed (one Arrow matmul), joined against only its
+    buckets, and exactly re-ranked — no corpus scan, no state store;
+    the index IS the state. Per-query top-k is self-contained in the
+    query's own batch, so micro-batching cannot change results
+    (equivalence with the batch probe asserted in
+    tests/test_stream_twins.py).
+
+    Attach with:
+      queries_sdf.writeStream.foreachBatch(
+          ann_probe_foreach_batch(spark, table, out)).start()
+    """
+    from wally_spark.operators.ann_index import query_ann_index
+
+    def probe(batch_df, batch_id):
+        out = query_ann_index(spark, index_table, batch_df, top_k=top_k)
+        out.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            output_path
+        )
+
+    return probe
