@@ -377,3 +377,56 @@ def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("purchase_value"),
         F.round("asof_view_value", 2).alias("asof_view_value"),
     )
+
+
+# --- range join: events within a bounded time window of each other ---
+@register(
+    "range_join_views_before_purchase",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       count(v.event_id) AS n_recent_views,
+       round(coalesce(sum(v.value), 0), 2) AS recent_view_value
+FROM (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'view') v
+  ON v.user_id = p.user_id
+ AND v.ts >= p.ts - INTERVAL 30 MINUTE
+ AND v.ts < p.ts
+GROUP BY p.event_id
+""",
+    tags=("events", "range_join"),
+)
+def range_join_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-interval range join: each purchase aggregates the same
+    user's views in the preceding 30 minutes. The equi-key (user_id)
+    carries the shuffle; the range predicate evaluates inside the
+    joined key group, so cost is O(events per user window), never a
+    cartesian — the plan keeps a SortMergeJoin/hash join on user_id
+    with the time bounds as post-join codegen filters. At 100 TB,
+    skewed users would take the salted-join path (operators/skew.py)."""
+    ev = _events(spark, sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("value").alias("v_value"),
+        F.col("event_id").alias("v_id"),
+    )
+    joined = p.join(
+        v,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("v_ts") < F.col("p_ts")),
+        "left",
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("v_id").alias("n_recent_views"),
+        F.round(F.coalesce(F.sum("v_value"), F.lit(0.0)), 2).alias(
+            "recent_view_value"
+        ),
+    )
