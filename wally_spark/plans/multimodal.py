@@ -65,3 +65,42 @@ def mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return payloads.mapInPandas(decode, schema)
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+WITH c AS (
+  SELECT doc_id, md5(text) AS m1 FROM documents
+), c3 AS (
+  SELECT doc_id, m1, md5(md5(m1)) AS m3 FROM c
+)
+SELECT doc_id, 0::BIGINT AS frame_idx, m1 AS frame_hex FROM c3
+UNION ALL
+SELECT doc_id, 2::BIGINT, m3 FROM c3
+""",
+    tags=("multimodal", "video"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling through the REAL operator
+    (operators/multimodal.sample_frames): a 64-byte fake 'video' per
+    doc (an md5 chain, so DuckDB reproduces every frame from hex) is
+    split into 16-byte frames and every 2nd frame kept — the exact
+    mapInPandas batch shape an ffmpeg/pyav sampler has at 100 TB
+    (payloads never leave executors, output is frames-per-row)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    m1 = F.md5(F.col("text").cast("binary"))
+    m2 = F.md5(m1.cast("binary"))
+    m3 = F.md5(m2.cast("binary"))
+    m4 = F.md5(m3.cast("binary"))
+    payload = F.unhex(F.concat(m1, m2, m3, m4))  # 64 'video' bytes
+    pf = docs.select("doc_id", payload.alias("payload"))
+
+    from wally_spark.operators.multimodal import sample_frames
+
+    frames = sample_frames(pf, frame_bytes=16, every_nth=2)
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
