@@ -140,3 +140,28 @@ def test_connected_components_chain_and_singletons(spark):
         (6, 6), (7, 6),
         (8, 8),
     }
+
+
+def test_hll_sketch_within_tolerance(spark):
+    """Merged daily HLL sketches estimate distinct users within 5% of
+    exact, per event_type — the gate for the rows-only sketch query."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_MED
+    from wally_spark.plans import REGISTRY
+    from wally_spark.tables import load_tables
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in REGISTRY["approx_distinct_users"].spark_fn(spark, SF_MED).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_tables(spark, SF_MED)["events"]
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for t, n in exact.items():
+        assert abs(approx[t] - n) / n < 0.05, (t, approx[t], n)

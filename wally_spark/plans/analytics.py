@@ -335,3 +335,25 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 2).alias("hi"),
         )
     )
+
+
+@register("approx_distinct_users", oracle=None, tags=("sketch", "hll", "events"))
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct counting — the 100 TB pattern for
+    distinct users: build per-(day, type) Datasketches HLL sketches in
+    one pass (what a warehouse materializes incrementally), then merge
+    with hll_union_agg for any rollup without rescanning raw events.
+    Rows-only oracle (sketch estimates are engine-specific);
+    tests/test_skew_and_props.py gates the estimate within 5% of the
+    exact distinct count."""
+    ev = _t(spark, sf_dir)["events"]
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_daily_sketches"),
+        )
+    )
