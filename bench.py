@@ -26,7 +26,9 @@ def main() -> int:
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
-    ap.add_argument("--repeat", type=int, default=1)
+    # default 2: report min-of-2 per query — single runs on this VM
+    # vary up to ~1.9x from host noise, min-of-2 is stable
+    ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("--queries", default="")
     args = ap.parse_args()
 
