@@ -113,3 +113,30 @@ def test_centroids_partial_aggregation(spark):
     components."""
     plan = _plan(spark, "embedding_centroids")
     assert "partial_avg" in plan and "partial_count" in plan, plan
+
+
+def test_no_cartesian_anywhere(spark):
+    """Registry-wide: no registered query may plan a CartesianProduct.
+    BroadcastNestedLoopJoin is allowed only where a bounded tiny side
+    makes it the right plan (dedup_embedding's NB×NB block pairing,
+    langid's ≤20×langs profile probe)."""
+    from wally_spark.plans import REGISTRY
+
+    bnl_ok = {
+        "dedup_embedding",  # NB×NB block pairing, both sides tiny
+        "curation_pipeline",  # same block pairing inside the composition
+        "ann_bruteforce",  # broadcast 10-query set, != condition: the
+        "ann_quantized",  # linear-scan design IS broadcast-NL
+        "q11_important_parts",  # scalar-subquery threshold:
+        "q22_global_sales_opportunity",  # 1-row broadcast side
+    }
+    offenders = []
+    for name in sorted(REGISTRY):
+        if "iterative" in REGISTRY[name].tags:
+            continue  # plan-building runs driver loops; covered by their own tests
+        plan = _plan(spark, name)
+        if "CartesianProduct" in plan:
+            offenders.append(f"{name}: cartesian")
+        if "BroadcastNestedLoopJoin" in plan and name not in bnl_ok:
+            offenders.append(f"{name}: BNL join")
+    assert not offenders, offenders
