@@ -261,3 +261,121 @@ def test_state_ttl_resets_after_inactivity(spark, tmp_path):
     }
     # 1→1.0, 2→3.0, then (after TTL drop) 4→4.0 not 7.0
     assert a_rows == {(1.0, 1.0), (2.0, 3.0), (4.0, 4.0)}
+
+
+def test_windowed_agg_on_rocksdb_state_store(spark, tmp_path):
+    """The plans run unchanged on the RocksDB state store provider —
+    the store a real cluster uses when keyed state exceeds executor
+    heap (SURVEY §7 R3 note, brought forward). Asserts provider
+    round-trip correctness, not perf."""
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    path = _write_batches(
+        spark,
+        str(tmp_path),
+        [
+            [(BASE + "01", "a", 1), (BASE + "02", "b", 2)],
+            [(BASE + "03", "a", 4)],
+        ],
+    )
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        agg = (
+            _stream_df(spark, path)
+            .groupBy("user_id")
+            .agg(F.sum("value").alias("total"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{tmp_path}/ckpt_rocks")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["user_id"], r["total"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        assert got == {("a", 5.0), ("b", 2.0)}
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stateful_kill_restart_recovers_state(spark, tmp_path):
+    """Kill a STATEFUL query (per-key running totals via
+    applyInPandasWithState) mid-stream; restart from the checkpoint:
+    recovered state continues the totals instead of restarting at
+    zero, and the final answer equals the batch cumulative sum."""
+    import os
+    import time as _time
+
+    from wally_spark.streaming.ops import running_total_stream
+
+    src = f"{tmp_path}/src"
+    out_dir = f"{tmp_path}/out"
+    ckpt = f"{tmp_path}/ckpt"
+    # one key, values arriving across 3 files; threshold 0 → every
+    # event emits its running total
+    _write_batches(
+        spark,
+        str(tmp_path),
+        [
+            [(BASE + "01", "a", 10)],
+            [(BASE + "02", "a", 20)],
+            [(BASE + "03", "a", 30)],
+        ],
+    )
+    os.rename(f"{tmp_path}/stream_src", src)
+
+    def start(trigger_kwargs):
+        sdf = (
+            spark.readStream.schema("ts timestamp, user_id string, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        totals = running_total_stream(
+            sdf.withColumn("event_id", F.unix_timestamp("ts")).select(
+                F.xxhash64("user_id").alias("user_id"), "event_id", "ts", "value"
+            ),
+            threshold=0.0,
+        )
+        return (
+            totals.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+    q1 = start({"processingTime": "3 seconds"})
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        try:
+            if spark.read.parquet(out_dir).count() >= 1:
+                break
+        except Exception:
+            pass
+        _time.sleep(0.2)
+    q1.stop()
+    q1.awaitTermination(60)
+    n_before = spark.read.parquet(out_dir).count()
+    assert 1 <= n_before < 3, "kill was not mid-stream"
+
+    q2 = start({"availableNow": True})
+    q2.awaitTermination(120)
+    got = sorted(
+        r["running_value"] for r in spark.read.parquet(out_dir).collect()
+    )
+    # state survived the restart: totals continue 10, 30, 60 — a state
+    # reset would yield 10, 20, 30
+    assert got == [10.0, 30.0, 60.0]
