@@ -165,3 +165,30 @@ def test_hll_sketch_within_tolerance(spark):
     assert set(approx) == set(exact)
     for t, n in exact.items():
         assert abs(approx[t] - n) / n < 0.05, (t, approx[t], n)
+
+
+def test_approx_quantiles_rank_error(spark):
+    """approx_percentile estimates must sit within 1% relative rank of
+    the true quantile per event_type — the gate for the rows-only
+    sketch query."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_MED
+    from wally_spark.plans import REGISTRY
+    from wally_spark.tables import load_tables
+
+    approx = {
+        r["event_type"]: (r["p50_approx"], r["p95_approx"])
+        for r in REGISTRY["approx_quantiles_by_type"].spark_fn(spark, SF_MED).collect()
+    }
+    ev = load_tables(spark, SF_MED)["events"]
+    for etype, (a50, a95) in approx.items():
+        vals = sorted(
+            r["value"] for r in ev.where(F.col("event_type") == etype).collect()
+        )
+        n = len(vals)
+        for a, q in ((a50, 0.5), (a95, 0.95)):
+            import bisect
+
+            rank = bisect.bisect_right(vals, a) / n
+            assert abs(rank - q) <= 0.01 + 1.0 / n, (etype, q, rank)

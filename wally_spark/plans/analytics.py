@@ -357,3 +357,23 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_daily_sketches"),
         )
     )
+
+
+@register(
+    "approx_quantiles_by_type",
+    oracle=None,
+    tags=("sketch", "quantile", "events"),
+)
+def approx_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB quantile path: approx_percentile (t-digest-style
+    sketch, single pass, mergeable partial aggregation) at accuracy
+    10000 — what replaces the exact sort-based percentile when `value`
+    has billions of rows per group. Rows-only oracle (sketch internals
+    are engine-specific); tests/test_skew_and_props.py gates every
+    estimate within 1% RELATIVE RANK of the exact quantile."""
+    ev = _t(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("p95_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
