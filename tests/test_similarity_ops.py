@@ -108,3 +108,29 @@ def test_embedding_kmeans_matches_numpy_reference(spark):
         for r in REGISTRY["embedding_kmeans"].spark_fn(spark, SF_MED).collect()
     }
     assert got == ref
+
+
+def test_ivf_ann_recall_on_planted_near_dups(spark, tmp_path):
+    """IVF (k-means cells, N_PROBE=3 of 16) must recall >= 0.8 of the
+    true near-dups — same planted fixture as the LSH gate: a near-dup
+    lands in the query's own cell (or an adjacent probed one)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    corpus = rng.standard_normal((500, 64))
+    corpus[:10] = corpus[100:110] + 0.05 * rng.standard_normal((10, 64))
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(i, [float(x) for x in corpus[i]], 0) for i in range(500)],
+        "vec_id bigint, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+
+    from wally_spark.plans import REGISTRY
+
+    exact = REGISTRY["ann_bruteforce"].spark_fn(spark, sf_dir).collect()
+    ivf = REGISTRY["ann_ivf"].spark_fn(spark, sf_dir).collect()
+    want = {(r["query_id"], r["neighbor_id"]) for r in exact if r["cos_bp"] >= 8000}
+    assert len(want) >= 10
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.8, f"IVF recall {recall:.2f} on {len(want)} near-dup pairs"

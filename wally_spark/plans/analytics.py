@@ -377,3 +377,57 @@ def approx_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(value, 0.95, 10000)").alias("p95_approx"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "hypertable_rollup",
+    oracle="""
+SELECT CASE WHEN GROUPING(hour_b) = 0 THEN 'hour' ELSE 'day' END AS grain,
+       epoch(coalesce(hour_b, day_b))::BIGINT AS bucket_epoch,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM (SELECT date_trunc('hour', ts) AS hour_b,
+             date_trunc('day', ts) AS day_b,
+             event_type, value
+      FROM events)
+GROUP BY event_type, GROUPING SETS ((hour_b), (day_b))
+""",
+    tags=("analytics", "rollup", "hypertable"),
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly AND daily rollups
+    of the events stream in ONE pass via GROUPING SETS — the
+    timescale-style materialization a warehouse keeps per granularity,
+    here computed without scanning the raw table twice (map-side
+    partial aggregation feeds both grains)."""
+    ev = _t(spark, sf_dir)["events"]
+    base = ev.select(
+        F.date_trunc("hour", "ts").alias("hour_b"),
+        F.date_trunc("day", "ts").alias("day_b"),
+        "event_type",
+        "value",
+    )
+    return (
+        base.groupingSets(
+            [
+                [F.col("hour_b"), F.col("event_type")],
+                [F.col("day_b"), F.col("event_type")],
+            ],
+            F.col("hour_b"),
+            F.col("day_b"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.grouping("hour_b").alias("g_hour"),
+        )
+        .select(
+            F.when(F.col("g_hour") == 0, "hour").otherwise("day").alias("grain"),
+            F.unix_timestamp(F.coalesce("hour_b", "day_b")).alias("bucket_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -287,3 +287,84 @@ def ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return query_ann_index(spark, table, q, top_k=TOP_K)
+
+
+N_CELLS = 16
+N_PROBE = 3
+IVF_ITERS = 3
+
+
+@register("ann_ivf", oracle=None, tags=("similarity", "ann", "ivf", "iterative"))
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: a k-means coarse quantizer
+    (operators/kmeans.py, deterministic) partitions the corpus into
+    N_CELLS cells; each query scans only its N_PROBE nearest cells and
+    re-ranks exactly by cosine. The other classic ANN family next to
+    hyperplane LSH (ann_lsh): LSH bounds collision probability with no
+    training, IVF adapts cells to the data distribution — at 100 TB
+    the corpus is written bucketed by cell_id (like
+    operators/ann_index.py does for band signatures) and a query
+    touches N_PROBE/N_CELLS of it. Rows-only oracle (argmin over
+    trained centroids isn't SQL-expressible); recall vs ann_bruteforce
+    is gated in tests/test_similarity_ops.py."""
+    from wally_spark.operators.kmeans import lloyd_kmeans
+
+    emb = _emb(spark, sf_dir)
+    # coarse quantizer: one deterministic k-means over the corpus; the
+    # assignment is checkpointed executor-side because both the corpus
+    # side and the centroid derivation read it
+    cells = (
+        lloyd_kmeans(emb, k=N_CELLS, iters=IVF_ITERS)
+        .select("vec_id", F.col("cluster").alias("cell"))
+        .localCheckpoint()
+    )
+    corpus = emb.join(cells, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        "cell",
+    )
+    # cell centroid = mean of members (declarative posexplode agg —
+    # N_CELLS × dim rows, broadcastable)
+    cent_arrays = (
+        emb.join(cells, "vec_id")
+        .select("cell", F.posexplode("embedding").alias("p", "v"))
+        .groupBy("cell", "p")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("p", "m"))).alias("pm"))
+        .select("cell", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    # rank cells per query by centroid distance, keep N_PROBE
+    dist = F.aggregate(
+        F.zip_with("qe", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    wq = Window.partitionBy("query_id").orderBy("cell_dist", "cell")
+    probe = (
+        q.crossJoin(F.broadcast(cent_arrays))
+        .withColumn("cell_dist", dist)
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= N_PROBE)
+        .select("query_id", "qe", "cell")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        corpus.join(
+            F.broadcast(probe),
+            (corpus["cell"] == probe["cell"])
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn("cos", _cos(F.col("qe"), F.col("ce")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.floor(10000.0 * F.col("cos")).cast("bigint").alias("cos_bp"),
+        )
+    )
