@@ -140,3 +140,19 @@ def test_no_cartesian_anywhere(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in bnl_ok:
             offenders.append(f"{name}: BNL join")
     assert not offenders, offenders
+
+
+def test_bucketed_q18_no_exchange(spark):
+    """q18 over pre-bucketed facts: HAVING pre-agg, semi-join, orders
+    join, and the final groupBy (key set includes o_orderkey) all
+    reuse write-time bucketing — zero Exchange hashpartitioning."""
+    from wally_spark.plans.bucketed import bucketed_facts
+
+    bucketed_facts(spark, SF_MED)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10240")
+    try:
+        plan = _plan(spark, "q18_bucketed")
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -30,15 +30,22 @@ N_BUCKETS = 32
 
 def bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Build (once per session + sf_dir) lineitem/orders bucketed on
-    orderkey; returns the two table names. Column-pruned to the q3/q10
-    working set — a real warehouse would bucket the full tables."""
+    orderkey; returns the two table names. Column-pruned to the
+    q3/q10/q18 working set — a real warehouse would bucket the full
+    tables. The `2` in the table tag versions the column set: bumping
+    it invalidates any stale warehouse directory from an older
+    schema."""
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    li_t, ord_t = f"li_bkt_{tag}", f"ord_bkt_{tag}"
+    li_t, ord_t = f"li_bkt2_{tag}", f"ord_bkt2_{tag}"
     if not (spark.catalog.tableExists(li_t) and spark.catalog.tableExists(ord_t)):
         t = load_tables(spark, sf_dir)
         write_bucketed(
             t["lineitem"].select(
-                "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"
+                "l_orderkey",
+                "l_extendedprice",
+                "l_discount",
+                "l_shipdate",
+                "l_quantity",
             ),
             li_t,
             "l_orderkey",
@@ -47,7 +54,11 @@ def bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         )
         write_bucketed(
             t["orders"].select(
-                "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+                "o_orderkey",
+                "o_custkey",
+                "o_orderdate",
+                "o_orderpriority",
+                "o_totalprice",
             ),
             ord_t,
             "o_orderkey",
@@ -105,4 +116,62 @@ def q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), "o_orderdate_epoch", "l_orderkey")
         .limit(10)
+    )
+
+
+@register(
+    "q18_bucketed",
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey,
+       epoch(o_orderdate)::BIGINT AS o_orderdate_epoch,
+       round(o_totalprice, 2) AS totalprice,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 150)
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 50
+""",
+    tags=("tpch", "bucketed", "having"),
+)
+def q18_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q18_large_customers over pre-bucketed facts (same oracle as
+    q18). EVERY keyed stage reuses write-time bucketing on orderkey:
+    the HAVING pre-aggregation, the semi-join against it, the
+    orders join, and the final groupBy (whose key set includes
+    o_orderkey, so hash(o_orderkey) partitioning satisfies its
+    clustering) — zero Exchange in the fact path, plan-asserted in
+    tests/test_plans.py."""
+    from wally_spark.plans.tpch import _r2
+
+    li_t, ord_t = bucketed_facts(spark, sf_dir)
+    li = spark.table(li_t)
+    orders = spark.table(ord_t)
+    cust = load_tables(spark, sf_dir)["customer"]
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .where(F.col("_sq") > 150)
+        .select(F.col("l_orderkey").alias("_big_ok"))
+    )
+    return (
+        li.join(big, F.col("l_orderkey") == F.col("_big_ok"), "left_semi")
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_r2(F.sum("l_quantity")).alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"),
+            _r2(F.col("o_totalprice")).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(50)
     )
