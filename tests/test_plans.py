@@ -102,9 +102,10 @@ def test_bucketed_q3_no_exchange(spark):
 def test_pack_chunks_no_global_window(spark):
     """The packing prefix sum must never plan a single-partition global
     window — the whole point of the two-phase bucket design."""
-    plan = _plan(spark, "pack_chunks")
-    assert "SinglePartition" not in plan, plan
-    assert "Window" in plan  # the per-bucket cumsum is still a window
+    for q in ("pack_chunks", "sample_pps"):
+        plan = _plan(spark, q)
+        assert "SinglePartition" not in plan, (q, plan)
+        assert "Window" in plan  # the per-bucket cumsum is still a window
 
 
 def test_centroids_partial_aggregation(spark):

@@ -22,8 +22,10 @@ def bucket_offsets(
     value_col: str,
     n_buckets: int,
 ) -> DataFrame:
-    """(bucket, bucket_off): exclusive prefix sum of per-bucket totals
-    in bucket order. Driver state is n_buckets longs."""
+    """(bucket, bucket_off, total): exclusive prefix sum of per-bucket
+    totals in bucket order, plus the grand total on every row (so
+    callers needing it avoid a single-partition global window).
+    Driver state is n_buckets longs."""
     tot = {
         r["b"]: r["t"]
         for r in df.groupBy(F.col(bucket_col).alias("b"))
@@ -35,4 +37,7 @@ def bucket_offsets(
     for b in range(n_buckets):
         offs.append((b, run))
         run += tot.get(b, 0)
-    return spark.createDataFrame(offs, f"{bucket_col} int, bucket_off long")
+    return spark.createDataFrame(
+        [(b, off, run) for b, off in offs],
+        f"{bucket_col} int, bucket_off long, total long",
+    )

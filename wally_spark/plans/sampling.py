@@ -185,3 +185,74 @@ def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_chunks"),
         )
     )
+
+
+K_PPS = 50  # sample points
+
+
+@register(
+    "sample_pps",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, n_chars, md5(doc_id::VARCHAR) AS h FROM documents
+), ordered AS (
+  SELECT doc_id, n_chars,
+         coalesce(sum(n_chars) OVER (
+           ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off0,
+         sum(n_chars) OVER () AS total
+  FROM toks
+)
+SELECT doc_id, n_chars,
+       (least({K_PPS}, ({K_PPS} * (off0 + n_chars) + total - 1) // total)
+        - least({K_PPS}, ({K_PPS} * off0 + total - 1) // total))::BIGINT
+         AS n_hits
+FROM ordered
+WHERE least({K_PPS}, ({K_PPS} * (off0 + n_chars) + total - 1) // total)
+      > least({K_PPS}, ({K_PPS} * off0 + total - 1) // total)
+""",
+    tags=("sampling", "pps"),
+)
+def sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sampling (probability proportional to size):
+    K_PPS evenly-spaced points over the total n_chars mass, in the
+    same deterministic md5(doc_id) order pack_chunks uses; a doc is
+    drawn once per point inside its [off0, off0+n_chars) interval —
+    exact integer arithmetic, so both engines select the identical
+    sample (no float pow, the cross-engine trap in weighted-key
+    designs). The global offsets reuse the distributed two-phase
+    prefix sum (operators/prefix.py) — no single-task window.
+
+    n_hits > 1 marks docs heavier than one sampling stride, the
+    standard PPS multiplicity."""
+    docs = _docs(spark, sf_dir)
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    base = docs.select("doc_id", "n_chars", h.alias("h")).withColumn(
+        "bucket", F.conv(F.substring("h", 1, 2), 16, 10).cast("int")
+    )
+
+    from wally_spark.operators.prefix import bucket_offsets
+
+    boff = bucket_offsets(spark, base, "bucket", "n_chars", N_PREFIX_BUCKETS)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # `total` rides on the broadcast offset rows — NOT a global
+    # unpartitioned window, which would plan SinglePartition
+    withoff = base.join(F.broadcast(boff), "bucket").withColumn(
+        "off0",
+        F.col("bucket_off") + F.sum("n_chars").over(w) - F.col("n_chars"),
+    )
+    k = F.lit(K_PPS)
+
+    def pts_lt(x):
+        return F.least(k, F.floor((k * x + F.col("total") - 1) / F.col("total")))
+
+    hits = pts_lt(F.col("off0") + F.col("n_chars")) - pts_lt(F.col("off0"))
+    return (
+        withoff.withColumn("n_hits", hits.cast("bigint"))
+        .where(F.col("n_hits") > 0)
+        .select("doc_id", "n_chars", "n_hits")
+    )
