@@ -238,3 +238,51 @@ def test_ann_probe_stream_equivalence(spark, tmp_path):
     got = _rows(spark.read.parquet(out).drop("batch_id"))
     want = _rows(query_ann_index(spark, table, q))
     assert got == want and len(got) == 50
+
+
+def test_range_join_stream_equivalence(spark, tmp_path):
+    """The batch range join (views in the 30 min before each purchase)
+    re-expressed as a watermarked stream-stream interval join over the
+    SAME events produces identical per-purchase aggregates — the
+    streaming face of `range_join_views_before_purchase` (inner-match
+    purchases; the batch query's unmatched LEFT rows are a bounded
+    batch-side backfill, so the equivalence compares matched rows)."""
+    from wally_spark.plans import REGISTRY
+    from wally_spark.streaming.ops import stream_stream_join
+
+    sdf, _ = _ordered_stream(spark, tmp_path)
+    p = sdf.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    sdf2, _ = _ordered_stream(spark, f"{tmp_path}/v")
+    v = sdf2.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("value").alias("v_value"),
+        F.col("event_id").alias("v_id"),
+    )
+    joined = stream_stream_join(
+        p,
+        v,
+        on=F.col("v_user") == F.col("p_user"),
+        left_ts="p_ts",
+        right_ts="v_ts",
+        watermark="1 hour",
+        condition=(
+            (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("v_ts") < F.col("p_ts"))
+        ),
+    )
+    out = _run_append(joined, spark)
+    stream_rows = out.groupBy("purchase_id").agg(
+        F.count("v_id").alias("n_recent_views"),
+        F.round(F.sum("v_value"), 2).alias("recent_view_value"),
+    )
+    batch_rows = (
+        REGISTRY["range_join_views_before_purchase"]
+        .spark_fn(spark, SF_SMALL)
+        .where(F.col("n_recent_views") > 0)
+    )
+    assert _rows(stream_rows) == _rows(batch_rows)
