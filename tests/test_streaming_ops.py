@@ -379,3 +379,54 @@ def test_stateful_kill_restart_recovers_state(spark, tmp_path):
     # state survived the restart: totals continue 10, 30, 60 — a state
     # reset would yield 10, 20, 30
     assert got == [10.0, 30.0, 60.0]
+
+
+def test_dedup_against_persistent_corpus(spark, tmp_path):
+    """Incremental crawl dedup: arriving docs are dropped if their
+    content was EVER ingested (persistent hash table), not just within
+    a watermark horizon — pre-seeded corpus, intra-batch dups, and
+    cross-batch dups all collapse; the corpus ends with one copy of
+    each distinct text."""
+    import os
+
+    from wally_spark.streaming.ops import dedup_against_corpus_foreach_batch
+
+    seen, out = f"{tmp_path}/seen", f"{tmp_path}/corpus"
+    # pre-seed: "old" was ingested in a previous run
+    pre = spark.createDataFrame([("old doc",)], "text string")
+    pre.select(
+        F.md5(F.concat_ws("\x00", "text").cast("binary")).alias("content_hash")
+    ).write.parquet(seen)
+    pre.write.parquet(out)
+
+    src = f"{tmp_path}/src"
+    os.makedirs(src, exist_ok=True)
+    batches = [
+        ["old doc", "new a", "new a"],  # dup of history + intra-batch dup
+        ["new a", "new b"],  # cross-batch dup + fresh
+    ]
+    for i, texts in enumerate(batches):
+        stage = f"{tmp_path}/_s{i}"
+        spark.createDataFrame([(t,) for t in texts], "text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(stage, part), os.path.join(src, f"b{i:02d}.parquet"))
+        os.utime(os.path.join(src, f"b{i:02d}.parquet"), (1_000_000 + i, 1_000_000 + i))
+
+    q = (
+        spark.readStream.schema("text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(
+            dedup_against_corpus_foreach_batch(spark, seen, out)
+        )
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    corpus = sorted(r["text"] for r in spark.read.parquet(out).collect())
+    assert corpus == ["new a", "new b", "old doc"]
+    assert spark.read.parquet(seen).distinct().count() == 3

@@ -373,3 +373,48 @@ def ann_probe_foreach_batch(spark, index_table: str, output_path: str, top_k: in
         )
 
     return probe
+
+
+def dedup_against_corpus_foreach_batch(
+    spark, seen_path: str, out_path: str, key_cols: list[str] | None = None
+):
+    """Incremental corpus dedup: returns a foreachBatch function that
+    drops every arriving document whose content hash is already in the
+    persistent `seen_path` table (the accumulated corpus), appends the
+    survivors to `out_path`, and registers their hashes — the
+    streaming face of dedup_exact for a crawl that must dedup against
+    EVERYTHING ingested before, not just the current watermark window
+    (dropDuplicatesWithinWatermark's scope).
+
+    Scale shape: the anti-join is hash-keyed (uniform md5 — no skew);
+    at 100 TB `seen_path` is a bucketed-by-hash table so the join is
+    scan-side, and compaction of the hash table is an offline
+    housekeeping job. Batch-internal dups collapse via the same hash
+    before the join."""
+    from pyspark.sql import Window
+
+    key_cols = key_cols or ["text"]
+
+    def dedup(batch_df, _batch_id):
+        h = F.md5(F.concat_ws("\x00", *key_cols).cast("binary"))
+        hashed = batch_df.withColumn("content_hash", h)
+        # collapse intra-batch dups deterministically
+        hashed = (
+            hashed.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("content_hash").orderBy(*key_cols)
+                ),
+            )
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        try:
+            seen = spark.read.parquet(seen_path).select("content_hash")
+            fresh = hashed.join(seen, "content_hash", "left_anti")
+        except Exception:  # first batch: nothing seen yet
+            fresh = hashed
+        fresh.drop("content_hash").write.mode("append").parquet(out_path)
+        fresh.select("content_hash").write.mode("append").parquet(seen_path)
+
+    return dedup
