@@ -392,12 +392,12 @@ def test_dedup_against_persistent_corpus(spark, tmp_path):
     from wally_spark.streaming.ops import dedup_against_corpus_foreach_batch
 
     seen, out = f"{tmp_path}/seen", f"{tmp_path}/corpus"
-    # pre-seed: "old" was ingested in a previous run
+    # pre-seed: "old" was ingested in a previous run (its own batch dir)
     pre = spark.createDataFrame([("old doc",)], "text string")
     pre.select(
         F.md5(F.concat_ws("\x00", "text").cast("binary")).alias("content_hash")
-    ).write.parquet(seen)
-    pre.write.parquet(out)
+    ).write.parquet(f"{seen}/binit")
+    pre.write.parquet(f"{out}/binit")
 
     src = f"{tmp_path}/src"
     os.makedirs(src, exist_ok=True)
@@ -427,6 +427,17 @@ def test_dedup_against_persistent_corpus(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    corpus = sorted(r["text"] for r in spark.read.parquet(out).collect())
+    corpus = sorted(r["text"] for r in spark.read.parquet(f"{out}/b*").collect())
     assert corpus == ["new a", "new b", "old doc"]
-    assert spark.read.parquet(seen).distinct().count() == 3
+    assert spark.read.parquet(f"{seen}/b*").distinct().count() == 3
+    # idempotence under at-least-once replay: re-running the SAME
+    # batch (same id, same content — what a post-crash restart does)
+    # overwrites its own dir and must neither duplicate nor drop docs
+    from wally_spark.streaming.ops import dedup_against_corpus_foreach_batch as _f
+
+    replay = _f(spark, seen, out)
+    batch = spark.createDataFrame([("new c",), ("new a",)], "text string")
+    replay(batch, 2)
+    replay(batch, 2)  # the replay
+    corpus2 = sorted(r["text"] for r in spark.read.parquet(f"{out}/b*").collect())
+    assert corpus2 == ["new a", "new b", "new c", "old doc"]

@@ -23,16 +23,9 @@ def build_ann_index(
     """Materialize (vec_id, embedding, band_id, band_sig) — one row per
     band — bucketed by the band key so probes are partition-pruned
     bucket reads, never corpus scans."""
-    import os
-    import shutil
-    from urllib.parse import urlparse
+    from wally_spark.operators.bucketing import drop_table_and_dir
 
-    # The default in-memory catalog forgets tables between sessions but
-    # their warehouse directories persist; saveAsTable then fails with
-    # LOCATION_ALREADY_EXISTS. Drop both before (re)building.
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(os.path.join(warehouse, table.lower()), ignore_errors=True)
+    drop_table_and_dir(spark, table)
 
     banded = _banded(emb, "vec_id", "embedding")
     (

@@ -10,6 +10,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def drop_table_and_dir(spark: SparkSession, table: str) -> None:
+    """The in-memory catalog forgets tables across sessions but their
+    warehouse directories persist; clear both so rebuilds don't fail
+    with LOCATION_ALREADY_EXISTS."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(warehouse, table.lower()), ignore_errors=True)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -17,17 +30,8 @@ def write_bucketed(
     n_buckets: int = 32,
     sort_col: str | None = None,
 ) -> None:
-    import os
-    import shutil
-    from urllib.parse import urlparse
-
-    # The in-memory catalog forgets tables across sessions but their
-    # warehouse directories persist; clear both so rebuilds don't fail
-    # with LOCATION_ALREADY_EXISTS.
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(os.path.join(warehouse, table.lower()), ignore_errors=True)
+    drop_table_and_dir(spark, table)
 
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col:

@@ -51,6 +51,7 @@ def connected_components(
         .localCheckpoint()
     )
     prev = labels.agg(F.sum("comp")).collect()[0][0]
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             sym.join(labels, sym["es"] == labels["id"])
@@ -69,8 +70,16 @@ def connected_components(
         )
         cur = labels.agg(F.sum("comp")).collect()[0][0]
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # wrong labels are worse than a loud failure: a component with
+        # diameter > max_iters would silently carry several labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+            " — raise max_iters (component diameter exceeds it)"
+        )
     return (
         vertices.select(F.col(vertex_col).alias("id"))
         .join(labels, "id", "left")

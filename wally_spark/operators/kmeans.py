@@ -32,10 +32,13 @@ def lloyd_kmeans(
     cents = np.array(
         [
             r[vec_col]
-            for r in emb.where(F.col(id_col) < k).orderBy(id_col).collect()
+            for r in emb.orderBy(id_col).limit(k).collect()
         ],
         dtype=np.float64,
-    )  # (k, dim) — bounded driver state, like MLlib
+    )  # (k, dim) — bounded driver state, like MLlib; init = the k
+    # lowest ids regardless of the id space's base or gaps
+    if len(cents) < k:
+        raise ValueError(f"k={k} centroids requested but only {len(cents)} vectors")
 
     def assign_udf(cmat):
         c = cmat.copy()

@@ -165,6 +165,10 @@ def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     off0 = F.col("bucket_off") + F.sum("n_tokens").over(w) - F.col("n_tokens")
+    # `div` (integral division), not floor(a/b): bigint `/` rounds
+    # through doubles, which past ~2^53 total tokens — inside the
+    # 100 TB target — can cross an integer boundary and disagree with
+    # the oracle's exact `//`
     return (
         toks.join(F.broadcast(boff), "bucket")
         .withColumn("off0", off0)
@@ -172,14 +176,12 @@ def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_tokens",
-            F.floor(F.col("off0") / CHUNK).cast("bigint").alias("first_chunk"),
-            F.floor((F.col("off0") + F.col("n_tokens") - 1) / CHUNK)
+            F.expr(f"off0 div {CHUNK}").cast("bigint").alias("first_chunk"),
+            F.expr(f"(off0 + n_tokens - 1) div {CHUNK}")
             .cast("bigint")
             .alias("last_chunk"),
-            (
-                F.floor((F.col("off0") + F.col("n_tokens") - 1) / CHUNK)
-                - F.floor(F.col("off0") / CHUNK)
-                + 1
+            F.expr(
+                f"(off0 + n_tokens - 1) div {CHUNK} - off0 div {CHUNK} + 1"
             )
             .cast("bigint")
             .alias("n_chunks"),
@@ -245,12 +247,15 @@ def sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "off0",
         F.col("bucket_off") + F.sum("n_chars").over(w) - F.col("n_chars"),
     )
-    k = F.lit(K_PPS)
-
+    # `div`, not floor(/): see pack_chunks — double rounding breaks
+    # the "identical sample in both engines" guarantee at huge totals
     def pts_lt(x):
-        return F.least(k, F.floor((k * x + F.col("total") - 1) / F.col("total")))
+        return F.least(
+            F.lit(K_PPS).cast("bigint"),
+            F.expr(f"({K_PPS} * ({x}) + total - 1) div total"),
+        )
 
-    hits = pts_lt(F.col("off0") + F.col("n_chars")) - pts_lt(F.col("off0"))
+    hits = pts_lt("off0 + n_chars") - pts_lt("off0")
     return (
         withoff.withColumn("n_hits", hits.cast("bigint"))
         .where(F.col("n_hits") > 0)

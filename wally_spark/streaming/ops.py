@@ -120,14 +120,18 @@ def count_windows_stream(df: DataFrame, n: int = 20) -> DataFrame:
             win_idx, cnt, total = cloudpickle.loads(bytes(blob))
         else:
             win_idx, cnt, total = 0, 0, 0.0
+        # applyInPandasWithState guarantees no intra-group ORDER, only
+        # grouping: sort this batch's rows by event time before folding
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows):
+            rows = rows.sort_values(["ts", "event_id"] if "event_id" in rows else ["ts"])
         fired = []
-        for pdf in pdfs:
-            for value in pdf["value"]:
-                cnt += 1
-                total += float(value)
-                if cnt == n:
-                    fired.append((user, win_idx, total, n))
-                    win_idx, cnt, total = win_idx + 1, 0, 0.0
+        for value in rows["value"] if len(rows) else []:
+            cnt += 1
+            total += float(value)
+            if cnt == n:
+                fired.append((user, win_idx, total, n))
+                win_idx, cnt, total = win_idx + 1, 0, 0.0
         state.update((cloudpickle.dumps((win_idx, cnt, total)),))
         if fired:
             yield pd.DataFrame(
@@ -216,19 +220,24 @@ def interarrival_stream(df: DataFrame) -> DataFrame:
             last_s, n, tot, mn, mx, ver = cloudpickle.loads(bytes(blob))
         else:
             last_s, n, tot, mn, mx, ver = None, 0, 0.0, None, None, 0
-        for pdf in pdfs:
-            for ts in pdf["ts"]:
-                # µs-exact double seconds, matching Spark's
-                # cast(ts as double): ns epoch exceeds 2^53 so divide
-                # from the µs integer, not the ns one
-                s = (pd.Timestamp(ts).value // 1000) / 1e6
-                if last_s is not None:
-                    gap = s - last_s
-                    n += 1
-                    tot += gap
-                    mn = gap if mn is None else min(mn, gap)
-                    mx = gap if mx is None else max(mx, gap)
-                last_s = s
+        # sort: intra-group batch order is not a Spark contract
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows):
+            rows = rows.sort_values(
+                ["ts", "event_id"] if "event_id" in rows else ["ts"]
+            )
+        for ts in rows["ts"] if len(rows) else []:
+            # µs-exact double seconds, matching Spark's
+            # cast(ts as double): ns epoch exceeds 2^53 so divide
+            # from the µs integer, not the ns one
+            s = (pd.Timestamp(ts).value // 1000) / 1e6
+            if last_s is not None:
+                gap = s - last_s
+                n += 1
+                tot += gap
+                mn = gap if mn is None else min(mn, gap)
+                mx = gap if mx is None else max(mx, gap)
+            last_s = s
         ver += 1
         state.update((cloudpickle.dumps((last_s, n, tot, mn, mx, ver)),))
         if n:
@@ -279,13 +288,18 @@ def running_total_stream(df: DataFrame, threshold: float = 2000.0) -> DataFrame:
             running = cloudpickle.loads(bytes(blob))
         else:
             running = 0.0
+        # sort: intra-group batch order is not a Spark contract
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows):
+            rows = rows.sort_values(["ts", "event_id"])
         fired = []
-        for pdf in pdfs:
-            for event_id, ts, value in zip(pdf["event_id"], pdf["ts"], pdf["value"]):
-                running += float(value)
-                if running > threshold:
-                    epoch_s = (pd.Timestamp(ts).value // 1000) // 1_000_000
-                    fired.append((user, int(event_id), int(epoch_s), running))
+        for event_id, ts, value in (
+            zip(rows["event_id"], rows["ts"], rows["value"]) if len(rows) else []
+        ):
+            running += float(value)
+            if running > threshold:
+                epoch_s = (pd.Timestamp(ts).value // 1000) // 1_000_000
+                fired.append((user, int(event_id), int(epoch_s), running))
         state.update((cloudpickle.dumps(running),))
         if fired:
             yield pd.DataFrame(
@@ -390,12 +404,18 @@ def dedup_against_corpus_foreach_batch(
     at 100 TB `seen_path` is a bucketed-by-hash table so the join is
     scan-side, and compaction of the hash table is an offline
     housekeeping job. Batch-internal dups collapse via the same hash
-    before the join."""
+    before the join.
+
+    Idempotence: foreachBatch is at-least-once, so each batch writes
+    its OWN subdirectory (`b<batch_id>`) with overwrite — a replay
+    after a partial failure rewrites the same directory instead of
+    appending duplicates. `seen_path`/`out_path` are therefore
+    directories of per-batch parquet dirs, read back with a glob."""
     from pyspark.sql import Window
 
     key_cols = key_cols or ["text"]
 
-    def dedup(batch_df, _batch_id):
+    def dedup(batch_df, batch_id):
         h = F.md5(F.concat_ws("\x00", *key_cols).cast("binary"))
         hashed = batch_df.withColumn("content_hash", h)
         # collapse intra-batch dups deterministically
@@ -410,11 +430,23 @@ def dedup_against_corpus_foreach_batch(
             .drop("_rn")
         )
         try:
-            seen = spark.read.parquet(seen_path).select("content_hash")
-            fresh = hashed.join(seen, "content_hash", "left_anti")
+            # exclude THIS batch's own dir: a replay after a partial
+            # failure must not anti-join against its previous attempt's
+            # hashes (that would drop its own docs and lose data)
+            seen = (
+                spark.read.parquet(f"{seen_path}/b*")
+                .withColumn("_f", F.input_file_name())
+                .where(~F.col("_f").contains(f"/b{batch_id}/"))
+                .select("content_hash")
+            )
+            fresh = hashed.join(seen, "content_hash", "left_anti").localCheckpoint()
         except Exception:  # first batch: nothing seen yet
-            fresh = hashed
-        fresh.drop("content_hash").write.mode("append").parquet(out_path)
-        fresh.select("content_hash").write.mode("append").parquet(seen_path)
+            fresh = hashed.localCheckpoint()
+        fresh.drop("content_hash").write.mode("overwrite").parquet(
+            f"{out_path}/b{batch_id}"
+        )
+        fresh.select("content_hash").write.mode("overwrite").parquet(
+            f"{seen_path}/b{batch_id}"
+        )
 
     return dedup
