@@ -130,6 +130,7 @@ def test_no_cartesian_anywhere(spark):
         "ann_quantized",  # linear-scan design IS broadcast-NL
         "q11_important_parts",  # scalar-subquery threshold:
         "q22_global_sales_opportunity",  # 1-row broadcast side
+        "resample_1h",  # 1-row (min,max) bounds side for the grid
     }
     offenders = []
     for name in sorted(REGISTRY):

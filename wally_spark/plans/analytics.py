@@ -431,3 +431,61 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "resample_1h",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events
+), grid AS (
+  SELECT t.event_type,
+         unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h
+  FROM (SELECT DISTINCT event_type FROM events) t, bounds b
+), agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         count(*) AS n, round(sum(value), 2) AS sum_value
+  FROM events GROUP BY event_type, h
+)
+SELECT g.event_type, epoch(g.h)::BIGINT AS hour_epoch,
+       coalesce(a.n, 0)::BIGINT AS n_events,
+       coalesce(a.sum_value, 0) AS sum_value
+FROM grid g LEFT JOIN agg a
+  ON a.event_type = g.event_type AND a.h = g.h
+""",
+    tags=("analytics", "resample", "timeseries"),
+)
+def resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample (time-series densification): every
+    (event_type, hour) cell in the observed range appears, zeros where
+    no events landed — what a downstream forecaster or dashboard needs
+    from a sparse stream. Scale shape: aggregate FIRST (map-side
+    combined), then densify against a generated grid whose size is
+    hours × types — independent of raw volume — so the dense join
+    touches aggregate-sized inputs only."""
+    ev = _t(spark, sf_dir)["events"]
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    agg = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sv"),
+    )
+    return grid.join(agg, ["event_type", "h"], "left").select(
+        "event_type",
+        F.unix_timestamp("h").alias("hour_epoch"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce("sv", F.lit(0.0)).alias("sum_value"),
+    )
