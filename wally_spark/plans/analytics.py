@@ -489,3 +489,54 @@ def resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
         F.coalesce("sv", F.lit(0.0)).alias("sum_value"),
     )
+
+
+@register(
+    "value_outliers",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.value, abs(e.value - med.m) AS ad
+  FROM events e JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS md
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, count(*) AS n_outliers,
+       round(min(d.value), 2) AS min_outlier,
+       round(max(d.value), 2) AS max_outlier
+FROM dev d JOIN mad USING (event_type)
+WHERE d.ad > 5.0 * mad.md
+GROUP BY d.event_type
+""",
+    tags=("analytics", "outliers"),
+)
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier profile per event_type: values more
+    than 5 median-absolute-deviations from the median. Two exact
+    percentile passes (Spark percentile == DuckDB quantile_cont, the
+    equality quantiles_by_type already pins down) with the tiny
+    per-type statistics broadcast back — the raw table never shuffles
+    on anything but its 5-key type column."""
+    ev = _t(spark, sf_dir)["events"].select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("m")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("m"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("md")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("ad") > 5.0 * F.col("md"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.round(F.min("value"), 2).alias("min_outlier"),
+            F.round(F.max("value"), 2).alias("max_outlier"),
+        )
+    )
