@@ -158,3 +158,43 @@ def test_bucketed_q18_no_exchange(spark):
         assert "Exchange hashpartitioning" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Spark's runtime Bloom-filter join pruning — the 100 TB lever
+    that pre-filters a fact scan with a bloom built from the selective
+    side — engages on our fact-fact shape once the (cluster-sized)
+    thresholds fit the local data. Pins the knobs the deployment must
+    set; the plan must show the injected bloom_filter_agg."""
+    import pyspark.sql.functions as F
+
+    from wally_spark.tables import load_tables
+
+    t = load_tables(spark, SF_MED)
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+        big = t["orders"].where(F.col("o_orderpriority") == "1-URGENT")
+        j = t["lineitem"].join(big, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
