@@ -131,6 +131,7 @@ def test_no_cartesian_anywhere(spark):
         "q11_important_parts",  # scalar-subquery threshold:
         "q22_global_sales_opportunity",  # 1-row broadcast side
         "resample_1h",  # 1-row (min,max) bounds side for the grid
+        "events_funnel",  # 1-row stage-count sides
     }
     offenders = []
     for name in sorted(REGISTRY):

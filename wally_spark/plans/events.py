@@ -430,3 +430,62 @@ def range_join_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFr
             "recent_view_value"
         ),
     )
+
+
+# --- funnel: view -> later click -> later purchase, per user ---
+@register(
+    "events_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v)::BIGINT AS n_viewed,
+       (SELECT count(*) FROM c)::BIGINT AS n_clicked_after_view,
+       (SELECT count(*) FROM p)::BIGINT AS n_purchased_after_click
+""",
+    tags=("events", "funnel"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who viewed, then clicked
+    strictly after their first view, then purchased strictly after
+    that first qualifying click. Each stage is one groupBy + one
+    user-keyed join of the previous stage's (small) survivor table —
+    at 100 TB the stage tables are per-user rows, broadcast-sized
+    relative to raw events, and the event scan is filtered by type
+    before any join."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
+    )
