@@ -489,3 +489,48 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
     )
+
+
+# --- weekly cohort retention ---
+@register(
+    "events_cohort_retention",
+    oracle="""
+WITH first AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort, date_trunc('week', e.ts) AS wk
+  FROM events e JOIN first f USING (user_id)
+)
+SELECT epoch(cohort)::BIGINT AS cohort_week,
+       ((epoch(wk) - epoch(cohort)) // 604800)::BIGINT AS weeks_since,
+       count(*) AS n_users
+FROM activity GROUP BY cohort, weeks_since
+""",
+    tags=("events", "retention", "cohort"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the week of their
+    first event, counted once per later week they stay active — the
+    triangle every growth dashboard draws. Shapes: one user-keyed
+    groupBy for cohorts (small — one row per user), joined back
+    user-keyed, then a distinct + count on (cohort, week) — all
+    map-side combinable; nothing scales with raw event count except
+    the first scan."""
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id", "cohort", F.date_trunc("week", "ts").alias("wk")
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.unix_timestamp("cohort").alias("cohort_week"),
+        F.expr("(unix_timestamp(wk) - unix_timestamp(cohort)) div 604800")
+        .cast("bigint")
+        .alias("weeks_since"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
