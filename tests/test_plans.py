@@ -199,3 +199,22 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_driver_window_covers_unchecked_queries():
+    """The correctness driver checks the FIRST 50 registry entries.
+
+    Every query without a driver-green row from rounds 1-2 must sort
+    ahead of the already-green sentinels so it earns a CORRECTNESS row
+    (VERDICT r2 "Next round #1").
+    """
+    from wally_spark.plans import REGISTRY, _DRIVER_GREEN
+
+    names = list(REGISTRY)
+    window = set(names[:50])
+    not_yet_green = [n for n in names if n not in _DRIVER_GREEN]
+    if len(not_yet_green) <= 50:
+        missing = set(not_yet_green) - window
+        assert not missing, f"never-driver-checked queries outside window: {missing}"
+    # The front block is exactly the not-yet-green set, in order.
+    assert names[: len(not_yet_green)] == not_yet_green
