@@ -162,7 +162,58 @@ def _banded(df: DataFrame, id_alias: str, emb_alias: str) -> DataFrame:
     ).select(id_alias, emb_alias, "band_id", "band_sig")
 
 
-@register("ann_lsh", oracle=None, tags=("similarity", "ann", "lsh"))
+# DuckDB replication of the md5-derived hyperplane signatures (the
+# dedup_simhash technique): planes are a pure function of md5("p:j"),
+# so the oracle derives the SAME 8×4-bit band signatures in SQL —
+# float64 dot products over the float32-exact embedding values, matching
+# _band_sigs' numpy matmul bit-for-bit (parity asserted by the driver
+# hash check and tests/test_oracle_parity.py).
+_SIG_CTE = f"""
+WITH comps AS (
+  SELECT vec_id, u.i - 1 AS j, u.x::DOUBLE AS x
+  FROM (SELECT vec_id, unnest(list_transform(embedding, (x, i) -> {{'x': x, 'i': i}})) AS u
+        FROM embeddings)
+),
+planes AS (
+  SELECT p.p, j.j,
+         CASE WHEN strpos('02468ace', substr(md5(p.p::VARCHAR || ':' || j.j::VARCHAR), 1, 1)) > 0
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM generate_series(0, {N_BANDS * PLANES_PER_BAND - 1}) p(p),
+       generate_series(0, 63) j(j)
+),
+dots AS (
+  SELECT c.vec_id, pl.p, sum(c.x * pl.s) AS dot
+  FROM comps c JOIN planes pl ON c.j = pl.j
+  GROUP BY c.vec_id, pl.p
+),
+sigs AS (
+  SELECT vec_id, p // {PLANES_PER_BAND} AS band_id,
+         sum(CASE WHEN dot > 0 THEN 1 << (p % {PLANES_PER_BAND}) ELSE 0 END)::BIGINT AS band_sig
+  FROM dots GROUP BY vec_id, p // {PLANES_PER_BAND}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sigs q JOIN sigs c
+    ON q.band_id = c.band_id AND q.band_sig = c.band_sig AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+"""
+
+_LSH_ORACLE = f"""{_SIG_CTE}
+SELECT query_id, neighbor_id, rank, cos_bp FROM (
+  SELECT cand.query_id, cand.neighbor_id,
+         floor(10000.0 * list_cosine_similarity(q.embedding, c.embedding))::BIGINT AS cos_bp,
+         row_number() OVER (
+           PARTITION BY cand.query_id
+           ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                    cand.neighbor_id) AS rank
+  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+            JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+WHERE rank <= {TOP_K}
+"""
+
+
+@register("ann_lsh", oracle=_LSH_ORACLE, tags=("similarity", "ann", "lsh"))
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded hyperplane-LSH ANN with OR-amplification: 8 bands × 4
     planes; a corpus vector is a candidate if it collides with the
@@ -172,7 +223,8 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity_ops.py asserts recall vs ann_bruteforce on
     the high-cosine neighbors.
 
-    Rows-only oracle (signature bit-fold not SQL-expressible cheaply).
+    Full hash oracle: the md5-derived planes are engine-replicable, so
+    DuckDB recomputes identical band signatures (_SIG_CTE).
     At 100 TB: one narrow pass signs the corpus, shuffle is only on the
     (band_id, band_sig) key, band count and width are the recall/cost
     dials."""
@@ -268,13 +320,13 @@ def ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_index_probe", oracle=None, tags=("similarity", "ann", "index"))
+@register("ann_index_probe", oracle=_LSH_ORACLE, tags=("similarity", "ann", "index"))
 def ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persistent banded-LSH index: build once (bucketed table keyed by
     (band_id, band_sig) — the resident structure a similarity service
     keeps at 100 TB), then probe with the standard query set. Agrees
-    exactly with the transient ann_lsh (tests/test_ann_index.py);
-    rows-only oracle like it."""
+    exactly with the transient ann_lsh (tests/test_ann_index.py), so it
+    shares ann_lsh's full signature-replication oracle."""
     import hashlib
 
     from wally_spark.operators.ann_index import build_ann_index, query_ann_index
@@ -296,7 +348,100 @@ N_PROBE = 3
 IVF_ITERS = 3
 
 
-@register("ann_ivf", oracle=None, tags=("similarity", "ann", "ivf", "iterative"))
+def _ivf_oracle() -> str:
+    """DuckDB replication of ann_ivf, Lloyd's rounds unrolled as CTE
+    chains: init = the N_CELLS lowest vec_ids (exactly
+    operators/kmeans.py's deterministic init), each round = argmin
+    assignment (ties to the lowest cluster, same as numpy argmin) then
+    per-(cluster, position) mean with empty-cell carry-forward, then a
+    final assignment, the per-cell centroid, the N_PROBE nearest cells
+    per query, and the exact cosine re-rank. All distance math in
+    float64 over the float32-exact parquet values, mirroring the
+    Arrow-batch numpy path."""
+    cte = f"""
+WITH comps AS (
+  SELECT vec_id, u.i - 1 AS j, u.x::DOUBLE AS x
+  FROM (SELECT vec_id, unnest(list_transform(embedding, (x, i) -> {{'x': x, 'i': i}})) AS u
+        FROM embeddings)
+),
+init_ids AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+  FROM embeddings ORDER BY vec_id LIMIT {N_CELLS}
+),
+c0 AS (
+  SELECT i.cluster, c.j AS p, c.x AS m
+  FROM init_ids i JOIN comps c USING (vec_id)
+)"""
+    prev = "c0"
+    for r in range(1, IVF_ITERS + 1):
+        cte += f""",
+d{r} AS (
+  SELECT c.vec_id, k.cluster, sum((c.x - k.m) * (c.x - k.m)) AS d2
+  FROM comps c JOIN {prev} k ON c.j = k.p
+  GROUP BY c.vec_id, k.cluster
+),
+a{r} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+    FROM d{r}) WHERE rk = 1
+),
+m{r} AS (
+  SELECT a.cluster, c.j AS p, avg(c.x) AS m
+  FROM a{r} a JOIN comps c USING (vec_id)
+  GROUP BY a.cluster, c.j
+),
+c{r} AS (
+  SELECT k.cluster, k.p, coalesce(u.m, k.m) AS m
+  FROM {prev} k LEFT JOIN m{r} u ON u.cluster = k.cluster AND u.p = k.p
+)"""
+        prev = f"c{r}"
+    cte += f""",
+dfin AS (
+  SELECT c.vec_id, k.cluster, sum((c.x - k.m) * (c.x - k.m)) AS d2
+  FROM comps c JOIN {prev} k ON c.j = k.p
+  GROUP BY c.vec_id, k.cluster
+),
+cells AS (
+  SELECT vec_id, cluster AS cell FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+    FROM dfin) WHERE rk = 1
+),
+cent AS (
+  SELECT a.cell, c.j AS p, avg(c.x) AS m
+  FROM cells a JOIN comps c USING (vec_id)
+  GROUP BY a.cell, c.j
+),
+qd AS (
+  SELECT q.vec_id AS query_id, ct.cell, sum((q.x - ct.m) * (q.x - ct.m)) AS cd
+  FROM comps q JOIN cent ct ON q.j = ct.p
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY q.vec_id, ct.cell
+),
+probe AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, cell,
+           row_number() OVER (PARTITION BY query_id ORDER BY cd, cell) AS rk
+    FROM qd) WHERE rk <= {N_PROBE}
+)
+SELECT query_id, neighbor_id, rank, cos_bp FROM (
+  SELECT pr.query_id, a.vec_id AS neighbor_id,
+         floor(10000.0 * list_cosine_similarity(q.embedding, c.embedding))::BIGINT AS cos_bp,
+         row_number() OVER (
+           PARTITION BY pr.query_id
+           ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                    a.vec_id) AS rank
+  FROM probe pr
+  JOIN cells a ON a.cell = pr.cell AND a.vec_id <> pr.query_id
+  JOIN embeddings q ON q.vec_id = pr.query_id
+  JOIN embeddings c ON c.vec_id = a.vec_id)
+WHERE rank <= {TOP_K}
+"""
+    return cte
+
+
+@register("ann_ivf", oracle=_ivf_oracle(), tags=("similarity", "ann", "ivf", "iterative"))
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: a k-means coarse quantizer
     (operators/kmeans.py, deterministic) partitions the corpus into
@@ -306,9 +451,10 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     training, IVF adapts cells to the data distribution — at 100 TB
     the corpus is written bucketed by cell_id (like
     operators/ann_index.py does for band signatures) and a query
-    touches N_PROBE/N_CELLS of it. Rows-only oracle (argmin over
-    trained centroids isn't SQL-expressible); recall vs ann_bruteforce
-    is gated in tests/test_similarity_ops.py."""
+    touches N_PROBE/N_CELLS of it. Full hash oracle: the deterministic
+    Lloyd's rounds are unrolled as SQL CTEs (_ivf_oracle); recall vs
+    ann_bruteforce is additionally gated in
+    tests/test_similarity_ops.py."""
     from wally_spark.operators.kmeans import lloyd_kmeans
 
     emb = _emb(spark, sf_dir)
