@@ -134,3 +134,36 @@ def test_ivf_ann_recall_on_planted_near_dups(spark, tmp_path):
     got = {(r["query_id"], r["neighbor_id"]) for r in ivf}
     recall = len(want & got) / len(want)
     assert recall >= 0.8, f"IVF recall {recall:.2f} on {len(want)} near-dup pairs"
+
+
+def test_embedding_block_count_bounded():
+    """dedup_embedding's collect_list rows must stay ~4096 vectors no
+    matter the corpus size (Spark's 2 GiB single-value ceiling)."""
+    from wally_spark.plans.dedup import _n_embedding_blocks
+
+    assert _n_embedding_blocks(500) == 8
+    assert _n_embedding_blocks(1_000_000) == 245
+    # 100M vectors -> every block still ~4096 rows (~2 MB matrix)
+    nb = _n_embedding_blocks(100_000_000)
+    assert 100_000_000 / nb <= 4096
+
+
+def test_dedup_embedding_lsh_subset_of_exact(spark):
+    """LSH-prefiltered pairs are a subset of the exact all-pairs result
+    with identical cosine values, and recall on the planted high-cosine
+    near-dups is total at this scale."""
+    from wally_spark.plans.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r.vec_a, r.vec_b): r.cos_bp
+        for r in REGISTRY["dedup_embedding"].spark_fn(spark, sf).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b): r.cos_bp
+        for r in REGISTRY["dedup_embedding_lsh"].spark_fn(spark, sf).collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert all(exact[k] == v for k, v in lsh.items())
+    strong = {k for k, v in exact.items() if v >= 8000}  # cos >= 0.8
+    assert strong <= set(lsh)

@@ -442,6 +442,16 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _n_embedding_blocks(n_vectors: int, target_block_rows: int = 4096) -> int:
+    """Block count for the triangle block join, sized so ONE block's
+    matrix row stays small (4096 × 64 float64 ≈ 2 MB) — a fixed block
+    count would concentrate the whole corpus into 8 collect_list rows
+    and hit Spark's 2 GiB single-value ceiling long before 100 TB."""
+    import math
+
+    return max(8, math.ceil(n_vectors / target_block_rows))
+
+
 # --- embedding-cosine near-duplicate pairs ---
 @register(
     "dedup_embedding",
@@ -464,16 +474,18 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     OOM at the 100 TB target.
 
     Cost model: every vector is replicated NB times (once per partner
-    block), tasks hold two blocks at a time, so NB is chosen to make a
-    block ~executor-memory-sized; the O(n²) comparison work is the
-    semantics' own lower bound and is spread evenly across NB(NB+1)/2
-    independent tasks. At 100 TB the same shape runs with an LSH
-    prefilter (ann_lsh) replacing the all-pairs block product."""
+    block), tasks hold two blocks at a time; NB is derived from the
+    corpus count (one scalar job) so each block's collect_list row is
+    bounded at ~4096 vectors regardless of corpus size. The O(n²)
+    comparison work is the semantics' own lower bound, spread evenly
+    across NB(NB+1)/2 independent tasks. At 100 TB the same exact
+    verify runs against LSH candidates instead — that shape is
+    registered as dedup_embedding_lsh below."""
     import numpy as np
     import pandas as pd
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    nb = 8  # at scale: n_vectors * dim * 4B / NB ≈ 64 MB per block
+    nb = _n_embedding_blocks(emb.count())
     rows = emb.select(
         "vec_id",
         "embedding",
@@ -527,6 +539,66 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
     return pair_rows.mapInPandas(score, "vec_a bigint, vec_b bigint, cos_bp bigint")
+
+
+def _embedding_lsh_oracle() -> str:
+    from wally_spark.plans.similarity import _SIGS_CTE
+
+    return f"""
+WITH {_SIGS_CTE},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigs a JOIN sigs b
+    ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       floor(10000.0 * list_cosine_similarity(a.embedding, b.embedding))::BIGINT AS cos_bp
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.vec_a
+JOIN embeddings b ON b.vec_id = c.vec_b
+WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.4
+"""
+
+
+# --- LSH-prefiltered embedding dedup: the 100 TB path ---
+@register("dedup_embedding_lsh", oracle=_embedding_lsh_oracle(), tags=("dedup", "embedding", "lsh"))
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with the hyperplane-LSH prefilter: the
+    shape that replaces dedup_embedding's all-pairs block product at
+    100 TB. One signature pass per side (8 bands × 4 md5-derived
+    planes, shared with ann_lsh), a bucket self-join on the band key —
+    O(collisions), never O(n²) — then exact cosine verifies each
+    candidate pair JVM-side. Recall is the LSH OR-amplification bound:
+    a cos≈0.9 pair misses a bucket with probability (1-p^4)^8 ≈ 0.2%.
+
+    Full hash oracle: DuckDB recomputes identical band signatures
+    (plans/similarity._SIGS_CTE) and the same candidate set."""
+    from wally_spark.functions import cosine_similarity
+    from wally_spark.plans.similarity import _banded
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    banded = _banded(emb, "vec_id", "e")
+    a = banded.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
+        "band_id", "band_sig",
+    )
+    b = banded.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
+        "band_id", "band_sig",
+    )
+    cos = cosine_similarity(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, ["band_id", "band_sig"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+        .withColumn("cos", cos)
+        .where(F.col("cos") > 0.4)
+        .select(
+            "vec_a",
+            "vec_b",
+            F.floor(10000.0 * F.col("cos")).cast("bigint").alias("cos_bp"),
+        )
+    )
 
 
 # --- end-to-end curation pipeline: quality → language → dedup → stats ---

@@ -168,8 +168,7 @@ def _banded(df: DataFrame, id_alias: str, emb_alias: str) -> DataFrame:
 # float64 dot products over the float32-exact embedding values, matching
 # _band_sigs' numpy matmul bit-for-bit (parity asserted by the driver
 # hash check and tests/test_oracle_parity.py).
-_SIG_CTE = f"""
-WITH comps AS (
+_SIGS_CTE = f"""comps AS (
   SELECT vec_id, u.i - 1 AS j, u.x::DOUBLE AS x
   FROM (SELECT vec_id, unnest(list_transform(embedding, (x, i) -> {{'x': x, 'i': i}})) AS u
         FROM embeddings)
@@ -190,7 +189,10 @@ sigs AS (
   SELECT vec_id, p // {PLANES_PER_BAND} AS band_id,
          sum(CASE WHEN dot > 0 THEN 1 << (p % {PLANES_PER_BAND}) ELSE 0 END)::BIGINT AS band_sig
   FROM dots GROUP BY vec_id, p // {PLANES_PER_BAND}
-),
+)"""
+
+_SIG_CTE = f"""
+WITH {_SIGS_CTE},
 cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
   FROM sigs q JOIN sigs c
