@@ -152,13 +152,26 @@ def test_running_total_stream_equivalence(spark, tmp_path):
 
 
 def test_sliding_windows_stream_equivalence(spark, tmp_path):
+    """Append + watermark (the bounded-state default): every emitted
+    window matches the batch result exactly, and every window the
+    watermark provably closed before the final micro-batch was
+    emitted."""
     from wally_spark.plans import REGISTRY
     from wally_spark.streaming.ops import sliding_windows_stream
 
-    sdf, _ = _ordered_stream(spark, tmp_path)
-    out = _run_complete(sliding_windows_stream(sdf), spark)
+    sdf, ev = _ordered_stream(spark, tmp_path)
+    out = _run_append(sliding_windows_stream(sdf, watermark="1 second"), spark)
     batch_rows = REGISTRY["win_sliding"].spark_fn(spark, SF_SMALL)
-    assert _rows(out) == _rows(batch_rows)
+    stream, batch = _rows(out), _rows(batch_rows)
+    assert set(stream) <= set(batch)
+    # windows closed by the watermark as of the LAST batch's start
+    # (emission uses the watermark advanced by the previous batch)
+    pdf = ev.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    step = (len(pdf) + N_FILES - 1) // N_FILES
+    wm = pdf.iloc[: (N_FILES - 1) * step]["ts"].max().timestamp() - 1.0
+    must_emit = [r for r in batch if r[0] + 3600 <= wm]
+    assert set(must_emit) <= set(stream)
+    assert must_emit, "no closed windows — assertion would be vacuous"
 
 
 def test_session_windows_stream_equivalence(spark, tmp_path):

@@ -319,11 +319,17 @@ def running_total_stream(df: DataFrame, threshold: float = 2000.0) -> DataFrame:
     )
 
 
-def sliding_windows_stream(df: DataFrame) -> DataFrame:
+def sliding_windows_stream(df: DataFrame, watermark: str | None = "1 minute") -> DataFrame:
     """Streaming twin of `win_sliding`: the identical declarative plan
-    (1h windows sliding every 15min) — Spark's windowed aggregation is
-    mode-agnostic, so the twin IS the batch expression over a streaming
-    DataFrame (run in complete/update mode, or append with watermark)."""
+    (1h windows sliding every 15min), watermarked so append mode is the
+    default path — each window's state is dropped once the watermark
+    passes its end, which is the only configuration whose state stays
+    bounded on an unbounded stream (complete mode rematerializes the
+    whole result table every micro-batch). ``watermark=None`` opts out
+    for complete/update-mode experiments; the append-mode closed-window
+    equivalence is asserted in tests/test_stream_twins.py."""
+    if watermark is not None:
+        df = df.withWatermark("ts", watermark)
     return (
         df.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
         .agg(
