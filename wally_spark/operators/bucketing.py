@@ -13,14 +13,39 @@ from pyspark.sql import DataFrame, SparkSession
 def drop_table_and_dir(spark: SparkSession, table: str) -> None:
     """The in-memory catalog forgets tables across sessions but their
     warehouse directories persist; clear both so rebuilds don't fail
-    with LOCATION_ALREADY_EXISTS."""
-    import os
-    import shutil
-    from urllib.parse import urlparse
+    with LOCATION_ALREADY_EXISTS.
 
+    The location is resolved through the catalog when the table still
+    exists (covers db-qualified names and non-default locations) and
+    deleted via the Hadoop FileSystem API, so an object-store warehouse
+    (s3a://, abfs:// — the 100 TB deployment) works the same as a local
+    one; the previous shutil.rmtree was a silent no-op off-box."""
+    location = None
+    if spark.catalog.tableExists(table):
+        location = next(
+            (
+                r.data_type
+                for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+                if r.col_name == "Location"
+            ),
+            None,
+        )
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(os.path.join(warehouse, table.lower()), ignore_errors=True)
+    if location is None:
+        # catalog lost the table but its directory may linger: derive
+        # the default warehouse layout (<db>.db/<name>, default db flat)
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+        parts = table.lower().split(".")
+        location = (
+            f"{warehouse}/{parts[0]}.db/{parts[1]}"
+            if len(parts) == 2 and parts[0] != "default"
+            else f"{warehouse}/{parts[-1]}"
+        )
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(location)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
 
 
 def write_bucketed(

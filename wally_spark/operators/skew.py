@@ -10,6 +10,28 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
+def _row_salt(df: DataFrame, n_salts: int):
+    """Deterministic-under-retry salt expression.
+
+    monotonically_increasing_id() is nondeterministic across task
+    retries — after a fetch failure, recomputed rows could land in
+    different salt partitions and be dropped or double-counted. Instead
+    hash (hashable row columns, spark_partition_id): row content spreads
+    distinct rows of a hot key; the partition id spreads byte-identical
+    duplicate rows too (the case where content alone would collapse a
+    hot key back onto one salt), and is stable within a task recompute
+    because a stage retry re-executes the same partition layout.
+    Map-typed columns are excluded — xxhash64 cannot hash maps."""
+    from pyspark.sql.types import MapType
+
+    hashable = [
+        F.col(fld.name)
+        for fld in df.schema.fields
+        if not isinstance(fld.dataType, MapType)
+    ]
+    return F.pmod(F.xxhash64(*hashable, F.spark_partition_id()), F.lit(n_salts))
+
+
 def salted_agg(
     df: DataFrame, key: str, aggs: dict, n_salts: int = 16
 ) -> DataFrame:
@@ -19,15 +41,7 @@ def salted_agg(
     (phase1_expr, phase2_combiner_fn_name): e.g.
     {"total": (F.sum("v"), "sum"), "n": (F.count(F.lit(1)), "sum")}.
     """
-    # Deterministic salt: monotonically_increasing_id() is
-    # nondeterministic across task retries — after a fetch failure,
-    # recomputed rows could land in different salt partitions and be
-    # dropped or double-counted. Hashing the full row content is stable
-    # under re-execution (identical duplicate rows share a salt, which
-    # only matters if a hot key's rows are also byte-identical).
-    salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
-    )
+    salted = df.withColumn("__salt", _row_salt(df, n_salts))
     phase1 = salted.groupBy(key, "__salt").agg(
         *[expr.alias(f"__p_{name}") for name, (expr, _) in aggs.items()]
     )
@@ -47,14 +61,7 @@ def salted_join(
     times: the hot key's rows scatter across salts instead of landing
     on one reducer. Use when the small side is too big to broadcast
     but small enough to replicate n_salts×."""
-    # Row-content hash, not monotonically_increasing_id(): deterministic
-    # under task retry (see salted_agg).
-    salted_l = skewed.withColumn(
-        "__salt",
-        F.pmod(
-            F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)
-        ).cast("int"),
-    )
+    salted_l = skewed.withColumn("__salt", _row_salt(skewed, n_salts).cast("int"))
     replicated = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

@@ -15,15 +15,13 @@ query below.
 
 from __future__ import annotations
 
-import hashlib
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from wally_spark.operators.bucketing import write_bucketed
 from wally_spark.plans.registry import register
 from wally_spark.plans.tpch import _r2
-from wally_spark.tables import load_tables
+from wally_spark.tables import dataset_tag, load_tables
 
 N_BUCKETS = 32
 
@@ -33,9 +31,10 @@ def bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     orderkey; returns the two table names. Column-pruned to the
     q3/q10/q18 working set — a real warehouse would bucket the full
     tables. The `2` in the table tag versions the column set: bumping
-    it invalidates any stale warehouse directory from an older
-    schema."""
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    it invalidates any stale warehouse directory from an older schema.
+    The tag itself fingerprints the source files (size + mtime), so
+    regenerated data under the same sf_dir forces a rebuild."""
+    tag = dataset_tag(spark, sf_dir, ("lineitem", "orders"))
     li_t, ord_t = f"li_bkt2_{tag}", f"ord_bkt2_{tag}"
     if not (spark.catalog.tableExists(li_t) and spark.catalog.tableExists(ord_t)):
         t = load_tables(spark, sf_dir)

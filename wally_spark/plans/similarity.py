@@ -329,12 +329,13 @@ def ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps at 100 TB), then probe with the standard query set. Agrees
     exactly with the transient ann_lsh (tests/test_ann_index.py), so it
     shares ann_lsh's full signature-replication oracle."""
-    import hashlib
-
     from wally_spark.operators.ann_index import build_ann_index, query_ann_index
+    from wally_spark.tables import dataset_tag
 
     emb = _emb(spark, sf_dir)
-    table = "ann_idx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # tag fingerprints the data (size+mtime), not just the path: a
+    # regenerated sf_dir rebuilds the index instead of serving stale hits
+    table = "ann_idx_" + dataset_tag(spark, sf_dir, ("embeddings",))
     # build ONCE per session + sf_dir ("the index IS the state");
     # build_ann_index itself self-cleans for explicit rebuilds
     if not spark.catalog.tableExists(table):

@@ -421,8 +421,33 @@ def dedup_against_corpus_foreach_batch(
 
     key_cols = key_cols or ["text"]
 
+    def prior_batch_dirs(batch_id: int) -> list[str]:
+        """Existing b*/ dirs under seen_path, EXCLUDING this batch's own
+        (a replay after a partial failure must not anti-join against its
+        previous attempt's hashes — that would drop its own docs). An
+        empty corpus is detected explicitly here; a transient IO error
+        reading an existing dir propagates instead of silently disabling
+        dedup for the batch."""
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(seen_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return []
+        glob = fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{seen_path}/b*"))
+        return [
+            str(st.getPath())
+            for st in (glob or [])
+            if st.isDirectory() and st.getPath().getName() != f"b{batch_id}"
+        ]
+
     def dedup(batch_df, batch_id):
-        h = F.md5(F.concat_ws("\x00", *key_cols).cast("binary"))
+        # null-tag every key column: without it concat_ws skips NULLs,
+        # making ('a', NULL) / (NULL, 'a') / ('a', '') hash-collide and
+        # distinct documents get dropped as duplicates
+        tagged = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x01<NULL>")) for c in key_cols
+        ]
+        h = F.md5(F.concat_ws("\x00", *tagged).cast("binary"))
         hashed = batch_df.withColumn("content_hash", h)
         # collapse intra-batch dups deterministically
         hashed = (
@@ -435,18 +460,11 @@ def dedup_against_corpus_foreach_batch(
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
-        try:
-            # exclude THIS batch's own dir: a replay after a partial
-            # failure must not anti-join against its previous attempt's
-            # hashes (that would drop its own docs and lose data)
-            seen = (
-                spark.read.parquet(f"{seen_path}/b*")
-                .withColumn("_f", F.input_file_name())
-                .where(~F.col("_f").contains(f"/b{batch_id}/"))
-                .select("content_hash")
-            )
+        prior = prior_batch_dirs(batch_id)
+        if prior:
+            seen = spark.read.parquet(*prior).select("content_hash")
             fresh = hashed.join(seen, "content_hash", "left_anti").localCheckpoint()
-        except Exception:  # first batch: nothing seen yet
+        else:  # first batch: nothing seen yet
             fresh = hashed.localCheckpoint()
         fresh.drop("content_hash").write.mode("overwrite").parquet(
             f"{out_path}/b{batch_id}"

@@ -80,3 +80,23 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     if key not in _CACHE:
         _CACHE[key] = _LazyTables(spark, sf_dir)
     return _CACHE[key]
+
+
+def dataset_tag(spark: SparkSession, sf_dir: str, tables: tuple = TABLES) -> str:
+    """8-hex tag folding sf_dir AND a cheap data fingerprint (per-file
+    length + mtime via the Hadoop FileSystem API, so object-store paths
+    work too). Session-cached derived tables (bucketed facts, the ANN
+    index) key on this instead of the path alone: regenerating the data
+    under sf_dir changes the tag and forces a rebuild, instead of
+    silently serving results from the old data."""
+    import hashlib
+
+    jvm = spark._jvm
+    h = hashlib.md5(sf_dir.encode())
+    for t in tables:
+        p = jvm.org.apache.hadoop.fs.Path(f"{sf_dir}/{t}.parquet")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            st = fs.getFileStatus(p)
+            h.update(f"{t}:{st.getLen()}:{st.getModificationTime()}".encode())
+    return h.hexdigest()[:8]
