@@ -277,3 +277,60 @@ def test_prefix_sum_packing_at_100x_docs(spark, tmp_path_factory):
     # chunks exactly tile the concatenated corpus
     assert agg["mx"] == (agg["tot"] - 1) // 512
     assert dt < 300, f"prefix-sum packing at 100x took {dt:.1f}s"
+
+
+def test_dedup_clusters_at_10x_docs(spark, tmp_path_factory):
+    """Registered dedup_clusters at 10× sf0.1 docs with planted dup
+    groups: minhash candidates + min-label propagation must stay
+    partition-parallel and converge in O(diameter) rounds."""
+    sf_dir = str(tmp_path_factory.mktemp("ccscale"))
+    vocab = F.array(*[F.lit(f"w{i}") for i in range(5000)])
+    # groups of 5: same word sequence per group -> exact near-dup cliques
+    rand_words = F.transform(
+        F.sequence(F.lit(1), F.lit(120)),
+        lambda i: F.element_at(
+            vocab, (F.abs(F.xxhash64(F.col("id") / 5, i)) % 5000 + 1).cast("int")
+        ),
+    )
+    spark.range(50_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", rand_words).alias("text"),
+        F.lit("synth").alias("source"),
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    from wally_spark.plans import REGISTRY
+
+    t0 = time.perf_counter()
+    out = REGISTRY["dedup_clusters"].spark_fn(spark, sf_dir)
+    n = out.count()
+    dt = time.perf_counter() - t0
+    assert n > 0
+    assert dt < 300, f"dedup_clusters at 10x took {dt:.1f}s"
+
+
+def test_ann_ivf_at_10x_vectors(spark, tmp_path_factory):
+    """Registered ann_ivf at 10× sf0.1 vectors: k-means driver state
+    stays k×dim, assignment is Arrow-batch matmul, probe join touches
+    N_PROBE/N_CELLS of the corpus."""
+    sf_dir = str(tmp_path_factory.mktemp("ivfscale"))
+    emb = spark.range(5_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (
+                (F.abs(F.xxhash64(F.col("id"), i)) % 2000).cast("float") / 1000.0
+                - 1.0
+            ),
+        ).alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    emb.write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+
+    from wally_spark.plans import REGISTRY
+
+    t0 = time.perf_counter()
+    out = REGISTRY["ann_ivf"].spark_fn(spark, sf_dir)
+    n = out.count()
+    dt = time.perf_counter() - t0
+    assert n > 0
+    assert dt < 300, f"ann_ivf at 10x took {dt:.1f}s"

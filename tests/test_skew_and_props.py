@@ -192,3 +192,33 @@ def test_approx_quantiles_rank_error(spark):
 
             rank = bisect.bisect_right(vals, a) / n
             assert abs(rank - q) <= 0.01 + 1.0 / n, (etype, q, rank)
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation to reliable
+    checkpoints; labels must be identical to the localCheckpoint path
+    and checkpoint files must actually land in the directory."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from wally_spark.operators.components import connected_components
+
+    vertices = spark.range(200).select(F.col("id"))
+    edges = (
+        spark.range(150)
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+        .where(F.col("id") % 3 != 2)
+    )
+    ckdir = str(tmp_path / "cc_ckpt")
+    base = {
+        (r.id, r.comp) for r in connected_components(vertices, edges).collect()
+    }
+    reliable = {
+        (r.id, r.comp)
+        for r in connected_components(
+            vertices, edges, checkpoint_dir=ckdir
+        ).collect()
+    }
+    assert base == reliable
+    assert any(files for _, _, files in os.walk(ckdir)), "no checkpoint files written"

@@ -30,25 +30,38 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Returns (id, comp): every vertex labeled with the minimum
     vertex id of its connected component. Vertices absent from any
     edge keep their own id. The convergence probe is sum(comp), which
-    strictly decreases while any label can still shrink."""
+    strictly decreases while any label can still shrink.
+
+    ``checkpoint_dir`` switches per-round lineage truncation from
+    localCheckpoint (executor-memory-pinned, lost with an executor —
+    fine on local[n]) to RELIABLE checkpoints in that directory (HDFS/
+    object store): on a real cluster a lost executor then costs a
+    re-read of the last checkpoint instead of restarting the whole
+    propagation."""
+    if checkpoint_dir is not None:
+        vertices.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
     # checkpoint the (possibly expensive) edge plan BEFORE the
     # symmetrizing union — otherwise both union branches recompute it
-    e0 = edges.select(F.col(src).alias("es"), F.col(dst).alias("ed")).localCheckpoint()
-    sym = e0.union(e0.select(F.col("ed"), F.col("es"))).localCheckpoint()
+    e0 = ckpt(edges.select(F.col(src).alias("es"), F.col(dst).alias("ed")))
+    sym = ckpt(e0.union(e0.select(F.col("ed"), F.col("es"))))
     # propagate ONLY over vertices that appear in an edge — in a dedup
     # graph that's a tiny fraction of the corpus, so the per-round
     # joins touch |edges| rows, not |corpus|; isolated vertices join
     # back with their own id at the end (one wide pass, outside the
     # loop)
-    labels = (
+    labels = ckpt(
         sym.select(F.col("es").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint()
     )
     prev = labels.agg(F.sum("comp")).collect()[0][0]
     converged = False
@@ -58,7 +71,7 @@ def connected_components(
             .groupBy("ed")
             .agg(F.min("comp").alias("nbr_min"))
         )
-        labels = (
+        labels = ckpt(
             labels.join(nbr_min, labels["id"] == nbr_min["ed"], "left")
             .select(
                 "id",
@@ -66,7 +79,6 @@ def connected_components(
                     F.col("comp"), F.coalesce("nbr_min", F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint()
         )
         cur = labels.agg(F.sum("comp")).collect()[0][0]
         if cur == prev:
