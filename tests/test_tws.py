@@ -5,21 +5,16 @@ import uuid
 import pytest
 
 from tests.test_api_stream import BASE, _run, _stream_df, _write_batches
-from wally_spark.streaming.tws import ROCKSDB_PROVIDER, inactivity_sessions
-
-
-def _protobuf_available() -> bool:
-    try:
-        import google.protobuf.descriptor  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
+from wally_spark.streaming.tws import (
+    PROTOBUF_AVAILABLE,
+    ROCKSDB_PROVIDER,
+    inactivity_sessions,
+)
 
 
 @pytest.mark.skipif(
-    not _protobuf_available(),
-    reason="transformWithState needs google.protobuf (absent in this container)",
+    not PROTOBUF_AVAILABLE,
+    reason="transformWithState needs google.protobuf (no runtime found)",
 )
 def test_inactivity_sessions_tws(spark, tmp_path):
     prev = spark.conf.get(
@@ -34,9 +29,13 @@ def test_inactivity_sessions_tws(spark, tmp_path):
                 # session A: 01,05 for user a
                 [(BASE + "01", "a", 1), (BASE + "05", "a", 2)],
                 # 40s later: a's inactivity timer (gap 10s) fires once the
-                # watermark passes 05+10; b opens a session that stays open
+                # watermark passes 05+10; b opens a session
                 [(BASE + "45", "b", 7)],
+                # the batch watermark is derived from the PREVIOUS batch's
+                # max event time, so b's 55s timer needs one more batch
+                # after the 02:30 event to fire
                 [("2024-01-01 00:02:30", "b", 1)],
+                [("2024-01-01 00:03:30", "c", 1)],
             ],
         )
         sdf = _stream_df(spark, path).withWatermark("ts", "1 second")

@@ -560,6 +560,37 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.4
 """
 
 
+_PAIR_COS_UDF = None
+
+
+def _pair_cos_udf(ea, eb):
+    """Arrow-batched pairwise cosine: one numpy einsum per batch instead
+    of an interpreted higher-order aggregate per row (the r2 lesson —
+    HOF lambdas skip whole-stage codegen). Built lazily: pandas_udf
+    registration needs a live session, which executors re-importing the
+    module don't have."""
+    global _PAIR_COS_UDF
+    if _PAIR_COS_UDF is None:
+        import numpy as np
+        import pandas as pd
+
+        from pyspark.sql.types import DoubleType
+
+        def pair_cos(a, b):
+            if not len(a):
+                return pd.Series([], dtype="float64")
+            ma = np.array(a.tolist(), dtype=np.float64)
+            mb = np.array(b.tolist(), dtype=np.float64)
+            dots = np.einsum("ij,ij->i", ma, mb)
+            return pd.Series(
+                dots
+                / (np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1))
+            )
+
+        _PAIR_COS_UDF = F.pandas_udf(pair_cos, DoubleType())
+    return _PAIR_COS_UDF(ea, eb)
+
+
 # --- LSH-prefiltered embedding dedup: the 100 TB path ---
 @register("dedup_embedding_lsh", oracle=_embedding_lsh_oracle(), tags=("dedup", "embedding", "lsh"))
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -572,26 +603,34 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     a cos≈0.9 pair misses a bucket with probability (1-p^4)^8 ≈ 0.2%.
 
     Full hash oracle: DuckDB recomputes identical band signatures
-    (plans/similarity._SIGS_CTE) and the same candidate set."""
-    from wally_spark.functions import cosine_similarity
+    (plans/similarity._SIGS_CTE) and the same candidate set.
+
+    Plan shape: the candidate self-join and dedup run over NARROW
+    (vec_id, band_id, band_sig) rows — embeddings join in only after
+    the pair set is deduplicated, so the wide vectors never ride the
+    band-join or dedup shuffles (measured 2x at sf0.1), and the cosine
+    is one Arrow einsum per batch."""
     from wally_spark.plans.similarity import _banded
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    banded = _banded(emb, "vec_id", "e")
-    a = banded.select(
-        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
-        "band_id", "band_sig",
-    )
-    b = banded.select(
-        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
-        "band_id", "band_sig",
-    )
-    cos = cosine_similarity(F.col("ea"), F.col("eb"))
-    return (
+    # materialize the signature pass ONCE: a self-join recomputes each
+    # branch's plan (exchange reuse is unreliable under AQE), which
+    # would sign the corpus twice and double the Arrow traffic
+    banded = _banded(emb, "vec_id", "e").drop("e").localCheckpoint()
+    a = banded.select(F.col("vec_id").alias("vec_a"), "band_id", "band_sig")
+    b = banded.select(F.col("vec_id").alias("vec_b"), "band_id", "band_sig")
+    pairs = (
         a.join(b, ["band_id", "band_sig"])
         .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
-        .withColumn("cos", cos)
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos", _pair_cos_udf(F.col("ea"), F.col("eb")))
         .where(F.col("cos") > 0.4)
         .select(
             "vec_a",

@@ -29,4 +29,12 @@ def get_spark(app_name: str = "wally_spark", cpus: int | None = None) -> SparkSe
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
+    # Python workers inherit the driver JVM's env, but the
+    # transformWithState STREAMING runner builds its PYTHONPATH from the
+    # UDF's envVars (= spark.executorEnv.*) instead — mirror the driver
+    # PYTHONPATH there so worker-side bootstraps (protobuf shim, test
+    # modules) reach every worker kind. Must be set pre-context.
+    pythonpath = os.environ.get("PYTHONPATH")
+    if pythonpath:
+        builder = builder.config("spark.executorEnv.PYTHONPATH", pythonpath)
     return builder.getOrCreate()
