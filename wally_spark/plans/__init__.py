@@ -19,6 +19,7 @@ from wally_spark.plans import analytics  # noqa: F401,E402
 from wally_spark.plans import bucketed  # noqa: F401,E402
 from wally_spark.plans import embeddings  # noqa: F401,E402
 from wally_spark.plans import sampling  # noqa: F401,E402
+from wally_spark.plans import curation  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.

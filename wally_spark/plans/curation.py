@@ -1,0 +1,297 @@
+"""Corpus-curation analysis operators over `documents` — the quality /
+contamination / packing surface a pretraining-data pipeline runs beyond
+dedup (SURVEY §2.6 extensions; the reference has no text surface, these
+are engine extensions in the spirit of machida's computations:
+machida/lib/wallaroo/__init__.py:270 `computation_multi`).
+
+All scores are integer-exact (basis points via bigint division, counts)
+except the entropy query, whose float is floored to centibits the same
+way cosine scores floor to basis points. Every query has a full DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from wally_spark.plans.registry import register
+from wally_spark.tables import load_tables
+
+CHUNK = 64
+STRIDE = 48
+HOLDOUT_MOD = 10  # doc_id % 10 == 7 -> designated benchmark/holdout doc
+SHINGLE_N = 5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["documents"]
+
+
+def _words_col():
+    return F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+
+
+@register(
+    "text_repetition",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(words) AS word FROM w),
+wc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word),
+topw AS (SELECT doc_id, max(c) AS topc, sum(c) AS n_words FROM wc GROUP BY doc_id),
+tri AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(words) - 1, 1)),
+                        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS tris
+  FROM w WHERE len(words) >= 3
+)
+SELECT t.doc_id,
+       topw.n_words::BIGINT AS n_words,
+       ((10000 * len(list_distinct(t.tris))) // len(t.tris))::BIGINT AS distinct_tri_bp,
+       ((10000 * topw.topc) // topw.n_words)::BIGINT AS top_word_share_bp
+FROM tri t JOIN topw ON t.doc_id = topw.doc_id
+""",
+    tags=("text", "curation", "quality"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring — the boilerplate/spam gate (C4-style): the
+    distinct-trigram ratio catches copy-paste loops, the top-word share
+    catches keyword stuffing. Integer basis points (bigint div) so both
+    engines agree exactly. One explode+groupBy for word counts (codegen,
+    map-side combine) joined to a no-shuffle array pass for trigram
+    distinctness."""
+    docs = _docs(spark, sf_dir).select("doc_id", _words_col().alias("words"))
+    tok = docs.select("doc_id", F.explode("words").alias("word"))
+    wc = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    topw = wc.groupBy("doc_id").agg(
+        F.max("c").alias("topc"), F.sum("c").alias("n_words")
+    )
+    tris = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("words") - 2, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("words", i),
+            F.element_at("words", i + 1),
+            F.element_at("words", i + 2),
+        ),
+    )
+    tri = (
+        docs.where(F.size("words") >= 3)
+        .select("doc_id", tris.alias("tris"))
+        .select(
+            "doc_id",
+            F.size("tris").cast("bigint").alias("n_tris"),
+            F.size(F.array_distinct("tris")).cast("bigint").alias("n_distinct"),
+        )
+    )
+    return tri.join(topw, "doc_id").select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.expr("(10000 * n_distinct) div n_tris").alias("distinct_tri_bp"),
+        F.expr("(10000 * topc) div n_words").alias("top_word_share_bp"),
+    )
+
+
+@register(
+    "text_word_entropy",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+  FROM documents
+),
+wc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word),
+h AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_words,
+         log2(sum(c)) - sum(c * log2(c)) / sum(c) AS ent
+  FROM wc GROUP BY doc_id
+)
+SELECT doc_id, n_words, floor(100.0 * ent)::BIGINT AS entropy_cb
+FROM h
+""",
+    tags=("text", "curation", "quality"),
+)
+def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word-distribution entropy — the cheap perplexity
+    proxy for quality filtering (low entropy = repetitive/templated
+    text). Computed from grouped counts as H = log2(N) - Σ c·log2(c)/N
+    so both engines take logs of INTEGERS (identical doubles) and only
+    the final sum is float, floored to centibits like cosine floors to
+    basis points. One explode + two codegen aggregations."""
+    tok = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(_words_col()).alias("word"))
+    )
+    wc = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        wc.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_words"),
+            (
+                F.log2(F.sum("c"))
+                - F.sum(F.col("c") * F.log2("c")) / F.sum("c")
+            ).alias("ent"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            F.floor(100.0 * F.col("ent")).cast("bigint").alias("entropy_cb"),
+        )
+    )
+
+
+_SHINGLE5_SQL = f"""
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(words) - {SHINGLE_N - 2}, 1)),
+           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+                words[i+3] || ' ' || words[i+4])) AS shingles
+  FROM (SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+        FROM documents)
+  WHERE len(words) >= {SHINGLE_N}
+"""
+
+
+@register(
+    "decontaminate_holdout",
+    oracle=f"""
+WITH sh AS ({_SHINGLE5_SQL}),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+hold AS (SELECT shingle, doc_id AS h_doc FROM ex WHERE doc_id % {HOLDOUT_MOD} = 7),
+train AS (SELECT doc_id, shingle FROM ex WHERE doc_id % {HOLDOUT_MOD} <> 7)
+SELECT t.doc_id,
+       count(DISTINCT t.shingle) AS n_shared_shingles,
+       count(DISTINCT h.h_doc) AS n_holdout_docs
+FROM train t JOIN hold h ON t.shingle = h.shingle
+GROUP BY t.doc_id
+""",
+    tags=("text", "curation", "contamination"),
+)
+def decontaminate_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — find training documents that share
+    5-gram shingles with a designated holdout/benchmark subset (here
+    doc_id ≡ 7 mod 10; in production the eval suites). The join is
+    shingle-keyed (uniform hash, one shuffle) and the holdout side is a
+    small fraction, so at 100 TB the candidate side broadcasts or
+    bucket-joins; never an all-pairs document comparison."""
+    docs = _docs(spark, sf_dir).select("doc_id", _words_col().alias("words"))
+    sh5 = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("words") - (SHINGLE_N - 1), F.lit(1))),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at("words", i + k) for k in range(SHINGLE_N)],
+            ),
+        )
+    )
+    ex = (
+        docs.where(F.size("words") >= SHINGLE_N)
+        .select("doc_id", F.explode(sh5).alias("shingle"))
+    )
+    hold = ex.where(F.col("doc_id") % HOLDOUT_MOD == 7).select(
+        "shingle", F.col("doc_id").alias("h_doc")
+    )
+    train = ex.where(F.col("doc_id") % HOLDOUT_MOD != 7)
+    return (
+        train.join(hold, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("h_doc").alias("n_holdout_docs"),
+        )
+    )
+
+
+@register(
+    "chunk_overlap",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+  FROM documents
+)
+SELECT doc_id, u.k AS chunk_idx, u.n_tokens, u.first_word, u.last_word
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, (len(words) - 1) // {STRIDE} + 1),
+           k -> {{'k': k,
+                 'n_tokens': least({CHUNK}, len(words) - k * {STRIDE})::BIGINT,
+                 'first_word': words[k * {STRIDE} + 1],
+                 'last_word': words[least(k * {STRIDE} + {CHUNK}, len(words))]}})) AS u
+  FROM w WHERE len(words) > 0)
+""",
+    tags=("text", "curation", "packing"),
+)
+def chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap (context-window packing for
+    long documents: {CHUNK}-token chunks every {STRIDE} tokens, so
+    consecutive chunks share {CHUNK}-{STRIDE} tokens). Pure per-row
+    array expressions — no shuffle at all; the chunk fan-out happens in
+    the scan stage, which is the right 100 TB shape (the companion
+    cross-document packer is pack_chunks)."""
+    docs = _docs(spark, sf_dir).select("doc_id", _words_col().alias("words"))
+    n = F.size("words")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.floor((n - 1) / STRIDE).cast("int")),
+        lambda k: F.struct(
+            k.cast("bigint").alias("k"),
+            F.least(F.lit(CHUNK), n - k * STRIDE).cast("bigint").alias("n_tokens"),
+            F.element_at("words", k * STRIDE + 1).alias("first_word"),
+            F.element_at("words", F.least(k * STRIDE + CHUNK, n)).alias("last_word"),
+        ),
+    )
+    return (
+        docs.where(n > 0)
+        .select("doc_id", F.explode(chunks).alias("u"))
+        .select(
+            "doc_id",
+            F.col("u.k").alias("chunk_idx"),
+            F.col("u.n_tokens").alias("n_tokens"),
+            F.col("u.first_word").alias("first_word"),
+            F.col("u.last_word").alias("last_word"),
+        )
+    )
+
+
+@register(
+    "vocab_bigrams",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+  FROM documents
+),
+bg AS (
+  SELECT unnest(list_transform(range(1, greatest(len(words), 1)),
+                               i -> words[i] || ' ' || words[i+1])) AS bigram
+  FROM w WHERE len(words) >= 2
+)
+SELECT bigram, count(*) AS n
+FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+""",
+    tags=("text", "curation", "vocab"),
+)
+def vocab_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 bigrams — the vocabulary/LM-statistics pass
+    (tokenizer training, stopword discovery). Explode + codegen count
+    with map-side combine; the final top-k is a 20-row total order, the
+    only driver-sized piece. Deterministic tie-break on the bigram."""
+    docs = _docs(spark, sf_dir).select(_words_col().alias("words"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("words") - 1, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", F.element_at("words", i), F.element_at("words", i + 1)
+        ),
+    )
+    return (
+        docs.where(F.size("words") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
