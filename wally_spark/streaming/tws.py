@@ -104,38 +104,43 @@ class InactivitySessionProcessor(StatefulProcessor):
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self.handle = handle
+        # microsecond-exact timestamps so gap comparisons agree with the
+        # batch gaps-and-islands rule (ts.cast("double") is µs-exact)
         self.agg = handle.getValueState(
-            "agg", "start_s long, last_s long, n long, total double"
+            "agg", "start_us long, last_us long, n long, total double"
         )
 
     def handleInputRows(self, key, rows, timerValues):
-        n, total, start_s, last_s = 0, 0.0, None, None
+        n, total, start_us, last_us = 0, 0.0, None, None
         if self.agg.exists():
-            start_s, last_s, n, total = self.agg.get()
+            start_us, last_us, n, total = self.agg.get()
         events: list[tuple[int, float]] = []
         for pdf in rows:
             events.extend(
-                (int(pd.Timestamp(ts).value // 1_000_000_000), float(value))
+                (int(pd.Timestamp(ts).value // 1_000), float(value))
                 for ts, value in zip(pdf["ts"], pdf["value"])
             )
         events.sort()
         # an event past the gap CLOSES the open session and starts a new
         # one — emitted right here, without waiting for the timer (the
         # timer only closes sessions that go quiet with no successor)
+        gap_us = self.gap_s * 1_000_000
         closed: list[tuple] = []
-        for s, value in events:
-            if last_s is not None and s > last_s + self.gap_s:
-                closed.append((key[0], start_s, n, round(total, 2)))
-                n, total, start_s, last_s = 0, 0.0, None, None
-            start_s = s if start_s is None else min(start_s, s)
-            last_s = s if last_s is None else max(last_s, s)
+        for us, value in events:
+            if last_us is not None and us - last_us > gap_us:
+                closed.append(
+                    (key[0], start_us // 1_000_000, n, round(total, 2))
+                )
+                n, total, start_us, last_us = 0, 0.0, None, None
+            start_us = us if start_us is None else min(start_us, us)
+            last_us = us if last_us is None else max(last_us, us)
             n += 1
             total += value
-        self.agg.update((start_s, last_s, n, total))
+        self.agg.update((start_us, last_us, n, total))
         # re-arm the inactivity timer for the (new) open session
         for t in self.handle.listTimers():
             self.handle.deleteTimer(t)
-        self.handle.registerTimer((last_s + self.gap_s) * 1000)
+        self.handle.registerTimer(last_us // 1_000 + self.gap_s * 1000)
         if closed:
             yield pd.DataFrame(
                 {
@@ -148,12 +153,12 @@ class InactivitySessionProcessor(StatefulProcessor):
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
         if self.agg.exists():
-            start_s, last_s, n, total = self.agg.get()
+            start_us, last_us, n, total = self.agg.get()
             self.agg.clear()
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
-                    "session_start_s": [start_s],
+                    "session_start_s": [start_us // 1_000_000],
                     "n_events": [n],
                     "total": [round(total, 2)],
                 }
@@ -163,11 +168,16 @@ class InactivitySessionProcessor(StatefulProcessor):
         pass
 
 
-def inactivity_sessions(df: DataFrame, gap_s: int) -> DataFrame:
-    """df must be keyed already (column user_id) and watermarked on ts."""
+def inactivity_sessions(
+    df: DataFrame, gap_s: int, key_type: str = "string"
+) -> DataFrame:
+    """df must be keyed already (column user_id) and watermarked on ts.
+    ``key_type`` is the Spark SQL type of user_id (string, bigint, …)."""
     return df.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=InactivitySessionProcessor(gap_s),
-        outputStructType="user_id string, session_start_s long, n_events long, total double",
+        outputStructType=(
+            f"user_id {key_type}, session_start_s long, n_events long, total double"
+        ),
         outputMode="Append",
         timeMode="EventTime",
     )
