@@ -278,7 +278,9 @@ WITH trigrams AS (
     SELECT lang, tg, count(*) AS c,
            row_number() OVER (PARTITION BY lang
                               ORDER BY count(*) DESC, tg) AS rk
-    FROM trigrams GROUP BY lang, tg)
+    FROM trigrams
+    WHERE substring(md5(doc_id::VARCHAR), 1, 1) IN ('0','1','2','3')
+    GROUP BY lang, tg)
   WHERE rk <= 20
 ), scores AS (
   SELECT t.doc_id, p.lang AS cand, count(*) AS overlap
@@ -296,9 +298,15 @@ WHERE rk = 1
 )
 def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-trigram language ID: per-language top-20 trigram
-    profiles are learned from the labeled corpus in one pass (tiny —
-    broadcast), then each doc takes the argmax-overlap language.
-    Two shuffles total: trigram groupBy and the doc-score groupBy."""
+    profiles are LEARNED FROM A DETERMINISTIC ¼ SAMPLE of the labeled
+    corpus (md5(doc_id) first nibble in 0-3 — engine-replicable, so the
+    oracle samples identically), then each doc takes the argmax-overlap
+    language. Profile learning over a sample is the 100 TB shape: the
+    profiles converge with corpus size, so the learning pass should not
+    scan the full corpus. Two shuffles total: trigram groupBy (sampled)
+    and the doc-score groupBy; the trigram pass is materialized once
+    (localCheckpoint) because profile learning and scoring both read it
+    and exchange reuse is unreliable under AQE."""
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
@@ -324,10 +332,15 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", F.substring("lt", F.col("i"), F.lit(3)).alias("tg")
         )
         .dropDuplicates(["doc_id", "tg"])
+        .localCheckpoint()
+    )
+    sampled = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1", "2", "3"
     )
     wlang = Window.partitionBy("lang").orderBy(F.desc("c"), "tg")
     profiles = (
-        trigrams.groupBy("lang", "tg")
+        trigrams.where(sampled)
+        .groupBy("lang", "tg")
         .agg(F.count(F.lit(1)).alias("c"))
         .withColumn("rk", F.row_number().over(wlang))
         .where(F.col("rk") <= 20)
