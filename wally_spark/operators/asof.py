@@ -22,10 +22,16 @@ def asof_join(
     ts: str = "ts",
     right_cols: tuple[str, ...] = (),
     tolerance_s: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join. ``right_cols`` are carried onto left rows (as
-    ``asof_<col>``); rows with no prior right match keep nulls. With
-    ``tolerance_s``, matches older than the tolerance are nulled."""
+    ``asof_<col>``); rows with no matching right row keep nulls. With
+    ``tolerance_s``, matches farther than the tolerance are nulled.
+    ``direction``: "backward" matches the most recent right row with
+    right.ts <= left.ts; "forward" the earliest with right.ts >=
+    left.ts (same one-shuffle carry, traversed in reverse)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     tagged_r = right.select(
         F.col(on).alias("__on"),
@@ -41,19 +47,25 @@ def asof_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
         *lcols,
     ).select(*tagged_r.columns)  # align column order
+    order = (
+        [F.col("__ts"), F.col("__tag")]
+        if direction == "backward"
+        else [F.col("__ts").desc(), F.col("__tag")]
+    )
     w = (
         Window.partitionBy("__on")
-        .orderBy("__ts", "__tag")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = tagged_r.unionByName(tagged_l)
     out_cols = [F.col(c) for c in lcols]
     match_ts = F.last(F.when(F.col("__tag") == 0, F.col("__ts")), ignorenulls=True).over(w)
-    fresh = (
-        F.lit(True)
-        if tolerance_s is None
-        else (F.col("__ts").cast("double") - match_ts.cast("double")) <= tolerance_s
+    gap = (
+        (F.col("__ts").cast("double") - match_ts.cast("double"))
+        if direction == "backward"
+        else (match_ts.cast("double") - F.col("__ts").cast("double"))
     )
+    fresh = F.lit(True) if tolerance_s is None else gap <= tolerance_s
     for c in right_cols:
         carried = carried.withColumn(
             f"asof_{c}",

@@ -540,3 +540,37 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 2).alias("max_outlier"),
         )
     )
+
+
+@register(
+    "cube_pricing",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS rf,
+       coalesce(l_linestatus, 'ALL') AS ls,
+       count(*) AS n,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    tags=("analytics", "cube", "tpch"),
+)
+def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over the pricing facts: every (returnflag,
+    linestatus) combination plus both one-dimension rollups and the
+    grand total in ONE aggregation pass (Catalyst expands the grouping
+    sets map-side; no per-rollup rescan). Rolled-up dimensions surface
+    as 'ALL' — the hypertable_rollup companion for categorical dims."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+            "revenue",
+        )
+    )

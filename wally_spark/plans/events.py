@@ -379,6 +379,55 @@ def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "asof_next_view",
+    oracle="""
+WITH views AS (
+  SELECT user_id, ts, -epoch(ts) AS nts, arg_max(value, event_id) AS view_value
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+), purchases AS (
+  SELECT event_id, user_id, ts, -epoch(ts) AS nts, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, round(p.value, 2) AS purchase_value,
+       round(v.view_value, 2) AS next_view_value
+FROM purchases p
+ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND v.nts <= p.nts
+""",
+    tags=("asof", "events"),
+)
+def asof_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each purchase picks up the EARLIEST view at
+    or after it per user (post-purchase behavior attribution) — the
+    mirror of asof_purchase_view, same union-and-carry operator
+    traversed in reverse (operators/asof.py direction="forward"). The
+    oracle flips DuckDB's backward-only ASOF JOIN by negating the
+    epoch timestamps."""
+    from wally_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("view_value"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases, views, on="user_id", ts="ts",
+        right_cols=("view_value",), direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("purchase_value"),
+        F.round("asof_view_value", 2).alias("next_view_value"),
+    )
+
+
 # --- range join: events within a bounded time window of each other ---
 @register(
     "range_join_views_before_purchase",
