@@ -441,3 +441,63 @@ def test_dedup_against_persistent_corpus(spark, tmp_path):
     replay(batch, 2)  # the replay
     corpus2 = sorted(r["text"] for r in spark.read.parquet(f"{out}/b*").collect())
     assert corpus2 == ["new a", "new b", "new c", "old doc"]
+
+
+def test_neardedup_against_corpus(spark, tmp_path):
+    """Streaming MinHash near-dedup vs a persistent corpus: planted
+    near-identical docs arriving in later batches are dropped, novel
+    docs survive, and a replayed batch is idempotent."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from wally_spark.streaming.ops import neardedup_against_corpus_foreach_batch
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    other = (
+        "one two three four five six seven eight nine ten eleven twelve "
+        "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    )
+    batches = [
+        [(0, base), (1, other)],
+        # 10: exact copy of 0; 11: near-copy (one word changed);
+        # 12: novel
+        [
+            (10, base),
+            (11, base.replace("kappa", "kappa2")),
+            (12, "red orange yellow green blue indigo violet cyan "
+                 "magenta white black brown pink teal olive navy maroon "
+                 "silver gold bronze"),
+        ],
+    ]
+    sigs = str(tmp_path / "sigs")
+    out = str(tmp_path / "corpus")
+    fn = neardedup_against_corpus_foreach_batch(spark, sigs, out)
+    schema = "doc_id long, text string"
+    for i, rows in enumerate(batches):
+        fn(spark.createDataFrame(rows, schema), i)
+    survivors = {
+        r.doc_id for r in spark.read.parquet(f"{out}/b*").select("doc_id").collect()
+    }
+    assert survivors == {0, 1, 12}, survivors
+    # replay batch 1 (at-least-once): same outcome, no duplicates
+    fn(spark.createDataFrame(batches[1], schema), 1)
+    survivors2 = {
+        r.doc_id for r in spark.read.parquet(f"{out}/b*").select("doc_id").collect()
+    }
+    assert survivors2 == {0, 1, 12}
+    # intra-batch near-dups: lower doc_id wins within one batch
+    fn(
+        spark.createDataFrame(
+            [(20, other.replace("twenty", "twenty2")), (21, other), (22, other)],
+            schema,
+        ),
+        2,
+    )
+    survivors3 = {
+        r.doc_id for r in spark.read.parquet(f"{out}/b*").select("doc_id").collect()
+    }
+    assert survivors3 == {0, 1, 12}, survivors3

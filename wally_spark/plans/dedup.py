@@ -47,9 +47,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir)["documents"]
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id, shingle (distinct 3-word shingles, exploded)."""
-    docs = _docs(spark, sf_dir)
+def shingles_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle): distinct 3-word shingles, exploded, for any
+    DataFrame with (doc_id, text) — shared by the batch queries and the
+    streaming near-dedup (streaming/ops.py)."""
     words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
     d = docs.select("doc_id", words.alias("words")).where(F.size("words") >= 3)
     shingles = F.array_distinct(
@@ -64,6 +65,10 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return d.select("doc_id", F.explode(shingles).alias("shingle"))
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shingles_of(_docs(spark, sf_dir))
 
 
 # --- exact dedup: content-hash groupBy ---
@@ -85,6 +90,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
         .agg(F.min("doc_id").alias("keeper_doc"), F.count(F.lit(1)).alias("n_copies"))
     )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh{N_HASHES-1}) for any (doc_id, text) DataFrame —
+    the corpus-resident signature the streaming near-dedup persists."""
+    return shingles_of(docs).groupBy("doc_id").agg(*_minhash_exprs())
 
 
 # --- MinHash + banded LSH candidate pairs ---

@@ -474,3 +474,152 @@ def dedup_against_corpus_foreach_batch(
         )
 
     return dedup
+
+
+def neardedup_against_corpus_foreach_batch(
+    spark,
+    sigs_path: str,
+    out_path: str,
+    min_matching_hashes: int = 6,
+):
+    """Incremental NEAR-duplicate corpus dedup — the continuous-crawl
+    companion to dedup_against_corpus_foreach_batch (which is exact):
+    each arriving document's MinHash signature (plans/dedup.py, 8
+    md5-minhashes over 3-word shingles) is banded and probed against
+    the PERSISTENT signature table; a band collision makes it a
+    candidate, and the minhash similarity estimate (matching hashes /
+    8, an unbiased Jaccard estimator) decides the drop. Survivors'
+    signatures append to the corpus.
+
+    Intra-batch near-dups resolve first (keep the lowest doc_id of a
+    matching pair — deterministic under replay), then the batch probes
+    the corpus. Scale shape: signatures are ~9 narrow columns per doc;
+    the probe joins on band_key (uniform md5 prefix), and at 100 TB the
+    signature table is bucketed by band_key so probes are scan-side.
+    Idempotence: per-batch overwrite dirs, own-batch dir excluded from
+    the probe (same replay contract as the exact variant).
+
+    min_matching_hashes=6 of 8 ≈ Jaccard ≥ 0.75 expected."""
+    from wally_spark.plans.dedup import BAND_ROWS, N_HASHES, minhash_signatures
+
+    n_bands = N_HASHES // BAND_ROWS
+
+    def bands_of(sigs):
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.concat(
+                        F.col(f"mh{BAND_ROWS * b}"), F.col(f"mh{BAND_ROWS * b + 1}")
+                    ).alias("band_key"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
+            "doc_id", "b.band_id", "b.band_key"
+        )
+
+    def n_matching(a_prefix, b_prefix):
+        m = None
+        for h in range(N_HASHES):
+            t = F.when(
+                F.col(f"{a_prefix}mh{h}") == F.col(f"{b_prefix}mh{h}"), 1
+            ).otherwise(0)
+            m = t if m is None else m + t
+        return m
+
+    def prior_sig_dirs(batch_id: int) -> list[str]:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(sigs_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return []
+        glob = fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{sigs_path}/b*"))
+        return [
+            str(st.getPath())
+            for st in (glob or [])
+            if st.isDirectory() and st.getPath().getName() != f"b{batch_id}"
+        ]
+
+    def dedup(batch_df, batch_id):
+        sigs = minhash_signatures(batch_df).localCheckpoint()
+        batch_keyed = batch_df.join(sigs.select("doc_id"), "doc_id")
+
+        # 1) intra-batch: drop the HIGHER doc_id of any matching pair
+        bands = bands_of(sigs)
+        intra_cand = (
+            bands.alias("x")
+            .join(
+                bands.alias("y"),
+                (F.col("x.band_key") == F.col("y.band_key"))
+                & (F.col("x.band_id") == F.col("y.band_id"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        sa = sigs.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(f"mh{h}").alias(f"a_mh{h}") for h in range(N_HASHES)],
+        )
+        sb = sigs.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(f"mh{h}").alias(f"b_mh{h}") for h in range(N_HASHES)],
+        )
+        intra_dups = (
+            intra_cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .where(n_matching("a_", "b_") >= min_matching_hashes)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        sigs1 = sigs.join(intra_dups, "doc_id", "left_anti")
+
+        # 2) cross-corpus probe (own batch dir excluded for replay)
+        prior = prior_sig_dirs(batch_id)
+        if prior:
+            corpus = spark.read.parquet(*prior)
+            cbands = bands_of(corpus)
+            nbands = bands_of(sigs1)
+            cross_cand = (
+                nbands.alias("x")
+                .join(
+                    cbands.alias("y"),
+                    (F.col("x.band_key") == F.col("y.band_key"))
+                    & (F.col("x.band_id") == F.col("y.band_id")),
+                )
+                .select(
+                    F.col("x.doc_id").alias("doc_a"),
+                    F.col("y.doc_id").alias("doc_b"),
+                )
+                .distinct()
+            )
+            csb = corpus.select(
+                F.col("doc_id").alias("doc_b"),
+                *[F.col(f"mh{h}").alias(f"b_mh{h}") for h in range(N_HASHES)],
+            )
+            nsa = sigs1.select(
+                F.col("doc_id").alias("doc_a"),
+                *[F.col(f"mh{h}").alias(f"a_mh{h}") for h in range(N_HASHES)],
+            )
+            cross_dups = (
+                cross_cand.join(nsa, "doc_a")
+                .join(csb, "doc_b")
+                .where(n_matching("a_", "b_") >= min_matching_hashes)
+                .select(F.col("doc_a").alias("doc_id"))
+                .distinct()
+            )
+            survivors = sigs1.join(cross_dups, "doc_id", "left_anti")
+        else:
+            survivors = sigs1
+        survivors = survivors.localCheckpoint()
+
+        batch_keyed.join(survivors.select("doc_id"), "doc_id").write.mode(
+            "overwrite"
+        ).parquet(f"{out_path}/b{batch_id}")
+        survivors.write.mode("overwrite").parquet(f"{sigs_path}/b{batch_id}")
+
+    return dedup
