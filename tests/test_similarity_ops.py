@@ -167,3 +167,22 @@ def test_dedup_embedding_lsh_subset_of_exact(spark):
     assert all(exact[k] == v for k, v in lsh.items())
     strong = {k for k, v in exact.items() if v >= 8000}  # cos >= 0.8
     assert strong <= set(lsh)
+
+
+def test_pq_ann_recall(spark):
+    """ADC-ranked PQ candidates must recover most of the exact top-5
+    (codebooks quantize 64 dims to 8 bytes; recall>=0.5 at this
+    compression on random vectors, exactness is the re-rank's job)."""
+    from wally_spark.plans.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["ann_bruteforce"].spark_fn(spark, sf).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["ann_pq"].spark_fn(spark, sf).collect()
+    }
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.5, f"PQ recall {recall:.2f}"

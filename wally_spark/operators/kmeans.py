@@ -24,8 +24,11 @@ def lloyd_kmeans(
     iters: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Returns (id_col, cluster, dist) after `iters` Lloyd's rounds."""
+    return_centroids: bool = False,
+):
+    """Returns (id_col, cluster, dist) after `iters` Lloyd's rounds;
+    with ``return_centroids`` also the trained (k, dim) numpy matrix
+    (bounded driver state — what a PQ codebook persists)."""
     import numpy as np
 
     emb = emb.select(id_col, vec_col)
@@ -79,8 +82,9 @@ def lloyd_kmeans(
         cents = nxt
 
     a = emb.withColumn("a", assign_udf(cents)(F.col(vec_col)))
-    return a.select(
+    out = a.select(
         id_col,
         F.col("a.cluster").alias("cluster"),
         F.col("a.dist").alias("dist"),
     )
+    return (out, cents) if return_centroids else out

@@ -519,3 +519,265 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(10000.0 * F.col("cos")).cast("bigint").alias("cos_bp"),
         )
     )
+
+
+PQ_SUB = 8       # subspaces
+PQ_SUBDIM = 8    # dims per subspace (8 x 8 = 64)
+PQ_K = 16        # centroids per subspace codebook
+PQ_ITERS = 2
+PQ_CAND = 50     # ADC candidates per query before exact re-rank
+
+_PQ_SAMPLE_NIBBLES = ("0", "1", "2", "3")  # md5 1/4 training sample
+
+
+def _pq_sampled(col):
+    return F.substring(F.md5(col.cast("string")), 1, 1).isin(*_PQ_SAMPLE_NIBBLES)
+
+
+def _pq_codebooks(emb: DataFrame):
+    """Train the (PQ_SUB, PQ_K, PQ_SUBDIM) codebook tensor:
+    deterministic Lloyd's rounds over a deterministic md5-nibble ¼
+    SAMPLE of the corpus (codebooks converge with corpus size — the
+    training pass must not scan 100 TB). ALL subspaces train together:
+    each round is ONE Arrow encode pass + ONE posexplode aggregation
+    whose map-side combine ships PQ_SUB×PQ_K×PQ_SUBDIM partial sums per
+    task (vs. a per-subspace k-means loop = 8× the jobs for identical
+    math). Driver state is the codebook tensor only."""
+    import numpy as np
+
+    sample = emb.where(_pq_sampled(F.col("vec_id"))).select("vec_id", "embedding")
+    init = np.array(
+        [r["embedding"] for r in sample.orderBy("vec_id").limit(PQ_K).collect()],
+        dtype=np.float64,
+    )  # (PQ_K, 64) — the same k-lowest-ids init every subspace uses
+    if len(init) < PQ_K:
+        raise ValueError(f"PQ needs {PQ_K} sampled vectors, got {len(init)}")
+    cbs = init.reshape(PQ_K, PQ_SUB, PQ_SUBDIM).transpose(1, 0, 2).copy()
+    for _ in range(PQ_ITERS):
+        coded = sample.select(
+            "vec_id",
+            _pq_encode_udf(cbs)(F.col("embedding")).alias("codes"),
+            "embedding",
+        )
+        upd = (
+            coded.select("codes", F.posexplode("embedding").alias("j", "x"))
+            .select(
+                F.floor(F.col("j") / PQ_SUBDIM).cast("int").alias("s"),
+                (F.col("j") % PQ_SUBDIM).alias("p"),
+                F.element_at(
+                    "codes", (F.floor(F.col("j") / PQ_SUBDIM) + 1).cast("int")
+                ).alias("cluster"),
+                F.col("x").cast("double").alias("x"),
+            )
+            .groupBy("s", "cluster", "p")
+            .agg(F.avg("x").alias("m"))
+            .collect()  # PQ_SUB × PQ_K × PQ_SUBDIM means — bounded
+        )
+        nxt = cbs.copy()  # empty cells keep their old centroid
+        for r in upd:
+            nxt[r["s"], r["cluster"], r["p"]] = r["m"]
+        cbs = nxt
+    return cbs  # (PQ_SUB, PQ_K, PQ_SUBDIM)
+
+
+def _pq_encode_udf(cbs):
+    """array<float> embedding -> array<int> of PQ_SUB codes, one numpy
+    argmin per Arrow batch (ties -> lowest code, same as the SQL
+    row_number tie-break)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cb = cbs.copy()
+
+    def encode(e: "pd.Series") -> "pd.Series":
+        if not len(e):
+            return pd.Series([], dtype=object)
+        m = np.array(e.tolist(), dtype=np.float64)  # (n, 64)
+        msub = m.reshape(len(m), PQ_SUB, PQ_SUBDIM)
+        codes = np.empty((len(m), PQ_SUB), dtype=np.int32)
+        for s in range(PQ_SUB):
+            d = ((msub[:, s, None, :] - cb[s]) ** 2).sum(-1)  # (n, PQ_K)
+            codes[:, s] = d.argmin(1)
+        return pd.Series(list(codes))
+
+    return F.pandas_udf(encode, ArrayType(IntegerType()))
+
+
+def _pq_adc_udf(cbs):
+    """(query embedding, corpus codes) -> asymmetric-distance (ADC)
+    squared distance through the codebook."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType
+
+    cb = cbs.copy()
+
+    def adc(qe: "pd.Series", codes: "pd.Series") -> "pd.Series":
+        if not len(qe):
+            return pd.Series([], dtype="float64")
+        q = np.array(qe.tolist(), dtype=np.float64).reshape(
+            len(qe), PQ_SUB, PQ_SUBDIM
+        )
+        c = np.array(codes.tolist(), dtype=np.int64)  # (n, PQ_SUB)
+        recon = cb[np.arange(PQ_SUB)[None, :], c]  # (n, PQ_SUB, PQ_SUBDIM)
+        return pd.Series(((q - recon) ** 2).sum((1, 2)))
+
+    return F.pandas_udf(adc, DoubleType())
+
+
+def _pq_oracle() -> str:
+    """DuckDB replication of ann_pq: per-subspace Lloyd's rounds over
+    the same md5-sampled training set, full-corpus encoding, ADC
+    candidate ranking, exact cosine re-rank (the _ivf_oracle technique
+    applied per subspace)."""
+    nib = ", ".join(f"'{n}'" for n in _PQ_SAMPLE_NIBBLES)
+    parts = [
+        """
+WITH comps AS (
+  SELECT vec_id, u.i - 1 AS j, u.x::DOUBLE AS x
+  FROM (SELECT vec_id, unnest(list_transform(embedding, (x, i) -> {'x': x, 'i': i})) AS u
+        FROM embeddings)
+)"""
+    ]
+    for s in range(PQ_SUB):
+        lo, hi = s * PQ_SUBDIM, s * PQ_SUBDIM + PQ_SUBDIM - 1
+        parts.append(f""",
+comps{s} AS (
+  SELECT vec_id, j - {lo} AS p, x FROM comps WHERE j BETWEEN {lo} AND {hi}
+),
+samp{s} AS (
+  SELECT * FROM comps{s}
+  WHERE substring(md5(vec_id::VARCHAR), 1, 1) IN ({nib})
+),
+init{s} AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+  FROM (SELECT DISTINCT vec_id FROM samp{s}) ORDER BY vec_id LIMIT {PQ_K}
+),
+c0_{s} AS (
+  SELECT i.cluster, c.p, c.x AS m FROM init{s} i JOIN samp{s} c USING (vec_id)
+)""")
+        prev = f"c0_{s}"
+        for r in range(1, PQ_ITERS + 1):
+            parts.append(f""",
+d{r}_{s} AS (
+  SELECT c.vec_id, k.cluster, sum((c.x - k.m) * (c.x - k.m)) AS d2
+  FROM samp{s} c JOIN {prev} k ON c.p = k.p
+  GROUP BY c.vec_id, k.cluster
+),
+a{r}_{s} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+    FROM d{r}_{s}) WHERE rk = 1
+),
+m{r}_{s} AS (
+  SELECT a.cluster, c.p, avg(c.x) AS m
+  FROM a{r}_{s} a JOIN samp{s} c USING (vec_id)
+  GROUP BY a.cluster, c.p
+),
+c{r}_{s} AS (
+  SELECT k.cluster, k.p, coalesce(u.m, k.m) AS m
+  FROM {prev} k LEFT JOIN m{r}_{s} u ON u.cluster = k.cluster AND u.p = k.p
+)""")
+            prev = f"c{r}_{s}"
+        parts.append(f""",
+dc_{s} AS (
+  SELECT c.vec_id, k.cluster, sum((c.x - k.m) * (c.x - k.m)) AS d2
+  FROM comps{s} c JOIN {prev} k ON c.p = k.p
+  GROUP BY c.vec_id, k.cluster
+),
+code{s} AS (
+  SELECT vec_id, cluster AS code FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+    FROM dc_{s}) WHERE rk = 1
+),
+qd{s} AS (
+  SELECT q.vec_id AS query_id, k.cluster, sum((q.x - k.m) * (q.x - k.m)) AS d2
+  FROM comps{s} q JOIN {prev} k ON q.p = k.p
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY q.vec_id, k.cluster
+),
+ad{s} AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, q.d2
+  FROM code{s} c JOIN qd{s} q ON q.cluster = c.code
+)""")
+    union = " UNION ALL ".join(f"SELECT * FROM ad{s}" for s in range(PQ_SUB))
+    parts.append(f""",
+approx AS (
+  SELECT query_id, neighbor_id, sum(d2) AS ad2
+  FROM ({union})
+  WHERE query_id <> neighbor_id
+  GROUP BY query_id, neighbor_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY ad2, neighbor_id) AS rk
+    FROM approx) WHERE rk <= {PQ_CAND}
+)
+SELECT query_id, neighbor_id, rank, cos_bp FROM (
+  SELECT cand.query_id, cand.neighbor_id,
+         floor(10000.0 * list_cosine_similarity(q.embedding, c.embedding))::BIGINT AS cos_bp,
+         row_number() OVER (
+           PARTITION BY cand.query_id
+           ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                    cand.neighbor_id) AS rank
+  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+            JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+WHERE rank <= {TOP_K}
+""")
+    return "".join(parts)
+
+
+@register("ann_pq", oracle=_pq_oracle(), tags=("similarity", "ann", "pq", "iterative"))
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the remaining classic family next to
+    LSH and IVF): per-subspace codebooks quantize the corpus to
+    PQ_SUB × log2(PQ_K) bits per vector (8 bytes vs 256 — at 100 TB the
+    difference between codes fitting executor memory and not), queries
+    rank candidates by asymmetric distance through the codebook, and
+    exact cosine re-ranks the top PQ_CAND. Codebooks train on a
+    deterministic md5-¼ sample; encoding is one Arrow argmin pass over
+    the corpus; the ADC scan broadcasts the tiny query set so the
+    corpus (codes, not vectors) never shuffles. Full hash oracle: the
+    per-subspace Lloyd's rounds, encoding, and ADC ranking are unrolled
+    in SQL (_pq_oracle)."""
+    emb = _emb(spark, sf_dir)
+    cbs = _pq_codebooks(emb)
+    codes = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _pq_encode_udf(cbs)(F.col("embedding")).alias("codes"),
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    approx = (
+        codes.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("ad2", _pq_adc_udf(cbs)(F.col("qe"), F.col("codes")))
+    )
+    wq = Window.partitionBy("query_id").orderBy("ad2", "neighbor_id")
+    cand = (
+        approx.withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= PQ_CAND)
+        .select("query_id", "neighbor_id", "qe")
+    )
+    ce = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        cand.join(ce, "neighbor_id")
+        .withColumn("cos", _cos(F.col("qe"), F.col("ce")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.floor(10000.0 * F.col("cos")).cast("bigint").alias("cos_bp"),
+        )
+    )
