@@ -574,3 +574,48 @@ def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+@register(
+    "rolling_7d_revenue",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderdate AS d, round(sum(o_totalprice), 2) AS day_rev
+  FROM orders GROUP BY o_orderdate
+)
+SELECT epoch(d)::BIGINT AS day_epoch,
+       day_rev,
+       round(sum(day_rev) OVER (
+         ORDER BY d RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+       ), 2) AS rev_7d,
+       count(*) OVER (
+         ORDER BY d RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+       ) AS days_in_window
+FROM daily
+""",
+    tags=("analytics", "window", "range-frame"),
+)
+def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-day revenue plus its trailing
+    7-day rolling sum — the frame is bounded by TIME (6 days back),
+    not row count, so gap days shrink the window (rows-frames can't
+    express this). Two-level: the daily pre-aggregation collapses the
+    fact table first (map-side combine), so the window pass runs over
+    |days| rows, not |orders| — at 100 TB the window input is a few
+    thousand rows regardless of fact size. The unpartitioned window is
+    safe for exactly that reason (bounded input), the same argument as
+    the 20-row top-k totals."""
+    orders = _t(spark, sf_dir)["orders"]
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("day_rev")
+    )
+    w = (
+        Window.orderBy(F.unix_timestamp("d"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        F.unix_timestamp("d").alias("day_epoch"),
+        "day_rev",
+        F.round(F.sum("day_rev").over(w), 2).alias("rev_7d"),
+        F.count(F.lit(1)).over(w).alias("days_in_window"),
+    )

@@ -521,111 +521,17 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PQ_SUB = 8       # subspaces
-PQ_SUBDIM = 8    # dims per subspace (8 x 8 = 64)
-PQ_K = 16        # centroids per subspace codebook
-PQ_ITERS = 2
-PQ_CAND = 50     # ADC candidates per query before exact re-rank
-
-_PQ_SAMPLE_NIBBLES = ("0", "1", "2", "3")  # md5 1/4 training sample
-
-
-def _pq_sampled(col):
-    return F.substring(F.md5(col.cast("string")), 1, 1).isin(*_PQ_SAMPLE_NIBBLES)
-
-
-def _pq_codebooks(emb: DataFrame):
-    """Train the (PQ_SUB, PQ_K, PQ_SUBDIM) codebook tensor:
-    deterministic Lloyd's rounds over a deterministic md5-nibble ¼
-    SAMPLE of the corpus (codebooks converge with corpus size — the
-    training pass must not scan 100 TB). ALL subspaces train together:
-    each round is ONE Arrow encode pass + ONE posexplode aggregation
-    whose map-side combine ships PQ_SUB×PQ_K×PQ_SUBDIM partial sums per
-    task (vs. a per-subspace k-means loop = 8× the jobs for identical
-    math). Driver state is the codebook tensor only."""
-    import numpy as np
-
-    sample = emb.where(_pq_sampled(F.col("vec_id"))).select("vec_id", "embedding")
-    init = np.array(
-        [r["embedding"] for r in sample.orderBy("vec_id").limit(PQ_K).collect()],
-        dtype=np.float64,
-    )  # (PQ_K, 64) — the same k-lowest-ids init every subspace uses
-    if len(init) < PQ_K:
-        raise ValueError(f"PQ needs {PQ_K} sampled vectors, got {len(init)}")
-    cbs = init.reshape(PQ_K, PQ_SUB, PQ_SUBDIM).transpose(1, 0, 2).copy()
-    for _ in range(PQ_ITERS):
-        coded = sample.select(
-            "vec_id",
-            _pq_encode_udf(cbs)(F.col("embedding")).alias("codes"),
-            "embedding",
-        )
-        upd = (
-            coded.select("codes", F.posexplode("embedding").alias("j", "x"))
-            .select(
-                F.floor(F.col("j") / PQ_SUBDIM).cast("int").alias("s"),
-                (F.col("j") % PQ_SUBDIM).alias("p"),
-                F.element_at(
-                    "codes", (F.floor(F.col("j") / PQ_SUBDIM) + 1).cast("int")
-                ).alias("cluster"),
-                F.col("x").cast("double").alias("x"),
-            )
-            .groupBy("s", "cluster", "p")
-            .agg(F.avg("x").alias("m"))
-            .collect()  # PQ_SUB × PQ_K × PQ_SUBDIM means — bounded
-        )
-        nxt = cbs.copy()  # empty cells keep their old centroid
-        for r in upd:
-            nxt[r["s"], r["cluster"], r["p"]] = r["m"]
-        cbs = nxt
-    return cbs  # (PQ_SUB, PQ_K, PQ_SUBDIM)
-
-
-def _pq_encode_udf(cbs):
-    """array<float> embedding -> array<int> of PQ_SUB codes, one numpy
-    argmin per Arrow batch (ties -> lowest code, same as the SQL
-    row_number tie-break)."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql.types import ArrayType, IntegerType
-
-    cb = cbs.copy()
-
-    def encode(e: "pd.Series") -> "pd.Series":
-        if not len(e):
-            return pd.Series([], dtype=object)
-        m = np.array(e.tolist(), dtype=np.float64)  # (n, 64)
-        msub = m.reshape(len(m), PQ_SUB, PQ_SUBDIM)
-        codes = np.empty((len(m), PQ_SUB), dtype=np.int32)
-        for s in range(PQ_SUB):
-            d = ((msub[:, s, None, :] - cb[s]) ** 2).sum(-1)  # (n, PQ_K)
-            codes[:, s] = d.argmin(1)
-        return pd.Series(list(codes))
-
-    return F.pandas_udf(encode, ArrayType(IntegerType()))
-
-
-def _pq_adc_udf(cbs):
-    """(query embedding, corpus codes) -> asymmetric-distance (ADC)
-    squared distance through the codebook."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql.types import DoubleType
-
-    cb = cbs.copy()
-
-    def adc(qe: "pd.Series", codes: "pd.Series") -> "pd.Series":
-        if not len(qe):
-            return pd.Series([], dtype="float64")
-        q = np.array(qe.tolist(), dtype=np.float64).reshape(
-            len(qe), PQ_SUB, PQ_SUBDIM
-        )
-        c = np.array(codes.tolist(), dtype=np.int64)  # (n, PQ_SUB)
-        recon = cb[np.arange(PQ_SUB)[None, :], c]  # (n, PQ_SUB, PQ_SUBDIM)
-        return pd.Series(((q - recon) ** 2).sum((1, 2)))
-
-    return F.pandas_udf(adc, DoubleType())
+from wally_spark.operators.pq import (  # noqa: E402
+    PQ_CAND,
+    PQ_ITERS,
+    PQ_K,
+    PQ_SUB,
+    PQ_SUBDIM,
+    _PQ_SAMPLE_NIBBLES,
+    pq_adc_udf,
+    pq_codebooks,
+    pq_encode_udf,
+)
 
 
 def _pq_oracle() -> str:
@@ -747,17 +653,17 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-subspace Lloyd's rounds, encoding, and ADC ranking are unrolled
     in SQL (_pq_oracle)."""
     emb = _emb(spark, sf_dir)
-    cbs = _pq_codebooks(emb)
+    cbs = pq_codebooks(emb)
     codes = emb.select(
         F.col("vec_id").alias("neighbor_id"),
-        _pq_encode_udf(cbs)(F.col("embedding")).alias("codes"),
+        pq_encode_udf(cbs)(F.col("embedding")).alias("codes"),
     )
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     approx = (
         codes.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("ad2", _pq_adc_udf(cbs)(F.col("qe"), F.col("codes")))
+        .withColumn("ad2", pq_adc_udf(cbs)(F.col("qe"), F.col("codes")))
     )
     wq = Window.partitionBy("query_id").orderBy("ad2", "neighbor_id")
     cand = (
