@@ -619,3 +619,67 @@ def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("day_rev").over(w), 2).alias("rev_7d"),
         F.count(F.lit(1)).over(w).alias("days_in_window"),
     )
+
+
+@register(
+    "salted_event_totals",
+    oracle="""
+SELECT event_type,
+       round(sum(value), 2) AS total,
+       count(*) AS n
+FROM events GROUP BY event_type
+""",
+    tags=("analytics", "skew"),
+)
+def salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-mitigation operator as a driver-checked query: events
+    concentrate on 5 hot event_type keys, so the two-phase salted
+    aggregation (operators/skew.py) spreads each hot key over 16 salts
+    before combining — same answer as a plain GROUP BY (the oracle),
+    without a single reducer owning a whole hot key. At 100 TB this is
+    the difference between 5 stragglers and even reducers."""
+    from wally_spark.operators.skew import salted_agg
+
+    ev = load_tables(spark, sf_dir)["events"].select("event_type", "value")
+    out = salted_agg(
+        ev,
+        "event_type",
+        {
+            "total": (F.sum("value"), "sum"),
+            "n": (F.count(F.lit(1)), "sum"),
+        },
+    )
+    return out.select(
+        "event_type", F.round("total", 2).alias("total"), F.col("n").cast("bigint")
+    )
+
+
+@register(
+    "events_value_ranks",
+    oracle="""
+SELECT event_id, event_type,
+       dense_rank() OVER (PARTITION BY event_type ORDER BY round(value, 2) DESC)::BIGINT
+         AS value_drank,
+       floor(10000.0 * percent_rank() OVER (
+         PARTITION BY event_type ORDER BY round(value, 2) DESC))::BIGINT AS prank_bp
+FROM events
+WHERE value > 100
+""",
+    tags=("analytics", "window", "rank"),
+)
+def events_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank + percent_rank per key — the remaining ranking-window
+    surface next to row_number/ntile. Ranking on round(value, 2) keeps
+    tie groups engine-identical; percent_rank's exact rational
+    (rank-1)/(n-1) floors to basis points."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("event_type").orderBy(F.desc(F.round("value", 2)))
+    return (
+        ev.where(F.col("value") > 100)
+        .select(
+            "event_id",
+            "event_type",
+            F.dense_rank().over(w).cast("bigint").alias("value_drank"),
+            F.floor(10000.0 * F.percent_rank().over(w)).cast("bigint").alias("prank_bp"),
+        )
+    )
