@@ -683,3 +683,47 @@ def events_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(10000.0 * F.percent_rank().over(w)).cast("bigint").alias("prank_bp"),
         )
     )
+
+
+@register(
+    "part_cooccurrence",
+    oracle="""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey::BIGINT AS part_a, b.l_partkey::BIGINT AS part_b,
+       count(*)::BIGINT AS n_orders
+FROM op a JOIN op b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+""",
+    tags=("analytics", "basket", "pair-mining"),
+)
+def part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the top part pairs that co-occur in
+    the same order. The self-join is keyed on l_orderkey, so fanout per
+    order is bounded by items-per-order (≤7 in TPC-H) — pairs-per-order
+    is O(k²) with tiny k, never a cross join. Shuffles: one distinct on
+    (order, part), one equi-join on orderkey, one pair groupBy; the
+    final top-20 compiles to TakeOrderedAndProject (per-partition heaps,
+    no global sort). Fully deterministic order: (support desc, part_a,
+    part_b) is a unique key."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").cast("bigint").alias("part_a"),
+            F.col("b.l_partkey").cast("bigint").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )

@@ -716,3 +716,75 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+WITH RECURSIVE shingled AS ({_SHINGLES_SQL}),
+exploded AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+),
+{_CAND_SQL},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b, doc_a FROM cand
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster
+  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT cluster, kept_doc, kept_chars, n_docs
+FROM (
+  SELECT c.cluster, d.doc_id AS kept_doc, d.n_chars::BIGINT AS kept_chars,
+         count(*) OVER (PARTITION BY c.cluster)::BIGINT AS n_docs,
+         row_number() OVER (PARTITION BY c.cluster
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+)
+WHERE rn = 1
+""",
+    tags=("dedup", "clusters", "curation"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the step that turns near-dup
+    clusters into a deduplicated corpus (C4/RefinedWeb keep the best
+    representative, not an arbitrary one). Per cluster: keep the
+    LONGEST document (ties → lowest doc_id), report cluster size.
+
+    Spark side is the scale-right shape: one groupBy(cluster) with a
+    min(struct(-n_chars, doc_id)) partial-aggregating argmax — no
+    per-cluster sort, no window over the full corpus; the oracle uses
+    the equivalent (readable) window formulation. Composes
+    dedup_clusters, so parity covers the whole
+    candidates → components → selection chain."""
+    comp = dedup_clusters(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    best = (
+        comp.join(docs, "doc_id")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min(
+                F.struct(
+                    (-F.col("n_chars")).alias("negc"), F.col("doc_id").alias("d")
+                )
+            ).alias("best"),
+        )
+    )
+    return best.select(
+        "cluster",
+        F.col("best.d").alias("kept_doc"),
+        (-F.col("best.negc")).cast("bigint").alias("kept_chars"),
+        "n_docs",
+    )
