@@ -21,6 +21,14 @@ from wally_spark.plans import embeddings  # noqa: F401,E402
 from wally_spark.plans import sampling  # noqa: F401,E402
 from wally_spark.plans import curation  # noqa: F401,E402
 
+# NOTE: keep newest modules LAST. Non-driver-green queries sort to the
+# front of the 50-row driver window in module registration order, and
+# the 50 entries registered before this line exactly fill the r3
+# window — registering new queries after them parks the new ones at
+# positions 51+ (they rotate into the window once earlier ones go
+# green) instead of displacing queries that have never been checked.
+from wally_spark.plans import quality  # noqa: F401,E402
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #

@@ -1,0 +1,281 @@
+"""Corpus-quality and windowed-dedup operators — round-3 extensions to
+the training-data surface (SURVEY §2.6; engine extensions in the spirit
+of machida computations, machida/lib/wallaroo/__init__.py:270).
+
+  text_boilerplate      shared-shingle (boilerplate) fraction per doc
+  docs_length_band      per-language p05–p95 length-band filter summary
+  lang_source_quota     quota sampling: cap docs per (lang, source) cell
+  events_dedup_hourly   within-window duplicate collapse over events
+  event_value_hour_corr Pearson corr(value, hour-of-day) per event type
+
+All five have full DuckDB oracles. Fractions are integer basis points;
+the correlation is rounded to 4 dp on both sides (registry convention
+for float aggregates).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from wally_spark.plans.registry import register
+from wally_spark.tables import load_tables
+
+BOILER_N = 5  # shingle width (words); dedup.py owns the 3-gram surface
+BOILER_DF = 2  # a shingle seen in >= this many docs is boilerplate
+QUOTA = 8  # max docs kept per (lang, source) cell
+BAND_LO, BAND_HI = 0.05, 0.95
+
+_SHINGLE5_SQL = f"""
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(words) - {BOILER_N - 2}, 1)),
+           i -> {" || ' ' || ".join(f"words[i+{k}]" for k in range(BOILER_N))}
+         )) AS shingles
+  FROM (SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), w -> w <> '') AS words
+        FROM documents)
+  WHERE len(words) >= {BOILER_N}
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["documents"]
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["events"]
+
+
+def _shingles5(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle): distinct 5-word shingles, exploded."""
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    d = docs.select("doc_id", words.alias("words")).where(
+        F.size("words") >= BOILER_N
+    )
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("words") - (BOILER_N - 1), F.lit(1))
+            ),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("words", i + k) for k in range(BOILER_N)]
+            ),
+        )
+    )
+    return d.select("doc_id", F.explode(shingles).alias("shingle"))
+
+
+@register(
+    "text_boilerplate",
+    oracle=f"""
+WITH shingled AS ({_SHINGLE5_SQL}),
+exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+df AS (SELECT shingle, count(*) AS df FROM exploded GROUP BY shingle),
+per_doc AS (
+  SELECT e.doc_id,
+         count(*) AS n_shingles,
+         sum(CASE WHEN df.df >= {BOILER_DF} THEN 1 ELSE 0 END) AS n_boiler
+  FROM exploded e JOIN df ON df.shingle = e.shingle
+  GROUP BY e.doc_id)
+SELECT doc_id, n_shingles::BIGINT AS n_shingles, n_boiler::BIGINT AS n_boiler,
+       (10000 * n_boiler // n_shingles)::BIGINT AS boiler_bp
+FROM per_doc
+""",
+    tags=("text", "curation"),
+)
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: a 5-word shingle appearing in >= BOILER_DF
+    distinct docs is 'boilerplate' (shared header/footer/template text);
+    each doc reports how much of it is boilerplate, in basis points.
+
+    Scale shape: one explode + one shingle-keyed shuffle for the
+    doc-frequency count, then a second groupBy(doc_id) — the same
+    O(corpus tokens) profile as dedup_minhash, no all-pairs stage. At
+    100 TB the df table is huge but never collected; the shingle->df
+    join is shuffle-partitioned on the same key the count just used.
+    """
+    ex = _shingles5(_docs(spark, sf_dir))
+    df = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        ex.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("df") >= BOILER_DF, 1).otherwise(0)
+            ).alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.col("n_boiler").cast("bigint").alias("n_boiler"),
+            (10000 * F.col("n_boiler") / F.col("n_shingles"))
+            .cast("bigint")
+            .alias("boiler_bp"),
+        )
+    )
+
+
+@register(
+    "docs_length_band",
+    oracle=f"""
+WITH bands AS (
+  SELECT lang,
+         quantile_cont(n_chars, {BAND_LO}) AS lo,
+         quantile_cont(n_chars, {BAND_HI}) AS hi,
+         count(*) AS n_total
+  FROM documents GROUP BY lang)
+SELECT b.lang,
+       b.n_total::BIGINT AS n_total,
+       sum(CASE WHEN d.n_chars >= b.lo AND d.n_chars <= b.hi
+                THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       round(b.lo, 2) AS lo,
+       round(b.hi, 2) AS hi
+FROM documents d JOIN bands b ON b.lang = d.lang
+GROUP BY b.lang, b.n_total, b.lo, b.hi
+""",
+    tags=("text", "curation"),
+)
+def docs_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-band quality filter: per language, docs outside the
+    [p05, p95] character-length band are outliers (truncated fragments
+    or concatenation blowups); reports kept counts and the band.
+
+    Exact percentiles per language are a single partial-aggregating
+    groupBy over a low-cardinality key; the band table is broadcast
+    back. At 100 TB swap `percentile` for `percentile_approx` — same
+    plan shape, sketch-mergeable (documented, not default, so the
+    oracle stays exact)."""
+    docs = _docs(spark, sf_dir)
+    bands = docs.groupBy("lang").agg(
+        F.expr(f"percentile(n_chars, {BAND_LO})").alias("lo"),
+        F.expr(f"percentile(n_chars, {BAND_HI})").alias("hi"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    return (
+        docs.join(F.broadcast(bands), "lang")
+        .groupBy("lang", "n_total", "lo", "hi")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("n_chars") >= F.col("lo"))
+                    & (F.col("n_chars") <= F.col("hi")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_kept")
+        )
+        .select(
+            "lang",
+            F.col("n_total").cast("bigint").alias("n_total"),
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            F.round("lo", 2).alias("lo"),
+            F.round("hi", 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "lang_source_quota",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+  FROM documents)
+SELECT doc_id, lang, source, rn::BIGINT AS rank_in_cell
+FROM ranked WHERE rn <= {QUOTA}
+""",
+    tags=("sampling", "curation"),
+)
+def lang_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota sampling: keep at most QUOTA docs per (lang, source) cell,
+    chosen in md5(doc_id) hash order — the language/domain-balancing
+    step of a pretraining mix (caps dominant crawls instead of taking a
+    proportional fraction like sample_stratified).
+
+    One shuffle on the composite cell key. At 100 TB a hot cell still
+    funnels through one task; since only QUOTA rows survive, pre-prune
+    with a per-partition window first if cells are pathological (same
+    two-phase trick as operators/prefix.py) — not needed at test SF."""
+    docs = _docs(spark, sf_dir)
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("lang", "source").orderBy(h, "doc_id")
+    return (
+        docs.select(
+            "doc_id", "lang", "source", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") <= QUOTA)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("rn").cast("bigint").alias("rank_in_cell"),
+        )
+    )
+
+
+@register(
+    "events_dedup_hourly",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       (count(*) - count(DISTINCT user_id))::BIGINT AS n_dups
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("events", "dedup", "windows"),
+)
+def events_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed dedup summary: within each 1-hour tumbling window and
+    event type, collapse repeat events from the same user; reports raw
+    vs deduplicated counts (the batch twin of the watermark-bounded
+    streaming dedup in streaming/ops.py).
+
+    distinct-within-group runs as partial aggregation on (hour, type,
+    user) then a rollup — two map-side-combining shuffles, no global
+    distinct. Scale-safe at any window count."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            "hour",
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+            (F.col("n_events") - F.col("n_users"))
+            .cast("bigint")
+            .alias("n_dups"),
+        )
+    )
+
+
+@register(
+    "event_value_hour_corr",
+    oracle="""
+SELECT event_type,
+       round(corr(value, hour(ts)), 4) AS corr_value_hour,
+       count(*)::BIGINT AS n
+FROM events
+GROUP BY event_type
+""",
+    tags=("events", "analytics"),
+)
+def event_value_hour_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between event value and hour-of-day per
+    event type — the diurnal-signal probe of a metrics pipeline.
+    `corr` is a codegen co-moment aggregate (single shuffle, partial
+    merge); rounded to 4 dp on both sides per registry convention."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.corr("value", F.hour("ts")), 4).alias("corr_value_hour"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
