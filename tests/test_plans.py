@@ -132,6 +132,7 @@ def test_no_cartesian_anywhere(spark):
         "q22_global_sales_opportunity",  # 1-row broadcast side
         "resample_1h",  # 1-row (min,max) bounds side for the grid
         "events_funnel",  # 1-row stage-count sides
+        "graph_triangle_count",  # 1-row × 1-row (n_edges, n_triangles) combine
     }
     offenders = []
     for name in sorted(REGISTRY):

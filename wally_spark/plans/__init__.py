@@ -28,6 +28,7 @@ from wally_spark.plans import curation  # noqa: F401,E402
 # positions 51+ (they rotate into the window once earlier ones go
 # green) instead of displacing queries that have never been checked.
 from wally_spark.plans import quality  # noqa: F401,E402
+from wally_spark.plans import analytics_ext  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.

@@ -1,0 +1,105 @@
+"""Round-3 analytics extensions: lag-window time-series deltas and
+triangle counting over the co-purchase graph (SURVEY §2.4/§2.7
+extensions). Registered after plans.quality so the driver window is
+not displaced (see plans/__init__.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from wally_spark.plans.registry import register
+from wally_spark.tables import load_tables
+
+EDGE_SUPPORT = 2  # co-purchase edge: parts sharing >= this many orders
+
+
+@register(
+    "revenue_dod_delta",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderdate AS day, round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY o_orderdate)
+SELECT day, revenue,
+       round(revenue - lag(revenue) OVER (ORDER BY day), 2) AS dod_delta
+FROM daily
+""",
+    tags=("analytics", "timeseries", "windows"),
+)
+def revenue_dod_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day revenue delta: daily aggregate then a LAG window.
+
+    The unpartitioned window runs over the POST-aggregation table —
+    one row per calendar day, bounded by date range (a few thousand
+    rows at any corpus size), so the single-task window is safe at
+    100 TB; the heavy lifting is the partial-aggregating groupBy."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy("day")
+    return daily.select(
+        "day",
+        "revenue",
+        F.round(
+            F.col("revenue") - F.lag("revenue").over(w), 2
+        ).alias("dod_delta"),
+    )
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (
+  SELECT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= {EDGE_SUPPORT})
+SELECT (SELECT count(*) FROM e)::BIGINT AS n_edges,
+       count(*)::BIGINT AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.pa = e1.pb
+JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+""",
+    tags=("analytics", "graph"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the co-purchase graph: edges are part pairs
+    sharing >= EDGE_SUPPORT orders (the same support-thresholded edge
+    set as part_cooccurrence), triangles enumerated by the standard
+    oriented two-join (a<b<c, so each triangle counted once).
+
+    Scale shape: the edge build is bounded by items-per-order fanout
+    (O(k²) per order, k ≤ 7 in TPC-H-like data); the support threshold
+    then prunes the edge set, and orientation by part id bounds the
+    wedge join. Both triangle joins shuffle on a part key — no
+    broadcast assumption, no driver materialization. Raising
+    EDGE_SUPPORT is the knob that keeps the edge set sparse at 100 TB.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= EDGE_SUPPORT)
+        .select("pa", "pb")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    # 1-row × 1-row combine: broadcast-NL over two single-row aggregate
+    # sides (allow-listed in tests/test_plans.py::test_no_cartesian_anywhere).
+    return n_edges.crossJoin(F.broadcast(tri))
