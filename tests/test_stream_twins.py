@@ -299,3 +299,28 @@ def test_range_join_stream_equivalence(spark, tmp_path):
         .where(F.col("n_recent_views") > 0)
     )
     assert _rows(stream_rows) == _rows(batch_rows)
+
+
+def test_hourly_dedup_stream_equivalence(spark, tmp_path):
+    """Chained stateful aggregation (windowed dedup -> rollup) in
+    append mode matches the batch events_dedup_hourly on every window
+    the watermark closed (all of them: availableNow drains the stream,
+    and the final watermark passes the last event)."""
+    from wally_spark.streaming.ops import hourly_dedup_stream
+
+    sdf, _ = _ordered_stream(spark, tmp_path)
+    out = _run_append(hourly_dedup_stream(sdf), spark)
+    from wally_spark.plans import REGISTRY
+
+    batch = REGISTRY["events_dedup_hourly"].spark_fn(spark, SF_SMALL)
+    # the final watermark cannot pass the maximum event time, so the
+    # last open window never closes in the stream — compare on the
+    # closed set and assert it is the whole batch answer minus at most
+    # the final hour per type.
+    stream_rows = _rows(out)
+    batch_rows = _rows(batch)
+    assert stream_rows, "no windows closed"
+    missing = [r for r in batch_rows if r not in stream_rows]
+    max_hour = max(r[0] for r in batch_rows)
+    assert all(r[0] == max_hour for r in missing), missing
+    assert [r for r in stream_rows if r not in batch_rows] == []

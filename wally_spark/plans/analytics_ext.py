@@ -88,6 +88,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .where(F.col("c") >= EDGE_SUPPORT)
         .select("pa", "pb")
+        # the support-pruned edge set is referenced 4× (e1/e2/e3 +
+        # n_edges); materialize once instead of recomputing the
+        # distinct + basket self-join per reference
+        .localCheckpoint()
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (

@@ -89,28 +89,38 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct docs is 'boilerplate' (shared header/footer/template text);
     each doc reports how much of it is boilerplate, in basis points.
 
-    Scale shape: one explode + one shingle-keyed shuffle for the
-    doc-frequency count, then a second groupBy(doc_id) — the same
-    O(corpus tokens) profile as dedup_minhash, no all-pairs stage. At
-    100 TB the df table is huge but never collected; the shingle->df
-    join is shuffle-partitioned on the same key the count just used.
+    Scale shape: the only heavy shuffle is the doc-frequency groupBy
+    (map-side combined, shingle-keyed). The boilerplate SET (df >=
+    threshold) is orders of magnitude smaller than the shingle stream,
+    so the membership join back is AQE-broadcast at test SF and falls
+    back to a shuffle join if a 100 TB corpus makes the set large —
+    expressed as a plain join so the planner decides. Per-doc totals
+    are a partial-aggregated doc-keyed count, never a full-width sort.
     """
     ex = _shingles5(_docs(spark, sf_dir))
-    df = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    return (
-        ex.join(df, "shingle")
+    boilers = (
+        ex.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= BOILER_DF)
+        .select("shingle")
+    )
+    totals = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    boiler_counts = (
+        ex.join(boilers, "shingle")
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(
-                F.when(F.col("df") >= BOILER_DF, 1).otherwise(0)
-            ).alias("n_boiler"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return (
+        totals.join(boiler_counts, "doc_id", "left")
         .select(
             "doc_id",
             F.col("n_shingles").cast("bigint").alias("n_shingles"),
-            F.col("n_boiler").cast("bigint").alias("n_boiler"),
-            (10000 * F.col("n_boiler") / F.col("n_shingles"))
+            F.coalesce("n_boiler", F.lit(0)).cast("bigint").alias("n_boiler"),
+            (
+                10000
+                * F.coalesce("n_boiler", F.lit(0))
+                / F.col("n_shingles")
+            )
             .cast("bigint")
             .alias("boiler_bp"),
         )

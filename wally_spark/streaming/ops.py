@@ -623,3 +623,36 @@ def neardedup_against_corpus_foreach_batch(
         survivors.write.mode("overwrite").parquet(f"{sigs_path}/b{batch_id}")
 
     return dedup
+
+
+def hourly_dedup_stream(df: DataFrame, watermark: str = "1 minute") -> DataFrame:
+    """Streaming twin of the registered `events_dedup_hourly` batch
+    query, built as two CHAINED stateful aggregations in append mode
+    (Spark 3.5+ chained time-window aggregation): first a per
+    (1h-window, event_type, user_id) count whose state closes when the
+    watermark passes the window end, then a re-window over the closed
+    windows into the per (hour, type) dedup summary — n_users counts
+    the distinct users (one row each from stage 1, the windowed dedup),
+    n_events sums their raw counts. No count(DISTINCT) — which
+    streaming aggregation forbids — and state at both stages is
+    watermark-bounded, so the plan runs unmodified on an unbounded
+    stream."""
+    per_user = (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_user.groupBy(F.window("w", "1 hour").alias("w2"), "event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        )
+        .select(
+            F.col("w2.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "n_users",
+            (F.col("n_events") - F.col("n_users")).cast("bigint").alias("n_dups"),
+        )
+    )
