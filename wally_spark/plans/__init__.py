@@ -37,15 +37,19 @@ from wally_spark.plans import analytics_ext  # noqa: F401,E402
 # ``queries()`` in registration order. With >50 registered queries, the
 # only way every query eventually earns a driver-green row is to rotate
 # never-yet-checked queries to the front. ``_DRIVER_GREEN`` lists every
-# name with a passing driver row from rounds 1-2 (CORRECTNESS_r01/r02);
-# those sort LAST, so anything new or not-yet-checked automatically lands
-# inside the 50-row window. Relative order within each group is the
-# module registration order above (stable, deterministic).
+# name with a passing driver row from rounds 1-4 (CORRECTNESS_r01-r04:
+# rows+schema+hash all true); those sort AFTER the never-checked block,
+# so anything new or not-yet-checked automatically lands inside the
+# 50-row window. ``_NO_ORACLE`` queries (approximate ops verified by
+# bounded local gates instead of a DuckDB oracle) can never produce a
+# green row — they sort LAST so they never burn a window slot. Relative
+# order within each group is the module registration order above
+# (stable, deterministic).
 # ---------------------------------------------------------------------------
 
 _DRIVER_GREEN = frozenset(
     {
-        # CORRECTNESS_r02 (50/50 pass)
+        # CORRECTNESS_r01/r02
         "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
         "q5_local_supplier", "q6_forecast_revenue", "q7_volume_shipping",
         "q10_returned_items", "q12_priority_class", "q14_promo_effect",
@@ -63,15 +67,47 @@ _DRIVER_GREEN = frozenset(
         "pipeline_merge", "text_tokens", "text_quality", "text_langid",
         "text_fingerprint", "dedup_normalized", "text_langid_ngram",
         "dedup_exact",
+        # CORRECTNESS_r03/r04
+        "ann_bruteforce", "ann_index_probe", "ann_ivf", "ann_lsh", "ann_pq",
+        "asof_next_view", "chunk_overlap", "cube_pricing",
+        "cumulative_revenue_share", "curation_pipeline",
+        "decontaminate_holdout", "dedup_clusters", "dedup_embedding",
+        "dedup_embedding_lsh", "dedup_keep_best", "dedup_minhash",
+        "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
+        "embedding_centroids", "events_value_ranks", "hypertable_rollup",
+        "interarrival_stats", "mm_frame_sample", "mm_image_meta",
+        "ntile_order_quartiles", "pack_chunks", "part_cooccurrence",
+        "pivot_user_event_totals", "q18_bucketed", "q3_bucketed",
+        "quantiles_by_type", "resample_1h", "rolling_7d_revenue",
+        "rollup_orders", "salted_event_totals", "sample_pps",
+        "sample_stratified", "setops_viewer_purchasers",
+        "split_train_holdout", "text_repetition", "text_word_entropy",
+        "tfidf_top_terms", "value_histogram", "value_outliers",
+        "vocab_bigrams",
+    }
+)
+
+# Approximate operators with bounded local gates instead of oracle SQL
+# (the driver records them as ``err: no_oracle`` forever) — park them
+# behind the green block so they never occupy a window slot.
+_NO_ORACLE = frozenset(
+    {
+        "ann_quantized", "approx_distinct_users", "approx_quantiles_by_type",
+        "embedding_kmeans",
     }
 )
 
 
 def _reorder_for_driver_window() -> None:
-    front = {n: q for n, q in REGISTRY.items() if n not in _DRIVER_GREEN}
-    back = {n: q for n, q in REGISTRY.items() if n in _DRIVER_GREEN}
+    front = {
+        n: q for n, q in REGISTRY.items()
+        if n not in _DRIVER_GREEN and n not in _NO_ORACLE
+    }
+    mid = {n: q for n, q in REGISTRY.items() if n in _DRIVER_GREEN}
+    back = {n: q for n, q in REGISTRY.items() if n in _NO_ORACLE}
     REGISTRY.clear()
     REGISTRY.update(front)
+    REGISTRY.update(mid)
     REGISTRY.update(back)
 
 
