@@ -9,11 +9,20 @@ column has tight per-file min/max ranges, and a selective filter on any
 of them skips most files. This is the standard Morton/Z-curve layout
 (public literature: Morton 1966; used by every lakehouse table format).
 
+Ranking is EQUI-DEPTH, not min/max scaling: each dimension is bucketed
+against its approx-quantile cut points, so the rank is uniform in data
+MASS no matter how skewed the raw values are. Min/max fixed-point
+scaling collapses a skewed column into a few low-rank cells, which
+drags every file boundary into the dense region and destroys pruning
+on that column — the classic 100 TB failure mode (real columns are
+always skewed).
+
 Everything is codegen column arithmetic — no UDFs, no driver data:
-per-column bounds come from one tiny agg broadcast back, the key is
-fixed-point bit interleaving, and the write is
-repartitionByRange(zkey).sortWithinPartitions(zkey) so file boundaries
-follow the curve.
+per-column cut points come from one tiny percentile_approx agg
+broadcast back, the rank is a codegen fold over that array, the key is
+bit interleaving, and files are split on the GRID-ALIGNED curve cell id
+(top bits of the z-key) so every output file covers one aligned Morton
+cell with tight per-dimension bounds.
 """
 
 from __future__ import annotations
@@ -21,21 +30,25 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-BITS = 16  # per-dimension fixed-point resolution
+BITS = 8  # per-dimension rank resolution: 2^BITS equi-depth buckets
 
 
-def _norm_expr(col: str, lo: str, hi: str, bits: int):
-    """Rank col into [0, 2^bits) by min/max fixed-point scaling.
-    Degenerate (constant) columns map to 0."""
-    span = F.col(hi) - F.col(lo)
-    scaled = F.when(span == 0, F.lit(0)).otherwise(
-        F.floor(
-            (F.col(col).cast("double") - F.col(lo))
-            / (span + F.lit(1e-12))
-            * F.lit(float(2**bits))
-        )
+def _rank_expr(col: str, bounds_col: str):
+    """Equi-depth rank of ``col``: the count of quantile cut points
+    <= value, folded over the broadcast bounds array (pure codegen,
+    O(2^bits) comparisons per row). NULLs and degenerate (constant)
+    columns rank 0 / constant — both harmless to the curve."""
+    return F.coalesce(
+        F.aggregate(
+            F.col(bounds_col),
+            F.lit(0).cast("bigint"),
+            lambda acc, b: acc
+            + F.when(F.col(col).cast("double") >= b, 1)
+            .otherwise(0)
+            .cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
     )
-    return F.least(F.greatest(scaled, F.lit(0)), F.lit(2**bits - 1)).cast("bigint")
 
 
 def zorder_key(normed: list, bits: int = BITS):
@@ -60,23 +73,39 @@ def write_zordered(
 ) -> None:
     """Write ``df`` to parquet clustered along the Z-curve of ``cols``.
 
-    One bounds agg (2×len(cols) numbers, broadcast), one range
-    shuffle — the same cost as any repartitionByRange write. At 100 TB
-    ``n_files`` becomes files-per-partition under a date/bucket
-    partitioning scheme; the curve math is unchanged."""
+    One cut-point agg (len(cols) small arrays, broadcast), one range
+    shuffle — the same cost as any repartitionByRange write. Files are
+    assigned by the aligned curve cell ``floor(z * n_files / 2^zbits)``
+    rather than raw z mass-quantiles, so file boundaries never straddle
+    Morton cells; equi-depth ranks make the cells (hence the files)
+    mass-balanced. At 100 TB ``n_files`` becomes files-per-partition
+    under a date/bucket partitioning scheme; the curve math is
+    unchanged."""
+    ndim = len(cols)
+    q = 2**bits
+    probs = F.array(*[F.lit(i / q) for i in range(1, q)])
     bounds = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"__lo_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"__hi_{c}") for c in cols],
+        *[
+            F.percentile_approx(F.col(c).cast("double"), probs, 10000).alias(
+                f"__qb_{c}"
+            )
+            for c in cols
+        ]
     )
     keyed = df.join(F.broadcast(bounds))
-    normed = [_norm_expr(c, f"__lo_{c}", f"__hi_{c}", bits) for c in cols]
-    keyed = keyed.withColumn("__z", zorder_key(normed, bits)).drop(
-        *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols]
+    normed = [_rank_expr(c, f"__qb_{c}") for c in cols]
+    keyed = (
+        keyed.withColumn("__z", zorder_key(normed, bits))
+        .withColumn(
+            "__zcell",
+            F.floor(F.col("__z") * F.lit(n_files) / F.lit(float(2 ** (ndim * bits)))),
+        )
+        .drop(*[f"__qb_{c}" for c in cols])
     )
     (
-        keyed.repartitionByRange(n_files, "__z")
+        keyed.repartitionByRange(n_files, "__zcell", "__z")
         .sortWithinPartitions("__z")
-        .drop("__z")
+        .drop("__z", "__zcell")
         .write.mode("overwrite")
         .parquet(path)
     )
