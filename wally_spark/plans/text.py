@@ -302,11 +302,12 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (md5(doc_id) first nibble in 0-3 — engine-replicable, so the
     oracle samples identically), then each doc takes the argmax-overlap
     language. Profile learning over a sample is the 100 TB shape: the
-    profiles converge with corpus size, so the learning pass should not
-    scan the full corpus. Two shuffles total: trigram groupBy (sampled)
-    and the doc-score groupBy; the trigram pass is materialized once
-    (localCheckpoint) because profile learning and scoring both read it
-    and exchange reuse is unreliable under AQE."""
+    profiles converge with corpus size, so the learning pass prunes to
+    the sample BEFORE exploding (a quarter of the text scanned) and the
+    scoring pass recomputes trigrams from the raw scan. Two scans of
+    source text (1.25x total) beat materializing a corpus-sized trigram
+    intermediate pinned in executor storage — the profiles themselves
+    are tiny (20 trigrams x n_langs) and broadcast."""
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
@@ -314,32 +315,33 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bound emits one short 'trigram' while DuckDB's range emits none.
     # Trigrams via codegen explode + substring(col, col) rather than a
     # transform/array_distinct HOF pair (interpreted per character —
-    # ~7 s of the round-1 9 s at sf0.1); the dropDuplicates shuffle it
-    # costs is narrow (doc_id, tg) rows, and the two downstream readers
-    # share it through exchange reuse.
-    trigrams = (
-        docs.where(F.length("text") >= 3)
-        .select("doc_id", "lang", F.lower("text").alias("lt"))
-        .select(
-            "doc_id",
-            "lang",
-            F.explode(
-                F.sequence(F.lit(1), F.length("lt") - 2)
-            ).alias("i"),
-            "lt",
+    # ~7 s of the round-1 9 s at sf0.1); the dropDuplicates shuffle is
+    # narrow (doc_id, tg) rows, and the learning-side one covers only
+    # the sampled quarter.
+    def trigrams(d: DataFrame, *extra: str) -> DataFrame:
+        return (
+            d.where(F.length("text") >= 3)
+            .select("doc_id", *extra, F.lower("text").alias("lt"))
+            .select(
+                "doc_id",
+                *extra,
+                F.explode(F.sequence(F.lit(1), F.length("lt") - 2)).alias("i"),
+                "lt",
+            )
+            .select(
+                "doc_id",
+                *extra,
+                F.substring("lt", F.col("i"), F.lit(3)).alias("tg"),
+            )
+            .dropDuplicates(["doc_id", "tg"])
         )
-        .select(
-            "doc_id", "lang", F.substring("lt", F.col("i"), F.lit(3)).alias("tg")
-        )
-        .dropDuplicates(["doc_id", "tg"])
-        .localCheckpoint()
-    )
+
     sampled = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
         "0", "1", "2", "3"
     )
     wlang = Window.partitionBy("lang").orderBy(F.desc("c"), "tg")
     profiles = (
-        trigrams.where(sampled)
+        trigrams(docs.where(sampled), "lang")
         .groupBy("lang", "tg")
         .agg(F.count(F.lit(1)).alias("c"))
         .withColumn("rk", F.row_number().over(wlang))
@@ -347,7 +349,8 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("lang").alias("cand"), "tg")
     )
     scores = (
-        trigrams.join(F.broadcast(profiles), "tg")
+        trigrams(docs)
+        .join(F.broadcast(profiles), "tg")
         .groupBy("doc_id", "cand")
         .agg(F.count(F.lit(1)).alias("overlap"))
     )
