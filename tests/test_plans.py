@@ -202,6 +202,17 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.set(k, v)
 
 
+def test_lang_source_quota_two_phase(spark):
+    """Hot-cell guard: the quota sample must pre-prune with a window on
+    (spark_partition_id, cell) before the global cell window, so a
+    pathological cell's mass is bounded per task (VERDICT r4 #5)."""
+    plan = _plan(spark, "lang_source_quota")
+    assert plan.count("Window") >= 2, "two-phase window shape missing"
+    assert "SPARK_PARTITION_ID" in plan.upper(), (
+        "per-partition pre-prune window missing"
+    )
+
+
 def test_driver_window_covers_unchecked_queries():
     """The correctness driver checks the FIRST 50 registry entries.
 

@@ -205,15 +205,29 @@ def lang_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     step of a pretraining mix (caps dominant crawls instead of taking a
     proportional fraction like sample_stratified).
 
-    One shuffle on the composite cell key. At 100 TB a hot cell still
-    funnels through one task; since only QUOTA rows survive, pre-prune
-    with a per-partition window first if cells are pathological (same
-    two-phase trick as operators/prefix.py) — not needed at test SF."""
+    Two-phase so a hot cell never funnels its full mass through one
+    task: phase 1 windows on (input partition id, cell) — the hot
+    cell's rows are spread across all scan partitions, so each task
+    sorts a bounded slice and keeps at most QUOTA of them; phase 2 runs
+    the original global cell window over the survivors, whose size per
+    cell is now <= QUOTA x n_partitions regardless of raw cell mass.
+    Any row in the global top-QUOTA of its cell is in the top-QUOTA of
+    its own partition's slice, so the answer is identical to the
+    single-window plan (same trick as operators/prefix.py)."""
     docs = _docs(spark, sf_dir)
     h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w1 = Window.partitionBy("__pid", "lang", "source").orderBy(h, "doc_id")
+    pre = (
+        docs.select(
+            "doc_id", "lang", "source", F.spark_partition_id().alias("__pid")
+        )
+        .withColumn("__rn1", F.row_number().over(w1))
+        .where(F.col("__rn1") <= QUOTA)
+        .drop("__pid", "__rn1")
+    )
     w = Window.partitionBy("lang", "source").orderBy(h, "doc_id")
     return (
-        docs.select(
+        pre.select(
             "doc_id", "lang", "source", F.row_number().over(w).alias("rn")
         )
         .where(F.col("rn") <= QUOTA)
