@@ -202,6 +202,14 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.set(k, v)
 
 
+def test_triangle_wedge_join_salted(spark):
+    """Hub-part guard: the triangle wedge join (single-part-id key)
+    must run salted so a hub's wedges spread across reducers
+    (VERDICT r4 #8)."""
+    plan = _plan(spark, "graph_triangle_count")
+    assert "__salt" in plan, "wedge join is not salted"
+
+
 def test_lang_source_quota_two_phase(spark):
     """Hot-cell guard: the quota sample must pre-prune with a window on
     (spark_partition_id, cell) before the global cell window, so a

@@ -73,10 +73,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the edge build is bounded by items-per-order fanout
     (O(k²) per order, k ≤ 7 in TPC-H-like data); the support threshold
     then prunes the edge set, and orientation by part id bounds the
-    wedge join. Both triangle joins shuffle on a part key — no
-    broadcast assumption, no driver materialization. Raising
-    EDGE_SUPPORT is the knob that keeps the edge set sparse at 100 TB.
+    wedge join. The wedge join keys on a SINGLE part id (the wedge
+    center), so a hub part would funnel all its wedges through one
+    reducer — it runs through operators/skew.salted_join (deterministic
+    row salt on the e1 side, e2 replicated n_salts×), spreading each
+    hub across 8 reducers for 8× replication of the sparse edge set.
+    The closing join keys on the composite (pa, pb) pair — far less
+    skew-prone — and stays a plain shuffle join. No broadcast
+    assumption, no driver materialization. Raising EDGE_SUPPORT is the
+    knob that keeps the edge set sparse at 100 TB.
     """
+    from wally_spark.operators.skew import salted_join
+
     li = load_tables(spark, sf_dir)["lineitem"]
     op = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
@@ -93,16 +101,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         # distinct + basket self-join per reference
         .localCheckpoint()
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
-        .join(
-            e3,
-            (F.col("e3.pa") == F.col("e1.pa"))
-            & (F.col("e3.pb") == F.col("e2.pb")),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    wedges = salted_join(
+        edges.select(F.col("pa").alias("w_pa"), F.col("pb").alias("k")),
+        edges.select(F.col("pa").alias("k"), F.col("pb").alias("w_pb")),
+        on="k",
+        n_salts=8,
     )
+    e3 = edges.alias("e3")
+    tri = wedges.join(
+        e3,
+        (F.col("e3.pa") == F.col("w_pa")) & (F.col("e3.pb") == F.col("w_pb")),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     # 1-row × 1-row combine: broadcast-NL over two single-row aggregate
     # sides (allow-listed in tests/test_plans.py::test_no_cartesian_anywhere).
