@@ -14,6 +14,8 @@ App → query mapping:
   word_count + collect  → app_word_count_collect (un-keyed global rollup)
   market_spread         → app_market_spread    (joined streams, reject check)
   merge (Pipeline.merge)→ pipeline_merge       (union of two pipelines)
+  alphabet_partitioned  → app_alphabet_partitioned (fixed partition routing)
+  celsius_connectors    → app_celsius_connectors (float32 wire decode chain)
 """
 
 from __future__ import annotations
@@ -266,6 +268,69 @@ def app_market_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("m.sum_view", 2).alias("sum_view"),
             "m.n_views",
         )
+    )
+
+
+# --- alphabet_partitioned: keyed state split across a FIXED partition set ---
+@register(
+    "app_alphabet_partitioned",
+    oracle="""
+SELECT (ascii(substring(event_type, 1, 1)) % 8)::BIGINT AS partition_id,
+       event_type AS key, count(*) AS votes, round(sum(value), 2) AS weight
+FROM events GROUP BY 1, 2
+""",
+    tags=("app", "state", "partition"),
+)
+def app_alphabet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ref: examples/python/alphabet_partitioned (_expected.json — the
+    source app used wallaroo.partition with a fixed letter-partition
+    list; each partition owns the vote state for the keys routed to
+    it). Batch twin: a deterministic first-letter routing function maps
+    each key to one of 8 fixed partitions, the frame is explicitly
+    repartitioned on that id (the Spark analog of Wallaroo's fixed
+    state-partition routing), and per-key totals are aggregated within
+    their partition — same per-key answer as app_alphabet, plus the
+    partition assignment surfaced."""
+    ev = _t(spark, sf_dir)["events"]
+    routed = ev.withColumn(
+        "partition_id",
+        F.pmod(F.ascii(F.substring("event_type", 1, 1)), F.lit(8)).cast("bigint"),
+    )
+    return (
+        routed.repartition(8, "partition_id")
+        .groupBy("partition_id", F.col("event_type").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("votes"),
+            F.round(F.sum("value"), 2).alias("weight"),
+        )
+    )
+
+
+# --- celsius_connectors: framed float32 wire decode → compute chain ---
+@register(
+    "app_celsius_connectors",
+    oracle="""
+SELECT event_id,
+       round(CAST(CAST(value AS REAL) AS DOUBLE) * 1.8 + 32.0, 2) AS fahrenheit
+FROM events
+""",
+    tags=("app", "stateless", "connector"),
+)
+def app_celsius_connectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ref: examples/python/celsius_connectors/celsius.py — a
+    SourceConnectorConfig decodes a big-endian float32 wire frame
+    (struct.unpack('>f')), two chained computations (multiply 1.8,
+    add 32), TCP sink encode. Batch twin: the float32 wire decode is
+    cast('float') — bit-identical to unpacking a >f frame — then the
+    same computation chain over every event (the connector feed is
+    unfiltered, unlike app_celsius's view-only stream). The real framed
+    wire codec is exercised byte-for-byte against live sockets in
+    tests/test_sources_sinks.py; this key is its driver-checkable
+    arithmetic twin."""
+    ev = _t(spark, sf_dir)["events"]
+    return ev.select(
+        "event_id",
+        F.round(F.col("value").cast("float") * 1.8 + 32.0, 2).alias("fahrenheit"),
     )
 
 
