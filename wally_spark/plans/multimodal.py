@@ -68,6 +68,42 @@ def mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_image_header",
+    oracle="""
+SELECT doc_id, 'png' AS fmt,
+       (64 + doc_id % 512)::INT AS width,
+       (64 + (doc_id * 31) % 512)::INT AS height,
+       29 AS n_bytes
+FROM documents
+""",
+    tags=("multimodal",),
+)
+def mm_image_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-parse metadata extraction through the REAL operator
+    (operators/multimodal.decode_image_header_meta): each doc gets a
+    VALID PNG signature+IHDR payload (dimensions derived from doc_id,
+    so DuckDB predicts them arithmetically), and the operator reads the
+    format and dimensions back out of the raw bytes — no codec library,
+    which is exactly how a 100 TB metadata pass runs (headers only,
+    pixels never decoded, payloads never leave executors)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = (F.lit(64) + F.col("doc_id") % 512).cast("int")
+    h = (F.lit(64) + (F.col("doc_id") * 31) % 512).cast("int")
+    hdr = F.concat(
+        F.lit("89504e470d0a1a0a"),  # PNG signature
+        F.lit("0000000d49484452"),  # IHDR chunk length + type
+        F.format_string("%08x", w),
+        F.format_string("%08x", h),
+        F.lit("0806000000"),  # bit depth, color type, compression...
+    )
+    payloads = docs.select("doc_id", F.unhex(hdr).alias("payload"))
+
+    from wally_spark.operators.multimodal import decode_image_header_meta
+
+    return decode_image_header_meta(payloads)
+
+
+@register(
     "mm_frame_sample",
     oracle="""
 WITH c AS (
