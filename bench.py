@@ -76,11 +76,17 @@ def main() -> int:
     # the slowest queries until the line would overflow that window —
     # the per-query map printed is a subset, the total is over ALL
     # queries, and BASELINE.md documents this protocol.
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
-        "w",
-    ) as f:
-        json.dump(out, f, indent=1)
+    # Only a FULL sweep may replace BENCH_FULL.json: a --queries spot
+    # re-run (the BASELINE.md adjudication protocol) must not clobber
+    # the sweep artifact with a partial map.
+    if not args.queries:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+            ),
+            "w",
+        ) as f:
+            json.dump(out, f, indent=1)
     kept: dict[str, float] = {}
     for k, v in sorted(timings.items(), key=lambda kv: -kv[1]):
         trial = {**out, "queries": {**kept, k: v}, "queries_full": "BENCH_FULL.json"}
