@@ -142,6 +142,53 @@ def test_connected_components_chain_and_singletons(spark):
     }
 
 
+def test_star_components_match_min_label(spark):
+    """Large-star/small-star and min-label propagation agree on a
+    random sparse graph (same contract, different round complexity)."""
+    from wally_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 400
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    # deterministic pseudo-random sparse edges
+    rows = [
+        (i, (i * 7919 + 13) % n)
+        for i in range(0, n, 3)
+        if i != (i * 7919 + 13) % n
+    ]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    a = {(r["id"], r["comp"]) for r in connected_components(vertices, edges).collect()}
+    b = {
+        (r["id"], r["comp"])
+        for r in connected_components_star(vertices, edges).collect()
+    }
+    assert a == b
+
+
+def test_star_components_deep_chain(spark):
+    """A 150-vertex path — the chain shape where min-label needs
+    O(diameter)=150 rounds — converges in the star variant's
+    logarithmic round budget and labels every vertex with the chain
+    minimum."""
+    from wally_spark.operators.components import connected_components_star
+
+    n = 150
+    vertices = spark.createDataFrame([(i,) for i in range(n + 2)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = {
+        (r["id"], r["comp"])
+        for r in connected_components_star(
+            vertices, edges, max_iters=15
+        ).collect()
+    }
+    want = {(i, 0) for i in range(n)} | {(n, n), (n + 1, n + 1)}
+    assert got == want
+
+
 def test_hll_sketch_within_tolerance(spark):
     """Merged daily HLL sketches estimate distinct users within 5% of
     exact, per event_type — the gate for the rows-only sketch query."""

@@ -97,3 +97,107 @@ def connected_components(
         .join(labels, "id", "left")
         .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
     )
+
+
+def connected_components_star(
+    vertices: DataFrame,
+    edges: DataFrame,
+    vertex_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 40,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Large-star / small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014 — public
+    algorithm). Same contract as ``connected_components``: returns
+    (id, comp) with comp = min vertex id of the component; isolated
+    vertices label themselves.
+
+    This is the DEEP-graph path: min-label propagation needs
+    O(component diameter) rounds, which is fine for near-clique dedup
+    clusters but pathological for chain-shaped components (a
+    10k-vertex path needs 10k rounds). Star contraction halves the
+    component structure every round — O(log² n) worst case, a handful
+    of rounds in practice — at the cost of two edge-keyed shuffles per
+    round instead of one. Per round:
+
+      large-star: for each vertex u, connect every neighbor v > u to
+        m = min(N(u) ∪ {u});
+      small-star: orient edges large→small, connect every smaller
+        neighbor (and u itself) to that minimum.
+
+    Both are one groupBy + one join over the current edge set —
+    partition-parallel, nothing on the driver but the convergence
+    probe (edge count + order-independent hash sum; equality of both
+    across a round means the edge set reached the star fixpoint).
+    """
+    if checkpoint_dir is not None:
+        vertices.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
+    def probe(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a long sum of 64-bit hashes overflows
+            # under ANSI arithmetic
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    # drop self-loops, start from the symmetrized edge set
+    e0 = ckpt(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+            F.col(src) != F.col(dst)
+        )
+    )
+    cur = ckpt(e0.union(e0.select(F.col("v"), F.col("u"))).distinct())
+    prev = probe(cur)
+    converged = False
+    for _ in range(max_iters):
+        # large-star over the symmetric neighbor lists: min includes u
+        lmin = cur.groupBy("u").agg(F.min("v").alias("nm")).select(
+            "u", F.least(F.col("nm"), F.col("u")).alias("m")
+        )
+        large = (
+            cur.where(F.col("v") > F.col("u"))
+            .join(lmin, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # re-symmetrize for the small-star pass
+        lsym = ckpt(large.union(large.select(F.col("v"), F.col("u"))))
+        smin = lsym.where(F.col("v") <= F.col("u")).groupBy("u").agg(
+            F.min("v").alias("m")
+        )
+        small = (
+            lsym.where(F.col("v") <= F.col("u"))
+            .join(smin, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smin.select(F.col("u"), F.col("m")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        cur = ckpt(small.union(small.select(F.col("v"), F.col("u"))))
+        now = probe(cur)
+        if now == prev:
+            converged = True
+            break
+        prev = now
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iters} rounds"
+        )
+    # fixpoint: every non-minimum vertex holds an edge to its
+    # component minimum
+    labels = cur.where(F.col("v") < F.col("u")).groupBy("u").agg(
+        F.min("v").alias("comp")
+    )
+    return (
+        vertices.select(F.col(vertex_col).alias("id"))
+        .join(labels, F.col("id") == F.col("u"), "left")
+        .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+    )
