@@ -133,6 +133,7 @@ def test_no_cartesian_anywhere(spark):
         "resample_1h",  # 1-row (min,max) bounds side for the grid
         "events_funnel",  # 1-row stage-count sides
         "graph_triangle_count",  # 1-row × 1-row (n_edges, n_triangles) combine
+        "corpus_mix_report",  # 1-row grand-total side for the share divisor
     }
     offenders = []
     for name in sorted(REGISTRY):

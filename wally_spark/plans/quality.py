@@ -7,8 +7,10 @@ of machida computations, machida/lib/wallaroo/__init__.py:270).
   lang_source_quota     quota sampling: cap docs per (lang, source) cell
   events_dedup_hourly   within-window duplicate collapse over events
   event_value_hour_corr Pearson corr(value, hour-of-day) per event type
+  text_pii_scrub        regex PII detection + redaction counts (r5)
+  corpus_mix_report     per-(lang, source) corpus share dashboard (r5)
 
-All five have full DuckDB oracles. Fractions are integer basis points;
+All have full DuckDB oracles. Fractions are integer basis points;
 the correlation is rounded to 4 dp on both sides (registry convention
 for float aggregates).
 """
@@ -302,4 +304,111 @@ def event_value_hour_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.round(F.corr("value", F.hour("ts")), 4).alias("corr_value_hour"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+# PII patterns kept engine-portable: the same source string compiles
+# identically under Java regex (Spark) and RE2 (DuckDB).
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE = r"555-[0-9]{3}"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+WITH synth AS (
+  SELECT doc_id,
+         text
+           || repeat(' u' || doc_id || '@example.com', doc_id % 3)
+           || repeat(' 555-' || lpad((doc_id % 100)::VARCHAR, 3, '0'),
+                     doc_id % 2) AS t
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{PII_EMAIL}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(t, '{PII_PHONE}'))::BIGINT AS n_phones,
+       length(regexp_replace(regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                             '{PII_PHONE}', '<PHONE>', 'g'))::BIGINT
+         AS clean_len
+FROM synth
+""",
+    tags=("text", "pii", "curation"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction pass — the scrub step every training
+    corpus runs before packing. The synthetic corpus carries no PII, so
+    each doc first gets DETERMINISTIC synthetic emails/phone numbers
+    appended (doc_id arithmetic both engines reproduce exactly), then
+    the scrub counts matches and measures the redacted length. All
+    codegen string expressions (regexp_count / regexp_replace) — one
+    scan, no shuffle, no UDF; at 100 TB this runs at parquet-scan
+    speed."""
+    docs = _docs(spark, sf_dir)
+    synth = F.concat(
+        F.col("text"),
+        F.repeat(
+            F.concat(F.lit(" u"), F.col("doc_id").cast("string"),
+                     F.lit("@example.com")),
+            (F.col("doc_id") % 3).cast("int"),
+        ),
+        F.repeat(
+            F.concat(
+                F.lit(" 555-"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 3, "0"),
+            ),
+            (F.col("doc_id") % 2).cast("int"),
+        ),
+    )
+    d = docs.select("doc_id", synth.alias("t"))
+    return d.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count("t", F.lit(PII_PHONE)).cast("bigint").alias("n_phones"),
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace("t", PII_EMAIL, "<EMAIL>"),
+                PII_PHONE,
+                "<PHONE>",
+            )
+        )
+        .cast("bigint")
+        .alias("clean_len"),
+    )
+
+
+@register(
+    "corpus_mix_report",
+    oracle="""
+SELECT lang, source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       ((10000 * sum(n_chars)::BIGINT)
+        // (SELECT sum(n_chars)::BIGINT FROM documents))::BIGINT AS share_bp
+FROM documents
+GROUP BY lang, source
+""",
+    tags=("curation", "analytics"),
+)
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-mix dashboard: per (lang, source) cell, document
+    count, character mass, and exact integer basis-point share of the
+    corpus. One partial-aggregating shuffle for the cells; the grand
+    total is a 1-row aggregate combined via broadcast (allow-listed in
+    test_no_cartesian_anywhere) — no global single-task window. The
+    share uses integral division (`div`) so both engines compute the
+    identical bigint."""
+    docs = _docs(spark, sf_dir)
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    grand = docs.agg(F.sum("n_chars").alias("grand"))
+    return (
+        cells.crossJoin(F.broadcast(grand))
+        .select(
+            "lang",
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("total_chars").cast("bigint").alias("total_chars"),
+            F.expr("10000 * total_chars div grand").cast("bigint").alias("share_bp"),
+        )
     )
