@@ -16,6 +16,9 @@ App → query mapping:
   merge (Pipeline.merge)→ pipeline_merge       (union of two pipelines)
   alphabet_partitioned  → app_alphabet_partitioned (fixed partition routing)
   celsius_connectors    → app_celsius_connectors (float32 wire decode chain)
+  passthrough (pony)    → app_passthrough        (identity decode→asis→encode)
+  alerts_local_aggregations (pony) → app_alerts_local_agg (local_key_by two-phase)
+  multi_worker_forwarding (pony)   → app_multi_worker_forwarding (key routing)
 """
 
 from __future__ import annotations
@@ -331,6 +334,92 @@ def app_celsius_connectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.round(F.col("value").cast("float") * 1.8 + 32.0, 2).alias("fahrenheit"),
+    )
+
+
+# --- passthrough: identity decode → asis step → encode ---
+@register(
+    "app_passthrough",
+    oracle="""
+SELECT event_id, event_type, round(value, 2) AS value
+FROM events
+""",
+    tags=("app", "stateless"),
+)
+def app_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ref: examples/pony/passthrough/passthrough.pony — framed source
+    → asis step(s) → sink, the throughput-harness identity pipeline
+    (its --parallelism knob is Spark's partition count; identity stays
+    a zero-shuffle narrow plan)."""
+    ev = _t(spark, sf_dir)["events"]
+    return ev.select("event_id", "event_type", F.round("value", 2).alias("value"))
+
+
+# --- alerts_local_aggregations: local_key_by partial agg → global merge ---
+@register(
+    "app_alerts_local_agg",
+    oracle="""
+WITH local AS (
+  SELECT event_id % 4 AS shard, user_id,
+         sum(value) AS s, count(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT user_id, round(sum(s), 2) AS total,
+       sum(n)::BIGINT AS n_events, count(*)::BIGINT AS n_shards
+FROM local GROUP BY user_id
+""",
+    tags=("app", "state", "local-agg"),
+)
+def app_alerts_local_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ref: examples/pony/alerts_local_aggregations/alerts.pony —
+    `.local_key_by(ExtractUser)` builds WORKER-LOCAL per-user partials
+    before the global `.key_by` tallies them across workers. The Spark
+    engine does this implicitly for every algebraic agg (map-side
+    partial + final merge); this key surfaces the two-phase shape
+    explicitly: shard = receiving worker (event_id % 4, deterministic),
+    local (shard, user) partials, then the cross-worker merge with the
+    per-user contributing-shard count."""
+    ev = _t(spark, sf_dir)["events"]
+    local = (
+        ev.withColumn("shard", F.col("event_id") % 4)
+        .groupBy("shard", "user_id")
+        .agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    return local.groupBy("user_id").agg(
+        F.round(F.sum("s"), 2).alias("total"),
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+    )
+
+
+# --- multi_worker_forwarding: key-routed forwarding matrix ---
+@register(
+    "app_multi_worker_forwarding",
+    oracle="""
+SELECT 'worker-' || (ascii(substring(event_type, 1, 1)) % 4) AS worker,
+       event_type, count(*) AS n_forwarded
+FROM events GROUP BY 1, 2
+""",
+    tags=("app", "routing"),
+)
+def app_multi_worker_forwarding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ref: examples/pony/multi_worker_forwarding — messages key_by'd
+    on their first byte and forwarded to the owning worker (asis
+    steps). Batch twin: the same first-byte routing function assigns
+    each message a worker; output is the forwarding matrix (worker ×
+    message type × count) that the app's verbose mode prints."""
+    ev = _t(spark, sf_dir)["events"]
+    return (
+        ev.withColumn(
+            "worker",
+            F.concat(
+                F.lit("worker-"),
+                F.pmod(F.ascii(F.substring("event_type", 1, 1)), F.lit(4)).cast(
+                    "string"
+                ),
+            ),
+        )
+        .groupBy("worker", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_forwarded"))
     )
 
 
