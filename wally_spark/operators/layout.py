@@ -102,8 +102,12 @@ def write_zordered(
         )
         .drop(*[f"__qb_{c}" for c in cols])
     )
+    # range-partition on the CELL id alone: equal keys always land in
+    # one partition, so no file ever straddles a Morton cell (adding
+    # __z as a tiebreak would let the sampler split mid-cell and bleed
+    # a neighboring cell's range into the file's column stats)
     (
-        keyed.repartitionByRange(n_files, "__zcell", "__z")
+        keyed.repartitionByRange(n_files, "__zcell")
         .sortWithinPartitions("__z")
         .drop("__z", "__zcell")
         .write.mode("overwrite")
