@@ -90,10 +90,11 @@ _DRIVER_GREEN = frozenset(
 # Approximate operators with bounded local gates instead of oracle SQL
 # (the driver records them as ``err: no_oracle`` forever) — park them
 # behind the green block so they never occupy a window slot.
+# (embedding_kmeans left this set in r5: its deterministic rounds
+# unroll as SQL CTEs, giving it a full oracle.)
 _NO_ORACLE = frozenset(
     {
         "ann_quantized", "approx_distinct_users", "approx_quantiles_by_type",
-        "embedding_kmeans",
     }
 )
 

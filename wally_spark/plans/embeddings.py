@@ -66,16 +66,83 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_kmeans", oracle=None, tags=("embeddings", "kmeans", "iterative"))
+def _kmeans_oracle() -> str:
+    """DuckDB replication of lloyd_kmeans, rounds unrolled as CTE
+    chains (the ann_ivf technique, plans/similarity.py:_ivf_oracle):
+    init = the K lowest vec_ids, each round = argmin assignment (ties
+    to the lowest cluster, matching numpy argmin) then per-(cluster,
+    position) mean with empty-cluster carry-forward; after ITERS
+    updates one final assignment emits (vec_id, cluster, dist_bp).
+    All float64 over the float32-exact parquet values."""
+    cte = f"""
+WITH comps AS (
+  SELECT vec_id, u.i - 1 AS j, u.x::DOUBLE AS x
+  FROM (SELECT vec_id, unnest(list_transform(embedding, (x, i) -> {{'x': x, 'i': i}})) AS u
+        FROM embeddings)
+),
+init_ids AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+  FROM embeddings ORDER BY vec_id LIMIT {K}
+),
+c0 AS (
+  SELECT i.cluster, c.j AS p, c.x AS m
+  FROM init_ids i JOIN comps c USING (vec_id)
+)"""
+    prev = "c0"
+    for r in range(1, ITERS + 1):
+        cte += f""",
+d{r} AS (
+  SELECT c.vec_id, k.cluster, sum((c.x - k.m) * (c.x - k.m)) AS d2
+  FROM comps c JOIN {prev} k ON c.j = k.p
+  GROUP BY c.vec_id, k.cluster
+),
+a{r} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+    FROM d{r}) WHERE rk = 1
+),
+m{r} AS (
+  SELECT a.cluster, c.j AS p, avg(c.x) AS m
+  FROM a{r} a JOIN comps c USING (vec_id)
+  GROUP BY a.cluster, c.j
+),
+c{r} AS (
+  SELECT k.cluster, k.p, coalesce(u.m, k.m) AS m
+  FROM {prev} k LEFT JOIN m{r} u ON u.cluster = k.cluster AND u.p = k.p
+)"""
+        prev = f"c{r}"
+    cte += f""",
+dfin AS (
+  SELECT c.vec_id, k.cluster, sum((c.x - k.m) * (c.x - k.m)) AS d2
+  FROM comps c JOIN {prev} k ON c.j = k.p
+  GROUP BY c.vec_id, k.cluster
+)
+SELECT vec_id, cluster,
+       floor(10000.0 * sqrt(greatest(d2, 0)))::BIGINT AS dist_bp
+FROM (
+  SELECT vec_id, cluster, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+  FROM dfin) WHERE rk = 1
+"""
+    return cte
+
+
+@register(
+    "embedding_kmeans",
+    oracle=_kmeans_oracle(),
+    tags=("embeddings", "kmeans", "iterative"),
+)
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd's k-means (K=8, ITERS=4, init = the K
     lowest vec_ids): returns (vec_id, cluster, dist_bp). Iterative
     driver loop over distributed passes — assignment never shuffles
     (numpy matmul per Arrow batch against broadcast centroids);
     centroid update is one (cluster, pos) aggregate per round.
-    Rows-only oracle (iterative float argmin isn't reasonably
-    SQL-expressible); pytest gates determinism, full cluster coverage,
-    and exact agreement with a single-process numpy reference."""
+    FULL oracle since r5: the fixed deterministic rounds unroll as SQL
+    CTEs exactly like ann_ivf's quantizer; pytest additionally gates
+    determinism, full cluster coverage, and exact agreement with a
+    single-process numpy reference."""
     from wally_spark.operators.kmeans import lloyd_kmeans
 
     out = lloyd_kmeans(_emb(spark, sf_dir), k=K, iters=ITERS)
