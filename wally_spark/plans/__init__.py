@@ -90,11 +90,12 @@ _DRIVER_GREEN = frozenset(
 # Approximate operators with bounded local gates instead of oracle SQL
 # (the driver records them as ``err: no_oracle`` forever) — park them
 # behind the green block so they never occupy a window slot.
-# (embedding_kmeans left this set in r5: its deterministic rounds
-# unroll as SQL CTEs, giving it a full oracle.)
+# (embedding_kmeans and ann_quantized left this set in r5: both are
+# deterministic arithmetic that mirrors exactly in SQL — only the two
+# sketch-based ops remain genuinely oracle-less.)
 _NO_ORACLE = frozenset(
     {
-        "ann_quantized", "approx_distinct_users", "approx_quantiles_by_type",
+        "approx_distinct_users", "approx_quantiles_by_type",
     }
 )
 

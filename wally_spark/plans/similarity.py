@@ -278,7 +278,47 @@ def _quantized(emb: DataFrame) -> DataFrame:
     )
 
 
-@register("ann_quantized", oracle=None, tags=("similarity", "ann", "quantized"))
+_QUANTIZED_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+), n AS (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM base
+), s AS (
+  SELECT vec_id, unit,
+         list_max(list_transform(unit, x -> abs(x))) / 127.0 AS scale
+  FROM (SELECT vec_id, list_transform(e, x -> x / nrm) AS unit FROM n)
+), qz AS (
+  SELECT vec_id,
+         list_transform(unit, x -> round(x / scale)::BIGINT) AS qv,
+         scale
+  FROM s
+), pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         -- mirror Spark's left-assoc (bigint_dot * q_scale) * c_scale
+         (list_sum(list_transform(range(1, len(q.qv) + 1),
+             i -> q.qv[i] * c.qv[i]))::BIGINT
+          * q.scale) * c.scale AS cos_q
+  FROM qz q JOIN qz c
+    ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, rank::BIGINT AS rank,
+       floor(10000.0 * cos_q)::BIGINT AS cos_q_bp
+FROM (
+  SELECT query_id, neighbor_id, cos_q,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cos_q DESC, neighbor_id) AS rank
+  FROM pairs)
+WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "ann_quantized",
+    oracle=_QUANTIZED_ORACLE,
+    tags=("similarity", "ann", "quantized"),
+)
 def ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k ANN over int8-quantized embeddings (per-vector symmetric
     scale): 4× less memory/IO than float32, which at 100 TB is the
@@ -287,9 +327,12 @@ def ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fully declarative: corpus and query sides quantize executor-side
     (_quantized), the small query set broadcasts, integer dot products
     accumulate exactly in bigint, and a window takes top-k. The corpus
-    never shuffles and never touches the driver. Rows-only oracle
-    (quantization rounding is engine-specific); recall vs the exact
-    baseline is asserted in tests/test_similarity_ops.py."""
+    never shuffles and never touches the driver. FULL oracle since r5:
+    every quantization step is deterministic arithmetic both engines
+    evaluate identically (sequential float64 folds, half-up rounding,
+    exact bigint dot, and the oracle mirrors Spark's multiply
+    associativity); recall vs the exact baseline additionally asserted
+    in tests/test_similarity_ops.py."""
     emb = _emb(spark, sf_dir)
     qz = _quantized(emb)
     q = qz.where(F.col("vec_id") < N_QUERIES).select(
