@@ -134,6 +134,7 @@ def test_no_cartesian_anywhere(spark):
         "events_funnel",  # 1-row stage-count sides
         "graph_triangle_count",  # 1-row × 1-row (n_edges, n_triangles) combine
         "corpus_mix_report",  # 1-row grand-total side for the share divisor
+        "text_lm_perplexity",  # two 1-row (T, V) stats combines
     }
     offenders = []
     for name in sorted(REGISTRY):

@@ -295,3 +295,102 @@ def vocab_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(20)
     )
+
+
+@register(
+    "text_lm_perplexity",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+  FROM documents
+),
+train AS (
+  SELECT word, count(*) AS c FROM tok
+  WHERE substring(md5(doc_id::VARCHAR), 1, 1) IN ('0','1','2','3')
+  GROUP BY word
+),
+stats AS (
+  SELECT sum(c)::BIGINT AS t, count(*)::BIGINT AS v FROM train
+),
+probs AS (
+  SELECT word,
+         floor(1000.0 * ln((c + 1)::DOUBLE / (t + v)))::BIGINT AS mnat
+  FROM train, stats
+),
+scored AS (
+  SELECT tok.doc_id,
+         count(*) AS n_tokens,
+         sum(CASE WHEN p.mnat IS NULL THEN 0 ELSE p.mnat END)::BIGINT AS seen_mnat,
+         sum(CASE WHEN p.mnat IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_unk
+  FROM tok LEFT JOIN probs p USING (word)
+  GROUP BY tok.doc_id
+)
+SELECT doc_id, n_tokens,
+       (-(seen_mnat + n_unk * floor(1000.0 * ln(1.0 / (t + v)))::BIGINT))::BIGINT
+         AS nll_mnat,
+       ((-(seen_mnat + n_unk * floor(1000.0 * ln(1.0 / (t + v)))::BIGINT))
+        // n_tokens)::BIGINT AS mnat_per_token
+FROM scored, stats
+""",
+    tags=("text", "curation", "quality", "lm"),
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM perplexity filter: train Laplace-smoothed
+    word probabilities on the deterministic md5-quarter sample (the
+    same engine-replicable sample text_langid_ngram learns from), then
+    score every document's negative log-likelihood. The standard
+    quality gate that drops gibberish/outlier docs before packing.
+
+    Float discipline: each word's log-probability is floored ONCE to
+    integer milli-nats (log of a ratio of integers — identical doubles
+    in both engines), and everything after is exact bigint arithmetic
+    (sums, counts, integral division for the per-token score), so the
+    result is engine- and partitioning-independent. Scale shape: the
+    LM is a word-count table from a quarter of the corpus (tiny,
+    broadcast); scoring is one explode + broadcast left-join + per-doc
+    aggregate — one shuffle keyed doc_id; the two 1-row stats combines
+    are broadcast (allow-listed)."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(_words_col()).alias("word"))
+    sampled = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1", "2", "3"
+    )
+    train = (
+        docs.where(sampled)
+        .select("doc_id", F.explode(_words_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = train.agg(
+        F.sum("c").cast("bigint").alias("t"), F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    probs = train.crossJoin(F.broadcast(stats)).select(
+        "word",
+        F.floor(
+            1000.0 * F.log((F.col("c") + 1).cast("double") / (F.col("t") + F.col("v")))
+        )
+        .cast("bigint")
+        .alias("mnat"),
+    )
+    scored = (
+        tok.join(F.broadcast(probs), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce("mnat", F.lit(0))).cast("bigint").alias("seen_mnat"),
+            F.sum(F.when(F.col("mnat").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unk"),
+        )
+    )
+    unk_mnat = F.floor(1000.0 * F.log(1.0 / (F.col("t") + F.col("v")))).cast("bigint")
+    nll = -(F.col("seen_mnat") + F.col("n_unk") * unk_mnat)
+    return scored.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "n_tokens",
+        nll.cast("bigint").alias("nll_mnat"),
+        F.expr(
+            "CAST(-(seen_mnat + n_unk * CAST(floor(1000.0 * ln(1.0 / (t + v))) AS BIGINT)) DIV n_tokens AS BIGINT)"
+        ).alias("mnat_per_token"),
+    )
