@@ -393,3 +393,23 @@ def test_post_window_computation_chain(spark, events):
         .count()
     )
     assert out.count() == expected
+
+
+def test_register_views_sql_surface(spark):
+    """Raw spark.sql over the registered views — same names as the
+    oracle's DuckDB views — with pushdown reaching the parquet scan."""
+    from wally_spark.tables import register_views
+
+    register_views(spark, SF_SMALL)
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT l_orderkey) AS o FROM lineitem"
+    ).collect()[0]
+    li = load_tables(spark, SF_SMALL)["lineitem"]
+    assert got["n"] == li.count()
+    assert got["o"] == li.select("l_orderkey").distinct().count()
+    df = spark.sql("SELECT l_orderkey FROM lineitem WHERE l_quantity > 49")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [" in plan
+    assert "l_quantity" in plan.split("PushedFilters")[1][:200]

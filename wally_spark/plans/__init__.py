@@ -21,12 +21,9 @@ from wally_spark.plans import embeddings  # noqa: F401,E402
 from wally_spark.plans import sampling  # noqa: F401,E402
 from wally_spark.plans import curation  # noqa: F401,E402
 
-# NOTE: keep newest modules LAST. Non-driver-green queries sort to the
-# front of the 50-row driver window in module registration order, and
-# the 50 entries registered before this line exactly fill the r3
-# window — registering new queries after them parks the new ones at
-# positions 51+ (they rotate into the window once earlier ones go
-# green) instead of displacing queries that have never been checked.
+# Window placement is handled by the _DRIVER_GREEN/_NO_ORACLE reorder
+# below (module order only breaks ties within each block), so new
+# modules may register anywhere; newest-last keeps diffs tidy.
 from wally_spark.plans import quality  # noqa: F401,E402
 from wally_spark.plans import analytics_ext  # noqa: F401,E402
 

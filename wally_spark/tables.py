@@ -82,6 +82,19 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return _CACHE[key]
 
 
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple = TABLES
+) -> None:
+    """Expose the corpus as temp views so users can query with raw
+    ``spark.sql`` — the Spark-side mirror of the DuckDB views the
+    correctness oracle runs against (same names, same nanos-timestamp
+    handling). Views wrap the lazy reader output, so pushdown and
+    pruning still reach the scans."""
+    t = load_tables(spark, sf_dir)
+    for name in tables:
+        t[name].createOrReplaceTempView(name)
+
+
 def dataset_tag(spark: SparkSession, sf_dir: str, tables: tuple = TABLES) -> str:
     """8-hex tag folding sf_dir AND a cheap data fingerprint (per-file
     length + mtime via the Hadoop FileSystem API, so object-store paths
