@@ -261,3 +261,89 @@ def sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_hits") > 0)
         .select("doc_id", "n_chars", "n_hits")
     )
+
+
+TAU = 0.7  # temperature exponent for mix rebalancing
+KEEP_TOTAL = 200  # target kept docs across all languages
+
+
+@register(
+    "sample_temperature",
+    oracle=f"""
+WITH mass AS (
+  SELECT lang, sum(n_chars)::BIGINT AS total_chars, count(*)::BIGINT AS n_docs
+  FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT sum(pow(total_chars, {TAU})) AS z FROM mass
+),
+quota AS (
+  SELECT lang, total_chars, n_docs,
+         floor({KEEP_TOTAL} * pow(total_chars, {TAU}) / z)::BIGINT AS quota
+  FROM mass, tot
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+  FROM documents
+)
+SELECT q.lang, q.total_chars, q.quota,
+       count(r.doc_id)::BIGINT AS n_kept
+FROM quota q LEFT JOIN ranked r ON r.lang = q.lang AND r.rn <= q.quota
+GROUP BY q.lang, q.total_chars, q.quota
+""",
+    tags=("sampling", "curation", "mix"),
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing — the multilingual-mix
+    resampling step (share^TAU renormalization flattens dominant
+    languages; TAU=1 keeps natural proportions, TAU→0 approaches
+    uniform). Per-language char mass → temperature weights → integer
+    doc quotas → deterministic hash-order selection, reporting the
+    per-language (mass, quota, kept) mix table.
+
+    Float discipline: the only float step is pow/division inside ONE
+    floor to an integer quota; selection and counts are exact integer
+    arithmetic after that. Scale shape: the mix table is n_langs rows
+    (broadcast 1-row normalizer, allow-listed); the selection window
+    uses the same two-phase hot-cell pre-prune as lang_source_quota —
+    phase 1 bounds every (partition, lang) slice to the KEEP_TOTAL
+    ceiling, so no task ever sorts a whole language."""
+    docs = _docs(spark, sf_dir)
+    mass = docs.groupBy("lang").agg(
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    tot = mass.agg(F.sum(F.pow("total_chars", F.lit(TAU))).alias("z"))
+    quota = mass.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "total_chars",
+        F.floor(KEEP_TOTAL * F.pow("total_chars", F.lit(TAU)) / F.col("z"))
+        .cast("bigint")
+        .alias("quota"),
+    )
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w1 = Window.partitionBy("__pid", "lang").orderBy(h, "doc_id")
+    pre = (
+        docs.select("doc_id", "lang", F.spark_partition_id().alias("__pid"))
+        .withColumn("__rn1", F.row_number().over(w1))
+        .where(F.col("__rn1") <= KEEP_TOTAL)
+        .drop("__pid", "__rn1")
+    )
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    ranked = pre.withColumn("rn", F.row_number().over(w))
+    kept = ranked.join(F.broadcast(quota), "lang").where(
+        F.col("rn") <= F.col("quota")
+    )
+    return (
+        quota.join(
+            kept.groupBy("lang").agg(F.count(F.lit(1)).alias("k")), "lang", "left"
+        )
+        .select(
+            "lang",
+            "total_chars",
+            "quota",
+            F.coalesce("k", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )
