@@ -88,10 +88,45 @@ def test_parse_image_header_formats():
     assert parse_image_header(_bmp(1024, 768)) == ("bmp", 1024, 768)
     # bottom-up BMPs store negative height; magnitude is the dimension
     assert parse_image_header(_bmp(64, -32)) == ("bmp", 64, 32)
+    assert parse_image_header(_bmp(-64, 32)) == ("bmp", 64, 32)
     assert parse_image_header(_gif(320, 200)) == ("gif", 320, 200)
     assert parse_image_header(_jpeg(1920, 1080)) == ("jpeg", 1920, 1080)
     assert parse_image_header(b"\x00garbage") == ("unknown", None, None)
     assert parse_image_header(b"") == ("unknown", None, None)
+
+
+def test_parse_jpeg_fill_bytes():
+    """Spec-legal 0xFF padding before a marker must not desync the
+    segment walk (it used to read the fill byte as the marker and the
+    marker bytes as a length)."""
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + bytes(14)
+    sof0 = (
+        b"\xff\xc0"
+        + (17).to_bytes(2, "big")
+        + b"\x08"
+        + (1080).to_bytes(2, "big")
+        + (1920).to_bytes(2, "big")
+        + bytes(10)
+    )
+    padded = b"\xff\xd8" + app0 + b"\xff\xff\xff" + sof0
+    assert parse_image_header(padded) == ("jpeg", 1920, 1080)
+    # zero-length segment must terminate the walk, not loop
+    assert parse_image_header(
+        b"\xff\xd8" + b"\xff\xe0\x00\x00" + bytes(8)
+    ) == ("unknown", None, None)
+
+
+def test_decode_image_header_meta_null_payload(spark):
+    """A NULL binary payload degrades to ('unknown', NULL, NULL, 0)
+    instead of killing the task (r5 ADVICE)."""
+    df = spark.createDataFrame(
+        [(1, _png(8, 9)), (2, None)], "doc_id bigint, payload binary"
+    )
+    out = {r["doc_id"]: r for r in decode_image_header_meta(df).collect()}
+    assert (out[1]["fmt"], out[1]["width"]) == ("png", 8)
+    assert out[2]["fmt"] == "unknown"
+    assert out[2]["width"] is None and out[2]["height"] is None
+    assert out[2]["n_bytes"] == 0
 
 
 def test_decode_image_header_meta(spark):

@@ -23,6 +23,21 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
+def _free_blocks(*dfs: DataFrame) -> None:
+    """Drop the executor-storage blocks pinning a (local)checkpointed
+    DataFrame. Local checkpoints truncate lineage, so the blocks are
+    the only copy — call this only once NO future job will read the
+    frame. Best-effort: the analyzed plan of a checkpointed Dataset is
+    a LogicalRDD whose backing RDD holds the blocks; if the py4j walk
+    ever changes shape, the ContextCleaner still frees blocks on GC,
+    just later."""
+    for df in dfs:
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
@@ -53,6 +68,7 @@ def connected_components(
     # symmetrizing union — otherwise both union branches recompute it
     e0 = ckpt(edges.select(F.col(src).alias("es"), F.col(dst).alias("ed")))
     sym = ckpt(e0.union(e0.select(F.col("ed"), F.col("es"))))
+    _free_blocks(e0)  # sym is materialized; the pre-union copy is dead
     # propagate ONLY over vertices that appear in an edge — in a dedup
     # graph that's a tiny fraction of the corpus, so the per-round
     # joins touch |edges| rows, not |corpus|; isolated vertices join
@@ -71,8 +87,9 @@ def connected_components(
             .groupBy("ed")
             .agg(F.min("comp").alias("nbr_min"))
         )
+        old_labels = labels
         labels = ckpt(
-            labels.join(nbr_min, labels["id"] == nbr_min["ed"], "left")
+            old_labels.join(nbr_min, old_labels["id"] == nbr_min["ed"], "left")
             .select(
                 "id",
                 F.least(
@@ -81,6 +98,9 @@ def connected_components(
             )
         )
         cur = labels.agg(F.sum("comp")).collect()[0][0]
+        # the new round's labels are materialized — release the prior
+        # round's blocks instead of pinning O(rounds × V) storage
+        _free_blocks(old_labels)
         if cur == prev:
             converged = True
             break
@@ -154,6 +174,7 @@ def connected_components_star(
         )
     )
     cur = ckpt(e0.union(e0.select(F.col("v"), F.col("u"))).distinct())
+    _free_blocks(e0)
     prev = probe(cur)
     converged = False
     for _ in range(max_iters):
@@ -181,8 +202,13 @@ def connected_components_star(
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
+        old_cur = cur
         cur = ckpt(small.union(small.select(F.col("v"), F.col("u"))))
         now = probe(cur)
+        # this round's edges are materialized: the previous round's
+        # edge set and the intra-round lsym intermediate are dead —
+        # release them instead of pinning O(rounds × E) blocks
+        _free_blocks(old_cur, lsym)
         if now == prev:
             converged = True
             break

@@ -39,9 +39,11 @@ def parse_image_header(b: bytes) -> tuple[str, int | None, int | None]:
             int.from_bytes(b[20:24], "big"),
         )
     if len(b) >= 26 and b[:2] == b"BM":
+        # width/height are signed; negative height means top-down rows,
+        # so both are normalized with abs()
         return (
             "bmp",
-            int.from_bytes(b[18:22], "little", signed=True),
+            abs(int.from_bytes(b[18:22], "little", signed=True)),
             abs(int.from_bytes(b[22:26], "little", signed=True)),
         )
     if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
@@ -53,6 +55,9 @@ def parse_image_header(b: bytes) -> tuple[str, int | None, int | None]:
     if len(b) >= 4 and b[:2] == b"\xff\xd8":
         i = 2
         while i + 9 < len(b) and b[i] == 0xFF:
+            # spec-legal 0xFF fill bytes may pad before the marker byte
+            while i + 9 < len(b) and b[i + 1] == 0xFF:
+                i += 1
             marker, seglen = b[i + 1], int.from_bytes(b[i + 2 : i + 4], "big")
             if marker in _JPEG_SOF:
                 return (
@@ -60,6 +65,8 @@ def parse_image_header(b: bytes) -> tuple[str, int | None, int | None]:
                     int.from_bytes(b[i + 7 : i + 9], "big"),
                     int.from_bytes(b[i + 5 : i + 7], "big"),
                 )
+            if seglen < 2:
+                break
             i += 2 + seglen
     return ("unknown", None, None)
 
@@ -74,14 +81,17 @@ def decode_image_header_meta(
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            parsed = [parse_image_header(bytes(b)) for b in pdf[payload_col]]
+            # NULL payloads must degrade to ('unknown', None, None), not
+            # kill the task
+            raws = [bytes(b) if b is not None else b"" for b in pdf[payload_col]]
+            parsed = [parse_image_header(b) for b in raws]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "fmt": [f for f, _, _ in parsed],
                     "width": pd.array([w for _, w, _ in parsed], dtype="Int32"),
                     "height": pd.array([h for _, _, h in parsed], dtype="Int32"),
-                    "n_bytes": [len(b) for b in pdf[payload_col]],
+                    "n_bytes": [len(b) for b in raws],
                 }
             )
 

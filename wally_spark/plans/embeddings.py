@@ -27,6 +27,12 @@ from wally_spark.tables import load_tables
 
 K = 8
 ITERS = 4
+# power-of-two lattice scale: quantization (v*GRID is exact in float64
+# for float32 v) and the final sqrt(int)/GRID are both exact, so the
+# Spark run and the DuckDB oracle agree bit-for-bit BY CONSTRUCTION,
+# not empirically (r5 ADVICE: the float oracle's equality at argmin
+# near-ties depended on accumulation order)
+GRID = 1 << 20
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,16 +73,25 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_oracle() -> str:
-    """DuckDB replication of lloyd_kmeans, rounds unrolled as CTE
-    chains (the ann_ivf technique, plans/similarity.py:_ivf_oracle):
-    init = the K lowest vec_ids, each round = argmin assignment (ties
-    to the lowest cluster, matching numpy argmin) then per-(cluster,
-    position) mean with empty-cluster carry-forward; after ITERS
+    """DuckDB replication of lloyd_kmeans(grid=GRID), rounds unrolled
+    as CTE chains (the ann_ivf technique, plans/similarity.py:
+    _ivf_oracle): init = the K lowest vec_ids, each round = argmin
+    assignment (ties to the lowest cluster, matching numpy argmin)
+    then a per-(cluster, position) centroid update; after ITERS
     updates one final assignment emits (vec_id, cluster, dist_bp).
-    All float64 over the float32-exact parquet values."""
+
+    Every intermediate is an EXACT int64 on the GRID lattice —
+    quantization floor(x*GRID + 0.5) is exact (power-of-two GRID over
+    float32 x), distances are integer sums, centroid means are floor
+    divisions via the nonnegative-remainder identity (s - ((s % n) +
+    n) % n is exactly divisible, so the engine's division semantics
+    cannot matter). The only rounding anywhere is the final correctly-
+    rounded sqrt of an exact integer, identical on any IEEE engine —
+    agreement with Spark is by construction, not empirical."""
     cte = f"""
 WITH comps AS (
-  SELECT vec_id, u.i - 1 AS j, u.x::DOUBLE AS x
+  SELECT vec_id, u.i - 1 AS j,
+         CAST(floor(u.x::DOUBLE * {GRID}.0 + 0.5) AS BIGINT) AS x
   FROM (SELECT vec_id, unnest(list_transform(embedding, (x, i) -> {{'x': x, 'i': i}})) AS u
         FROM embeddings)
 ),
@@ -103,7 +118,9 @@ a{r} AS (
     FROM d{r}) WHERE rk = 1
 ),
 m{r} AS (
-  SELECT a.cluster, c.j AS p, avg(c.x) AS m
+  SELECT a.cluster, c.j AS p,
+         CAST((sum(c.x) - ((sum(c.x) % count(*)) + count(*)) % count(*))
+              / count(*) AS BIGINT) AS m
   FROM a{r} a JOIN comps c USING (vec_id)
   GROUP BY a.cluster, c.j
 ),
@@ -119,7 +136,7 @@ dfin AS (
   GROUP BY c.vec_id, k.cluster
 )
 SELECT vec_id, cluster,
-       floor(10000.0 * sqrt(greatest(d2, 0)))::BIGINT AS dist_bp
+       floor(10000.0 * (sqrt(d2) / {GRID}.0))::BIGINT AS dist_bp
 FROM (
   SELECT vec_id, cluster, d2,
          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
@@ -139,13 +156,15 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver loop over distributed passes — assignment never shuffles
     (numpy matmul per Arrow batch against broadcast centroids);
     centroid update is one (cluster, pos) aggregate per round.
-    FULL oracle since r5: the fixed deterministic rounds unroll as SQL
-    CTEs exactly like ann_ivf's quantizer; pytest additionally gates
-    determinism, full cluster coverage, and exact agreement with a
-    single-process numpy reference."""
+    Runs on the GRID integer lattice (r6): every cross-partition
+    reduction is an exact int64 sum, so the answer is independent of
+    partitioning/AQE/BLAS and the unrolled-CTE oracle is hash-exact by
+    construction. pytest additionally gates determinism, full cluster
+    coverage, and exact agreement with a single-process integer-grid
+    numpy reference."""
     from wally_spark.operators.kmeans import lloyd_kmeans
 
-    out = lloyd_kmeans(_emb(spark, sf_dir), k=K, iters=ITERS)
+    out = lloyd_kmeans(_emb(spark, sf_dir), k=K, iters=ITERS, grid=GRID)
     return out.select(
         "vec_id",
         "cluster",
