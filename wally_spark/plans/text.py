@@ -30,6 +30,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir)["documents"]
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Redistribute a scan across the cluster ONLY when it yields
+    fewer partitions than cores — the local small-file case, where a
+    downstream high-cardinality explode would otherwise run on one
+    task. At scale the scan already has ≥ cores partitions and this is
+    a no-op (no shuffle added); when it does fire, the shuffle carries
+    the cheap pre-explode rows, never the exploded stream."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism, "doc_id")
+    return df
+
+
 def _sql_list(words) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
@@ -315,9 +328,10 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bound emits one short 'trigram' while DuckDB's range emits none.
     # Trigrams via codegen explode + substring(col, col) rather than a
     # transform/array_distinct HOF pair (interpreted per character —
-    # ~7 s of the round-1 9 s at sf0.1); the dropDuplicates shuffle is
-    # narrow (doc_id, tg) rows, and the learning-side one covers only
-    # the sampled quarter.
+    # ~7 s of the round-1 9 s at sf0.1). Emits RAW occurrences; each
+    # caller decides where dedup happens (learning: per-doc
+    # dropDuplicates over the sampled quarter; scoring: map-side
+    # distinct-count after the broadcast profile join).
     def trigrams(d: DataFrame, *extra: str) -> DataFrame:
         return (
             d.where(F.length("text") >= 3)
@@ -333,7 +347,6 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *extra,
                 F.substring("lt", F.col("i"), F.lit(3)).alias("tg"),
             )
-            .dropDuplicates(["doc_id", "tg"])
         )
 
     sampled = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
@@ -341,18 +354,29 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wlang = Window.partitionBy("lang").orderBy(F.desc("c"), "tg")
     profiles = (
-        trigrams(docs.where(sampled), "lang")
+        # profile counts are DOC frequencies, so the learning side still
+        # dedups per doc — but that shuffle covers only the sampled
+        # quarter's trigrams
+        trigrams(_fan_out(docs.where(sampled)), "lang")
+        .dropDuplicates(["doc_id", "tg"])
         .groupBy("lang", "tg")
         .agg(F.count(F.lit(1)).alias("c"))
         .withColumn("rk", F.row_number().over(wlang))
         .where(F.col("rk") <= 20)
         .select(F.col("lang").alias("cand"), "tg")
     )
+    # scoring side: NO corpus-wide dedup shuffle (r5's bill carried
+    # ~|text| rows). Raw trigram occurrences join the broadcast
+    # profiles first — discarding every non-profile trigram in-task —
+    # then DISTINCT matched trigrams are counted per (doc, lang): the
+    # distinct-aggregate's map-side partial dedup collapses each doc
+    # inside its scan partition, so the only scoring shuffle carries
+    # ≤ 20 × n_langs rows per doc.
     scores = (
-        trigrams(docs)
+        trigrams(_fan_out(docs))
         .join(F.broadcast(profiles), "tg")
         .groupBy("doc_id", "cand")
-        .agg(F.count(F.lit(1)).alias("overlap"))
+        .agg(F.count_distinct("tg").alias("overlap"))
     )
     wdoc = Window.partitionBy("doc_id").orderBy(F.desc("overlap"), "cand")
     return (
