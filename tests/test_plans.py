@@ -227,27 +227,39 @@ def test_lang_source_quota_two_phase(spark):
 def test_driver_window_covers_unchecked_queries():
     """The correctness driver checks the FIRST 50 registry entries.
 
-    Every query that can still earn a driver-green row (has an oracle,
-    no green row yet) must sit inside that window — no escape hatch: if
-    the never-checked set outgrows the window, that's a rotation bug to
-    fix, not a state to tolerate (VERDICT r4 "Next round #1").
+    Every query that needs a (re-)check — never driver-green, OR
+    changed this round so its green row describes a stale plan — must
+    sit inside that window; no escape hatch: if that set outgrows the
+    window, that's a rotation bug to fix, not a state to tolerate
+    (VERDICT r4 "Next round #1", r5 "What's missing #2").
     No-oracle queries can never go green; they must sort last so they
     never burn a window slot.
     """
-    from wally_spark.plans import REGISTRY, _DRIVER_GREEN, _NO_ORACLE
+    from wally_spark.plans import (
+        REGISTRY,
+        _CHANGED_THIS_ROUND,
+        _DRIVER_GREEN,
+        _NO_ORACLE,
+    )
 
     names = list(REGISTRY)
     window = set(names[:50])
-    not_yet_green = [
-        n for n in names if n not in _DRIVER_GREEN and n not in _NO_ORACLE
+    needs_check = [
+        n
+        for n in names
+        if (n not in _DRIVER_GREEN or n in _CHANGED_THIS_ROUND)
+        and n not in _NO_ORACLE
     ]
-    assert len(not_yet_green) <= 50, (
-        f"{len(not_yet_green)} never-checked queries exceed the 50-row "
-        f"driver window; greens must be promoted into _DRIVER_GREEN"
+    assert len(needs_check) <= 50, (
+        f"{len(needs_check)} queries needing a driver check exceed the "
+        f"50-row window; stale greens must be promoted into _DRIVER_GREEN"
     )
-    missing = set(not_yet_green) - window
-    assert not missing, f"never-driver-checked queries outside window: {missing}"
-    # The front block is exactly the not-yet-green set, in order.
-    assert names[: len(not_yet_green)] == not_yet_green
+    missing = set(needs_check) - window
+    assert not missing, f"check-needing queries outside window: {missing}"
+    # The front block is exactly the needs-check set, in order.
+    assert names[: len(needs_check)] == needs_check
+    # Every name in _CHANGED_THIS_ROUND is a real registered query
+    # (typos would silently front nothing).
+    assert _CHANGED_THIS_ROUND <= set(names)
     # No-oracle queries are parked at the very end.
     assert names[-len(_NO_ORACLE):] == [n for n in names if n in _NO_ORACLE]

@@ -269,3 +269,26 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     }
     assert base == reliable
     assert any(files for _, _, files in os.walk(ckdir)), "no checkpoint files written"
+
+
+def test_pin_honors_session_checkpoint_conf(spark, tmp_path):
+    """pin() (the shared lineage-pinning helper every multi-consumer
+    plan uses) upgrades from localCheckpoint to RELIABLE checkpoints
+    when spark.wally.checkpointDir is set — results identical, files
+    in the configured directory."""
+    import os
+
+    from wally_spark.operators.checkpoint import pin
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    local_rows = sorted(tuple(r) for r in pin(df).collect())
+    ckdir = str(tmp_path / "pin_ckpt")
+    spark.conf.set("spark.wally.checkpointDir", ckdir)
+    try:
+        reliable = pin(df)
+        assert sorted(tuple(r) for r in reliable.collect()) == local_rows
+        assert any(files for _, _, files in os.walk(ckdir)), (
+            "no checkpoint files written"
+        )
+    finally:
+        spark.conf.unset("spark.wally.checkpointDir")

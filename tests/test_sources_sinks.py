@@ -354,6 +354,33 @@ def test_kafka_connector_contract():
     }
 
 
+@pytest.mark.skipif(
+    not os.environ.get("WALLY_KAFKA_BOOTSTRAP"),
+    reason="set WALLY_KAFKA_BOOTSTRAP=host:port (broker + kafka connector "
+    "jar required) to run the live Kafka round-trip",
+)
+def test_kafka_roundtrip_e2e(spark):
+    """Live round-trip against a real broker: KafkaSink.write_batch →
+    KafkaSourceConfig.read_batch on a fresh topic, values intact. The
+    golden-config contract tests above pin the option-building in
+    broker-less environments; this upgrades coverage for free wherever
+    a broker exists."""
+    from wally_spark.sinks import KafkaSink
+
+    brokers = os.environ["WALLY_KAFKA_BOOTSTRAP"]
+    topic = f"wally_e2e_{uuid.uuid4().hex[:8]}"
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, s string"
+    )
+    KafkaSink(topic=topic, brokers=brokers).write_batch(df)
+    out = KafkaSourceConfig("k", topic=topic, brokers=brokers).read_batch(spark)
+    got = sorted(
+        (json.loads(r["value"])["id"], json.loads(r["value"])["s"])
+        for r in out.collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
 def test_kafka_sink_value_encoding(spark):
     """Kafka messages carry one JSON `value` column (string) — the
     shape format('kafka') requires."""

@@ -22,20 +22,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-
-def _free_blocks(*dfs: DataFrame) -> None:
-    """Drop the executor-storage blocks pinning a (local)checkpointed
-    DataFrame. Local checkpoints truncate lineage, so the blocks are
-    the only copy — call this only once NO future job will read the
-    frame. Best-effort: the analyzed plan of a checkpointed Dataset is
-    a LogicalRDD whose backing RDD holds the blocks; if the py4j walk
-    ever changes shape, the ContextCleaner still frees blocks on GC,
-    just later."""
-    for df in dfs:
-        try:
-            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            pass
+from wally_spark.operators.checkpoint import free_blocks as _free_blocks
+from wally_spark.operators.checkpoint import pin as _pin
 
 
 def connected_components(
@@ -58,11 +46,8 @@ def connected_components(
     object store): on a real cluster a lost executor then costs a
     re-read of the last checkpoint instead of restarting the whole
     propagation."""
-    if checkpoint_dir is not None:
-        vertices.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-
     def ckpt(df: DataFrame) -> DataFrame:
-        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+        return _pin(df, checkpoint_dir)
 
     # checkpoint the (possibly expensive) edge plan BEFORE the
     # symmetrizing union — otherwise both union branches recompute it
@@ -152,11 +137,8 @@ def connected_components_star(
     probe (edge count + order-independent hash sum; equality of both
     across a round means the edge set reached the star fixpoint).
     """
-    if checkpoint_dir is not None:
-        vertices.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-
     def ckpt(df: DataFrame) -> DataFrame:
-        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+        return _pin(df, checkpoint_dir)
 
     def probe(e: DataFrame):
         row = e.agg(

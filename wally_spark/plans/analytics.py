@@ -380,6 +380,81 @@ def approx_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "distinct_users_exact",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       count(DISTINCT date_trunc('day', ts)) AS n_days
+FROM events GROUP BY event_type
+""",
+    tags=("sketch", "exact-twin", "events"),
+)
+def distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact companion lane for approx_distinct_users: the same
+    distinct-users-per-type answer computed exactly, with a full
+    DuckDB oracle — so the sketch op's SHAPE has a driver-green
+    cousin and the registry's only permanent no_oracle rows are
+    demonstrably intentional (DuckDB cannot replicate Datasketches
+    HLL bit-for-bit). The distinct aggregate partially dedups
+    map-side; at 100 TB this is the rescan-the-raw-table path the
+    HLL sketch rollup exists to avoid — keep BOTH: sketches for
+    incremental rollups, this for audit-grade reconciliation."""
+    ev = _t(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count_distinct(F.date_trunc("day", "ts")).alias("n_days"),
+    )
+
+
+@register(
+    "quantiles_exact_check",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       max(CASE WHEN rn = ceil(0.5 * n) THEN value END) AS p50_exact,
+       max(CASE WHEN rn = ceil(0.95 * n) THEN value END) AS p95_exact,
+       max(n)::BIGINT AS n
+FROM ranked GROUP BY event_type
+""",
+    tags=("sketch", "exact-twin", "quantile", "events"),
+)
+def quantiles_exact_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact companion lane for approx_quantiles_by_type: nearest-rank
+    percentiles (value at row ceil(p·n) of the per-type sort) — rank
+    selection involves NO interpolation arithmetic, so both engines
+    return the identical stored double and the oracle is hash-exact by
+    construction (interpolated quantiles differ at the ulp between
+    engines). The per-type sort is the cost the t-digest sketch avoids
+    at 100 TB; this lane is the audit-grade reconciliation check,
+    bounded-per-group by definition of the grouping."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir)["events"]
+    wo = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select("event_type", "value").select(
+        "event_type",
+        "value",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.ceil(0.5 * F.col("n")), F.col("value"))).alias(
+            "p50_exact"
+        ),
+        F.max(F.when(F.col("rn") == F.ceil(0.95 * F.col("n")), F.col("value"))).alias(
+            "p95_exact"
+        ),
+        F.max("n").cast("bigint").alias("n"),
+    )
+
+
+@register(
     "hypertable_rollup",
     oracle="""
 SELECT CASE WHEN GROUPING(hour_b) = 0 THEN 'hour' ELSE 'day' END AS grain,

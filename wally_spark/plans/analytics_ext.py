@@ -9,6 +9,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from wally_spark.operators.checkpoint import pin
 from wally_spark.plans.registry import register
 from wally_spark.tables import load_tables
 
@@ -96,11 +97,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .where(F.col("c") >= EDGE_SUPPORT)
         .select("pa", "pb")
-        # the support-pruned edge set is referenced 4× (e1/e2/e3 +
-        # n_edges); materialize once instead of recomputing the
-        # distinct + basket self-join per reference
-        .localCheckpoint()
     )
+    # the support-pruned edge set is referenced 4× (e1/e2/e3 +
+    # n_edges); materialize once instead of recomputing the distinct +
+    # basket self-join per reference. pin() upgrades to a RELIABLE
+    # checkpoint when spark.wally.checkpointDir / WALLY_CHECKPOINT_DIR
+    # is set — at 100 TB an executor-pinned copy dies with its executor
+    edges = pin(edges)
     wedges = salted_join(
         edges.select(F.col("pa").alias("w_pa"), F.col("pb").alias("k")),
         edges.select(F.col("pa").alias("k"), F.col("pb").alias("w_pb")),

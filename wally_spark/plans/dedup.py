@@ -25,6 +25,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from wally_spark.operators.checkpoint import pin
 from wally_spark.plans.registry import register
 from wally_spark.tables import load_tables
 
@@ -433,9 +434,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles on the bucket key only; hamming is one codegen'd
     bit_count(xor) per candidate. Empirically the corpus separates at
     sf0.01: near-dups sit at hamming 0-7, the random hump at 8+."""
-    # executor-side materialization: the self-join would otherwise run
-    # the whole fingerprint computation once per side
-    d = dedup_simhash(spark, sf_dir).localCheckpoint()
+    # materialize once: the self-join would otherwise run the whole
+    # fingerprint computation once per side; pin() upgrades to a
+    # reliable checkpoint when a checkpoint dir is configured
+    d = pin(dedup_simhash(spark, sf_dir))
     a, b = d.alias("a"), d.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -626,8 +628,9 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     # materialize the signature pass ONCE: a self-join recomputes each
     # branch's plan (exchange reuse is unreliable under AQE), which
-    # would sign the corpus twice and double the Arrow traffic
-    banded = _banded(emb, "vec_id", "e").drop("e").localCheckpoint()
+    # would sign the corpus twice and double the Arrow traffic; pin()
+    # upgrades to a reliable checkpoint when a checkpoint dir is set
+    banded = pin(_banded(emb, "vec_id", "e").drop("e"))
     a = banded.select(F.col("vec_id").alias("vec_a"), "band_id", "band_sig")
     b = banded.select(F.col("vec_id").alias("vec_b"), "band_id", "band_sig")
     pairs = (

@@ -12,6 +12,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from wally_spark.operators.checkpoint import pin
 from wally_spark.plans.registry import register
 from wally_spark.tables import load_tables
 
@@ -507,10 +508,10 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coarse quantizer: one deterministic k-means over the corpus; the
     # assignment is checkpointed executor-side because both the corpus
     # side and the centroid derivation read it
-    cells = (
-        lloyd_kmeans(emb, k=N_CELLS, iters=IVF_ITERS)
-        .select("vec_id", F.col("cluster").alias("cell"))
-        .localCheckpoint()
+    cells = pin(
+        lloyd_kmeans(emb, k=N_CELLS, iters=IVF_ITERS).select(
+            "vec_id", F.col("cluster").alias("cell")
+        )
     )
     corpus = emb.join(cells, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"),

@@ -187,6 +187,27 @@ class KafkaSourceConfig(SourceConfig):
             )
         return out
 
+    def read_batch(self, spark):
+        """Bounded read of the topic (spark.read.format('kafka')) —
+        batch queries reject startingOffsets=latest, so 'latest' falls
+        back to earliest here. Same projection/decoder contract as
+        read_stream."""
+        df = spark.read.format("kafka")
+        for k, v in self.reader_options().items():
+            if k == "startingOffsets" and v == "latest":
+                v = "earliest"
+            df = df.option(k, v)
+        out = df.load().select(
+            F.col("key").cast("string"),
+            F.col("value").cast("string"),
+            "timestamp",
+        )
+        if self.decoder:
+            out = out.select(
+                *[expr.alias(c) for c, expr in self.decoder.items()]
+            )
+        return out
+
 
 @dataclass
 class DataFrameSource(SourceConfig):
