@@ -94,3 +94,59 @@ def test_metrics_per_operator(spark, tmp_path):
         assert agg_m["rows_updated"] >= 2  # a and b state rows touched
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_metrics_hub_http():
+    """MetricsHub serves the listener's rollups over HTTP — the
+    engine-side counterpart of the reference monitoring hub
+    (monitoring_hub/apps/metrics_reporter). Pure driver-local: no
+    stream needed, fabricated batch history exercises every route."""
+    import urllib.request
+
+    from wally_spark.streaming.hub import MetricsHub
+    from wally_spark.streaming.metrics import BatchMetric
+
+    listener = MetricsListener()
+    listener.history.extend(
+        [
+            BatchMetric(
+                query_name="celsius", batch_id=i, num_input_rows=100 + i,
+                input_rows_per_second=50.0, process_rows_per_second=60.0,
+                batch_duration_ms=200, watermark=None,
+                state_operators=[{
+                    "operator": "stateStoreSave", "rows_total": 10 + i,
+                    "rows_updated": 5, "rows_removed": 0,
+                    "memory_bytes": 4096,
+                }],
+                sources=[{"description": "FileSource", "rows": 100 + i,
+                          "rows_per_sec": 50.0}],
+            )
+            for i in range(3)
+        ]
+    )
+
+    def get(hub, route):
+        with urllib.request.urlopen(hub.url + route, timeout=10) as r:
+            assert r.headers["Content-Type"] == "application/json"
+            return json.loads(r.read())
+
+    with MetricsHub(listener) as hub:
+        index = get(hub, "/")
+        assert index["queries"] == ["celsius"]
+        assert index["totals"]["rows"] == 303
+        totals = get(hub, "/totals")
+        assert totals == listener.totals()
+        assert totals["batches"] == 3 and totals["wall_ms"] == 600
+        ops = get(hub, "/operators")
+        assert ops["stateStoreSave"]["rows_updated"] == 15
+        assert ops["stateStoreSave"]["rows_total"] == 12  # last batch
+        hist = get(hub, "/history?limit=2")
+        assert [m["batch_id"] for m in hist] == [1, 2]
+        # unknown route -> JSON 404, server stays up
+        import urllib.error
+        try:
+            get(hub, "/nope")
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        assert get(hub, "/totals")["batches"] == 3

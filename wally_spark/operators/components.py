@@ -72,6 +72,12 @@ def connected_components(
             .groupBy("ed")
             .agg(F.min("comp").alias("nbr_min"))
         )
+        # (measured, r6: adding a pointer-jumping join here — adopt
+        # comp[comp[v]] as well — did NOT cut rounds on near-clique
+        # dup graphs (diameter ≤3) and cost ~0.4 s/query in the extra
+        # per-round join; deep/chain graphs should use
+        # connected_components_star below, which contracts in
+        # O(log² n) rounds.)
         old_labels = labels
         labels = ckpt(
             old_labels.join(nbr_min, old_labels["id"] == nbr_min["ed"], "left")

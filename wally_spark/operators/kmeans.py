@@ -57,6 +57,17 @@ def lloyd_kmeans(
         dtype=np.float64,
     )  # (k, dim) — bounded driver state, like MLlib; init = the k
     # lowest ids regardless of the id space's base or gaps
+    if len(cents) == 0:
+        # empty-input short-circuit: a legitimately empty corpus slice
+        # (date-pruned partition, filtered language) yields an empty
+        # assignment, not a dead job. 0 < n < k stays a loud error — a
+        # misconfigured k, not an empty input.
+        out = emb.limit(0).select(
+            id_col,
+            F.lit(None).cast("long").alias("cluster"),
+            F.lit(None).cast("double").alias("dist"),
+        )
+        return (out, cents.reshape(0, 0)) if return_centroids else out
     if len(cents) < k:
         raise ValueError(f"k={k} centroids requested but only {len(cents)} vectors")
 
@@ -135,6 +146,14 @@ def _lloyd_kmeans_grid(
         [r["_vq"] for r in vq.orderBy(id_col).limit(k).collect()],
         dtype=np.int64,
     )
+    if len(cents) == 0:
+        # empty-input short-circuit (see the float path above)
+        out = vq.limit(0).select(
+            id_col,
+            F.lit(None).cast("long").alias("cluster"),
+            F.lit(None).cast("double").alias("dist"),
+        )
+        return (out, cents.reshape(0, 0)) if return_centroids else out
     if len(cents) < k:
         raise ValueError(f"k={k} centroids requested but only {len(cents)} vectors")
 

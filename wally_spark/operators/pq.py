@@ -40,6 +40,12 @@ def pq_codebooks(emb: DataFrame):
         [r["embedding"] for r in sample.orderBy("vec_id").limit(PQ_K).collect()],
         dtype=np.float64,
     )  # (PQ_K, 64) — the same k-lowest-ids init every subspace uses
+    if len(init) == 0:
+        # empty-input short-circuit: no sampled vectors (empty corpus
+        # slice) trains an all-zero codebook; downstream encode/ADC
+        # UDFs never see a row, so the result is empty rather than a
+        # dead job. 0 < n < PQ_K stays a loud error.
+        return np.zeros((PQ_SUB, PQ_K, PQ_SUBDIM))
     if len(init) < PQ_K:
         raise ValueError(f"PQ needs {PQ_K} sampled vectors, got {len(init)}")
     cbs = init.reshape(PQ_K, PQ_SUB, PQ_SUBDIM).transpose(1, 0, 2).copy()

@@ -112,6 +112,16 @@ _CHANGED_THIS_ROUND = frozenset(
         # r6: lloyd_kmeans signature change (float path behavior
         # identical, but the module changed — re-verify)
         "ann_ivf",
+        # r6: shared checkpoint pin() threaded through these plans
+        # (plans/analytics_ext.py, plans/dedup.py, plans/similarity.py)
+        "graph_triangle_count", "dedup_simhash_pairs",
+        "dedup_embedding_lsh",
+        # r6: bands pinned before the LSH self-join + plain count
+        # replaces countDistinct (plans/dedup.py) — re-verify the
+        # whole candidate-pair chain
+        "dedup_minhash", "dedup_ngram_jaccard",
+        # r6: empty-input short-circuits (operators/kmeans.py, pq.py)
+        "ann_pq",
     }
 )
 

@@ -157,8 +157,15 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(N_HASHES // BAND_ROWS)
         ]
     )
-    bands = sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", "b.band_id", "b.band_key"
+    # materialize bands ONCE before the self-join: the two join
+    # branches otherwise recompute the whole shingle+signature plan
+    # (exchange reuse is unreliable under AQE). bands is n_docs × 4
+    # short rows — far smaller than the shingle stream it derives
+    # from, so pinning it is cheap at any corpus size.
+    bands = pin(
+        sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
+            "doc_id", "b.band_id", "b.band_key"
+        )
     )
     a = bands.alias("a")
     b_ = bands.alias("b")
@@ -172,7 +179,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.countDistinct("a.band_id").alias("shared_bands"))
+        # per (pair, band_id) the equi-join emits at most one row, so a
+        # plain count equals count(DISTINCT band_id) without the
+        # distinct-aggregate expand (oracle keeps the DISTINCT spelling
+        # — same value by construction)
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
     )
 
 
