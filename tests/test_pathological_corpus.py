@@ -1,0 +1,73 @@
+"""Null/degenerate-row robustness sweep: the registry must survive a
+corpus containing NULL text, empty strings, whitespace-only docs, and
+NULL event values/props.
+
+At 100 TB these rows exist — extraction failures, encoding bugs,
+upstream schema drift. An operator that dies on ONE null row kills the
+whole partition's task (and with it the job); dropping or bucketing
+the row is fine, crashing is not. Complements test_empty_corpus.py
+(zero rows) with the other operational reality (bad rows).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMALL
+
+from wally_spark.tables import TABLES, load_tables
+
+
+@pytest.fixture(scope="session")
+def dirty_sf(spark, tmp_path_factory):
+    """sf0.001 mirror with pathological rows injected into documents
+    (NULL / empty / whitespace / single-word text) and events (NULL
+    value, NULL props). Injected ids sit above the real id range so
+    joins stay consistent."""
+    root = tmp_path_factory.mktemp("dirty_sf")
+    src = load_tables(spark, SF_SMALL)
+    for t in TABLES:
+        df = src[t]
+        if t == "documents":
+            top = df.agg(F.max("doc_id")).collect()[0][0] or 0
+            bad = spark.createDataFrame(
+                [
+                    (top + 1, None, "en", "web", 0),
+                    (top + 2, "", "en", "web", 0),
+                    (top + 3, "   ", None, "web", 3),
+                    (top + 4, "word", "en", None, 4),
+                ],
+                "doc_id long, text string, lang string, source string, n_chars int",
+            )
+            df = df.unionByName(
+                bad.select(*[F.col(c).cast(dict(df.dtypes)[c]) for c in df.columns])
+            )
+        elif t == "events":
+            top = df.agg(F.max("event_id")).collect()[0][0] or 0
+            first = df.limit(1).collect()[0]
+            bad = spark.createDataFrame(
+                [
+                    (top + 1, first["ts"], first["user_id"], "view", None, None),
+                    (top + 2, first["ts"], first["user_id"], None, 1.0, None),
+                ],
+                df.schema,
+            )
+            df = df.unionByName(bad)
+        df.write.mode("overwrite").parquet(str(root / f"{t}.parquet"))
+    return str(root)
+
+
+def test_every_query_survives_dirty_corpus(spark, dirty_sf):
+    import wally_spark.plans as plans
+
+    failures = []
+    for name, qd in plans.REGISTRY.items():
+        try:
+            qd.spark_fn(spark, dirty_sf).count()
+        except Exception as e:  # noqa: BLE001 — collecting a report
+            failures.append(f"{name}: {type(e).__name__}: {e}")
+    assert not failures, "queries crashed on dirty corpus:\n" + "\n".join(
+        failures[:20]
+    ) + (f"\n... and {len(failures) - 20} more" if len(failures) > 20 else "")

@@ -158,6 +158,8 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                if payload is None:  # bad row, not a dead task
+                    continue
                 n = len(payload) // frame_bytes
                 for i in range(0, n, every_nth):
                     ids.append(doc_id)

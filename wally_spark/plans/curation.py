@@ -435,3 +435,157 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ")) AS BIGINT)) DIV n_tokens AS BIGINT)"
         ).alias("mnat_per_token"),
     )
+
+
+# --- ExactSubstr-style duplicated-span report -------------------------------
+ANCHOR_N = 10  # duplicated-substring anchor width (words)
+
+
+@register(
+    "dedup_substring",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id, len(words) AS n_words,
+         list_transform(
+           range(1, len(words) - {ANCHOR_N} + 2),
+           i -> md5({" || ' ' || ".join(f"words[i+{k}]" for k in range(10))})
+         ) AS grams
+  FROM w WHERE len(words) >= {ANCHOR_N}
+),
+ex AS (
+  SELECT doc_id, n_words,
+         unnest(range(1, len(grams) + 1)) AS p,
+         unnest(grams) AS gram
+  FROM g
+),
+dup_grams AS (
+  SELECT gram FROM ex GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+),
+dup_pos AS (
+  SELECT e.doc_id, e.n_words, e.p,
+         CASE WHEN lag(e.p) OVER (PARTITION BY e.doc_id ORDER BY e.p)
+                   IS NULL THEN 0
+              WHEN e.p - lag(e.p) OVER (PARTITION BY e.doc_id ORDER BY e.p)
+                   <= {ANCHOR_N - 1} THEN 0
+              ELSE 1 END AS brk
+  FROM ex e JOIN dup_grams d ON d.gram = e.gram
+),
+islands AS (
+  SELECT doc_id, n_words, p,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM dup_pos
+),
+spans AS (
+  SELECT doc_id, n_words, island,
+         max(p) - min(p) + {ANCHOR_N} AS span_tokens
+  FROM islands GROUP BY doc_id, n_words, island
+),
+per_doc AS (
+  SELECT doc_id, n_words,
+         count(*) AS n_spans, sum(span_tokens) AS dup_tokens
+  FROM spans GROUP BY doc_id, n_words
+)
+SELECT g.doc_id,
+       coalesce(p.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+       (10000 * coalesce(p.dup_tokens, 0) // g.n_words)::BIGINT AS dup_bp
+FROM g LEFT JOIN per_doc p ON p.doc_id = g.doc_id
+""",
+    tags=("dedup", "curation", "text"),
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-SPAN report — the ExactSubstr dedup shape (Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): find runs of text that appear verbatim in more than one
+    document and report, per doc, how many maximal duplicated spans it
+    has and how many tokens they cover. Minhash/SimHash answer "are
+    these DOCS near-dups"; this answers "which PASSAGES are copies" —
+    the operator that catches licenses, boilerplate paragraphs, and
+    wholesale quotation that doc-level dedup keeps.
+
+    Plan (all codegen, no UDFs): slide an ANCHOR_N-word window over
+    each doc (one md5 per position); a position is duplicated when its
+    anchor gram occurs in >= 2 DISTINCT docs (two-level distinct agg,
+    map-side combined, keyed by the uniform md5 — no skew); duplicated
+    positions closer than ANCHOR_N words merge into maximal spans via
+    gaps-and-islands (lag + running sum windows, partitioned per doc —
+    the sort is bounded by doc length, never corpus-wide). Span token
+    ranges of DIFFERENT islands are disjoint by construction (gap >
+    ANCHOR_N - 1), so dup_tokens <= n_words always.
+
+    At 100 TB: one shuffle keyed on gram hash (the distinct-doc df),
+    one gram-keyed join back, one doc-keyed window — the same bill as
+    text_boilerplate plus the per-doc window, all linear in corpus
+    size. Reference basis: machida computations have no text surface;
+    this extends SURVEY §2.6 (engine extension)."""
+    docs = _docs(spark, sf_dir)
+    words = _words_col()
+    d = docs.select("doc_id", words.alias("words")).where(
+        F.size("words") >= ANCHOR_N
+    )
+    # greatest(…, 1) keeps the sequence ascending and slice/array_join
+    # tolerate short arrays: the optimizer may evaluate this projection
+    # on rows the size filter will drop (projection collapse), so the
+    # expression itself must be total. For every row that SURVIVES the
+    # filter, slice(words, i, N) is exactly N words — identical bytes
+    # to the oracle's windowed concat.
+    grams = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size("words") - (ANCHOR_N - 1), F.lit(1))
+        ),
+        lambda i: F.md5(
+            F.array_join(F.slice("words", i, ANCHOR_N), " ").cast("binary")
+        ),
+    )
+    base = d.select(
+        "doc_id", F.size("words").alias("n_words"), grams.alias("grams")
+    )
+    ex = base.select(
+        "doc_id",
+        "n_words",
+        F.posexplode("grams").alias("p0", "gram"),
+    ).select("doc_id", "n_words", (F.col("p0") + 1).alias("p"), "gram")
+    dup_grams = (
+        ex.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("dfd"))
+        .where(F.col("dfd") >= 2)
+        .select("gram")
+    )
+    wp = Window.partitionBy("doc_id").orderBy("p")
+    dup_pos = ex.join(dup_grams, "gram").withColumn(
+        "brk",
+        F.when(F.lag("p").over(wp).isNull(), F.lit(0))
+        .when(F.col("p") - F.lag("p").over(wp) <= ANCHOR_N - 1, F.lit(0))
+        .otherwise(F.lit(1)),
+    )
+    islands = dup_pos.withColumn(
+        "island",
+        F.sum("brk").over(wp.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = islands.groupBy("doc_id", "n_words", "island").agg(
+        (F.max("p") - F.min("p") + ANCHOR_N).alias("span_tokens")
+    )
+    per_doc = spans.groupBy("doc_id", "n_words").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+    )
+    return (
+        base.select("doc_id", "n_words")
+        .join(per_doc.select("doc_id", "n_spans", "dup_tokens"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            (
+                10000 * F.coalesce("dup_tokens", F.lit(0)) / F.col("n_words")
+            )
+            .cast("bigint")
+            .alias("dup_bp"),
+        )
+    )

@@ -55,12 +55,21 @@ def mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     def decode(batches):
         for pdf in batches:
             payload = pdf["payload"]
+            # NULL payloads (extraction failures) must not kill the
+            # task: emit NULL dims / 0 bytes, same contract as the
+            # header decoder (operators/multimodal.py)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "width": [(b[0] % 64) * 16 + 64 for b in payload],
-                    "height": [(b[1] % 64) * 16 + 64 for b in payload],
-                    "n_bytes": [len(b) for b in payload],
+                    "width": [
+                        None if b is None else (b[0] % 64) * 16 + 64
+                        for b in payload
+                    ],
+                    "height": [
+                        None if b is None else (b[1] % 64) * 16 + 64
+                        for b in payload
+                    ],
+                    "n_bytes": [0 if b is None else len(b) for b in payload],
                 }
             )
 

@@ -104,25 +104,26 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") >= BOILER_DF)
-        .select("shingle")
+        .select("shingle", F.lit(1).alias("is_boiler"))
     )
-    totals = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    boiler_counts = (
-        ex.join(boilers, "shingle")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_boiler"))
-    )
+    # one pass over the shingle stream computes BOTH totals and the
+    # boilerplate count: left-join the (unique-keyed) boiler set as a
+    # flag, then a single doc-keyed aggregate — count(*) is the shingle
+    # total, count(flag) skips nulls so it is exactly the inner-join
+    # match count. Two text scans total (df + this one) instead of the
+    # three the totals/membership/boiler-count split paid.
     return (
-        totals.join(boiler_counts, "doc_id", "left")
+        ex.join(boilers, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.count("is_boiler").cast("bigint").alias("n_boiler"),
+        )
         .select(
             "doc_id",
-            F.col("n_shingles").cast("bigint").alias("n_shingles"),
-            F.coalesce("n_boiler", F.lit(0)).cast("bigint").alias("n_boiler"),
-            (
-                10000
-                * F.coalesce("n_boiler", F.lit(0))
-                / F.col("n_shingles")
-            )
+            "n_shingles",
+            "n_boiler",
+            (10000 * F.col("n_boiler") / F.col("n_shingles"))
             .cast("bigint")
             .alias("boiler_bp"),
         )
