@@ -122,6 +122,8 @@ _CHANGED_THIS_ROUND = frozenset(
         "dedup_minhash", "dedup_ngram_jaccard",
         # r6: empty-input short-circuits (operators/kmeans.py, pq.py)
         "ann_pq",
+        # r6: single-pass rewrite (plans/quality.py)
+        "text_boilerplate",
     }
 )
 

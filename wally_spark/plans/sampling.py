@@ -347,3 +347,65 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("k", F.lit(0)).cast("bigint").alias("n_kept"),
         )
     )
+
+
+# --- deterministic corpus shuffle + shard manifest --------------------------
+N_SHARDS = 8
+
+
+@register(
+    "corpus_shard_manifest",
+    oracle=f"""
+WITH r AS (
+  SELECT doc_id,
+         md5('shuffle:' || doc_id) AS rank,
+         strpos('0123456789abcdef',
+                substr(md5('shuffle:' || doc_id), 1, 1)) - 1 AS nib,
+         len(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+           AS n_tokens
+  FROM documents
+)
+SELECT (nib % {N_SHARDS})::BIGINT AS shard,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS n_tokens,
+       min(rank) AS rank_min,
+       max(rank) AS rank_max
+FROM r GROUP BY 1
+""",
+    tags=("sampling", "export"),
+)
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle + balanced shard manifest —
+    the EXPORT step a training pipeline ends with: every document gets
+    a content-independent pseudorandom rank (md5 of its id), the first
+    rank nibble assigns one of N_SHARDS shards, and the manifest
+    reports per-shard doc/token totals plus the shard's rank range
+    (training readers stream each shard in rank order — a bit-stable
+    shuffle that reruns and engines reproduce exactly, unlike
+    rand()-seeded orderings that move with partitioning).
+
+    At 100 TB: one stateless projection over the scan + one shard-keyed
+    aggregate (map-side combined, {N_SHARDS} groups). The actual
+    export is `df.repartitionByRange("shard", "rank")` + a partitioned
+    parquet write — the manifest IS the verification artifact for it.
+    Uniformity: md5 nibbles are uniform, so shards balance to ±O(√n)
+    docs with no skew handling needed."""
+    docs = _docs(spark, sf_dir)
+    rank = F.md5(
+        F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")).cast("binary")
+    )
+    nib = (
+        F.instr(F.lit("0123456789abcdef"), F.substring(rank, 1, 1)) - 1
+    )
+    n_tokens = F.size(F.filter(F.split(F.lower("text"), " "), lambda w: w != ""))
+    r = docs.select(
+        (nib % N_SHARDS).cast("bigint").alias("shard"),
+        rank.alias("rank"),
+        n_tokens.alias("n_tokens"),
+    )
+    return r.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.min("rank").alias("rank_min"),
+        F.max("rank").alias("rank_max"),
+    )
