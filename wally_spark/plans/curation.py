@@ -551,10 +551,15 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words",
         F.posexplode("grams").alias("p0", "gram"),
     ).select("doc_id", "n_words", (F.col("p0") + 1).alias("p"), "gram")
+    # ">= 2 distinct docs" ⟺ min(doc_id) != max(doc_id): plain min/max
+    # partials need ONE gram-keyed exchange where countDistinct's
+    # expand needs two ((gram, doc_id) then gram) — one less corpus-
+    # sized shuffle. (The oracle keeps the count(DISTINCT) spelling;
+    # the predicates select the same gram set by construction.)
     dup_grams = (
         ex.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("dfd"))
-        .where(F.col("dfd") >= 2)
+        .agg(F.min("doc_id").alias("d_min"), F.max("doc_id").alias("d_max"))
+        .where(F.col("d_min") != F.col("d_max"))
         .select("gram")
     )
     wp = Window.partitionBy("doc_id").orderBy("p")
