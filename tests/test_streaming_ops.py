@@ -501,3 +501,57 @@ def test_neardedup_against_corpus(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(f"{out}/b*").select("doc_id").collect()
     }
     assert survivors3 == {0, 1, 12}, survivors3
+
+
+def test_mix_drift_monitor(spark, tmp_path):
+    """Streaming corpus-mix drift: running shares accumulate across
+    batches, alerts fire when a cell drifts past the threshold, and a
+    batch replay (foreachBatch is at-least-once) is idempotent."""
+    from wally_spark.streaming.ops import (
+        mix_drift_foreach_batch,
+        read_mix_alerts,
+    )
+
+    counts, alerts = f"{tmp_path}/counts", f"{tmp_path}/alerts"
+    # reference mix: half en/web, half de/books (by chars)
+    ref = {("en", "web"): 5000, ("de", "books"): 5000}
+    mon = mix_drift_foreach_batch(spark, counts, alerts, ref, drift_bp=1000)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, lang string, source string, n_chars long"
+        )
+
+    # batch 0 matches the reference -> no alerts
+    mon(batch([(1, "en", "web", 100), (2, "de", "books", 100)]), 0)
+    assert read_mix_alerts(spark, alerts).count() == 0
+
+    # batch 1 is all en/web: running mix becomes 300/400 en (7500 bp,
+    # +2500 vs ref) and 100/400 de (2500 bp, -2500) -> both cells alert
+    mon(batch([(3, "en", "web", 100), (4, "en", "web", 100)]), 1)
+    a = {
+        (r["lang"], r["source"]): (r["share_bp"], r["drift"])
+        for r in read_mix_alerts(spark, alerts).collect()
+    }
+    assert a == {
+        ("en", "web"): (7500, 2500),
+        ("de", "books"): (2500, -2500),
+    }
+
+    # replay of batch 1 (at-least-once delivery) must not double-count
+    mon(batch([(3, "en", "web", 100), (4, "en", "web", 100)]), 1)
+    a2 = {
+        (r["lang"], r["source"]): (r["share_bp"], r["drift"])
+        for r in read_mix_alerts(spark, alerts).collect()
+    }
+    assert a2 == a
+
+    # a cell ABSENT from the stream but in the reference alerts at
+    # share 0; an unexpected new cell alerts against reference 0
+    mon(batch([(5, "fr", "crawl", 1600)]), 2)
+    a3 = {
+        (r["lang"], r["source"]): r["share_bp"]
+        for r in read_mix_alerts(spark, alerts).where("batch_id = 2").collect()
+    }
+    assert a3[("fr", "crawl")] == 8000  # 1600/2000
+    assert a3[("en", "web")] == 1500 and a3[("de", "books")] == 500

@@ -656,3 +656,103 @@ def hourly_dedup_stream(df: DataFrame, watermark: str = "1 minute") -> DataFrame
             (F.col("n_events") - F.col("n_users")).cast("bigint").alias("n_dups"),
         )
     )
+
+
+def mix_drift_foreach_batch(
+    spark,
+    counts_path: str,
+    alerts_path: str,
+    ref_shares_bp: dict,
+    drift_bp: int = 500,
+):
+    """Streaming corpus-mix drift monitor — the incremental face of
+    corpus_mix_report: as documents stream in, maintain RUNNING
+    per-(lang, source) character totals and alert when any cell's
+    running share drifts more than ``drift_bp`` basis points from the
+    reference mix (``ref_shares_bp``: {(lang, source): share_bp}).
+
+    A training-data ingest team runs exactly this: the target mix is a
+    design decision (so many parts code, so many parts each language),
+    and a crawler or loader gone wrong shows up as share drift long
+    before it shows up in model metrics.
+
+    Shapes and guarantees (mirrors dedup_against_corpus_foreach_batch):
+    - per batch: ONE tiny groupBy over the arriving docs (cells are
+      few), written to ``counts_path/b<batch_id>`` with overwrite —
+      foreachBatch is at-least-once, so a replay rewrites its own
+      directory instead of double-counting;
+    - running totals re-aggregate the per-batch cell files (cells ×
+      batches rows — KBs at any corpus size; the corpus itself is
+      never rescanned);
+    - alerts for this batch land in ``alerts_path/b<batch_id>``
+      (overwrite, same idempotence) with the running share, the
+      reference share, and the signed drift. NULL lang/source are
+      first-class cells (they usually ARE the bug being caught).
+    - integer basis points end-to-end (the registry's float-free
+      convention), so replays and engines agree bit-for-bit.
+    """
+
+    ref_rows = [
+        (k[0], k[1], int(v)) for k, v in sorted(ref_shares_bp.items())
+    ]
+
+    def monitor(batch_df, batch_id):
+        b = spark.createDataFrame
+        cells = (
+            batch_df.groupBy("lang", "source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("chars"),
+            )
+        )
+        cells.write.mode("overwrite").parquet(f"{counts_path}/b{batch_id}")
+        running = (
+            spark.read.parquet(f"{counts_path}/b*")
+            .groupBy("lang", "source")
+            .agg(
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                F.sum("chars").cast("bigint").alias("chars"),
+            )
+        )
+        total = running.agg(F.sum("chars")).collect()[0][0] or 0
+        ref = b(
+            ref_rows, "lang string, source string, ref_bp long"
+        )
+        shares = running.withColumn(
+            "share_bp",
+            ((10000 * F.col("chars")) / F.lit(max(total, 1)))
+            .cast("bigint"),
+        )
+        # full outer: a cell MISSING from the stream but present in the
+        # reference is drift too (share 0), and an unexpected new cell
+        # has reference 0
+        joined = shares.join(
+            ref, ["lang", "source"], "full_outer"
+        ).select(
+            "lang",
+            "source",
+            F.coalesce("share_bp", F.lit(0)).alias("share_bp"),
+            F.coalesce("ref_bp", F.lit(0)).alias("ref_bp"),
+            (
+                F.coalesce("share_bp", F.lit(0))
+                - F.coalesce("ref_bp", F.lit(0))
+            ).alias("drift"),
+        )
+        alerts = joined.where(
+            F.abs(F.col("drift")) > drift_bp
+        ).withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+        alerts.write.mode("overwrite").parquet(f"{alerts_path}/b{batch_id}")
+
+    return monitor
+
+
+def read_mix_alerts(spark, alerts_path: str) -> DataFrame:
+    """All drift alerts recorded so far (empty DataFrame if none)."""
+    try:
+        return spark.read.parquet(f"{alerts_path}/b*")
+    except Exception:
+        return spark.createDataFrame(
+            [],
+            "lang string, source string, share_bp bigint, ref_bp bigint,"
+            " drift bigint, batch_id bigint",
+        )
