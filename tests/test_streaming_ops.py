@@ -555,3 +555,59 @@ def test_mix_drift_monitor(spark, tmp_path):
     }
     assert a3[("fr", "crawl")] == 8000  # 1600/2000
     assert a3[("en", "web")] == 1500 and a3[("de", "books")] == 500
+
+
+def test_substring_dup_against_corpus(spark, tmp_path):
+    """Incremental ExactSubstr: spans are detected against EVERYTHING
+    ingested before (persistent gram corpus), intra-batch cross-doc
+    passages are caught, and batch replay is idempotent."""
+    from wally_spark.streaming.ops import (
+        substring_dup_against_corpus_foreach_batch,
+    )
+
+    grams, out = f"{tmp_path}/grams", f"{tmp_path}/out"
+    proc = substring_dup_against_corpus_foreach_batch(spark, grams, out)
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def report(bid):
+        return {
+            r["doc_id"]: (r["n_spans"], r["dup_tokens"], r["dup_bp"])
+            for r in spark.read.parquet(f"{out}/b{bid}").collect()
+        }
+
+    w = [f"w{i}" for i in range(1, 21)]  # 20 distinct words
+
+    # batch 0: one unique doc -> no spans, grams registered
+    proc(docs([(1, " ".join(w))]), 0)
+    assert report(0) == {1: (0, 0, 0)}
+
+    # batch 1: doc 2 is exactly words 1..12 of doc 1 -> one span
+    # covering the whole doc (anchors p=1..3 all match the corpus)
+    proc(docs([(2, " ".join(w[:12]))]), 1)
+    assert report(1) == {2: (1, 12, 10000)}
+
+    # replay of batch 1 (at-least-once): must not match its OWN prior
+    # gram registration -> identical report
+    proc(docs([(2, " ".join(w[:12]))]), 1)
+    assert report(1) == {2: (1, 12, 10000)}
+
+    # batch 2: two new docs share a fresh 10-word passage with EACH
+    # OTHER only (intra-batch dup); a third doc is unique
+    fresh = [f"x{i}" for i in range(1, 11)]
+    proc(
+        docs(
+            [
+                (3, " ".join(fresh + ["tail3a", "tail3b"])),
+                (4, " ".join(["head4a", "head4b"] + fresh)),
+                (5, " ".join(f"y{i}" for i in range(1, 15))),
+            ]
+        ),
+        2,
+    )
+    assert report(2) == {
+        3: (1, 10, 8333),  # span = the shared 10 words of 12
+        4: (1, 10, 8333),
+        5: (0, 0, 0),
+    }

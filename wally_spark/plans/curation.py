@@ -524,33 +524,8 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_boilerplate plus the per-doc window, all linear in corpus
     size. Reference basis: machida computations have no text surface;
     this extends SURVEY §2.6 (engine extension)."""
-    docs = _docs(spark, sf_dir)
-    words = _words_col()
-    d = docs.select("doc_id", words.alias("words")).where(
-        F.size("words") >= ANCHOR_N
-    )
-    # greatest(…, 1) keeps the sequence ascending and slice/array_join
-    # tolerate short arrays: the optimizer may evaluate this projection
-    # on rows the size filter will drop (projection collapse), so the
-    # expression itself must be total. For every row that SURVIVES the
-    # filter, slice(words, i, N) is exactly N words — identical bytes
-    # to the oracle's windowed concat.
-    grams = F.transform(
-        F.sequence(
-            F.lit(1), F.greatest(F.size("words") - (ANCHOR_N - 1), F.lit(1))
-        ),
-        lambda i: F.md5(
-            F.array_join(F.slice("words", i, ANCHOR_N), " ").cast("binary")
-        ),
-    )
-    base = d.select(
-        "doc_id", F.size("words").alias("n_words"), grams.alias("grams")
-    )
-    ex = base.select(
-        "doc_id",
-        "n_words",
-        F.posexplode("grams").alias("p0", "gram"),
-    ).select("doc_id", "n_words", (F.col("p0") + 1).alias("p"), "gram")
+    base = anchor_gram_docs(_docs(spark, sf_dir))
+    ex = explode_anchor_grams(base)
     # ">= 2 distinct docs" ⟺ min(doc_id) != max(doc_id): plain min/max
     # partials need ONE gram-keyed exchange where countDistinct's
     # expand needs two ((gram, doc_id) then gram) — one less corpus-
@@ -562,6 +537,54 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("d_min") != F.col("d_max"))
         .select("gram")
     )
+    return substring_span_report(ex, dup_grams, base)
+
+
+def anchor_gram_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, grams): 1-based sliding ANCHOR_N-word anchor
+    md5 grams per doc (docs shorter than ANCHOR_N are excluded — they
+    cannot contain a duplicated span). Shared by the batch query and
+    the streaming persistent-corpus variant (streaming/ops.py).
+
+    greatest(…, 1) keeps the sequence ascending and slice/array_join
+    tolerate short arrays: the optimizer may evaluate this projection
+    on rows the size filter will drop (projection collapse), so the
+    expression itself must be total. For every row that SURVIVES the
+    filter, slice(words, i, N) is exactly N words — identical bytes to
+    the oracle's windowed concat."""
+    words = _words_col()
+    d = docs.select("doc_id", words.alias("words")).where(
+        F.size("words") >= ANCHOR_N
+    )
+    grams = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size("words") - (ANCHOR_N - 1), F.lit(1))
+        ),
+        lambda i: F.md5(
+            F.array_join(F.slice("words", i, ANCHOR_N), " ").cast("binary")
+        ),
+    )
+    return d.select(
+        "doc_id", F.size("words").alias("n_words"), grams.alias("grams")
+    )
+
+
+def explode_anchor_grams(base: DataFrame) -> DataFrame:
+    """(doc_id, n_words, p, gram) — one row per anchor position."""
+    return base.select(
+        "doc_id",
+        "n_words",
+        F.posexplode("grams").alias("p0", "gram"),
+    ).select("doc_id", "n_words", (F.col("p0") + 1).alias("p"), "gram")
+
+
+def substring_span_report(
+    ex: DataFrame, dup_grams: DataFrame, base: DataFrame
+) -> DataFrame:
+    """Gaps-and-islands span merge over duplicated anchor positions →
+    per-doc (n_spans, dup_tokens, dup_bp). ``dup_grams`` defines what
+    counts as duplicated (cross-doc df in the batch query; persistent-
+    corpus membership in the streaming variant)."""
     wp = Window.partitionBy("doc_id").orderBy("p")
     dup_pos = ex.join(dup_grams, "gram").withColumn(
         "brk",

@@ -756,3 +756,70 @@ def read_mix_alerts(spark, alerts_path: str) -> DataFrame:
             "lang string, source string, share_bp bigint, ref_bp bigint,"
             " drift bigint, batch_id bigint",
         )
+
+
+def substring_dup_against_corpus_foreach_batch(
+    spark, grams_path: str, out_path: str
+):
+    """Incremental ExactSubstr — the streaming face of the batch
+    `dedup_substring` query: every arriving document's anchor grams
+    probe the PERSISTENT gram table (every anchor ever ingested), plus
+    intra-batch cross-doc duplicates, and the merged duplicated-span
+    report (n_spans / dup_tokens / dup_bp per doc) lands in
+    ``out_path/b<batch_id>``. The batch's own distinct grams are then
+    registered in ``grams_path/b<batch_id>`` so later batches see
+    them. Detects a crawl re-serving passages of anything ingested
+    before — not just within the current watermark window.
+
+    Shapes (mirrors dedup_against_corpus_foreach_batch): gram-keyed
+    joins on uniform md5 (no skew); at 100 TB ``grams_path`` is
+    compacted offline into a bucketed-by-gram table so the probe is
+    scan-side. Idempotence: per-batch overwrite dirs; a replay excludes
+    its OWN prior gram registration (matching against it would flag
+    every passage of the replayed batch as a duplicate of itself).
+    Duplicate grams across batch dirs are harmless to the island merge
+    (same positions, same spans) but are distinct-ed for join cost."""
+    from wally_spark.operators.checkpoint import pin
+    from wally_spark.plans.curation import (
+        anchor_gram_docs,
+        explode_anchor_grams,
+        substring_span_report,
+    )
+
+    def prior_batch_dirs(batch_id: int) -> list[str]:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(grams_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return []
+        glob = fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{grams_path}/b*"))
+        return [
+            str(st.getPath())
+            for st in (glob or [])
+            if st.isDirectory() and st.getPath().getName() != f"b{batch_id}"
+        ]
+
+    def proc(batch_df, batch_id):
+        # pinned: the batch's gram arrays feed the report join, the
+        # zero-span doc list, AND the gram registration
+        base = pin(anchor_gram_docs(batch_df))
+        ex = explode_anchor_grams(base)
+        intra = (
+            ex.groupBy("gram")
+            .agg(F.min("doc_id").alias("a"), F.max("doc_id").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .select("gram")
+        )
+        dirs = prior_batch_dirs(batch_id)
+        if dirs:
+            corpus = spark.read.parquet(*dirs).select("gram")
+            dup_grams = intra.union(corpus).distinct()
+        else:
+            dup_grams = intra
+        report = substring_span_report(ex, dup_grams, base)
+        report.write.mode("overwrite").parquet(f"{out_path}/b{batch_id}")
+        ex.select("gram").distinct().write.mode("overwrite").parquet(
+            f"{grams_path}/b{batch_id}"
+        )
+
+    return proc
