@@ -167,3 +167,49 @@ def test_sample_frames(spark, payloads):
     assert all(r["count"] == 2 for r in per_doc)
     one = out.where(F.col("frame_idx") == 2).limit(1).collect()[0]
     assert len(one["frame"]) == 8
+
+
+def test_thumbnail_box_semantics():
+    from wally_spark.operators.multimodal import thumbnail_box
+
+    assert thumbnail_box(100, 100, 128) == (100, 100)  # never upscale
+    assert thumbnail_box(128, 128, 128) == (128, 128)
+    assert thumbnail_box(512, 256, 128) == (128, 64)
+    assert thumbnail_box(256, 512, 128) == (64, 128)
+    assert thumbnail_box(10000, 10, 128) == (128, 1)  # 1-pixel floor
+    assert thumbnail_box(10, 10000, 128) == (1, 128)
+    assert thumbnail_box(575, 64, 128) == (128, 14)  # floor division
+
+
+def test_thumbnail_operator_bad_payloads(spark):
+    """Corrupt and NULL payloads degrade to ('unknown', NULLs, 0)
+    instead of killing the partition."""
+    from wally_spark.operators.multimodal import thumbnail_images
+
+    df = spark.createDataFrame(
+        [(1, bytes([0xDE, 0xAD])), (2, None)], "doc_id long, payload binary"
+    )
+    rows = {r["doc_id"]: r for r in thumbnail_images(df, 128).collect()}
+    for i in (1, 2):
+        assert rows[i]["fmt"] == "unknown"
+        assert rows[i]["out_w"] is None and rows[i]["n_bytes"] == 0
+
+
+def test_byte_stats_exact(spark):
+    """byte_stats matches a hand computation, including the
+    lowest-nibble mode tie-break and empty/NULL payloads."""
+    from wally_spark.operators.multimodal import byte_stats
+
+    p1 = bytes([0x10, 0x1F, 0x21, 0x2F])  # hi nibbles 1,1,2,2 -> mode 1
+    df = spark.createDataFrame(
+        [(1, p1), (2, b""), (3, None)], "doc_id long, payload binary"
+    )
+    rows = {r["doc_id"]: r for r in byte_stats(df).collect()}
+    s = sum(p1)
+    assert rows[1]["n_bytes"] == 4
+    assert rows[1]["mean_milli"] == 1000 * s // 4
+    assert rows[1]["n_distinct"] == 4
+    assert rows[1]["hi_mode"] == 1
+    for i in (2, 3):
+        assert (rows[i]["n_bytes"], rows[i]["mean_milli"],
+                rows[i]["n_distinct"], rows[i]["hi_mode"]) == (0, 0, 0, 0)

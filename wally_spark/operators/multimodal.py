@@ -168,3 +168,111 @@ def sample_frames(
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(decode, FRAME_SCHEMA)
+
+
+THUMB_SCHEMA = (
+    "doc_id bigint, fmt string, in_w int, in_h int,"
+    " out_w int, out_h int, n_bytes bigint"
+)
+
+
+def thumbnail_box(w: int, h: int, max_side: int) -> tuple[int, int]:
+    """Aspect-preserving thumbnail dimensions (PIL.Image.thumbnail
+    semantics, integer-exact): never upscale; the longer side shrinks
+    to ``max_side``, the shorter side scales by floor division with a
+    1-pixel floor."""
+    if w <= max_side and h <= max_side:
+        return (w, h)
+    if w >= h:
+        return (max_side, max(1, (h * max_side) // w))
+    return (max(1, (w * max_side) // h), max_side)
+
+
+def thumbnail_images(
+    df: DataFrame, max_side: int, payload_col: str = "payload"
+) -> DataFrame:
+    """Resize pass over binary image payloads: header-parse the input
+    dimensions (no codec needed — see parse_image_header), compute the
+    aspect-preserving output box, and report the thumbnail metadata
+    plus its decoded size. The Arrow batch shape, partition-parallel
+    execution, and null-safety are exactly the production resize pass;
+    a deployment with codecs swaps the body for
+    ``PIL.Image.open(...).thumbnail((max_side, max_side))`` + re-encode
+    and the plumbing is unchanged (same pattern as decode_image_meta's
+    optional-PIL full-decode path). Bad or NULL payloads degrade to
+    ('unknown', NULLs, 0) — one corrupt row cannot kill a partition."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, iw, ih, ow, oh, nb = [], [], [], [], [], []
+            for b in pdf[payload_col]:
+                raw = bytes(b) if b is not None else b""
+                fmt, w, h = parse_image_header(raw)
+                if w is None or h is None:
+                    fmts.append(fmt)
+                    iw.append(None); ih.append(None)
+                    ow.append(None); oh.append(None)
+                    nb.append(0)
+                    continue
+                tw, th = thumbnail_box(w, h, max_side)
+                fmts.append(fmt)
+                iw.append(w); ih.append(h)
+                ow.append(tw); oh.append(th)
+                nb.append(tw * th)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": fmts,
+                    "in_w": pd.array(iw, dtype="Int32"),
+                    "in_h": pd.array(ih, dtype="Int32"),
+                    "out_w": pd.array(ow, dtype="Int32"),
+                    "out_h": pd.array(oh, dtype="Int32"),
+                    "n_bytes": nb,
+                }
+            )
+
+    return df.mapInPandas(decode, THUMB_SCHEMA)
+
+
+BYTE_STATS_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, mean_milli bigint,"
+    " n_distinct bigint, hi_mode bigint"
+)
+
+
+def byte_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Feature extraction over opaque binary payloads: per-payload byte
+    statistics (count, mean in exact millis, distinct byte values, and
+    the modal high nibble, ties → lowest) via one numpy pass per Arrow
+    batch. The shape a real featurizer (CLIP embedding, audio MFCC,
+    perceptual hash) has at 100 TB: payloads stay on executors, one
+    vectorized pass per batch, a narrow typed row out. All-integer
+    outputs so an engine-exact oracle exists. NULL/empty payloads emit
+    zero counts instead of dying."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n, mean_m, dist, mode = [], [], [], []
+            for b in pdf[payload_col]:
+                raw = bytes(b) if b is not None else b""
+                if not raw:
+                    n.append(0); mean_m.append(0); dist.append(0); mode.append(0)
+                    continue
+                a = np.frombuffer(raw, dtype=np.uint8)
+                n.append(len(a))
+                mean_m.append(int(1000 * int(a.sum(dtype=np.int64)) // len(a)))
+                dist.append(int(len(np.unique(a))))
+                hi = np.bincount(a >> 4, minlength=16)
+                mode.append(int(hi.argmax()))  # first max = lowest nibble
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n,
+                    "mean_milli": mean_m,
+                    "n_distinct": dist,
+                    "hi_mode": mode,
+                }
+            )
+
+    return df.mapInPandas(extract, BYTE_STATS_SCHEMA)

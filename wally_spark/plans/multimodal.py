@@ -149,3 +149,110 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").cast("bigint").alias("frame_idx"),
         F.lower(F.hex("frame")).alias("frame_hex"),
     )
+
+
+THUMB_MAX_SIDE = 128
+
+
+@register(
+    "mm_thumbnail",
+    oracle=f"""
+WITH dims AS (
+  SELECT doc_id,
+         (64 + doc_id % 512)::INT AS w,
+         (64 + (doc_id * 31) % 512)::INT AS h
+  FROM documents
+)
+SELECT doc_id, 'png' AS fmt, w AS in_w, h AS in_h,
+       (CASE WHEN w <= {THUMB_MAX_SIDE} AND h <= {THUMB_MAX_SIDE} THEN w
+             WHEN w >= h THEN {THUMB_MAX_SIDE}
+             ELSE greatest(1, (w * {THUMB_MAX_SIDE}) // h) END)::INT AS out_w,
+       (CASE WHEN w <= {THUMB_MAX_SIDE} AND h <= {THUMB_MAX_SIDE} THEN h
+             WHEN w >= h THEN greatest(1, (h * {THUMB_MAX_SIDE}) // w)
+             ELSE {THUMB_MAX_SIDE} END)::INT AS out_h,
+       ((CASE WHEN w <= {THUMB_MAX_SIDE} AND h <= {THUMB_MAX_SIDE} THEN w
+              WHEN w >= h THEN {THUMB_MAX_SIDE}
+              ELSE greatest(1, (w * {THUMB_MAX_SIDE}) // h) END)::BIGINT
+        * (CASE WHEN w <= {THUMB_MAX_SIDE} AND h <= {THUMB_MAX_SIDE} THEN h
+                WHEN w >= h THEN greatest(1, (h * {THUMB_MAX_SIDE}) // w)
+                ELSE {THUMB_MAX_SIDE} END))::BIGINT AS n_bytes
+FROM dims
+""",
+    tags=("multimodal",),
+)
+def mm_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pass through the REAL operator
+    (operators/multimodal.thumbnail_images): each doc's synthetic PNG
+    header (same payloads as mm_image_header, dims arithmetic from
+    doc_id so DuckDB predicts them) flows through the Arrow-batched
+    thumbnail operator, which header-parses input dimensions and
+    computes the aspect-preserving integer output box — PIL.thumbnail
+    semantics without a codec. At 100 TB this is the metadata half of
+    a thumbnailing job; the pixel half swaps into the same mapInPandas
+    body when codecs exist (operators/multimodal.py docstring)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = (F.lit(64) + F.col("doc_id") % 512).cast("int")
+    h = (F.lit(64) + (F.col("doc_id") * 31) % 512).cast("int")
+    hdr = F.concat(
+        F.lit("89504e470d0a1a0a"),
+        F.lit("0000000d49484452"),
+        F.format_string("%08x", w),
+        F.format_string("%08x", h),
+        F.lit("0806000000"),
+    )
+    payloads = docs.select("doc_id", F.unhex(hdr).alias("payload"))
+
+    from wally_spark.operators.multimodal import thumbnail_images
+
+    return thumbnail_images(payloads, THUMB_MAX_SIDE)
+
+
+_HEXD = "0123456789abcdef"
+
+
+@register(
+    "mm_byte_stats",
+    oracle=f"""
+WITH m AS (SELECT doc_id, md5(text) AS x FROM documents),
+b AS (
+  SELECT doc_id,
+         list_transform(range(0, 16), i ->
+             (strpos('{_HEXD}', substr(x, 2*i + 1, 1)) - 1) * 16
+           + (strpos('{_HEXD}', substr(x, 2*i + 2, 1)) - 1)) AS bytes,
+         list_transform(range(0, 16), i ->
+             strpos('{_HEXD}', substr(x, 2*i + 1, 1)) - 1) AS his
+  FROM m
+),
+c AS (
+  SELECT doc_id, bytes, his,
+         list_transform(range(0, 16),
+                        v -> len(list_filter(his, q -> q = v))) AS counts
+  FROM b
+)
+SELECT doc_id,
+       16::BIGINT AS n_bytes,
+       ((1000 * list_sum(bytes)) // 16)::BIGINT AS mean_milli,
+       len(list_distinct(bytes))::BIGINT AS n_distinct,
+       (list_position(counts, list_max(counts)) - 1)::BIGINT AS hi_mode
+FROM c
+""",
+    tags=("multimodal", "features"),
+)
+def mm_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction through the REAL operator
+    (operators/multimodal.byte_stats): one vectorized numpy pass per
+    Arrow batch computes per-payload byte statistics (count, exact
+    milli-mean, distinct values, modal high nibble with lowest-value
+    tie-break). The payloads are md5(text) bytes, so DuckDB recomputes
+    every statistic from the hex digest with pure integer arithmetic —
+    a hash-exact oracle for a featurizer UDF, the same contract a CLIP
+    embedder or MFCC extractor plugs into at 100 TB (payloads never
+    leave executors; narrow typed rows come back)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    payloads = docs.select(
+        "doc_id", F.unhex(F.md5(F.col("text").cast("binary"))).alias("payload")
+    )
+
+    from wally_spark.operators.multimodal import byte_stats
+
+    return byte_stats(payloads)
