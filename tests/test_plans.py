@@ -135,6 +135,7 @@ def test_no_cartesian_anywhere(spark):
         "graph_triangle_count",  # 1-row × 1-row (n_edges, n_triangles) combine
         "corpus_mix_report",  # 1-row grand-total side for the share divisor
         "text_lm_perplexity",  # two 1-row (T, V) stats combines
+        "doc_nb_classifier",  # 1-row class-stats and prior combines
         "sample_temperature",  # 1-row temperature-normalizer side
     }
     offenders = []

@@ -510,9 +510,10 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     wholesale quotation that doc-level dedup keeps.
 
     Plan (all codegen, no UDFs): slide an ANCHOR_N-word window over
-    each doc (one md5 per position); a position is duplicated when its
-    anchor gram occurs in >= 2 DISTINCT docs (two-level distinct agg,
-    map-side combined, keyed by the uniform md5 — no skew); duplicated
+    each doc (one xxhash64 per position); a position is duplicated when
+    its anchor gram occurs in >= 2 DISTINCT docs (two-level distinct
+    agg, map-side combined, keyed by the uniform hash — no skew);
+    duplicated
     positions closer than ANCHOR_N words merge into maximal spans via
     gaps-and-islands (lag + running sum windows, partitioned per doc —
     the sort is bounded by doc length, never corpus-wide). Span token
@@ -526,18 +527,23 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     this extends SURVEY §2.6 (engine extension)."""
     base = anchor_gram_docs(_docs(spark, sf_dir))
     ex = explode_anchor_grams(base)
-    # ">= 2 distinct docs" ⟺ min(doc_id) != max(doc_id): plain min/max
-    # partials need ONE gram-keyed exchange where countDistinct's
-    # expand needs two ((gram, doc_id) then gram) — one less corpus-
-    # sized shuffle. (The oracle keeps the count(DISTINCT) spelling;
-    # the predicates select the same gram set by construction.)
-    dup_grams = (
-        ex.groupBy("gram")
-        .agg(F.min("doc_id").alias("d_min"), F.max("doc_id").alias("d_max"))
+    # ">= 2 distinct docs" ⟺ min(doc_id) != max(doc_id) over a window
+    # PARTITIONED BY gram: ONE gram-keyed exchange of the exploded
+    # positions and the filter happens in place — where the agg+join
+    # spelling pays two corpus-sized exchanges AND computes the
+    # explode twice (the two branches project different columns, so
+    # AQE exchange reuse cannot fire). The window's partition-local
+    # sort is on the uniform 8-byte hash — no skew, spill-safe. (The
+    # oracle keeps the count(DISTINCT) spelling; both predicates
+    # select exactly the positions whose gram spans >= 2 docs.)
+    wg = Window.partitionBy("gram")
+    dup_pos = (
+        ex.withColumn("d_min", F.min("doc_id").over(wg))
+        .withColumn("d_max", F.max("doc_id").over(wg))
         .where(F.col("d_min") != F.col("d_max"))
-        .select("gram")
+        .select("doc_id", "n_words", "p")
     )
-    return substring_span_report(ex, dup_grams, base)
+    return _span_merge(dup_pos, base)
 
 
 def anchor_gram_docs(docs: DataFrame) -> DataFrame:
@@ -556,13 +562,17 @@ def anchor_gram_docs(docs: DataFrame) -> DataFrame:
     d = docs.select("doc_id", words.alias("words")).where(
         F.size("words") >= ANCHOR_N
     )
+    # xxhash64, not md5: the gram value never reaches the output (it is
+    # only an equality key for the dup-gram agg/join), so the cheapest
+    # collision-resistant-enough hash wins — a bigint computes ~4x
+    # faster than md5's 32-char hex and shuffles 8 bytes instead of
+    # ~48. The oracle keeps md5; both select the same duplicated
+    # POSITIONS because equal windows hash equal under either function.
     grams = F.transform(
         F.sequence(
             F.lit(1), F.greatest(F.size("words") - (ANCHOR_N - 1), F.lit(1))
         ),
-        lambda i: F.md5(
-            F.array_join(F.slice("words", i, ANCHOR_N), " ").cast("binary")
-        ),
+        lambda i: F.xxhash64(F.array_join(F.slice("words", i, ANCHOR_N), " ")),
     )
     return d.select(
         "doc_id", F.size("words").alias("n_words"), grams.alias("grams")
@@ -583,10 +593,16 @@ def substring_span_report(
 ) -> DataFrame:
     """Gaps-and-islands span merge over duplicated anchor positions →
     per-doc (n_spans, dup_tokens, dup_bp). ``dup_grams`` defines what
-    counts as duplicated (cross-doc df in the batch query; persistent-
-    corpus membership in the streaming variant)."""
+    counts as duplicated (persistent-corpus membership in the
+    streaming variant; the batch query takes the window fast path in
+    ``_span_merge`` instead and never builds a dup_grams side)."""
+    return _span_merge(ex.join(dup_grams, "gram"), base)
+
+
+def _span_merge(dup_pos: DataFrame, base: DataFrame) -> DataFrame:
+    """(doc_id, n_words, p) duplicated positions → per-doc span report."""
     wp = Window.partitionBy("doc_id").orderBy("p")
-    dup_pos = ex.join(dup_grams, "gram").withColumn(
+    dup_pos = dup_pos.withColumn(
         "brk",
         F.when(F.lag("p").over(wp).isNull(), F.lit(0))
         .when(F.col("p") - F.lag("p").over(wp) <= ANCHOR_N - 1, F.lit(0))
@@ -615,5 +631,173 @@ def substring_span_report(
             )
             .cast("bigint")
             .alias("dup_bp"),
+        )
+    )
+
+
+# --- Naive-Bayes document classifier (the fastText-quality-gate shape) ------
+NB_VOCAB = 16  # binding at every test SF, like LM_VOCAB (prod: ~2^17)
+
+
+@register(
+    "doc_nb_classifier",
+    oracle=f"""
+WITH tok AS (
+  SELECT d.doc_id,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+         unnest(list_filter(string_split(lower(d.text), ' '), x -> x <> '')) AS word
+  FROM documents d
+),
+train AS (
+  SELECT word, sum(y)::BIGINT AS c1, sum(1 - y)::BIGINT AS c0
+  FROM tok
+  WHERE substring(md5(doc_id::VARCHAR), 1, 1) IN ('0','1','2','3')
+  GROUP BY word
+),
+tot AS (
+  SELECT sum(c1)::BIGINT AS t1, sum(c0)::BIGINT AS t0 FROM train
+),
+top AS (
+  SELECT word, c1, c0 FROM (
+    SELECT word, c1, c0,
+           row_number() OVER (ORDER BY c1 + c0 DESC, word) AS rk
+    FROM train) WHERE rk <= {NB_VOCAB}
+),
+stats AS (
+  SELECT (SELECT t1 FROM tot) AS t1, (SELECT t0 FROM tot) AS t0,
+         sum(c1)::BIGINT AS t1_top, sum(c0)::BIGINT AS t0_top,
+         count(*)::BIGINT AS v_top
+  FROM top
+),
+weights AS (
+  SELECT word,
+         (floor(1000.0 * ln((c1 + 1)::DOUBLE / (t1 + v_top + 1)))
+          - floor(1000.0 * ln((c0 + 1)::DOUBLE / (t0 + v_top + 1))))::BIGINT AS w
+  FROM top, stats
+),
+priors AS (
+  SELECT floor(1000.0 * ln(
+           (sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1)::DOUBLE
+           / (sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) + 1)))::BIGINT AS pw
+  FROM documents
+  WHERE substring(md5(doc_id::VARCHAR), 1, 1) IN ('0','1','2','3')
+),
+scored AS (
+  SELECT t.doc_id,
+         count(*)::BIGINT AS n_tokens,
+         sum(CASE WHEN w.w IS NULL THEN 0 ELSE w.w END)::BIGINT AS seen_w,
+         sum(CASE WHEN w.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_unk
+  FROM tok t LEFT JOIN weights w USING (word)
+  GROUP BY t.doc_id
+)
+SELECT s.doc_id, s.n_tokens,
+       (pw + seen_w + n_unk *
+        (floor(1000.0 * ln((t1 - t1_top + 1)::DOUBLE / (t1 + v_top + 1)))
+         - floor(1000.0 * ln((t0 - t0_top + 1)::DOUBLE / (t0 + v_top + 1))))::BIGINT
+       )::BIGINT AS score_mnat,
+       CASE WHEN (pw + seen_w + n_unk *
+        (floor(1000.0 * ln((t1 - t1_top + 1)::DOUBLE / (t1 + v_top + 1)))
+         - floor(1000.0 * ln((t0 - t0_top + 1)::DOUBLE / (t0 + v_top + 1))))::BIGINT
+       ) > 0 THEN 1 ELSE 0 END::BIGINT AS pred_en,
+       (CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS is_en
+FROM scored s JOIN documents d USING (doc_id), stats, priors
+""",
+    tags=("text", "curation", "classifier"),
+)
+def doc_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive-Bayes document classifier — the fastText-
+    style quality/domain-gate shape every large corpus pipeline runs
+    (CCNet's lang/quality filter, Llama-style wiki-reference
+    classifiers): train per-token log-odds on a deterministic labeled
+    sample, score every document with one broadcast join + aggregate,
+    emit (score, prediction, actual) so downstream can threshold or
+    audit precision. Label here is lang='en' — the in-corpus
+    stand-in for any metadata-derived supervision.
+
+    Closed-form training (one groupBy over the md5-quarter sample's
+    tokens — no iteration), vocabulary capped at the NB_VOCAB most
+    frequent sample words + an UNK bucket carrying the remaining count
+    mass per class (the text_lm_perplexity cap: broadcast bounded at V
+    rows forever). Float discipline: each class log-probability is
+    floored ONCE to integer milli-nats, everything downstream is exact
+    bigint arithmetic — engine- and partitioning-independent.
+
+    Scale shape: training = one token-keyed aggregate over a quarter
+    sample + TakeOrdered top-V (never a global sort); scoring = explode
+    + broadcast left-join + one doc-keyed aggregate; priors/stats are
+    1-row broadcast combines (allow-listed). One corpus-sized shuffle
+    total, keyed doc_id."""
+    docs = _docs(spark, sf_dir)
+    y = F.when(F.col("lang") == "en", 1).otherwise(0)
+    tok = docs.select(
+        "doc_id", y.alias("y"), F.explode(_words_col()).alias("word")
+    )
+    sampled = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1", "2", "3"
+    )
+    train = (
+        docs.where(sampled)
+        .select("doc_id", y.alias("y"), F.explode(_words_col()).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.sum("y").cast("bigint").alias("c1"),
+            F.sum(1 - F.col("y")).cast("bigint").alias("c0"),
+        )
+    )
+    tot = train.agg(
+        F.sum("c1").cast("bigint").alias("t1"),
+        F.sum("c0").cast("bigint").alias("t0"),
+    )
+    top = train.orderBy(F.desc(F.col("c1") + F.col("c0")), "word").limit(NB_VOCAB)
+    stats = top.agg(
+        F.sum("c1").cast("bigint").alias("t1_top"),
+        F.sum("c0").cast("bigint").alias("t0_top"),
+        F.count(F.lit(1)).cast("bigint").alias("v_top"),
+    ).crossJoin(F.broadcast(tot))
+    mnat = lambda num, den: F.floor(  # noqa: E731 — floored ONCE, then bigint
+        1000.0 * F.log(num.cast("double") / den.cast("double"))
+    ).cast("bigint")
+    d1 = F.col("t1") + F.col("v_top") + 1
+    d0 = F.col("t0") + F.col("v_top") + 1
+    weights = top.crossJoin(F.broadcast(stats)).select(
+        "word",
+        (mnat(F.col("c1") + 1, d1) - mnat(F.col("c0") + 1, d0)).alias("w"),
+    )
+    priors = (
+        docs.where(sampled)
+        .agg(
+            F.sum(y).alias("n1"),
+            F.sum(1 - y).alias("n0"),
+        )
+        .select(mnat(F.col("n1") + 1, F.col("n0") + 1).alias("pw"))
+    )
+    scored = (
+        tok.join(F.broadcast(weights), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.coalesce("w", F.lit(0))).cast("bigint").alias("seen_w"),
+            F.sum(F.when(F.col("w").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unk"),
+        )
+    )
+    unk_w = mnat(F.col("t1") - F.col("t1_top") + 1, d1) - mnat(
+        F.col("t0") - F.col("t0_top") + 1, d0
+    )
+    score = F.col("pw") + F.col("seen_w") + F.col("n_unk") * unk_w
+    return (
+        scored.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(priors))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            score.cast("bigint").alias("score_mnat"),
+            F.when(score > 0, 1).otherwise(0).cast("bigint").alias("pred_en"),
+            F.when(F.col("lang") == "en", 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_en"),
         )
     )

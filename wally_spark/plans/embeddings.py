@@ -170,3 +170,104 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster",
         F.floor(10000.0 * F.col("dist")).cast("bigint").alias("dist_bp"),
     )
+
+
+# --- sparse random projection (Johnson-Lindenstrauss) -----------------------
+RP_DIMS = 8  # projected dimensionality
+
+
+def _rp_sign_sql(j: int) -> str:
+    """DuckDB sign expression for output dim ``j`` at input dim ``i``
+    (1-based): first md5 nibble of "i:j" → {-1, 0, +1} with density
+    6/16 per nonzero sign (Achlioptas-style sparse projection)."""
+    nib = f"strpos('0123456789abcdef', substr(md5(i::VARCHAR || ':{j}'), 1, 1)) - 1"
+    return f"CASE WHEN {nib} < 5 THEN -1 WHEN {nib} < 10 THEN 0 ELSE 1 END"
+
+
+@register(
+    "embedding_random_projection",
+    oracle=f"""
+WITH ex AS (
+  SELECT vec_id, u.i AS i,
+         CAST(floor(u.x::DOUBLE * {GRID}.0) AS BIGINT) AS q
+  FROM (SELECT vec_id,
+               unnest(list_transform(embedding, (x, i) -> {{'x': x, 'i': i}})) AS u
+        FROM embeddings)
+),
+signs AS (
+  SELECT i,
+         {", ".join(f"{_rp_sign_sql(j)} AS s{j}" for j in range(RP_DIMS))}
+  FROM (SELECT DISTINCT i FROM ex)
+)
+SELECT vec_id,
+       {", ".join(f"sum(q * s{j})::BIGINT AS p{j}" for j in range(RP_DIMS))}
+FROM ex JOIN signs USING (i)
+GROUP BY vec_id
+""",
+    tags=("embeddings", "projection", "ann"),
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse sign random projection (Johnson-Lindenstrauss) of every
+    embedding from its native dimensionality down to RP_DIMS — the
+    dim-reduction step a pipeline runs before clustering / LSH / ANN
+    when the raw embedding is too wide to shuffle economically.
+    The projection matrix is never materialized globally: sign(i, j)
+    is a pure function of the md5 nibble of "i:j" (Achlioptas-sparse,
+    ~6/16 density per nonzero sign), so every engine — and every
+    executor — derives the identical matrix independently.
+
+    Float discipline: components quantize ONCE onto the power-of-two
+    GRID lattice (exact for float32 inputs, the embedding_kmeans
+    lesson), after which the projection is exact int64 arithmetic —
+    partition- and engine-independent by construction.
+
+    Scale shape: posexplode → broadcast-join the (dim × RP_DIMS) sign
+    table (built from the data's own distinct dim indices: no
+    hard-coded width, ≤ dim rows forever) → one doc-keyed aggregate of
+    RP_DIMS codegen sums with map-side combine. One shuffle keyed
+    vec_id, carrying RP_DIMS partial sums per vector per task. NULL
+    components contribute 0 (dirty-corpus rule: a bad row degrades,
+    never kills)."""
+    emb = _emb(spark, sf_dir)
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "x")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.coalesce(
+            F.floor(F.col("x").cast("double") * float(GRID)).cast("bigint"),
+            F.lit(0),
+        ).alias("q"),
+    )
+    def _sign(j: int):
+        nib = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("i").cast("string"), F.lit(f":{j}"))),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("int")
+        return (
+            F.when(nib < 5, F.lit(-1))
+            .when(nib < 10, F.lit(0))
+            .otherwise(F.lit(1))
+            .alias(f"s{j}")
+        )
+
+    signs = (
+        ex.select("i").distinct().select("i", *[_sign(j) for j in range(RP_DIMS)])
+    )
+    return (
+        ex.join(F.broadcast(signs), "i")
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.sum(F.col("q") * F.col(f"s{j}"))
+                .cast("bigint")
+                .alias(f"p{j}")
+                for j in range(RP_DIMS)
+            ]
+        )
+    )

@@ -772,7 +772,7 @@ def substring_dup_against_corpus_foreach_batch(
     before — not just within the current watermark window.
 
     Shapes (mirrors dedup_against_corpus_foreach_batch): gram-keyed
-    joins on uniform md5 (no skew); at 100 TB ``grams_path`` is
+    joins on the uniform anchor hash (no skew); at 100 TB ``grams_path`` is
     compacted offline into a bucketed-by-gram table so the probe is
     scan-side. Idempotence: per-batch overwrite dirs; a replay excludes
     its OWN prior gram registration (matching against it would flag
