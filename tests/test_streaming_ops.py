@@ -463,14 +463,19 @@ def test_neardedup_against_corpus(spark, tmp_path):
     )
     batches = [
         [(0, base), (1, other)],
-        # 10: exact copy of 0; 11: near-copy (one word changed);
-        # 12: novel
+        # 10: exact copy of 0 (must drop); 11: mid-word edit — 3 of 21
+        # union shingles differ, Jaccard 15/21 ≈ 0.71, BELOW the 0.75
+        # gate (must survive); 12: novel (must survive); 13: end-word
+        # edit — Jaccard 17/19 ≈ 0.89, well above the gate (must drop).
+        # The minhash estimate of a borderline pair is probabilistic,
+        # so the planted pairs sit clearly on either side of the gate.
         [
             (10, base),
             (11, base.replace("kappa", "kappa2")),
             (12, "red orange yellow green blue indigo violet cyan "
                  "magenta white black brown pink teal olive navy maroon "
                  "silver gold bronze"),
+            (13, base.replace("upsilon", "upsilon2")),
         ],
     ]
     sigs = str(tmp_path / "sigs")
@@ -482,13 +487,13 @@ def test_neardedup_against_corpus(spark, tmp_path):
     survivors = {
         r.doc_id for r in spark.read.parquet(f"{out}/b*").select("doc_id").collect()
     }
-    assert survivors == {0, 1, 12}, survivors
+    assert survivors == {0, 1, 11, 12}, survivors
     # replay batch 1 (at-least-once): same outcome, no duplicates
     fn(spark.createDataFrame(batches[1], schema), 1)
     survivors2 = {
         r.doc_id for r in spark.read.parquet(f"{out}/b*").select("doc_id").collect()
     }
-    assert survivors2 == {0, 1, 12}
+    assert survivors2 == {0, 1, 11, 12}
     # intra-batch near-dups: lower doc_id wins within one batch
     fn(
         spark.createDataFrame(
@@ -500,7 +505,7 @@ def test_neardedup_against_corpus(spark, tmp_path):
     survivors3 = {
         r.doc_id for r in spark.read.parquet(f"{out}/b*").select("doc_id").collect()
     }
-    assert survivors3 == {0, 1, 12}, survivors3
+    assert survivors3 == {0, 1, 11, 12}, survivors3
 
 
 def test_mix_drift_monitor(spark, tmp_path):

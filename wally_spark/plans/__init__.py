@@ -124,6 +124,21 @@ _CHANGED_THIS_ROUND = frozenset(
         "ann_pq",
         # r6: single-pass rewrite (plans/quality.py)
         "text_boilerplate",
+        # r6 continuation: universal-hash minhash (one md5 per shingle,
+        # integer permutations) changes the candidate-pair set for the
+        # whole family (plans/dedup.py)
+        "dedup_substring",
+        # r6 continuation: fan_out() on documents scans (tables.py) —
+        # values unchanged, plans re-verified
+        "text_quality", "text_tokens", "text_fingerprint", "text_langid",
+        "dedup_normalized", "text_repetition", "text_word_entropy",
+        "decontaminate_holdout", "chunk_overlap", "vocab_bigrams",
+        "text_pii_scrub", "corpus_mix_report", "docs_length_band",
+        "lang_source_quota", "dedup_exact", "dedup_simhash",
+        "sample_stratified", "sample_temperature", "split_train_holdout",
+        "pack_chunks", "sample_pps", "mm_thumbnail", "mm_byte_stats",
+        "corpus_shard_manifest", "dedup_embedding", "ann_quantized",
+        "ann_lsh", "ann_index_probe", "ann_bruteforce",
     }
 )
 

@@ -16,7 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from wally_spark.plans.registry import register
-from wally_spark.tables import load_tables
+from wally_spark.tables import fan_out, load_tables
 
 CHUNK = 64
 STRIDE = 48
@@ -25,7 +25,7 @@ SHINGLE_N = 5
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_tables(spark, sf_dir)["documents"]
+    return fan_out(load_tables(spark, sf_dir)["documents"], "doc_id")
 
 
 def _words_col():

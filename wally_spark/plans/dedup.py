@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from wally_spark.operators.checkpoint import pin
 from wally_spark.plans.registry import register
-from wally_spark.tables import load_tables
+from wally_spark.tables import fan_out, load_tables
 
 N_HASHES = 8
 BAND_ROWS = 2  # 4 bands of 2 rows each
@@ -45,7 +45,7 @@ _SHINGLES_SQL = """
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_tables(spark, sf_dir)["documents"]
+    return fan_out(load_tables(spark, sf_dir)["documents"], "doc_id")
 
 
 def shingles_of(docs: DataFrame) -> DataFrame:
@@ -100,13 +100,41 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 
 
 # --- MinHash + banded LSH candidate pairs ---
+# Universal-hash minhash (r6): ONE md5 per shingle, parsed to a 32-bit
+# integer H, then N_HASHES permutations h_i = (a_i*H + b_i) mod P as
+# pure int64 arithmetic — 8x fewer md5 evaluations than the former
+# min(md5(seed:shingle)) per-seed spelling, the dominant CPU of every
+# query downstream of candidates (minhash, jaccard, clusters,
+# keep_best, curation_pipeline). a_i <= 1e9 and H < 2^32 keep a_i*H+b_i
+# under 2^63 in BOTH engines, and DuckDB mirrors the md5-hex parse
+# nibble-by-nibble, so the permuted values — and therefore the band
+# keys and the candidate pair set — are engine-identical.
+MH_P = 4294967291  # largest prime < 2^32
+MH_A = (1000000007, 998244353, 997001789, 911382323,
+        824633702, 754974721, 663608941, 515764801)
+MH_B = (12345, 67890, 111213, 141516, 171819, 202122, 232425, 262728)
+
+# DuckDB: first 8 hex chars of md5(shingle) as an int (big-endian)
+_MH_H_SQL = "(" + " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(shingle), {k + 1}, 1)) - 1)"
+    f" * {16 ** (7 - k)}"
+    for k in range(8)
+) + ")"
+
+_MH_SIG_SQL = ", ".join(
+    f"min(({MH_A[h]} * {_MH_H_SQL} + {MH_B[h]}) % {MH_P}) AS mh{h}"
+    for h in range(N_HASHES)
+)
+
+
 def _minhash_exprs():
-    """min(md5(seed:shingle)) per seed — lexicographic min over hex
-    digests is a valid uniform minhash and is engine-identical."""
+    """min((a_h*H + b_h) mod P) per permutation, H = first 8 md5 hex
+    chars of the shingle as a 32-bit int — engine-identical integers."""
+    H = F.conv(
+        F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10
+    ).cast("bigint")
     return [
-        F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("shingle")).cast("binary"))).alias(
-            f"mh{h}"
-        )
+        F.min((F.lit(MH_A[h]) * H + F.lit(MH_B[h])) % MH_P).alias(f"mh{h}")
         for h in range(N_HASHES)
     ]
 
@@ -120,12 +148,13 @@ exploded AS (
 ),
 sigs AS (
   SELECT doc_id,
-         {", ".join(f"min(md5('{h}:' || shingle)) AS mh{h}" for h in range(N_HASHES))}
+         {_MH_SIG_SQL}
   FROM exploded GROUP BY doc_id
 ),
 bands AS (
   {" UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band_id, mh{2*b} || mh{2*b+1} AS band_key FROM sigs"
+    f"SELECT doc_id, {b} AS band_id,"
+    f" mh{2*b}::VARCHAR || ':' || mh{2*b+1}::VARCHAR AS band_key FROM sigs"
     for b in range(N_HASHES // BAND_ROWS)
   )}
 )
@@ -150,9 +179,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias(
-                    "band_key"
-                ),
+                # ":"-separated — bigint minhashes of different digit
+                # lengths must not collide by concatenation
+                F.concat_ws(
+                    ":", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
+                ).alias("band_key"),
             )
             for b in range(N_HASHES // BAND_ROWS)
         ]
@@ -193,12 +224,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CAND_SQL = f"""
 sigs AS (
   SELECT doc_id,
-         {", ".join(f"min(md5('{h}:' || shingle)) AS mh{h}" for h in range(N_HASHES))}
+         {_MH_SIG_SQL}
   FROM exploded GROUP BY doc_id
 ),
 bands AS (
   {" UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band_id, mh{2*b} || mh{2*b+1} AS band_key FROM sigs"
+    f"SELECT doc_id, {b} AS band_id,"
+    f" mh{2*b}::VARCHAR || ':' || mh{2*b+1}::VARCHAR AS band_key FROM sigs"
     for b in range(N_HASHES // BAND_ROWS)
   )}
 ),
@@ -708,7 +740,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_quality / dedup_ngram_jaccard; the dup stage runs on minhash
     candidates only (the bounded 100 TB shape — see
     _candidate_jaccard), mirrored exactly in the oracle."""
-    docs = load_tables(spark, sf_dir)["documents"]
+    docs = _docs(spark, sf_dir)
     words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
     stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in", "is")])
     quality = (

@@ -23,7 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from wally_spark.plans.registry import register
-from wally_spark.tables import load_tables
+from wally_spark.tables import fan_out, load_tables
 
 K = 8
 ITERS = 4
@@ -36,6 +36,8 @@ GRID = 1 << 20
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no fan_out: see plans/similarity._emb (measured regression on the
+    # Arrow/iterative embedding paths)
     return load_tables(spark, sf_dir)["embeddings"]
 
 

@@ -21,7 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from wally_spark.plans.registry import register
-from wally_spark.tables import load_tables
+from wally_spark.tables import fan_out, load_tables
 
 BOILER_N = 5  # shingle width (words); dedup.py owns the 3-gram surface
 BOILER_DF = 2  # a shingle seen in >= this many docs is boilerplate
@@ -42,7 +42,7 @@ _SHINGLE5_SQL = f"""
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_tables(spark, sf_dir)["documents"]
+    return fan_out(load_tables(spark, sf_dir)["documents"], "doc_id")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -21,14 +21,14 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from wally_spark.plans.registry import register
-from wally_spark.tables import load_tables
+from wally_spark.tables import fan_out, load_tables
 
 FRAC = 0.2  # per-stratum sample fraction
 HOLDOUT_PCT = 10  # % of docs in the holdout split
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_tables(spark, sf_dir)["documents"]
+    return fan_out(load_tables(spark, sf_dir)["documents"], "doc_id")
 
 
 @register(

@@ -14,13 +14,19 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from wally_spark.operators.checkpoint import pin
 from wally_spark.plans.registry import register
-from wally_spark.tables import load_tables
+from wally_spark.tables import fan_out, load_tables
 
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NO fan_out here (measured, r6): the ANN/k-means paths aggregate
+    # via Arrow-batched numpy over whole partitions and iterate rounds
+    # on the driver — splitting a tiny local scan into ~cores
+    # micro-partitions multiplies per-batch/per-round overhead for no
+    # parallel win (2-4x slower at sf0.1). At scale the scan is
+    # already wide.
     return load_tables(spark, sf_dir)["embeddings"]
 
 

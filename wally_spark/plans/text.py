@@ -17,7 +17,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from wally_spark.plans.registry import register
-from wally_spark.tables import load_tables
+from wally_spark.tables import fan_out, load_tables
 
 _BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
@@ -27,20 +27,12 @@ _STOP_FR = ("le", "la", "les", "et", "est", "un")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_tables(spark, sf_dir)["documents"]
+    return fan_out(load_tables(spark, sf_dir)["documents"], "doc_id")
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
-    """Redistribute a scan across the cluster ONLY when it yields
-    fewer partitions than cores — the local small-file case, where a
-    downstream high-cardinality explode would otherwise run on one
-    task. At scale the scan already has ≥ cores partitions and this is
-    a no-op (no shuffle added); when it does fire, the shuffle carries
-    the cheap pre-explode rows, never the exploded stream."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism, "doc_id")
-    return df
+    """Shared small-scan redistribution — see tables.fan_out."""
+    return fan_out(df, "doc_id")
 
 
 def _sql_list(words) -> str:

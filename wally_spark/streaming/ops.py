@@ -509,8 +509,13 @@ def neardedup_against_corpus_foreach_batch(
             *[
                 F.struct(
                     F.lit(b).alias("band_id"),
-                    F.concat(
-                        F.col(f"mh{BAND_ROWS * b}"), F.col(f"mh{BAND_ROWS * b + 1}")
+                    # ":"-separated like the batch band build — bigint
+                    # minhashes of different digit lengths must not
+                    # collide by plain concatenation
+                    F.concat_ws(
+                        ":",
+                        F.col(f"mh{BAND_ROWS * b}"),
+                        F.col(f"mh{BAND_ROWS * b + 1}"),
                     ).alias("band_key"),
                 )
                 for b in range(n_bands)

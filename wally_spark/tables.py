@@ -54,6 +54,27 @@ def _read(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, *keys: str) -> DataFrame:
+    """Redistribute a scan across the cluster ONLY when it yields
+    fewer partitions than cores — the local small-file case (one
+    parquet row group → one task), where a downstream explode /
+    Arrow-batched UDF / wide aggregate would otherwise run on a single
+    core. At 100 TB the scan already has ≥ cores partitions and this
+    is a NO-OP — no shuffle is ever added at scale; when it does fire,
+    the shuffle carries the cheap pre-explode rows, never the derived
+    stream. Keyed by the table's id column so a downstream
+    groupBy(key) can reuse the partitioning (exchange elided when
+    spark.sql.shuffle.partitions matches). Predicate pushdown and
+    column pruning pass through RepartitionByExpression, so scans stay
+    pruned (asserted in tests/test_plans.py)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        if keys:
+            return df.repartition(sc.defaultParallelism, *keys)
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 class _LazyTables(dict):
     """Reads a table's parquet footer only on first access, and keeps
     the DataFrame (an immutable logical plan) for reuse — a query
