@@ -137,8 +137,10 @@ _CHANGED_THIS_ROUND = frozenset(
         "lang_source_quota", "dedup_exact", "dedup_simhash",
         "sample_stratified", "sample_temperature", "split_train_holdout",
         "pack_chunks", "sample_pps", "mm_thumbnail", "mm_byte_stats",
-        "corpus_shard_manifest", "dedup_embedding", "ann_quantized",
-        "ann_lsh", "ann_index_probe", "ann_bruteforce",
+        "corpus_shard_manifest",
+        # (embedding scans are NOT in this set: the _emb fan_out was
+        # reverted after measurement, leaving those plans byte-identical
+        # to their last driver-green round)
     }
 )
 

@@ -509,24 +509,45 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     the operator that catches licenses, boilerplate paragraphs, and
     wholesale quotation that doc-level dedup keeps.
 
-    Plan (all codegen, no UDFs): slide an ANCHOR_N-word window over
-    each doc (one xxhash64 per position); a position is duplicated when
-    its anchor gram occurs in >= 2 DISTINCT docs (two-level distinct
-    agg, map-side combined, keyed by the uniform hash — no skew);
-    duplicated
-    positions closer than ANCHOR_N words merge into maximal spans via
-    gaps-and-islands (lag + running sum windows, partitioned per doc —
-    the sort is bounded by doc length, never corpus-wide). Span token
-    ranges of DIFFERENT islands are disjoint by construction (gap >
-    ANCHOR_N - 1), so dup_tokens <= n_words always.
+    Plan (all codegen, no UDFs, no higher-order lambdas): posexplode
+    words once, build each position's ANCHOR_N-word window with
+    lead() over the per-doc order (the sort reuses the fan_out
+    partitioning and is bounded by doc length), one xxhash64 per
+    position; a position is duplicated when its anchor gram occurs in
+    >= 2 DISTINCT docs (min/max window keyed by the uniform hash — no
+    skew); duplicated positions closer than ANCHOR_N words merge into
+    maximal spans via gaps-and-islands (lag + running sum windows,
+    partitioned per doc). Span token ranges of DIFFERENT islands are
+    disjoint by construction (gap > ANCHOR_N - 1), so
+    dup_tokens <= n_words always. (The array-transform spelling of the
+    expansion — kept for the streaming corpus variant, which registers
+    gram ARRAYS — measured 2x slower here: Spark evaluates
+    higher-order lambdas interpreted, the simhash round-1 lesson.)
 
     At 100 TB: one shuffle keyed on gram hash (the distinct-doc df),
     one gram-keyed join back, one doc-keyed window — the same bill as
     text_boilerplate plus the per-doc window, all linear in corpus
     size. Reference basis: machida computations have no text surface;
     this extends SURVEY §2.6 (engine extension)."""
-    base = anchor_gram_docs(_docs(spark, sf_dir))
-    ex = explode_anchor_grams(base)
+    docs = _docs(spark, sf_dir)
+    d = docs.select("doc_id", _words_col().alias("words")).where(
+        F.size("words") >= ANCHOR_N
+    )
+    toks = d.select(
+        "doc_id",
+        F.size("words").alias("n_words"),
+        F.posexplode("words").alias("p0", "w"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("p0")
+    gram_words = [F.col("w")] + [
+        F.lead("w", k).over(wdoc) for k in range(1, ANCHOR_N)
+    ]
+    ex = toks.select(
+        "doc_id",
+        "n_words",
+        (F.col("p0") + 1).alias("p"),
+        F.xxhash64(F.concat_ws(" ", *gram_words)).alias("gram"),
+    ).where(F.col("p") <= F.col("n_words") - (ANCHOR_N - 1))
     # ">= 2 distinct docs" ⟺ min(doc_id) != max(doc_id) over a window
     # PARTITIONED BY gram: ONE gram-keyed exchange of the exploded
     # positions and the filter happens in place — where the agg+join
@@ -543,6 +564,7 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("d_min") != F.col("d_max"))
         .select("doc_id", "n_words", "p")
     )
+    base = d.select("doc_id", F.size("words").alias("n_words"))
     return _span_merge(dup_pos, base)
 
 

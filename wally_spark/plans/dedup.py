@@ -45,7 +45,11 @@ _SHINGLES_SQL = """
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fan_out(load_tables(spark, sf_dir)["documents"], "doc_id")
+    # plain scan: fan_out is applied INSIDE the explode/agg-heavy
+    # queries (shingle/token streams) — a blanket fan_out taxes the
+    # light one-shuffle queries (dedup_exact et al.) ~0.2-0.3 s of
+    # pure repartition overhead at local scale for zero win
+    return load_tables(spark, sf_dir)["documents"]
 
 
 def shingles_of(docs: DataFrame) -> DataFrame:
@@ -69,7 +73,7 @@ def shingles_of(docs: DataFrame) -> DataFrame:
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return shingles_of(_docs(spark, sf_dir))
+    return shingles_of(fan_out(_docs(spark, sf_dir), "doc_id"))
 
 
 # --- exact dedup: content-hash groupBy ---
@@ -93,10 +97,37 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shingle_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) MULTISET — 3-word shingles via posexplode +
+    window lead()s (all codegen; the array-transform spelling runs
+    interpreted). No per-doc distinct: minhash is invariant to shingle
+    multiplicity, so signature consumers skip that work entirely. The
+    per-doc sort reuses the fan_out doc_id partitioning. Use
+    ``shingles_of`` where SET semantics matter (Jaccard)."""
+    from pyspark.sql import Window
+
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    d = docs.select("doc_id", words.alias("words")).where(F.size("words") >= 3)
+    toks = d.select("doc_id", F.posexplode("words").alias("p0", "w"))
+    win = Window.partitionBy("doc_id").orderBy("p0")
+    w2 = F.lead("w", 2).over(win)
+    return (
+        toks.select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.col("w"), F.lead("w", 1).over(win), w2
+            ).alias("shingle"),
+            w2.alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", "shingle")
+    )
+
+
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, mh0..mh{N_HASHES-1}) for any (doc_id, text) DataFrame —
     the corpus-resident signature the streaming near-dedup persists."""
-    return shingles_of(docs).groupBy("doc_id").agg(*_minhash_exprs())
+    return shingle_stream(docs).groupBy("doc_id").agg(*_minhash_exprs())
 
 
 # --- MinHash + banded LSH candidate pairs ---
@@ -171,8 +202,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8) → 4 bands × 2 rows → bucket-join candidates.
     At 100 TB the band join shuffles on band_key (uniform), so cost is
     O(candidates), not O(n²)."""
-    sh = _shingles(spark, sf_dir)
-    sigs = sh.groupBy("doc_id").agg(*_minhash_exprs())
+    sigs = minhash_signatures(fan_out(_docs(spark, sf_dir), "doc_id"))
     # one explode instead of a 4-way union: the union shape makes Spark
     # recompute the signature aggregation per branch
     band_structs = F.array(
@@ -415,7 +445,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: one scan, map-side combine, doc-keyed shuffle of fixed
     width. Majority vote for bit j = [2 * ones_j > n_tokens]; docs with
     no tokens keep all-zero bits via explode_outer + coalesce."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = fan_out(_docs(spark, sf_dir).select("doc_id", "text"), "doc_id")
     words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
     toks = docs.select(
         "doc_id", F.explode_outer(words).alias("tok")
@@ -740,7 +770,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_quality / dedup_ngram_jaccard; the dup stage runs on minhash
     candidates only (the bounded 100 TB shape — see
     _candidate_jaccard), mirrored exactly in the oracle."""
-    docs = _docs(spark, sf_dir)
+    docs = fan_out(_docs(spark, sf_dir), "doc_id")
     words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
     stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in", "is")])
     quality = (

@@ -39,7 +39,7 @@ def mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], "doc_id")
+    docs = load_tables(spark, sf_dir)["documents"]
     payloads = docs.select(
         "doc_id", F.unhex(F.md5(F.col("text").cast("binary"))).alias("payload")
     )
@@ -95,7 +95,7 @@ def mm_image_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     format and dimensions back out of the raw bytes — no codec library,
     which is exactly how a 100 TB metadata pass runs (headers only,
     pixels never decoded, payloads never leave executors)."""
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], "doc_id")
+    docs = load_tables(spark, sf_dir)["documents"]
     w = (F.lit(64) + F.col("doc_id") % 512).cast("int")
     h = (F.lit(64) + (F.col("doc_id") * 31) % 512).cast("int")
     hdr = F.concat(
@@ -133,7 +133,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     split into 16-byte frames and every 2nd frame kept — the exact
     mapInPandas batch shape an ffmpeg/pyav sampler has at 100 TB
     (payloads never leave executors, output is frames-per-row)."""
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], "doc_id")
+    docs = load_tables(spark, sf_dir)["documents"]
     m1 = F.md5(F.col("text").cast("binary"))
     m2 = F.md5(m1.cast("binary"))
     m3 = F.md5(m2.cast("binary"))
@@ -190,7 +190,7 @@ def mm_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics without a codec. At 100 TB this is the metadata half of
     a thumbnailing job; the pixel half swaps into the same mapInPandas
     body when codecs exist (operators/multimodal.py docstring)."""
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], "doc_id")
+    docs = load_tables(spark, sf_dir)["documents"]
     w = (F.lit(64) + F.col("doc_id") % 512).cast("int")
     h = (F.lit(64) + (F.col("doc_id") * 31) % 512).cast("int")
     hdr = F.concat(
@@ -248,7 +248,7 @@ def mm_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     a hash-exact oracle for a featurizer UDF, the same contract a CLIP
     embedder or MFCC extractor plugs into at 100 TB (payloads never
     leave executors; narrow typed rows come back)."""
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], "doc_id")
+    docs = load_tables(spark, sf_dir)["documents"]
     payloads = docs.select(
         "doc_id", F.unhex(F.md5(F.col("text").cast("binary"))).alias("payload")
     )

@@ -42,7 +42,8 @@ _SHINGLE5_SQL = f"""
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fan_out(load_tables(spark, sf_dir)["documents"], "doc_id")
+    # plain scan; the shingle-heavy queries below fan_out explicitly
+    return load_tables(spark, sf_dir)["documents"]
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,7 +100,7 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressed as a plain join so the planner decides. Per-doc totals
     are a partial-aggregated doc-keyed count, never a full-width sort.
     """
-    ex = _shingles5(_docs(spark, sf_dir))
+    ex = _shingles5(fan_out(_docs(spark, sf_dir), "doc_id"))
     boilers = (
         ex.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))

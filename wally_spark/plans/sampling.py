@@ -28,7 +28,7 @@ HOLDOUT_PCT = 10  # % of docs in the holdout split
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fan_out(load_tables(spark, sf_dir)["documents"], "doc_id")
+    return load_tables(spark, sf_dir)["documents"]
 
 
 @register(

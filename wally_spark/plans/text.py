@@ -27,7 +27,8 @@ _STOP_FR = ("le", "la", "les", "et", "est", "un")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fan_out(load_tables(spark, sf_dir)["documents"], "doc_id")
+    # plain scan; explode-heavy queries wrap _fan_out explicitly
+    return load_tables(spark, sf_dir)["documents"]
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
@@ -90,7 +91,7 @@ FROM feat
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality signals a pretraining pipeline filters on: punctuation
     density, stopword ratio (fluency proxy), lexical diversity."""
-    docs = _docs(spark, sf_dir)
+    docs = _fan_out(_docs(spark, sf_dir))
     words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
     stop_arr = F.array(*[F.lit(w) for w in _STOP_EN])
     d = docs.select(
@@ -211,7 +212,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly reproducible across engines and cluster sizes."""
     from pyspark.sql import Window
 
-    docs = _docs(spark, sf_dir)
+    docs = _fan_out(_docs(spark, sf_dir))
     words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
     toks = (
         docs.select("doc_id", F.posexplode(words).alias("pos", "word"))
