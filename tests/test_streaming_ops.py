@@ -616,3 +616,67 @@ def test_substring_dup_against_corpus(spark, tmp_path):
         4: (1, 10, 8333),
         5: (0, 0, 0),
     }
+
+
+def test_nb_score_against_corpus(spark, tmp_path):
+    """Incremental NB classifier: batch 1 is scored with the model
+    folded from batches 0+1; the result equals the batch helpers run
+    on the union corpus (same arithmetic, same integer floors); a
+    replayed batch is idempotent (counts overwrite, scores identical)."""
+    from wally_spark.plans.curation import (
+        _nb_unk_w,
+        _words_col,
+        nb_doc_counts,
+        nb_model,
+        nb_scored_counts,
+        nb_token_counts,
+    )
+    from wally_spark.streaming.ops import nb_score_against_corpus_foreach_batch
+
+    schema = "doc_id long, lang string, text string"
+    b0 = [(1, "en", "the cat sat on the mat and the dog"),
+          (2, "de", "der hund und die katze und der ball"),
+          (3, "en", "a dog in the house is a good dog")]
+    b1 = [(10, "en", "the dog and the cat in the house"),
+          (11, "de", "die katze ist ein hund und ein ball"),
+          (12, "fr", "le chien est un chat et un ballon")]
+    counts, out = str(tmp_path / "counts"), str(tmp_path / "scores")
+    fn = nb_score_against_corpus_foreach_batch(spark, counts, out)
+    fn(spark.createDataFrame(b0, schema), 0)
+    fn(spark.createDataFrame(b1, schema), 1)
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["score_mnat"], r["pred_en"])
+        for r in spark.read.parquet(f"{out}/b1").collect()
+    }
+    # expected: same helpers over the union corpus, scoring batch 1
+    union = spark.createDataFrame(b0 + b1, schema)
+    weights, stats, priors = nb_model(nb_token_counts(union), nb_doc_counts(union))
+    b1df = spark.createDataFrame(b1, schema)
+    tok = b1df.select("doc_id", F.explode(_words_col()).alias("word"))
+    score = F.col("pw") + F.col("seen_w") + F.col("n_unk") * _nb_unk_w()
+    exp = {
+        r["doc_id"]: (r["n_tokens"], r["score_mnat"], r["pred_en"])
+        for r in (
+            nb_scored_counts(tok, weights)
+            .crossJoin(F.broadcast(stats))
+            .crossJoin(F.broadcast(priors))
+            .select(
+                "doc_id",
+                "n_tokens",
+                score.cast("bigint").alias("score_mnat"),
+                F.when(score > 0, 1).otherwise(0).cast("bigint").alias("pred_en"),
+            )
+            .collect()
+        )
+    }
+    assert got == exp, (got, exp)
+    # english docs score above the non-english ones in the same batch
+    assert got[10][1] > got[12][1]
+    # replay batch 1 (at-least-once): byte-identical outcome
+    fn(spark.createDataFrame(b1, schema), 1)
+    got2 = {
+        r["doc_id"]: (r["n_tokens"], r["score_mnat"], r["pred_en"])
+        for r in spark.read.parquet(f"{out}/b1").collect()
+    }
+    assert got2 == got

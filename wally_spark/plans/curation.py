@@ -750,66 +750,17 @@ def doc_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row broadcast combines (allow-listed). One corpus-sized shuffle
     total, keyed doc_id."""
     docs = _docs(spark, sf_dir)
-    y = F.when(F.col("lang") == "en", 1).otherwise(0)
-    tok = docs.select(
-        "doc_id", y.alias("y"), F.explode(_words_col()).alias("word")
-    )
     sampled = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
         "0", "1", "2", "3"
     )
-    train = (
-        docs.where(sampled)
-        .select("doc_id", y.alias("y"), F.explode(_words_col()).alias("word"))
-        .groupBy("word")
-        .agg(
-            F.sum("y").cast("bigint").alias("c1"),
-            F.sum(1 - F.col("y")).cast("bigint").alias("c0"),
-        )
+    weights, stats, priors = nb_model(
+        nb_token_counts(docs.where(sampled)), nb_doc_counts(docs.where(sampled))
     )
-    tot = train.agg(
-        F.sum("c1").cast("bigint").alias("t1"),
-        F.sum("c0").cast("bigint").alias("t0"),
-    )
-    top = train.orderBy(F.desc(F.col("c1") + F.col("c0")), "word").limit(NB_VOCAB)
-    stats = top.agg(
-        F.sum("c1").cast("bigint").alias("t1_top"),
-        F.sum("c0").cast("bigint").alias("t0_top"),
-        F.count(F.lit(1)).cast("bigint").alias("v_top"),
-    ).crossJoin(F.broadcast(tot))
-    mnat = lambda num, den: F.floor(  # noqa: E731 — floored ONCE, then bigint
-        1000.0 * F.log(num.cast("double") / den.cast("double"))
-    ).cast("bigint")
-    d1 = F.col("t1") + F.col("v_top") + 1
-    d0 = F.col("t0") + F.col("v_top") + 1
-    weights = top.crossJoin(F.broadcast(stats)).select(
-        "word",
-        (mnat(F.col("c1") + 1, d1) - mnat(F.col("c0") + 1, d0)).alias("w"),
-    )
-    priors = (
-        docs.where(sampled)
-        .agg(
-            F.sum(y).alias("n1"),
-            F.sum(1 - y).alias("n0"),
-        )
-        .select(mnat(F.col("n1") + 1, F.col("n0") + 1).alias("pw"))
-    )
-    scored = (
-        tok.join(F.broadcast(weights), "word", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum(F.coalesce("w", F.lit(0))).cast("bigint").alias("seen_w"),
-            F.sum(F.when(F.col("w").isNull(), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_unk"),
-        )
-    )
-    unk_w = mnat(F.col("t1") - F.col("t1_top") + 1, d1) - mnat(
-        F.col("t0") - F.col("t0_top") + 1, d0
-    )
-    score = F.col("pw") + F.col("seen_w") + F.col("n_unk") * unk_w
+    tok = docs.select("doc_id", F.explode(_words_col()).alias("word"))
+    score = F.col("pw") + F.col("seen_w") + F.col("n_unk") * _nb_unk_w()
     return (
-        scored.crossJoin(F.broadcast(stats))
+        nb_scored_counts(tok, weights)
+        .crossJoin(F.broadcast(stats))
         .crossJoin(F.broadcast(priors))
         .join(docs.select("doc_id", "lang"), "doc_id")
         .select(
@@ -822,4 +773,161 @@ def doc_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("is_en"),
         )
+    )
+
+
+def _nb_y():
+    return F.when(F.col("lang") == "en", 1).otherwise(0)
+
+
+def _nb_mnat(num, den):
+    # floored ONCE to integer milli-nats; everything downstream bigint
+    return F.floor(
+        1000.0 * F.log(num.cast("double") / den.cast("double"))
+    ).cast("bigint")
+
+
+def nb_token_counts(docs: DataFrame) -> DataFrame:
+    """(word, c1, c0) per-class token counts for any (doc_id, lang,
+    text) DataFrame — one word-keyed aggregate, map-side combined.
+    Mergeable across batches by summing (the streaming lane persists
+    per-batch counts and folds them)."""
+    return (
+        docs.select("doc_id", _nb_y().alias("y"), F.explode(_words_col()).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.sum("y").cast("bigint").alias("c1"),
+            F.sum(1 - F.col("y")).cast("bigint").alias("c0"),
+        )
+    )
+
+
+def nb_doc_counts(docs: DataFrame) -> DataFrame:
+    """1-row (n1, n0) class doc counts — the prior's input, mergeable
+    across batches by summing."""
+    y = _nb_y()
+    return docs.agg(
+        F.sum(y).cast("bigint").alias("n1"),
+        F.sum(1 - y).cast("bigint").alias("n0"),
+    )
+
+
+def nb_model(train: DataFrame, doc_counts: DataFrame):
+    """(weights, stats, priors) from merged (word, c1, c0) counts and
+    1-row (n1, n0): top-NB_VOCAB vocabulary + UNK mass per class,
+    integer milli-nat log-odds. weights ≤ NB_VOCAB rows by
+    construction; stats/priors are 1-row broadcast combines."""
+    tot = train.agg(
+        F.sum("c1").cast("bigint").alias("t1"),
+        F.sum("c0").cast("bigint").alias("t0"),
+    )
+    top = train.orderBy(F.desc(F.col("c1") + F.col("c0")), "word").limit(NB_VOCAB)
+    stats = top.agg(
+        F.sum("c1").cast("bigint").alias("t1_top"),
+        F.sum("c0").cast("bigint").alias("t0_top"),
+        F.count(F.lit(1)).cast("bigint").alias("v_top"),
+    ).crossJoin(F.broadcast(tot))
+    d1 = F.col("t1") + F.col("v_top") + 1
+    d0 = F.col("t0") + F.col("v_top") + 1
+    weights = top.crossJoin(F.broadcast(stats)).select(
+        "word",
+        (_nb_mnat(F.col("c1") + 1, d1) - _nb_mnat(F.col("c0") + 1, d0)).alias("w"),
+    )
+    priors = doc_counts.select(
+        _nb_mnat(F.col("n1") + 1, F.col("n0") + 1).alias("pw")
+    )
+    return weights, stats, priors
+
+
+def _nb_unk_w():
+    """UNK log-odds expression — requires stats columns in scope."""
+    d1 = F.col("t1") + F.col("v_top") + 1
+    d0 = F.col("t0") + F.col("v_top") + 1
+    return _nb_mnat(F.col("t1") - F.col("t1_top") + 1, d1) - _nb_mnat(
+        F.col("t0") - F.col("t0_top") + 1, d0
+    )
+
+
+def nb_scored_counts(tok: DataFrame, weights: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, seen_w, n_unk) from a (doc_id, word) token
+    stream and the broadcast weight table — one doc-keyed aggregate."""
+    return (
+        tok.join(F.broadcast(weights), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.coalesce("w", F.lit(0))).cast("bigint").alias("seen_w"),
+            F.sum(F.when(F.col("w").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unk"),
+        )
+    )
+
+
+# --- BPE merge-pair counting (tokenizer training, round 1) ------------------
+BPE_TOP = 32  # merge candidates reported
+
+
+@register(
+    "bpe_merge_pairs",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+  FROM documents
+),
+wc AS (
+  SELECT word, count(*) AS c FROM tok GROUP BY word
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, greatest(len(word), 2)),
+                i -> substr(word, i, 2))) AS pair,
+         c
+  FROM wc WHERE len(word) >= 2
+),
+agg AS (
+  SELECT pair, sum(c)::BIGINT AS pair_count FROM pairs GROUP BY pair
+)
+SELECT row_number() OVER (ORDER BY pair_count DESC, pair) AS rank,
+       pair, pair_count
+FROM agg ORDER BY pair_count DESC, pair LIMIT {BPE_TOP}
+""",
+    tags=("text", "curation", "tokenizer"),
+)
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, first merge round: count adjacent
+    character pairs across the corpus weighted by word frequency and
+    rank the top merge candidates — the inner loop of byte-pair
+    encoding (Sennrich et al. 2016) that corpus pipelines run to fit a
+    tokenizer before packing. One round is the representative shape:
+    later rounds re-run the same count over the merged symbol stream.
+
+    Scale shape: the corpus token stream collapses to (word, count)
+    FIRST (one word-keyed aggregate, map-side combined — the word
+    relation is the vocabulary, bounded far below the corpus), then
+    pair explosion runs over distinct words only: pair counting is
+    O(vocab x word_len), independent of corpus duplication. Top-K is a
+    TakeOrdered (per-partition top-K + bounded merge, never a global
+    sort); the rank window runs on K rows. Exact integer counts —
+    engine-identical."""
+    tok = _docs(spark, sf_dir).select(F.explode(_words_col()).alias("word"))
+    wc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (
+        wc.where(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(word) - 1, 1)),"
+                    " i -> substring(word, i, 2))"
+                )
+            ).alias("pair"),
+            "c",
+        )
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("c").cast("bigint").alias("pair_count"))
+    top = agg.orderBy(F.desc("pair_count"), "pair").limit(BPE_TOP)
+    rank_w = Window.orderBy(F.desc("pair_count"), "pair")
+    return top.select(
+        F.row_number().over(rank_w).cast("bigint").alias("rank"),
+        "pair",
+        "pair_count",
     )

@@ -377,3 +377,47 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") == 1)
         .select("doc_id", F.col("cand").alias("predicted"), "overlap")
     )
+
+
+# --- classifier audit: langid confusion matrix -------------------------------
+@register(
+    "langid_confusion",
+    oracle=f"""
+WITH feat AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), w -> w <> '') AS words
+  FROM documents
+), hits AS (
+  SELECT doc_id, lang,
+         len(list_filter(words, w -> w IN ({_sql_list(_STOP_EN)}))) AS en_hits,
+         len(list_filter(words, w -> w IN ({_sql_list(_STOP_DE)}))) AS de_hits,
+         len(list_filter(words, w -> w IN ({_sql_list(_STOP_FR)}))) AS fr_hits
+  FROM feat
+), pred AS (
+  SELECT lang AS actual,
+         CASE WHEN en_hits = 0 AND de_hits = 0 AND fr_hits = 0 THEN 'unknown'
+              WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+              WHEN de_hits >= fr_hits THEN 'de'
+              ELSE 'fr' END AS predicted
+  FROM hits
+)
+SELECT actual, predicted, count(*) AS n_docs
+FROM pred GROUP BY actual, predicted
+""",
+    tags=("text", "langid", "audit"),
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier audit: the (actual x predicted) confusion matrix of
+    the stopword langid over the whole corpus — the precision/recall
+    dashboard a pipeline checks before trusting a filter at scale.
+    Composes the text_langid plan and collapses it to one tiny
+    aggregate: per-doc work identical, the confusion rollup is a
+    low-cardinality (langs x langs) groupBy with map-side combine —
+    the shuffle carries a handful of counters per task regardless of
+    corpus size."""
+    return (
+        text_langid(spark, sf_dir)
+        .select(F.col("lang").alias("actual"), "predicted")
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -828,3 +828,76 @@ def substring_dup_against_corpus_foreach_batch(
         )
 
     return proc
+
+
+def nb_score_against_corpus_foreach_batch(spark, counts_path: str, out_path: str):
+    """Incremental Naive-Bayes quality gate — the streaming face of the
+    batch `doc_nb_classifier`: every batch's per-class token counts and
+    doc counts persist to ``counts_path`` (per-batch dirs), the model
+    (top-V + UNK integer log-odds, plans/curation.nb_model) is folded
+    from EVERYTHING ingested so far — including the current batch,
+    matching the batch query's train-on-corpus shape — and the batch's
+    scores land in ``out_path/b<batch_id>``. The filter gets sharper as
+    the corpus accumulates, with no retraining job: training is
+    count-merging.
+
+    Scale shape: per-batch counts are (vocab_batch x 3) rows; the fold
+    is one word-keyed aggregate over count rows (not text); the weight
+    table is ≤ NB_VOCAB rows broadcast. Idempotence: per-batch
+    overwrite dirs — a replayed batch overwrites its OWN counts (the
+    fold sums replacements, never duplicates) and re-scores
+    identically."""
+    from wally_spark.plans.curation import (
+        _nb_unk_w,
+        _words_col,
+        nb_doc_counts,
+        nb_model,
+        nb_scored_counts,
+        nb_token_counts,
+    )
+
+    def all_dirs(base: str) -> list[str]:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(base)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return []
+        glob = fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{base}/b*"))
+        return [str(st.getPath()) for st in (glob or []) if st.isDirectory()]
+
+    def proc(batch_df, batch_id):
+        nb_token_counts(batch_df).write.mode("overwrite").parquet(
+            f"{counts_path}/tok/b{batch_id}"
+        )
+        nb_doc_counts(batch_df).write.mode("overwrite").parquet(
+            f"{counts_path}/doc/b{batch_id}"
+        )
+        train = (
+            spark.read.parquet(*all_dirs(f"{counts_path}/tok"))
+            .groupBy("word")
+            .agg(
+                F.sum("c1").cast("bigint").alias("c1"),
+                F.sum("c0").cast("bigint").alias("c0"),
+            )
+        )
+        doc_tot = spark.read.parquet(*all_dirs(f"{counts_path}/doc")).agg(
+            F.sum("n1").cast("bigint").alias("n1"),
+            F.sum("n0").cast("bigint").alias("n0"),
+        )
+        weights, stats, priors = nb_model(train, doc_tot)
+        tok = batch_df.select("doc_id", F.explode(_words_col()).alias("word"))
+        score = F.col("pw") + F.col("seen_w") + F.col("n_unk") * _nb_unk_w()
+        out = (
+            nb_scored_counts(tok, weights)
+            .crossJoin(F.broadcast(stats))
+            .crossJoin(F.broadcast(priors))
+            .select(
+                "doc_id",
+                "n_tokens",
+                score.cast("bigint").alias("score_mnat"),
+                F.when(score > 0, 1).otherwise(0).cast("bigint").alias("pred_en"),
+            )
+        )
+        out.write.mode("overwrite").parquet(f"{out_path}/b{batch_id}")
+
+    return proc
