@@ -119,3 +119,112 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1-row × 1-row combine: broadcast-NL over two single-row aggregate
     # sides (allow-listed in tests/test_plans.py::test_no_cartesian_anywhere).
     return n_edges.crossJoin(F.broadcast(tri))
+
+
+# --- PageRank over the customer-part co-purchase graph ----------------------
+PR_ITERS = 3
+PR_INIT = 1000  # milli-rank units
+
+
+def _pr_round_sql(prev: str, r: int) -> str:
+    """One exact-integer PageRank round as DuckDB CTEs: per-node share
+    = rank div degree (bigint floor division), neighbor sum, then
+    r' = 150 + (85 * sum) div 100 — the 0.15/0.85 damping in integer
+    milli-rank, identical on any engine."""
+    return f"""
+s{r} AS (
+  SELECT p.node, p.rank // d.deg AS share
+  FROM {prev} p JOIN deg d USING (node)
+),
+c{r} AS (
+  SELECT e.dst AS node, sum(s.share)::BIGINT AS insum
+  FROM edges e JOIN s{r} s ON s.node = e.src
+  GROUP BY e.dst
+),
+r{r} AS (
+  SELECT n.node,
+         (150 + (85 * coalesce(c.insum, 0)) // 100)::BIGINT AS rank
+  FROM nodes n LEFT JOIN c{r} c USING (node)
+)"""
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"""
+WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT 2 * c AS src, 2 * p + 1 AS dst FROM cp
+  UNION ALL
+  SELECT 2 * p + 1, 2 * c FROM cp
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, {PR_INIT}::BIGINT AS rank FROM nodes)
+{"".join("," + _pr_round_sql(f"r{r-1}", r) for r in range(1, PR_ITERS + 1))}
+SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'part' END AS side,
+       (node // 2)::BIGINT AS key, rank AS rank_milli
+FROM r{PR_ITERS}
+""",
+    tags=("graph", "analytics", "iterative"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite customer-part co-purchase graph —
+    the importance/centrality signal curation pipelines use for
+    source- or domain-level quality weighting (the classic link-based
+    quality prior). Exact integer milli-rank arithmetic: each round is
+    share = rank div degree (bigint floor division), an in-neighbor
+    sum, and r' = 150 + (85*sum) div 100 — engine- and
+    partitioning-independent by construction, so the unrolled-CTE
+    DuckDB oracle is hash-exact (the embedding_kmeans technique).
+
+    Scale shape: the edge list (distinct co-purchase pairs, symmetrized)
+    is pinned once — PR_ITERS static rounds build ONE lazy plan with no
+    driver actions or collects; per round one edge-keyed join + one
+    dst-keyed aggregate (map-side combined), both shuffles keyed on
+    uniform ids. Rank state is one row per node, never materialized on
+    the driver. Damping in integers keeps every round's output exact —
+    floats would drift across partitionings at 100 TB."""
+    t = load_tables(spark, sf_dir)
+    cp = (
+        t["lineitem"].select("l_orderkey", "l_partkey")
+        .join(t["orders"].select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (2 * F.col("o_custkey")).alias("c"),
+            (2 * F.col("l_partkey") + 1).alias("p"),
+        )
+        .distinct()
+    )
+    edges = pin(
+        cp.select(F.col("c").alias("src"), F.col("p").alias("dst")).union(
+            cp.select(F.col("p").alias("src"), F.col("c").alias("dst"))
+        )
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    rank = nodes.withColumn("rank", F.lit(PR_INIT).cast("bigint"))
+    for _ in range(PR_ITERS):
+        share = rank.join(deg, "node").select(
+            "node", F.expr("rank div deg").alias("share")
+        )
+        contrib = (
+            edges.join(share, edges["src"] == share["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").cast("bigint").alias("insum"))
+        )
+        rank = nodes.join(contrib, "node", "left").select(
+            "node",
+            (150 + F.expr("(85 * coalesce(insum, 0)) div 100"))
+            .cast("bigint")
+            .alias("rank"),
+        )
+    return rank.select(
+        F.when(F.col("node") % 2 == 0, "cust").otherwise("part").alias("side"),
+        F.expr("node div 2").cast("bigint").alias("key"),
+        F.col("rank").alias("rank_milli"),
+    )

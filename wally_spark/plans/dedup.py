@@ -864,3 +864,71 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("best.negc")).cast("bigint").alias("kept_chars"),
         "n_docs",
     )
+
+
+# --- corpus-health dashboard: near-dup rate per (lang, source) ---------------
+@register(
+    "dup_rate_report",
+    oracle=f"""
+WITH shingled AS ({_SHINGLES_SQL}),
+exploded AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+),
+{_CAND_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM exploded GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN exploded a ON a.doc_id = c.doc_a
+  JOIN exploded b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+verified AS (
+  SELECT doc_a, doc_b FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE 10000.0 * inter / (sa.n + sb.n - inter) >= 1000.0
+),
+dup_docs AS (
+  SELECT doc_a AS doc_id FROM verified
+  UNION
+  SELECT doc_b FROM verified
+)
+SELECT d.lang, d.source,
+       count(*)::BIGINT AS n_docs,
+       count(dd.doc_id)::BIGINT AS n_dup_docs,
+       (10000 * count(dd.doc_id) // count(*))::BIGINT AS dup_bp
+FROM documents d LEFT JOIN dup_docs dd USING (doc_id)
+GROUP BY d.lang, d.source
+""",
+    tags=("dedup", "report", "curation"),
+)
+def dup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health dashboard: per (lang, source) cell, how many
+    documents participate in at least one VERIFIED near-dup pair
+    (minhash candidates → exact Jaccard ≥ 0.10, the dedup_ngram_jaccard
+    chain) — the per-slice duplication-rate report an operator reads
+    before deciding which crawl sources to down-weight. Composes the
+    verified-pair plan and collapses it: doc membership is a distinct
+    union of pair endpoints (tiny relative to the corpus), the rollup
+    is a low-cardinality (lang, source) aggregate with map-side
+    combine. Integer basis points — engine-exact."""
+    verified = dedup_ngram_jaccard(spark, sf_dir)
+    dup_docs = (
+        verified.select(F.col("doc_a").alias("doc_id"))
+        .union(verified.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return (
+        docs.join(dup_docs, "doc_id", "left")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count("is_dup").cast("bigint").alias("n_dup_docs"),
+            F.expr("(10000 * count(is_dup)) div count(*)")
+            .cast("bigint")
+            .alias("dup_bp"),
+        )
+    )
