@@ -292,3 +292,22 @@ def test_pin_honors_session_checkpoint_conf(spark, tmp_path):
         )
     finally:
         spark.conf.unset("spark.wally.checkpointDir")
+
+
+def test_pagerank_partitioning_independent(spark):
+    """graph_pagerank's claim is exact integer arithmetic — the answer
+    must be bit-identical under different shuffle partition counts
+    (float damping would drift with accumulation order)."""
+    from wally_spark.plans.analytics_ext import graph_pagerank
+
+    sf = "/root/testdata/sf0.001"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        a = sorted(tuple(r) for r in graph_pagerank(spark, sf).collect())
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        b = sorted(tuple(r) for r in graph_pagerank(spark, sf).collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
+    assert len(a) > 0
