@@ -570,9 +570,11 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def anchor_gram_docs(docs: DataFrame) -> DataFrame:
     """(doc_id, n_words, grams): 1-based sliding ANCHOR_N-word anchor
-    md5 grams per doc (docs shorter than ANCHOR_N are excluded — they
-    cannot contain a duplicated span). Shared by the batch query and
-    the streaming persistent-corpus variant (streaming/ops.py).
+    grams per doc (docs shorter than ANCHOR_N are excluded — they
+    cannot contain a duplicated span). Used by the streaming
+    persistent-corpus variant (streaming/ops.py), which registers gram
+    ARRAYS; the batch query builds the same positions with codegen
+    lead() windows instead (see dedup_substring).
 
     greatest(…, 1) keeps the sequence ascending and slice/array_join
     tolerate short arrays: the optimizer may evaluate this projection
