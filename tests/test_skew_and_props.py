@@ -37,6 +37,24 @@ def test_salted_join_matches_plain(spark):
         F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("t")
     )
     assert plain.collect() == salted.collect()
+    # left mode: unmatched skewed-side rows survive with nulls, and no
+    # match duplicates (each left row carries exactly one salt)
+    dims_partial = dims.where(F.col("event_type") != "view")
+    plain_l = (
+        ev.join(dims_partial, "event_type", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("weight").alias("matched"),
+        )
+    )
+    salted_l = (
+        salted_join(ev, dims_partial, "event_type", n_salts=8, how="left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("weight").alias("matched"),
+        )
+    )
+    assert plain_l.collect() == salted_l.collect()
 
 
 @settings(max_examples=25, deadline=None)

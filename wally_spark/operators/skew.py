@@ -55,14 +55,20 @@ def salted_agg(
 
 
 def salted_join(
-    skewed: DataFrame, small: DataFrame, on: str, n_salts: int = 16
+    skewed: DataFrame, small: DataFrame, on: str, n_salts: int = 16,
+    how: str = "inner",
 ) -> DataFrame:
     """Skewed-left join by replicating the small side ``n_salts``
     times: the hot key's rows scatter across salts instead of landing
     on one reducer. Use when the small side is too big to broadcast
-    but small enough to replicate n_salts×."""
+    but small enough to replicate n_salts×. ``how`` may be "inner" or
+    "left" — left keeps unmatched skewed-side rows with nulls (each
+    skewed row carries exactly one salt, so replication never
+    duplicates a left match)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
     salted_l = skewed.withColumn("__salt", _row_salt(skewed, n_salts).cast("int"))
     replicated = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
-    return salted_l.join(replicated, [on, "__salt"]).drop("__salt")
+    return salted_l.join(replicated, [on, "__salt"], how).drop("__salt")

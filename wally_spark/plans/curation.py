@@ -514,8 +514,10 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     lead() over the per-doc order (the sort reuses the fan_out
     partitioning and is bounded by doc length), one xxhash64 per
     position; a position is duplicated when its anchor gram occurs in
-    >= 2 DISTINCT docs (min/max window keyed by the uniform hash — no
-    skew); duplicated positions closer than ANCHOR_N words merge into
+    >= 2 DISTINCT docs (two-phase min/max aggregate + SALTED flag join
+    — hot grams are this operator's TARGET, so both sides are
+    engineered for them, see inline note);
+    duplicated positions closer than ANCHOR_N words merge into
     maximal spans via gaps-and-islands (lag + running sum windows,
     partitioned per doc). Span token ranges of DIFFERENT islands are
     disjoint by construction (gap > ANCHOR_N - 1), so
@@ -524,11 +526,13 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram ARRAYS — measured 2x slower here: Spark evaluates
     higher-order lambdas interpreted, the simhash round-1 lesson.)
 
-    At 100 TB: one shuffle keyed on gram hash (the distinct-doc df),
-    one gram-keyed join back, one doc-keyed window — the same bill as
-    text_boilerplate plus the per-doc window, all linear in corpus
-    size. Reference basis: machida computations have no text surface;
-    this extends SURVEY §2.6 (engine extension)."""
+    At 100 TB: one map-side-combined shuffle keyed on gram hash (one
+    row per distinct gram per upstream task — a billion-occurrence
+    gram costs the same as a rare one), one salted gram-keyed flag
+    join (hot-gram positions scatter across salts), one doc-keyed
+    window — linear in corpus size with no hot-key task. Reference
+    basis: machida computations have no text surface; this extends
+    SURVEY §2.6 (engine extension)."""
     docs = _docs(spark, sf_dir)
     d = docs.select("doc_id", _words_col().alias("words")).where(
         F.size("words") >= ANCHOR_N
@@ -548,21 +552,29 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p0") + 1).alias("p"),
         F.xxhash64(F.concat_ws(" ", *gram_words)).alias("gram"),
     ).where(F.col("p") <= F.col("n_words") - (ANCHOR_N - 1))
-    # ">= 2 distinct docs" ⟺ min(doc_id) != max(doc_id) over a window
-    # PARTITIONED BY gram: ONE gram-keyed exchange of the exploded
-    # positions and the filter happens in place — where the agg+join
-    # spelling pays two corpus-sized exchanges AND computes the
-    # explode twice (the two branches project different columns, so
-    # AQE exchange reuse cannot fire). The window's partition-local
-    # sort is on the uniform 8-byte hash — no skew, spill-safe. (The
-    # oracle keeps the count(DISTINCT) spelling; both predicates
+    # ">= 2 distinct docs" ⟺ min(doc_id) != max(doc_id), computed as a
+    # TWO-PHASE aggregate (map-side combine: each upstream task emits
+    # one row per distinct gram, so a hot gram — a license paragraph
+    # repeated across millions of docs, the exact thing this operator
+    # hunts — costs O(distinct grams) in the shuffle, never O(its
+    # occurrences)). Positions get their duplicated flag back through a
+    # SALTED join (operators/skew.salted_join): the dup-gram set
+    # replicates across 8 salts and a hot gram's positions scatter
+    # instead of concentrating in one task. A gram-partitioned window
+    # spelling measured identical locally but concentrates every
+    # occurrence of a hot gram in one partition at scale — rejected.
+    # (The oracle keeps the count(DISTINCT) spelling; both predicates
     # select exactly the positions whose gram spans >= 2 docs.)
-    wg = Window.partitionBy("gram")
-    dup_pos = (
-        ex.withColumn("d_min", F.min("doc_id").over(wg))
-        .withColumn("d_max", F.max("doc_id").over(wg))
+    from wally_spark.operators.skew import salted_join
+
+    dup_grams = (
+        ex.groupBy("gram")
+        .agg(F.min("doc_id").alias("d_min"), F.max("doc_id").alias("d_max"))
         .where(F.col("d_min") != F.col("d_max"))
-        .select("doc_id", "n_words", "p")
+        .select("gram")
+    )
+    dup_pos = salted_join(ex, dup_grams, "gram", n_salts=8).select(
+        "doc_id", "n_words", "p"
     )
     base = d.select("doc_id", F.size("words").alias("n_words"))
     return _span_merge(dup_pos, base)

@@ -112,9 +112,15 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flag, then a single doc-keyed aggregate — count(*) is the shingle
     # total, count(flag) skips nulls so it is exactly the inner-join
     # match count. Two text scans total (df + this one) instead of the
-    # three the totals/membership/boiler-count split paid.
+    # three the totals/membership/boiler-count split paid. The flag
+    # join is SALTED: a boilerplate shingle appears in millions of
+    # docs at 100 TB (that is what makes it boilerplate), and a plain
+    # shingle-keyed join would concentrate all those occurrences in
+    # one task.
+    from wally_spark.operators.skew import salted_join
+
     return (
-        ex.join(boilers, "shingle", "left")
+        salted_join(ex, boilers, "shingle", n_salts=8, how="left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
