@@ -140,6 +140,15 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 # under 2^63 in BOTH engines, and DuckDB mirrors the md5-hex parse
 # nibble-by-nibble, so the permuted values — and therefore the band
 # keys and the candidate pair set — are engine-identical.
+# LSH bucket cap: a band bucket holding B docs emits B(B-1)/2 candidate
+# pairs, so one bucket of a million byte-identical docs would emit
+# 5*10^11 pairs. Buckets past MAX_BUCKET are dropped from pair
+# generation (they are exact/near-exact dup GROUPS — dedup_exact's
+# job, run first in curation_pipeline); the cap binds only in
+# pathological corpora (max observed bucket at sf0.1 is 7) and is
+# mirrored in every oracle.
+MAX_BUCKET = 4096
+
 MH_P = 4294967291  # largest prime < 2^32
 MH_A = (1000000007, 998244353, 997001789, 911382323,
         824633702, 754974721, 663608941, 515764801)
@@ -188,10 +197,15 @@ bands AS (
     f" mh{2*b}::VARCHAR || ':' || mh{2*b+1}::VARCHAR AS band_key FROM sigs"
     for b in range(N_HASHES // BAND_ROWS)
   )}
+),
+bands_k AS (
+  SELECT doc_id, band_id, band_key FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bsz
+    FROM bands) WHERE bsz <= {MAX_BUCKET}
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        count(DISTINCT a.band_id) AS shared_bands
-FROM bands a JOIN bands b
+FROM bands_k a JOIN bands_k b
   ON a.band_key = b.band_key AND a.band_id = b.band_id
  AND a.doc_id < b.doc_id
 GROUP BY doc_a, doc_b
@@ -228,8 +242,19 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "b.band_id", "b.band_key"
         )
     )
-    a = bands.alias("a")
-    b_ = bands.alias("b")
+    # bucket cap (MAX_BUCKET): count docs per bucket with a map-side-
+    # combined aggregate (skew-proof) and drop oversized buckets before
+    # the self-join — bounds pair output at B(B-1)/2 per bucket. The
+    # filter join probes the pinned bands relation; a hot bucket costs
+    # O(its size) here, never O(its size squared).
+    sizes = bands.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("bsz")
+    )
+    bands_k = bands.join(
+        sizes.where(F.col("bsz") <= MAX_BUCKET), ["band_id", "band_key"]
+    ).select("doc_id", "band_id", "band_key")
+    a = bands_k.alias("a")
+    b_ = bands_k.alias("b")
     return (
         a.join(
             b_,
@@ -264,9 +289,14 @@ bands AS (
     for b in range(N_HASHES // BAND_ROWS)
   )}
 ),
+bands_k AS (
+  SELECT doc_id, band_id, band_key FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bsz
+    FROM bands) WHERE bsz <= {MAX_BUCKET}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM bands_k a JOIN bands_k b
     ON a.band_key = b.band_key AND a.band_id = b.band_id
    AND a.doc_id < b.doc_id
 )"""
