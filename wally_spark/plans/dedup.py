@@ -520,13 +520,18 @@ HAMMING_T = 6
 @register(
     "dedup_simhash_pairs",
     oracle=f"""
-WITH {_SIMHASH_CTES}
+WITH {_SIMHASH_CTES},
+sim_k AS (
+  SELECT doc_id, simhash, bucket FROM (
+    SELECT *, count(*) OVER (PARTITION BY bucket) AS bsz FROM sim)
+  WHERE bsz <= {{MAX_BUCKET}}
+)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-FROM sim a JOIN sim b
+FROM sim_k a JOIN sim_k b
   ON a.bucket = b.bucket AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_T}
-""",
+""".format(MAX_BUCKET=MAX_BUCKET),
     tags=("dedup", "simhash", "pairs"),
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -541,6 +546,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fingerprint computation once per side; pin() upgrades to a
     # reliable checkpoint when a checkpoint dir is configured
     d = pin(dedup_simhash(spark, sf_dir))
+    # bucket cap, same rationale as dedup_minhash's MAX_BUCKET: a hot
+    # bucket (millions of near-empty docs fold to simhash 0 → bucket 0)
+    # would emit B²/2 join rows BEFORE the hamming filter runs
+    sizes = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
+    d = d.join(sizes.where(F.col("bsz") <= MAX_BUCKET), "bucket").select(
+        "doc_id", "simhash", "bucket"
+    )
     a, b = d.alias("a"), d.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -662,9 +674,14 @@ def _embedding_lsh_oracle() -> str:
 
     return f"""
 WITH {_SIGS_CTE},
+sigs_k AS (
+  SELECT vec_id, band_id, band_sig FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_id, band_sig) AS bsz
+    FROM sigs) WHERE bsz <= {MAX_BUCKET}
+),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM sigs a JOIN sigs b
+  FROM sigs_k a JOIN sigs_k b
     ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.vec_id < b.vec_id
 )
 SELECT c.vec_a, c.vec_b,
@@ -734,6 +751,14 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would sign the corpus twice and double the Arrow traffic; pin()
     # upgrades to a reliable checkpoint when a checkpoint dir is set
     banded = pin(_banded(emb, "vec_id", "e").drop("e"))
+    # bucket cap (MAX_BUCKET, same rationale as dedup_minhash): a hot
+    # bucket of duplicated embeddings would emit B²/2 candidate rows
+    sizes = banded.groupBy("band_id", "band_sig").agg(
+        F.count(F.lit(1)).alias("bsz")
+    )
+    banded = banded.join(
+        sizes.where(F.col("bsz") <= MAX_BUCKET), ["band_id", "band_sig"]
+    )
     a = banded.select(F.col("vec_id").alias("vec_a"), "band_id", "band_sig")
     b = banded.select(F.col("vec_id").alias("vec_b"), "band_id", "band_sig")
     pairs = (
