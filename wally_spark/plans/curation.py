@@ -630,9 +630,13 @@ def substring_span_report(
     """Gaps-and-islands span merge over duplicated anchor positions →
     per-doc (n_spans, dup_tokens, dup_bp). ``dup_grams`` defines what
     counts as duplicated (persistent-corpus membership in the
-    streaming variant; the batch query takes the window fast path in
-    ``_span_merge`` instead and never builds a dup_grams side)."""
-    return _span_merge(ex.join(dup_grams, "gram"), base)
+    streaming variant; the batch query builds its dup_grams with a
+    skew-proof two-phase aggregate). The flag join is SALTED like the
+    batch query's: a hot gram's positions scatter across salts instead
+    of concentrating in one task."""
+    from wally_spark.operators.skew import salted_join
+
+    return _span_merge(salted_join(ex, dup_grams, "gram", n_salts=8), base)
 
 
 def _span_merge(dup_pos: DataFrame, base: DataFrame) -> DataFrame:

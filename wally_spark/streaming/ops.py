@@ -495,7 +495,10 @@ def neardedup_against_corpus_foreach_batch(
     matching pair — deterministic under replay), then the batch probes
     the corpus. Scale shape: signatures are ~9 narrow columns per doc;
     the probe joins on band_key (uniform md5 prefix), and at 100 TB the
-    signature table is bucketed by band_key so probes are scan-side.
+    signature table is bucketed by band_key so probes are scan-side;
+    the offline compaction should also drop buckets past the batch
+    queries' MAX_BUCKET (plans/dedup.py) — a hot bucket of a million
+    near-identical signatures multiplies every probe that lands in it.
     Idempotence: per-batch overwrite dirs, own-batch dir excluded from
     the probe (same replay contract as the exact variant).
 
