@@ -15,9 +15,13 @@ Shapes:
   dedup_clusters       — connected components over candidate pairs
                          (keep one doc per near-dup cluster)
 
-Hashing is md5-based so Spark and DuckDB agree bit-for-bit; integer /
-lexicographic comparisons only — no float accumulation anywhere except
-the cosine query, whose output is floored to basis points.
+Hashing is md5-derived so Spark and DuckDB agree bit-for-bit (minhash:
+ONE md5 per shingle parsed to a 32-bit int + integer permutations);
+integer / lexicographic comparisons only — no float accumulation
+anywhere except the cosine queries, whose outputs floor to basis
+points. All pair-generating self-joins cap bucket sizes at MAX_BUCKET
+(a hot bucket is an exact-dup group — dedup_exact's job), and flag
+joins against content-derived keys are salted (operators/skew.py).
 """
 
 from __future__ import annotations
