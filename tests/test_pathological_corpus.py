@@ -71,3 +71,34 @@ def test_every_query_survives_dirty_corpus(spark, dirty_sf):
     assert not failures, "queries crashed on dirty corpus:\n" + "\n".join(
         failures[:20]
     ) + (f"\n... and {len(failures) - 20} more" if len(failures) > 20 else "")
+
+
+def test_substring_dedup_finds_planted_passage(spark, tmp_path):
+    """Semantic gate beyond the oracle: plant one 14-word passage
+    verbatim inside two otherwise-unrelated documents — dedup_substring
+    must report a duplicated span covering >= the passage length in
+    both docs, and docs without shared passages must report zero."""
+    import pyspark.sql.functions as F
+
+    passage = ("alpha beta gamma delta epsilon zeta eta theta iota "
+               "kappa lam mu nu xi")
+    filler_a = " ".join(f"worda{i}" for i in range(30))
+    filler_b = " ".join(f"wordb{i}" for i in range(30))
+    clean = " ".join(f"wordc{i}" for i in range(40))
+    rows = [
+        (1, f"{filler_a} {passage} {filler_a}", "en", "s0", 1),
+        (2, f"{filler_b} {passage}", "en", "s0", 1),
+        (3, clean, "en", "s0", 1),
+    ]
+    out = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{out}/documents.parquet")
+    # satisfy load_tables' lazy reader for the one table used
+    from wally_spark.plans.curation import dedup_substring
+
+    got = {r["doc_id"]: r for r in dedup_substring(spark, out).collect()}
+    assert got[3]["n_spans"] == 0 and got[3]["dup_tokens"] == 0
+    for d in (1, 2):
+        assert got[d]["n_spans"] >= 1, got[d]
+        assert got[d]["dup_tokens"] >= 14, got[d]

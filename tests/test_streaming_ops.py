@@ -680,3 +680,43 @@ def test_nb_score_against_corpus(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/b1").collect()
     }
     assert got2 == got
+
+
+def test_bpe_pairs_against_corpus(spark, tmp_path):
+    """Incremental BPE pair stats: after two batches the ranking equals
+    the batch bpe helper logic run over the union corpus; replay is
+    idempotent."""
+    from wally_spark.streaming.ops import bpe_pairs_against_corpus_foreach_batch
+
+    schema = "doc_id long, text string"
+    b0 = [(1, "the cat sat"), (2, "that hat that cat")]
+    b1 = [(3, "the that then"), (4, "cat hat chat")]
+    counts, out = str(tmp_path / "wc"), str(tmp_path / "pairs")
+    fn = bpe_pairs_against_corpus_foreach_batch(spark, counts, out)
+    fn(spark.createDataFrame(b0, schema), 0)
+    fn(spark.createDataFrame(b1, schema), 1)
+    got = sorted(
+        (r["rank"], r["pair"], r["pair_count"])
+        for r in spark.read.parquet(f"{out}/b1").collect()
+    )
+    # expected: counts over the union, computed independently in python
+    from collections import Counter
+
+    words = Counter()
+    for _, t in b0 + b1:
+        for w in t.lower().split():
+            words[w] += 1
+    pc = Counter()
+    for w, c in words.items():
+        for i in range(len(w) - 1):
+            pc[w[i:i + 2]] += c
+    ranked = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:32]
+    exp = sorted((i + 1, p, c) for i, (p, c) in enumerate(ranked))
+    assert got == exp, (got, exp)
+    # replay idempotence
+    fn(spark.createDataFrame(b1, schema), 1)
+    got2 = sorted(
+        (r["rank"], r["pair"], r["pair_count"])
+        for r in spark.read.parquet(f"{out}/b1").collect()
+    )
+    assert got2 == got

@@ -904,3 +904,72 @@ def nb_score_against_corpus_foreach_batch(spark, counts_path: str, out_path: str
         out.write.mode("overwrite").parquet(f"{out_path}/b{batch_id}")
 
     return proc
+
+
+def bpe_pairs_against_corpus_foreach_batch(spark, counts_path: str, out_path: str):
+    """Incremental BPE merge-pair statistics — the streaming face of
+    the batch `bpe_merge_pairs`: each batch's (word, count) vocabulary
+    increment persists to ``counts_path/b<batch_id>``; the folded
+    corpus vocabulary re-derives adjacent-char pair counts and the
+    current top-BPE_TOP merge ranking lands in ``out_path/b<batch_id>``
+    — the tokenizer-training statistic stays continuously current as a
+    crawl ingests, with no retraining job (training is count-merging,
+    the nb_score_against_corpus_foreach_batch contract).
+
+    Scale shape: per-batch increments are vocabulary-sized (words, not
+    tokens — the explode collapses batch-side with map-side combine);
+    the fold is one word-keyed aggregate over count rows; pair
+    explosion runs over the folded vocabulary only. Idempotence:
+    per-batch overwrite dirs — a replay overwrites its own increment
+    and re-ranks identically."""
+    from pyspark.sql import Window
+
+    from wally_spark.plans.curation import BPE_TOP, _words_col
+
+    def all_dirs(base: str) -> list[str]:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(base)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return []
+        glob = fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{base}/b*"))
+        return [str(st.getPath()) for st in (glob or []) if st.isDirectory()]
+
+    def proc(batch_df, batch_id):
+        (
+            batch_df.select(F.explode(_words_col()).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .write.mode("overwrite")
+            .parquet(f"{counts_path}/b{batch_id}")
+        )
+        wc = (
+            spark.read.parquet(*all_dirs(counts_path))
+            .groupBy("word")
+            .agg(F.sum("c").alias("c"))
+        )
+        pairs = wc.where(F.length("word") >= 2).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(word) - 1, 1)),"
+                    " i -> substring(word, i, 2))"
+                )
+            ).alias("pair"),
+            "c",
+        )
+        agg = pairs.groupBy("pair").agg(
+            F.sum("c").cast("bigint").alias("pair_count")
+        )
+        top = agg.orderBy(F.desc("pair_count"), "pair").limit(BPE_TOP)
+        rank_w = Window.orderBy(F.desc("pair_count"), "pair")
+        (
+            top.select(
+                F.row_number().over(rank_w).cast("bigint").alias("rank"),
+                "pair",
+                "pair_count",
+            )
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/b{batch_id}")
+        )
+
+    return proc
