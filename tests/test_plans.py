@@ -264,3 +264,19 @@ def test_driver_window_covers_unchecked_queries():
     assert _CHANGED_THIS_ROUND <= set(names)
     # No-oracle queries are parked at the very end.
     assert names[-len(_NO_ORACLE):] == [n for n in names if n in _NO_ORACLE]
+
+
+def test_nb_classifier_broadcasts_model(spark):
+    """doc_nb_classifier's scoring join must broadcast the ≤NB_VOCAB-row
+    weight table — a shuffle join on `word` would re-shuffle the whole
+    token stream against a 16-row side."""
+    plan = _plan(spark, "doc_nb_classifier")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_random_projection_broadcasts_signs(spark):
+    """embedding_random_projection joins the (dim × RP_DIMS) sign table
+    broadcast — it is ≤ dim rows by construction."""
+    plan = _plan(spark, "embedding_random_projection")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
