@@ -187,9 +187,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform ids. Rank state is one row per node, never materialized on
     the driver. Damping in integers keeps every round's output exact —
     floats would drift across partitionings at 100 TB."""
+    from wally_spark.tables import fan_out
+
     t = load_tables(spark, sf_dir)
     cp = (
-        t["lineitem"].select("l_orderkey", "l_partkey")
+        fan_out(t["lineitem"].select("l_orderkey", "l_partkey"), "l_orderkey")
         .join(t["orders"].select("o_orderkey", "o_custkey"),
               F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
