@@ -720,3 +720,55 @@ def test_bpe_pairs_against_corpus(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/b1").collect()
     )
     assert got2 == got
+
+
+def test_corpus_compaction(spark, tmp_path):
+    """compact_corpus folds per-batch dirs into one compacted dir:
+    resolution prefers the newest compacted marker and ignores folded
+    b<i> dirs (crash-safety: extra dirs left by a crash between write
+    and delete are ignored, never double-counted); a lane running on a
+    compacted corpus produces byte-identical reports to an uncompacted
+    run; inputs are deleted after a clean compaction."""
+    import os
+
+    from wally_spark.streaming.ops import (
+        compact_corpus,
+        corpus_dirs,
+        substring_dup_against_corpus_foreach_batch,
+    )
+
+    schema = "doc_id long, text string"
+    passage = " ".join(f"w{i}" for i in range(12))
+    batches = [
+        [(1, passage + " tail one extra words here now ok fine yes")],
+        [(2, "totally different words " + " ".join(f"x{i}" for i in range(10)))],
+        [(10, passage + " other suffix entirely for the third batch here")],
+    ]
+
+    def run(root, compact_after=None):
+        grams, out = f"{root}/grams", f"{root}/out"
+        fn = substring_dup_against_corpus_foreach_batch(spark, grams, out)
+        for i, rows in enumerate(batches):
+            fn(spark.createDataFrame(rows, schema), i)
+            if compact_after is not None and i == compact_after:
+                compact_corpus(spark, grams, upto=i)
+        return sorted(
+            tuple(r) for r in spark.read.parquet(f"{out}/b*").collect()
+        )
+
+    plain = run(str(tmp_path / "plain"))
+    compacted = run(str(tmp_path / "comp"), compact_after=1)
+    assert plain == compacted
+    gdir = str(tmp_path / "comp" / "grams")
+    names = sorted(os.listdir(gdir))
+    assert "compacted_upto_1" in names and "b0" not in names and "b1" not in names
+    # crash simulation: resurrect a stale b0 next to the compacted dir —
+    # resolution must ignore it
+    os.makedirs(f"{gdir}/b0", exist_ok=True)
+    dirs = corpus_dirs(spark, gdir)
+    assert not any(d.endswith("/b0") for d in dirs), dirs
+    # compacting backwards is refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        compact_corpus(spark, gdir, upto=0)

@@ -395,6 +395,98 @@ def ann_probe_foreach_batch(spark, index_table: str, output_path: str, top_k: in
     return probe
 
 
+
+def corpus_dirs(spark, base: str, exclude_batch: int | None = None) -> list[str]:
+    """Resolve a persistent corpus under ``base``: the NEWEST
+    ``compacted_upto_<N>`` directory (if any) plus every per-batch
+    ``b<i>`` directory with i > N, excluding ``exclude_batch``'s own
+    dir. This is the single read path every *_against_corpus lane uses.
+
+    Crash-safe by resolution order: compact_corpus writes the new
+    compacted dir BEFORE deleting its inputs, so a crash in between
+    leaves both — and this resolver ignores any b<i> with i <= N and
+    any older compacted dir, so readers never double-count. An absent
+    ``base`` is an explicitly empty corpus; IO errors propagate."""
+    import re
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(base)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    comps: list[tuple[int, str]] = []
+    batches: dict[int, str] = {}
+    static: list[str] = []
+    for st in fs.listStatus(hpath) or []:
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        m = re.fullmatch(r"compacted_upto_(\d+)", name)
+        if m:
+            comps.append((int(m.group(1)), str(st.getPath())))
+            continue
+        m = re.fullmatch(r"b(\d+)", name)
+        if m:
+            batches[int(m.group(1))] = str(st.getPath())
+        elif name.startswith("b"):
+            # non-numeric b* dir = STATIC import (pre-seeded history):
+            # always included, never excluded or compacted
+            static.append(str(st.getPath()))
+    out: list[str] = sorted(static)
+    hi = -1
+    if comps:
+        hi, newest = max(comps)
+        out.append(newest)
+    for i in sorted(batches):
+        if i <= hi or i == exclude_batch:
+            continue
+        out.append(batches[i])
+    return out
+
+
+def compact_corpus(spark, base: str, upto: int, n_files: int = 8) -> None:
+    """Fold every ``b<i>`` (i <= upto) plus any older compacted dir
+    into ONE ``compacted_upto_<upto>`` directory and delete the inputs
+    — the maintenance job that keeps *_against_corpus probes reading
+    O(1) directories as batches accumulate (at 100 TB, also the place
+    to bucket the output by its join key and drop MAX_BUCKET-oversized
+    buckets).
+
+    Semantics-preserving by construction: compaction CONCATENATES rows
+    only — count corpora stay mergeable (the lanes' folds aggregate on
+    read) and content corpora tolerate duplicate rows across inputs.
+    Crash-safe: the new dir is written before any delete; a crash in
+    between leaves extra dirs that corpus_dirs ignores. Call it only
+    for batches at least one behind the stream's committed offset — a
+    foreachBatch replay revisits the LAST batch, and own-batch
+    exclusion cannot reach inside a compacted dir."""
+    inputs = []
+    for d in corpus_dirs(spark, base):
+        name = d.rstrip("/").rsplit("/", 1)[-1]
+        if name.startswith("compacted_upto_"):
+            if int(name.rsplit("_", 1)[-1]) > upto:
+                raise ValueError(
+                    f"corpus already compacted past {upto}: {name}"
+                )
+            inputs.append(d)
+        elif int(name[1:]) <= upto:
+            inputs.append(d)
+    if not inputs:
+        return
+    (
+        spark.read.parquet(*inputs)
+        .coalesce(n_files)
+        .write.mode("overwrite")
+        .parquet(f"{base}/compacted_upto_{upto}")
+    )
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(base).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    for d in inputs:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+
+
 def dedup_against_corpus_foreach_batch(
     spark, seen_path: str, out_path: str, key_cols: list[str] | None = None
 ):
@@ -422,23 +514,11 @@ def dedup_against_corpus_foreach_batch(
     key_cols = key_cols or ["text"]
 
     def prior_batch_dirs(batch_id: int) -> list[str]:
-        """Existing b*/ dirs under seen_path, EXCLUDING this batch's own
-        (a replay after a partial failure must not anti-join against its
-        previous attempt's hashes — that would drop its own docs). An
-        empty corpus is detected explicitly here; a transient IO error
-        reading an existing dir propagates instead of silently disabling
-        dedup for the batch."""
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(seen_path)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(hpath):
-            return []
-        glob = fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{seen_path}/b*"))
-        return [
-            str(st.getPath())
-            for st in (glob or [])
-            if st.isDirectory() and st.getPath().getName() != f"b{batch_id}"
-        ]
+        """Corpus dirs EXCLUDING this batch's own (a replay after a
+        partial failure must not anti-join against its previous
+        attempt's hashes — that would drop its own docs). Shared
+        resolver handles compaction markers and empty corpora."""
+        return corpus_dirs(spark, seen_path, exclude_batch=batch_id)
 
     def dedup(batch_df, batch_id):
         # null-tag every key column: without it concat_ws skips NULLs,
@@ -538,17 +618,7 @@ def neardedup_against_corpus_foreach_batch(
         return m
 
     def prior_sig_dirs(batch_id: int) -> list[str]:
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(sigs_path)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(hpath):
-            return []
-        glob = fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{sigs_path}/b*"))
-        return [
-            str(st.getPath())
-            for st in (glob or [])
-            if st.isDirectory() and st.getPath().getName() != f"b{batch_id}"
-        ]
+        return corpus_dirs(spark, sigs_path, exclude_batch=batch_id)
 
     def dedup(batch_df, batch_id):
         sigs = minhash_signatures(batch_df).localCheckpoint()
@@ -795,17 +865,7 @@ def substring_dup_against_corpus_foreach_batch(
     )
 
     def prior_batch_dirs(batch_id: int) -> list[str]:
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(grams_path)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(hpath):
-            return []
-        glob = fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{grams_path}/b*"))
-        return [
-            str(st.getPath())
-            for st in (glob or [])
-            if st.isDirectory() and st.getPath().getName() != f"b{batch_id}"
-        ]
+        return corpus_dirs(spark, grams_path, exclude_batch=batch_id)
 
     def proc(batch_df, batch_id):
         # pinned: the batch's gram arrays feed the report join, the
@@ -860,13 +920,7 @@ def nb_score_against_corpus_foreach_batch(spark, counts_path: str, out_path: str
     )
 
     def all_dirs(base: str) -> list[str]:
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(base)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(hpath):
-            return []
-        glob = fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{base}/b*"))
-        return [str(st.getPath()) for st in (glob or []) if st.isDirectory()]
+        return corpus_dirs(spark, base)
 
     def proc(batch_df, batch_id):
         nb_token_counts(batch_df).write.mode("overwrite").parquet(
@@ -927,13 +981,7 @@ def bpe_pairs_against_corpus_foreach_batch(spark, counts_path: str, out_path: st
     from wally_spark.plans.curation import BPE_TOP, _words_col
 
     def all_dirs(base: str) -> list[str]:
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(base)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(hpath):
-            return []
-        glob = fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{base}/b*"))
-        return [str(st.getPath()) for st in (glob or []) if st.isDirectory()]
+        return corpus_dirs(spark, base)
 
     def proc(batch_df, batch_id):
         (
