@@ -785,7 +785,7 @@ def mix_drift_foreach_batch(
         )
         cells.write.mode("overwrite").parquet(f"{counts_path}/b{batch_id}")
         running = (
-            spark.read.parquet(f"{counts_path}/b*")
+            spark.read.parquet(*corpus_dirs(spark, counts_path))
             .groupBy("lang", "source")
             .agg(
                 F.sum("n_docs").cast("bigint").alias("n_docs"),
