@@ -772,3 +772,36 @@ def test_corpus_compaction(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         compact_corpus(spark, gdir, upto=0)
+
+
+def test_nb_lane_under_compaction(spark, tmp_path):
+    """compact_corpus on a COUNT corpus (NB class counts): folding is
+    concatenation only, the lane's read-side aggregate merges rows, so
+    scores after compaction are byte-identical to the uncompacted run."""
+    from wally_spark.streaming.ops import (
+        compact_corpus,
+        nb_score_against_corpus_foreach_batch,
+    )
+
+    schema = "doc_id long, lang string, text string"
+    batches = [
+        [(1, "en", "the cat and the hat"), (2, "de", "der hund und der ball")],
+        [(3, "en", "a cat in the house"), (4, "fr", "le chat et le chien")],
+        [(5, "en", "the dog and the cat sat"), (6, "de", "die katze und der hund")],
+    ]
+
+    def run(root, compact_after=None):
+        counts, out = f"{root}/counts", f"{root}/scores"
+        fn = nb_score_against_corpus_foreach_batch(spark, counts, out)
+        for i, rows in enumerate(batches):
+            fn(spark.createDataFrame(rows, schema), i)
+            if compact_after is not None and i == compact_after:
+                compact_corpus(spark, f"{counts}/tok", upto=i)
+                compact_corpus(spark, f"{counts}/doc", upto=i)
+        return sorted(
+            tuple(r) for r in spark.read.parquet(f"{out}/b*").collect()
+        )
+
+    assert run(str(tmp_path / "plain")) == run(
+        str(tmp_path / "comp"), compact_after=1
+    )
