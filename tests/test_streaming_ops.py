@@ -774,6 +774,51 @@ def test_corpus_compaction(spark, tmp_path):
         compact_corpus(spark, gdir, upto=0)
 
 
+def test_compaction_skips_static_dirs_and_retries_idempotently(
+    spark, tmp_path
+):
+    """r7 ADVICE fixes: (1) a static ``b<name>`` import dir (non-numeric
+    suffix) must be SKIPPED by compaction — neither folded nor deleted —
+    instead of crashing int(); (2) re-running compact_corpus with the
+    same ``upto`` (the natural retry after a crash between write and
+    delete) must be a no-op that finishes pending deletes, never a
+    read-and-overwrite of the existing target."""
+    import os
+
+    from wally_spark.streaming.ops import compact_corpus, corpus_dirs
+
+    base = str(tmp_path / "corpus")
+    schema = "k long, v string"
+    spark.createDataFrame([(1, "a")], schema).write.parquet(f"{base}/bseed")
+    spark.createDataFrame([(2, "b")], schema).write.parquet(f"{base}/b0")
+    spark.createDataFrame([(3, "c")], schema).write.parquet(f"{base}/b1")
+
+    compact_corpus(spark, base, upto=1)
+    names = sorted(os.listdir(base))
+    assert "bseed" in names and "compacted_upto_1" in names
+    assert "b0" not in names and "b1" not in names
+    rows = sorted(
+        tuple(r) for r in spark.read.parquet(*corpus_dirs(spark, base)).collect()
+    )
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+
+    # crash-window retry: resurrect a folded input next to the target,
+    # re-run with the SAME upto — the leftover is deleted, the target
+    # is untouched (same rows), the static dir still stands
+    spark.createDataFrame([(2, "b")], schema).write.parquet(f"{base}/b0")
+    compact_corpus(spark, base, upto=1)
+    names = sorted(os.listdir(base))
+    assert "b0" not in names and "bseed" in names and "compacted_upto_1" in names
+    rows2 = sorted(
+        tuple(r) for r in spark.read.parquet(*corpus_dirs(spark, base)).collect()
+    )
+    assert rows2 == rows
+
+    # plain double-run with nothing pending is also a no-op
+    compact_corpus(spark, base, upto=1)
+    assert sorted(os.listdir(base)) == names
+
+
 def test_nb_lane_under_compaction(spark, tmp_path):
     """compact_corpus on a COUNT corpus (NB class counts): folding is
     concatenation only, the lane's read-side aggregate merges rows, so

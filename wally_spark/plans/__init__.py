@@ -47,49 +47,53 @@ from wally_spark.plans import analytics_ext  # noqa: F401,E402
 
 _DRIVER_GREEN = frozenset(
     {
-        # CORRECTNESS_r01/r02
-        "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
-        "q5_local_supplier", "q6_forecast_revenue", "q7_volume_shipping",
-        "q10_returned_items", "q12_priority_class", "q14_promo_effect",
-        "q16_parts_supplier", "q18_large_customers", "q19_discounted_revenue",
-        "q21_suppliers_kept_waiting", "q2_best_supplier", "q8_market_share",
-        "q9_product_profit", "q11_important_parts", "q13_customer_distribution",
-        "q15_top_supplier", "q17_small_quantity", "q20_significant_suppliers",
-        "q22_global_sales_opportunity", "win_tumbling", "win_sliding",
-        "win_session", "win_count", "running_total", "topk_per_key",
-        "event_sessionize_stats", "events_json_extract", "asof_purchase_view",
-        "range_join_views_before_purchase", "events_funnel",
-        "events_cohort_retention", "app_celsius", "app_alerts_stateless",
-        "app_alerts_stateful", "app_alerts_windowed", "app_alphabet",
-        "app_word_count", "app_word_count_collect", "app_market_spread",
-        "pipeline_merge", "text_tokens", "text_quality", "text_langid",
-        "text_fingerprint", "dedup_normalized", "text_langid_ngram",
-        "dedup_exact",
-        # CORRECTNESS_r03/r04
+        # Union of latest-round greens through CORRECTNESS_r06
+        # (regenerate with tools/promote_greens.py).
         "ann_bruteforce", "ann_index_probe", "ann_ivf", "ann_lsh", "ann_pq",
-        "asof_next_view", "chunk_overlap", "cube_pricing",
-        "cumulative_revenue_share", "curation_pipeline",
+        "ann_quantized", "app_alerts_local_agg", "app_alerts_stateful",
+        "app_alerts_stateless", "app_alerts_windowed", "app_alphabet",
+        "app_alphabet_partitioned", "app_celsius", "app_celsius_connectors",
+        "app_market_spread", "app_multi_worker_forwarding",
+        "app_passthrough", "app_word_count", "app_word_count_collect",
+        "asof_next_view", "asof_purchase_view", "bpe_merge_pairs",
+        "chunk_overlap", "corpus_mix_report", "corpus_shard_manifest",
+        "cube_pricing", "cumulative_revenue_share", "curation_pipeline",
         "decontaminate_holdout", "dedup_clusters", "dedup_embedding",
-        "dedup_embedding_lsh", "dedup_keep_best", "dedup_minhash",
-        "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
-        "embedding_centroids", "events_value_ranks", "hypertable_rollup",
-        "interarrival_stats", "mm_frame_sample", "mm_image_meta",
+        "dedup_embedding_lsh", "dedup_exact", "dedup_keep_best",
+        "dedup_minhash", "dedup_ngram_jaccard", "dedup_normalized",
+        "dedup_simhash", "dedup_simhash_pairs", "dedup_substring",
+        "distinct_users_exact", "doc_nb_classifier", "docs_length_band",
+        "dup_rate_report", "embedding_centroids", "embedding_kmeans",
+        "embedding_random_projection", "event_sessionize_stats",
+        "event_value_hour_corr", "events_cohort_retention",
+        "events_dedup_hourly", "events_funnel", "events_json_extract",
+        "events_value_ranks", "graph_pagerank", "graph_triangle_count",
+        "hypertable_rollup", "interarrival_stats", "lang_source_quota",
+        "langid_confusion", "mm_byte_stats", "mm_frame_sample",
+        "mm_image_header", "mm_image_meta", "mm_thumbnail",
         "ntile_order_quartiles", "pack_chunks", "part_cooccurrence",
-        "pivot_user_event_totals", "q18_bucketed", "q3_bucketed",
-        "quantiles_by_type", "resample_1h", "rolling_7d_revenue",
-        "rollup_orders", "salted_event_totals", "sample_pps",
-        "sample_stratified", "setops_viewer_purchasers",
-        "split_train_holdout", "text_repetition", "text_word_entropy",
-        "tfidf_top_terms", "value_histogram", "value_outliers",
-        "vocab_bigrams",
-        # CORRECTNESS_r05
-        "app_alphabet_partitioned", "app_celsius_connectors",
-        "app_passthrough", "app_alerts_local_agg",
-        "app_multi_worker_forwarding", "ann_quantized", "mm_image_header",
-        "embedding_kmeans", "sample_temperature", "text_lm_perplexity",
-        "text_boilerplate", "docs_length_band", "lang_source_quota",
-        "events_dedup_hourly", "event_value_hour_corr", "text_pii_scrub",
-        "corpus_mix_report", "revenue_dod_delta", "graph_triangle_count",
+        "pipeline_merge", "pivot_user_event_totals", "q10_returned_items",
+        "q11_important_parts", "q12_priority_class",
+        "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
+        "q16_parts_supplier", "q17_small_quantity", "q18_bucketed",
+        "q18_large_customers", "q19_discounted_revenue",
+        "q1_pricing_summary", "q20_significant_suppliers",
+        "q21_suppliers_kept_waiting", "q22_global_sales_opportunity",
+        "q2_best_supplier", "q3_bucketed", "q3_shipping_priority",
+        "q4_order_priority", "q5_local_supplier", "q6_forecast_revenue",
+        "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+        "quantiles_by_type", "quantiles_exact_check",
+        "range_join_views_before_purchase", "resample_1h",
+        "revenue_dod_delta", "rolling_7d_revenue", "rollup_orders",
+        "running_total", "salted_event_totals", "sample_pps",
+        "sample_stratified", "sample_temperature",
+        "setops_viewer_purchasers", "split_train_holdout",
+        "text_boilerplate", "text_fingerprint", "text_langid",
+        "text_langid_ngram", "text_lm_perplexity", "text_pii_scrub",
+        "text_quality", "text_repetition", "text_tokens",
+        "text_word_entropy", "tfidf_top_terms", "topk_per_key",
+        "value_histogram", "value_outliers", "vocab_bigrams", "win_count",
+        "win_session", "win_sliding", "win_tumbling",
     }
 )
 
@@ -98,49 +102,9 @@ _DRIVER_GREEN = frozenset(
 # re-enter the driver window. Refresh this set each round.
 _CHANGED_THIS_ROUND = frozenset(
     {
-        # r6: integer-grid kmeans (operators/kmeans.py, plans/embeddings.py)
-        "embedding_kmeans",
-        # r6: LM vocabulary cap (plans/curation.py)
-        "text_lm_perplexity",
-        # r6: scoring-side distinct-count + _fan_out (plans/text.py)
-        "text_langid_ngram",
-        # r6: header-decoder hardening (operators/multimodal.py)
-        "mm_image_header", "mm_image_meta", "mm_frame_sample",
-        # r6: checkpoint-block release in connected components
-        # (operators/components.py)
-        "dedup_clusters", "dedup_keep_best", "curation_pipeline",
-        # r6: lloyd_kmeans signature change (float path behavior
-        # identical, but the module changed — re-verify)
-        "ann_ivf",
-        # r6: shared checkpoint pin() threaded through these plans
-        # (plans/analytics_ext.py, plans/dedup.py, plans/similarity.py)
-        "graph_triangle_count", "dedup_simhash_pairs",
-        "dedup_embedding_lsh",
-        # r6: bands pinned before the LSH self-join + plain count
-        # replaces countDistinct (plans/dedup.py) — re-verify the
-        # whole candidate-pair chain
-        "dedup_minhash", "dedup_ngram_jaccard",
-        # r6: empty-input short-circuits (operators/kmeans.py, pq.py)
-        "ann_pq",
-        # r6: single-pass rewrite (plans/quality.py)
-        "text_boilerplate",
-        # r6 continuation: universal-hash minhash (one md5 per shingle,
-        # integer permutations) changes the candidate-pair set for the
-        # whole family (plans/dedup.py)
-        "dedup_substring",
-        # r6 continuation: fan_out() on documents scans (tables.py) —
-        # values unchanged, plans re-verified
-        "text_quality", "text_tokens", "text_fingerprint", "text_langid",
-        "dedup_normalized", "text_repetition", "text_word_entropy",
-        "decontaminate_holdout", "chunk_overlap", "vocab_bigrams",
-        "text_pii_scrub", "corpus_mix_report", "docs_length_band",
-        "lang_source_quota", "dedup_exact", "dedup_simhash",
-        "sample_stratified", "sample_temperature", "split_train_holdout",
-        "pack_chunks", "sample_pps", "mm_thumbnail", "mm_byte_stats",
-        "corpus_shard_manifest",
-        # (embedding scans are NOT in this set: the _emb fan_out was
-        # reverted after measurement, leaving those plans byte-identical
-        # to their last driver-green round)
+        # r7: symmetric Achlioptas sign split (ADVICE r6) changes the
+        # projection values (plans/embeddings.py + _rp_sign_sql)
+        "embedding_random_projection",
     }
 )
 

@@ -604,6 +604,14 @@ def anchor_gram_docs(docs: DataFrame) -> DataFrame:
     # faster than md5's 32-char hex and shuffles 8 bytes instead of
     # ~48. The oracle keeps md5; both select the same duplicated
     # POSITIONS because equal windows hash equal under either function.
+    # Collision bound: a 64-bit key makes birthday collisions EXPECTED
+    # past ~2^32 distinct grams (certainly at 100 TB); each collision
+    # falsely marks one unrelated position per colliding doc as
+    # duplicated — acceptable for dedup (a rare extra span, never a
+    # miss), but it means position parity with the md5 oracle is
+    # statistical at that scale, not exact. If exactness at scale is a
+    # requirement, switch the batch gram identity back to a 128-bit
+    # key (md5) at the documented ~4x hash cost.
     grams = F.transform(
         F.sequence(
             F.lit(1), F.greatest(F.size("words") - (ANCHOR_N - 1), F.lit(1))

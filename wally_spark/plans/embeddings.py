@@ -180,10 +180,12 @@ RP_DIMS = 8  # projected dimensionality
 
 def _rp_sign_sql(j: int) -> str:
     """DuckDB sign expression for output dim ``j`` at input dim ``i``
-    (1-based): first md5 nibble of "i:j" → {-1, 0, +1} with density
-    6/16 per nonzero sign (Achlioptas-style sparse projection)."""
+    (1-based): first md5 nibble of "i:j" → {-1, 0, +1} with a SYMMETRIC
+    5/6/5 split (P[-1] = P[+1] = 5/16, P[0] = 6/16) so E[sign] = 0 and
+    no projected dim carries a systematic bias (Achlioptas-style sparse
+    projection; r7 ADVICE fix — the old 5/5/6 split had E[sign]=1/16)."""
     nib = f"strpos('0123456789abcdef', substr(md5(i::VARCHAR || ':{j}'), 1, 1)) - 1"
-    return f"CASE WHEN {nib} < 5 THEN -1 WHEN {nib} < 10 THEN 0 ELSE 1 END"
+    return f"CASE WHEN {nib} < 5 THEN -1 WHEN {nib} < 11 THEN 0 ELSE 1 END"
 
 
 @register(
@@ -215,8 +217,10 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     when the raw embedding is too wide to shuffle economically.
     The projection matrix is never materialized globally: sign(i, j)
     is a pure function of the md5 nibble of "i:j" (Achlioptas-sparse,
-    ~6/16 density per nonzero sign), so every engine — and every
-    executor — derives the identical matrix independently.
+    symmetric 5/16 density per nonzero sign so E[sign] = 0 — an
+    asymmetric split would bias every projected dim by sum(q_i)/16),
+    so every engine — and every executor — derives the identical
+    matrix independently.
 
     Float discipline: components quantize ONCE onto the power-of-two
     GRID lattice (exact for float32 inputs, the embedding_kmeans
@@ -253,7 +257,7 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int")
         return (
             F.when(nib < 5, F.lit(-1))
-            .when(nib < 10, F.lit(0))
+            .when(nib < 11, F.lit(0))
             .otherwise(F.lit(1))
             .alias(f"s{j}")
         )

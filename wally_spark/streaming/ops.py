@@ -455,35 +455,60 @@ def compact_corpus(spark, base: str, upto: int, n_files: int = 8) -> None:
     Semantics-preserving by construction: compaction CONCATENATES rows
     only — count corpora stay mergeable (the lanes' folds aggregate on
     read) and content corpora tolerate duplicate rows across inputs.
-    Crash-safe: the new dir is written before any delete; a crash in
-    between leaves extra dirs that corpus_dirs ignores. Call it only
-    for batches at least one behind the stream's committed offset — a
-    foreachBatch replay revisits the LAST batch, and own-batch
-    exclusion cannot reach inside a compacted dir."""
-    inputs = []
-    for d in corpus_dirs(spark, base):
-        name = d.rstrip("/").rsplit("/", 1)[-1]
-        if name.startswith("compacted_upto_"):
-            if int(name.rsplit("_", 1)[-1]) > upto:
+    Static ``b<name>`` imports (non-numeric suffix) are standing
+    history: never folded, never deleted. Crash-safe AND idempotent:
+    the new dir is written before any delete; a crash in between
+    leaves extra dirs that corpus_dirs ignores, and a re-run with the
+    same ``upto`` detects the existing target and only finishes the
+    pending deletes (it never re-reads a dir it is about to
+    overwrite). Call it only for batches at least one behind the
+    stream's committed offset — a foreachBatch replay revisits the
+    LAST batch, and own-batch exclusion cannot reach inside a
+    compacted dir. Do NOT run compaction concurrently with lane
+    micro-batches: a lane that resolved corpus_dirs just before the
+    post-write deletes would fail its read on the deleted dirs (pause
+    the stream, or schedule compaction between triggers)."""
+    import re
+
+    jvm = spark._jvm
+    hbase = jvm.org.apache.hadoop.fs.Path(base)
+    fs = hbase.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hbase):
+        return
+    comps: list[tuple[int, str]] = []
+    batches: list[str] = []
+    for st in fs.listStatus(hbase) or []:
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        m = re.fullmatch(r"compacted_upto_(\d+)", name)
+        if m:
+            n = int(m.group(1))
+            if n > upto:
                 raise ValueError(
                     f"corpus already compacted past {upto}: {name}"
                 )
-            inputs.append(d)
-        elif int(name[1:]) <= upto:
-            inputs.append(d)
-    if not inputs:
+            comps.append((n, str(st.getPath())))
+            continue
+        m = re.fullmatch(r"b(\d+)", name)
+        if m and int(m.group(1)) <= upto:
+            batches.append(str(st.getPath()))
+    stale = [p for n, p in comps if n < upto] + batches
+    if any(n == upto for n, _ in comps):
+        # Retry after the write→delete crash window: the target already
+        # holds every row <= upto; just finish the pending deletes.
+        for d in stale:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+        return
+    if not stale:
         return
     (
-        spark.read.parquet(*inputs)
+        spark.read.parquet(*stale)
         .coalesce(n_files)
         .write.mode("overwrite")
         .parquet(f"{base}/compacted_upto_{upto}")
     )
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(base).getFileSystem(
-        spark._jsc.hadoopConfiguration()
-    )
-    for d in inputs:
+    for d in stale:
         fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
 
 
