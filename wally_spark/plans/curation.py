@@ -957,3 +957,153 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pair",
         "pair_count",
     )
+
+
+# --- multi-round BPE merges (tokenizer training, rounds 1..R) ---------------
+BPE_ROUNDS = 4
+# Symbol-boundary delimiter for the per-word symbol string. Assumed
+# absent from word text (words are whitespace-split; \x01 never occurs
+# in natural text). Both engines use the identical representation, so
+# parity holds regardless.
+_BPE_D = "\x01"
+
+
+def _bpe_oracle() -> str:
+    """Unrolled-CTE oracle: v<r> is the per-word symbol string after r
+    merges, p<r>/t<r> the round-r pair counts / winning pair. The merge
+    is string replace of the delimiter-bounded pair — literal replace
+    scans left-to-right non-overlapping, exactly BPE's greedy merge
+    order."""
+    d, dd = "chr(1)", "chr(1)||chr(1)"
+    parts = [
+        """tok AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+  FROM documents
+),
+wc AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+v0 AS (
+  SELECT {d} || array_to_string(
+           list_transform(range(1, len(word)+1), i -> substr(word, i, 1)),
+           {dd}) || {d} AS s, c
+  FROM wc
+)""".format(d=d, dd=dd)
+    ]
+    for r in range(BPE_ROUNDS):
+        parts.append(
+            """p{r} AS (
+  SELECT u.a AS a, u.b AS b, sum(c)::BIGINT AS cnt
+  FROM (
+    SELECT list_transform(range(1, len(sy)), i -> {{'a': sy[i], 'b': sy[i+1]}}) AS ps, c
+    FROM (SELECT string_split(substr(s, 2, len(s)-2), {dd}) AS sy, c FROM v{r})
+  ), unnest(ps) AS t(u)
+  GROUP BY u.a, u.b
+),
+t{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1)""".format(
+                r=r, dd=dd
+            )
+        )
+        if r < BPE_ROUNDS - 1:
+            parts.append(
+                """v{n} AS (
+  SELECT replace(s, {d}||a||{dd}||b||{d}, {d}||a||b||{d}) AS s, c
+  FROM v{r} CROSS JOIN t{r}
+)""".format(r=r, n=r + 1, d=d, dd=dd)
+            )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r + 1}::BIGINT AS merge_round, a AS pair_a, b AS pair_b,"
+        f" a||b AS merged, cnt AS pair_count FROM t{r}"
+        for r in range(BPE_ROUNDS)
+    )
+    return (
+        "WITH " + ",\n".join(parts) + "\nSELECT * FROM (\n" + unions
+        + "\n) ORDER BY merge_round"
+    )
+
+
+@register(
+    "bpe_merges_r4",
+    oracle=_bpe_oracle(),
+    tags=("text", "curation", "tokenizer"),
+)
+def bpe_merges_r4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, ROUNDS 1..4 of the real merge loop
+    (Sennrich et al. 2016): each round counts adjacent SYMBOL pairs
+    over the vocabulary (weighted by word frequency), applies the
+    single most frequent pair as a merge to every word's symbol
+    sequence, and re-counts — the genuinely iterative step
+    ``bpe_merge_pairs`` only runs once. Output: one row per round with
+    the winning pair and its count (ties broken lexicographically, so
+    both engines pick the identical merge).
+
+    Representation: each word's symbol sequence is a \\x01-delimited
+    string (symbols doubly separated, ends capped), so the merge step
+    is a LITERAL string replace of the bounded pair — replace scans
+    left-to-right non-overlapping, which IS BPE's greedy merge order
+    ([a,a,a] + merge(a,a) -> [aa, a]). No per-row loops, no UDFs.
+
+    Scale shape (the graph_pagerank unrolling pattern,
+    analytics_ext.py:173): the corpus collapses to the (word, count)
+    vocabulary ONCE — every later round is O(vocab x word_len),
+    independent of corpus size. Per round: one explode + map-side-
+    combined pair aggregate, a TakeOrdered(1) for the winner, and a
+    1-row broadcast cross join to apply the merge. The vocabulary is
+    pinned per round (operators/checkpoint.pin) because each round's
+    vocab feeds BOTH the pair count and the merge — without pinning
+    the lazy plan doubles per round; blocks release as rounds retire
+    (free_blocks), so pinned storage stays O(1 round). Winning-pair
+    frames are 1 row each. Empty corpus => empty vocab => LIMIT 1
+    yields zero rows => empty result, no NULL poison."""
+    from wally_spark.operators.checkpoint import free_blocks, pin
+
+    d = _BPE_D
+    tok = _docs(spark, sf_dir).select(F.explode(_words_col()).alias("word"))
+    wc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    s0 = F.concat(
+        F.lit(d),
+        F.array_join(
+            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+            d + d,
+        ),
+        F.lit(d),
+    )
+    vocab = pin(wc.select(s0.alias("s"), "c"))
+    outs = []
+    for r in range(BPE_ROUNDS):
+        syms = vocab.select(
+            F.split(F.expr("substring(s, 2, length(s)-2)"), d + d).alias("sy"), "c"
+        ).where(F.size("sy") >= 2)
+        pairs = syms.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(sy)-1),"
+                    " i -> struct(element_at(sy, i) AS a, element_at(sy, i+1) AS b))"
+                )
+            ).alias("p"),
+            "c",
+        ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "c")
+        agg = pairs.groupBy("a", "b").agg(F.sum("c").cast("bigint").alias("cnt"))
+        top = pin(agg.orderBy(F.desc("cnt"), "a", "b").limit(1))
+        outs.append(
+            top.select(
+                F.lit(r + 1).cast("bigint").alias("merge_round"),
+                F.col("a").alias("pair_a"),
+                F.col("b").alias("pair_b"),
+                F.concat("a", "b").alias("merged"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        if r < BPE_ROUNDS - 1:
+            merged_s = F.replace(
+                F.col("s"),
+                F.concat(F.lit(d), F.col("a"), F.lit(d + d), F.col("b"), F.lit(d)),
+                F.concat(F.lit(d), F.col("a"), F.col("b"), F.lit(d)),
+            )
+            new_vocab = pin(
+                vocab.crossJoin(F.broadcast(top)).select(merged_s.alias("s"), "c")
+            )
+            free_blocks(vocab)
+            vocab = new_vocab
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("merge_round")

@@ -74,13 +74,11 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle() -> str:
-    """DuckDB replication of lloyd_kmeans(grid=GRID), rounds unrolled
-    as CTE chains (the ann_ivf technique, plans/similarity.py:
-    _ivf_oracle): init = the K lowest vec_ids, each round = argmin
-    assignment (ties to the lowest cluster, matching numpy argmin)
-    then a per-(cluster, position) centroid update; after ITERS
-    updates one final assignment emits (vec_id, cluster, dist_bp).
+def _kmeans_cte_chain() -> str:
+    """The shared unrolled-CTE chain replicating lloyd_kmeans(grid=
+    GRID) up to ``dfin`` (per-vector distance to every final centroid)
+    — the body both _kmeans_oracle and _semantic_dedup_oracle build
+    on. Returned WITHOUT the ``WITH`` keyword or a final SELECT.
 
     Every intermediate is an EXACT int64 on the GRID lattice —
     quantization floor(x*GRID + 0.5) is exact (power-of-two GRID over
@@ -90,8 +88,7 @@ def _kmeans_oracle() -> str:
     cannot matter). The only rounding anywhere is the final correctly-
     rounded sqrt of an exact integer, identical on any IEEE engine —
     agreement with Spark is by construction, not empirical."""
-    cte = f"""
-WITH comps AS (
+    cte = f"""comps AS (
   SELECT vec_id, u.i - 1 AS j,
          CAST(floor(u.x::DOUBLE * {GRID}.0 + 0.5) AS BIGINT) AS x
   FROM (SELECT vec_id, unnest(list_transform(embedding, (x, i) -> {{'x': x, 'i': i}})) AS u
@@ -136,7 +133,13 @@ dfin AS (
   SELECT c.vec_id, k.cluster, sum((c.x - k.m) * (c.x - k.m)) AS d2
   FROM comps c JOIN {prev} k ON c.j = k.p
   GROUP BY c.vec_id, k.cluster
-)
+)"""
+    return cte
+
+
+def _kmeans_oracle() -> str:
+    return f"""
+WITH {_kmeans_cte_chain()}
 SELECT vec_id, cluster,
        floor(10000.0 * (sqrt(d2) / {GRID}.0))::BIGINT AS dist_bp
 FROM (
@@ -144,7 +147,6 @@ FROM (
          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
   FROM dfin) WHERE rk = 1
 """
-    return cte
 
 
 @register(
@@ -276,4 +278,138 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for j in range(RP_DIMS)
             ]
         )
+    )
+
+
+# --- SemDeDup: semantic dedup at cluster granularity (r7) -------------------
+SEM_TAU = 0.4  # within-cluster cosine threshold marking a semantic dup
+
+
+def _semantic_dedup_oracle() -> str:
+    return f"""
+WITH {_kmeans_cte_chain()},
+assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+    FROM dfin) WHERE rk = 1
+),
+v AS (
+  SELECT a.vec_id, a.cluster, e.embedding
+  FROM assign a JOIN embeddings e USING (vec_id)
+),
+prs AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM v x JOIN v y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(x.embedding, y.embedding) > {SEM_TAU}
+),
+dup AS (SELECT vec_b, min(vec_a) AS dup_of FROM prs GROUP BY vec_b)
+SELECT a.vec_id, a.cluster,
+       (dup.dup_of IS NULL) AS keep,
+       dup.dup_of
+FROM assign a LEFT JOIN dup ON a.vec_id = dup.vec_b
+"""
+
+
+@register(
+    "semantic_dedup",
+    oracle=_semantic_dedup_oracle(),
+    tags=("embeddings", "dedup", "kmeans"),
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication at CLUSTER
+    granularity — k-means the embedding space, then compare vectors
+    only WITHIN their cluster and drop all but one of each semantic-
+    duplicate group. Composes the deterministic integer-grid Lloyd's
+    assignment (operators/kmeans.py, same K/ITERS/GRID as
+    embedding_kmeans) with within-cluster cosine scoring. Dup rule:
+    vec i is dropped when ANY lower-id cluster-mate j has
+    cos(i, j) > SEM_TAU (pair-graph dominance — deterministic and
+    join-expressible; true greedy-sequential SemDeDup differs only on
+    chains where an earlier dup shadows a later one, and is iterative).
+    Output: (vec_id, cluster, keep, dup_of = the lowest-id dominating
+    mate, NULL when kept).
+
+    Scale shape: clustering makes the pair stage O(sum of cluster
+    sizes squared), not O(n^2) — SemDeDup's entire point; at 100 TB, K
+    scales with corpus size so n/K stays bounded. The scoring reuses
+    dedup_embedding's triangle block join WITHIN each cluster: vectors
+    hash into blocks sized by _n_embedding_blocks (each collect_list
+    row stays ~4096 vectors regardless of corpus size), unordered
+    block pairs join on (cluster, blk_a <= blk_b), and a numpy matmul
+    scores each pair inside the task — no driver materialization, no
+    cartesian (the join is cluster-equi-keyed). The kmeans assignment
+    is pinned: it feeds both the block build and the final keep join."""
+    import numpy as np
+    import pandas as pd
+
+    from wally_spark.operators.checkpoint import pin
+    from wally_spark.operators.kmeans import lloyd_kmeans
+    from wally_spark.plans.dedup import _n_embedding_blocks
+
+    emb = _emb(spark, sf_dir)
+    assign = pin(
+        lloyd_kmeans(emb, k=K, iters=ITERS, grid=GRID).select("vec_id", "cluster")
+    )
+    nb = _n_embedding_blocks(emb.count())
+    rows = emb.join(assign, "vec_id").select(
+        "vec_id",
+        "cluster",
+        "embedding",
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(nb)).alias("blk"),
+    )
+    blocks = rows.groupBy("cluster", "blk").agg(
+        F.collect_list("vec_id").alias("ids"),
+        F.collect_list("embedding").alias("embs"),
+    )
+    a = blocks.select(
+        "cluster", F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"),
+        F.col("embs").alias("embs_a"),
+    )
+    b = blocks.select(
+        F.col("cluster").alias("cluster_b"), F.col("blk").alias("blk_b"),
+        F.col("ids").alias("ids_b"), F.col("embs").alias("embs_b"),
+    )
+    pair_rows = a.join(
+        b, (F.col("cluster") == F.col("cluster_b")) & (F.col("blk_a") <= F.col("blk_b"))
+    )
+
+    def score(batches):
+        empty = {
+            "vec_a": np.array([], dtype=np.int64),
+            "vec_b": np.array([], dtype=np.int64),
+        }
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(empty)
+                continue
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                ma = np.array([np.asarray(e, dtype=np.float64) for e in row.embs_a])
+                mb = np.array([np.asarray(e, dtype=np.float64) for e in row.embs_b])
+                ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
+                mb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
+                cos = ma @ mb.T
+                ai, bi = np.where(cos > SEM_TAU)
+                if row.blk_a == row.blk_b:
+                    keep = ids_a[ai] != ids_b[bi]
+                else:
+                    keep = np.ones(len(ai), dtype=bool)
+                ai, bi = ai[keep], bi[keep]
+                ia, ib = ids_a[ai], ids_b[bi]
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.minimum(ia, ib),
+                        "vec_b": np.maximum(ia, ib),
+                    }
+                )
+
+    pairs = pair_rows.mapInPandas(score, "vec_a bigint, vec_b bigint")
+    dup = pairs.groupBy("vec_b").agg(F.min("vec_a").alias("dup_of"))
+    return assign.join(dup, assign.vec_id == dup.vec_b, "left").select(
+        "vec_id",
+        "cluster",
+        F.col("dup_of").isNull().alias("keep"),
+        "dup_of",
     )

@@ -420,3 +420,214 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("10000 * total_chars div grand").cast("bigint").alias("share_bp"),
         )
     )
+
+
+# --- Gopher/RedPajama rule-filter bundle (r7) -------------------------------
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3, 10  # mean word length bounds
+# Stopword presence rule: >= 2 distinct hits. The published Gopher list
+# is (the, be, to, of, and, that, have, with); 'a'/'in'/'is' are added
+# so the rule discriminates on corpora with a constrained vocabulary —
+# the rule SHAPE (distinct-hit threshold over a broadcast-literal list)
+# is what transfers.
+GOPHER_STOPS = ("the", "a", "and", "of", "to", "in", "is", "with")
+GOPHER_MIN_STOPS = 2
+
+
+@register(
+    "gopher_rules",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), w -> w <> '') AS words,
+         string_split(text, chr(10)) AS lines,
+         len(text) - len(replace(text, '#', '')) AS n_hash,
+         (len(text) - len(replace(text, '...', ''))) // 3 AS n_ell
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(words)::BIGINT AS n_words,
+         (SELECT coalesce(sum(len(w)), 0) FROM unnest(words) AS t(w))::BIGINT AS n_word_chars,
+         len(list_filter(words, w -> regexp_matches(w, '[a-z]')))::BIGINT AS n_alpha,
+         ({" + ".join(f"CASE WHEN list_contains(words, '{s}') THEN 1 ELSE 0 END" for s in GOPHER_STOPS)})::BIGINT AS n_stops,
+         len(lines)::BIGINT AS n_lines,
+         len(list_filter(lines, l -> starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')))::BIGINT AS n_bullet,
+         len(list_filter(lines, l -> ends_with(rtrim(l), '...')))::BIGINT AS n_ell_lines,
+         (n_hash + n_ell)::BIGINT AS n_symbols
+  FROM base
+)
+SELECT doc_id, n_words,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}) AS r_word_count,
+       ({GOPHER_MIN_MWL} * n_words <= n_word_chars AND n_word_chars <= {GOPHER_MAX_MWL} * n_words) AS r_mean_word_len,
+       (10 * n_symbols < n_words) AS r_symbol_ratio,
+       (10 * n_bullet < 9 * n_lines) AS r_bullet_lines,
+       (10 * n_ell_lines < 3 * n_lines) AS r_ellipsis_lines,
+       (5 * n_alpha > 4 * n_words) AS r_alpha_words,
+       (n_stops >= {GOPHER_MIN_STOPS}) AS r_stopwords,
+       ((n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+        AND ({GOPHER_MIN_MWL} * n_words <= n_word_chars AND n_word_chars <= {GOPHER_MAX_MWL} * n_words)
+        AND (10 * n_symbols < n_words)
+        AND (10 * n_bullet < 9 * n_lines)
+        AND (10 * n_ell_lines < 3 * n_lines)
+        AND (5 * n_alpha > 4 * n_words)
+        AND (n_stops >= {GOPHER_MIN_STOPS})) AS verdict
+FROM feat
+""",
+    tags=("text", "curation", "quality"),
+)
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RedPajama-style rule-filter bundle (Rae et al. 2021 §A1.1;
+    RedPajama-Data quality signals): the standard public pretraining
+    quality rules — word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio, bullet-line and ellipsis-line fractions,
+    alphabetic-word fraction, stopword presence — evaluated in ONE
+    document scan emitting a boolean per rule plus the conjunction
+    verdict. The per-rule booleans are the point: a mix dashboard
+    slices WHICH rule kills a source, not just how many docs die.
+
+    Scale shape: a single codegen pass — split once into words/lines,
+    every rule is integer arithmetic over counts (no floats: ratio
+    thresholds are cross-multiplied, e.g. ``10 * symbols < words`` is
+    ``symbols/words < 0.1``), zero UDFs, zero joins, zero shuffles.
+    Symbol counts use the length-difference idiom (len - len(replace))
+    so the whole bundle stays inside whole-stage codegen. At 100 TB
+    this runs at parquet-scan speed with full column pruning
+    (doc_id, text only)."""
+    docs = _docs(spark, sf_dir)
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    lines = F.split("text", "\n")
+    base = docs.select(
+        "doc_id",
+        words.alias("words"),
+        lines.alias("lines"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))).alias("n_hash"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))) / F.lit(3)
+        ).cast("bigint").alias("n_ell"),
+    )
+    feat = base.select(
+        "doc_id",
+        F.size("words").cast("bigint").alias("n_words"),
+        F.aggregate(
+            "words", F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+        ).alias("n_word_chars"),
+        F.size(F.filter("words", lambda w: w.rlike("[a-z]"))).cast("bigint").alias("n_alpha"),
+        sum(
+            (F.array_contains("words", s).cast("bigint") for s in GOPHER_STOPS),
+            F.lit(0).cast("bigint"),
+        ).alias("n_stops"),
+        F.size("lines").cast("bigint").alias("n_lines"),
+        F.size(
+            F.filter(
+                "lines",
+                lambda l: F.ltrim(l).startswith("-") | F.ltrim(l).startswith("*"),
+            )
+        ).cast("bigint").alias("n_bullet"),
+        F.size(F.filter("lines", lambda l: F.rtrim(l).endswith("...")))
+        .cast("bigint")
+        .alias("n_ell_lines"),
+        (F.col("n_hash") + F.col("n_ell")).cast("bigint").alias("n_symbols"),
+    )
+    r_wc = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    r_mwl = (F.lit(GOPHER_MIN_MWL) * F.col("n_words") <= F.col("n_word_chars")) & (
+        F.col("n_word_chars") <= F.lit(GOPHER_MAX_MWL) * F.col("n_words")
+    )
+    r_sym = F.lit(10) * F.col("n_symbols") < F.col("n_words")
+    r_bul = F.lit(10) * F.col("n_bullet") < F.lit(9) * F.col("n_lines")
+    r_ell = F.lit(10) * F.col("n_ell_lines") < F.lit(3) * F.col("n_lines")
+    r_alp = F.lit(5) * F.col("n_alpha") > F.lit(4) * F.col("n_words")
+    r_stp = F.col("n_stops") >= GOPHER_MIN_STOPS
+    return feat.select(
+        "doc_id",
+        "n_words",
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_sym.alias("r_symbol_ratio"),
+        r_bul.alias("r_bullet_lines"),
+        r_ell.alias("r_ellipsis_lines"),
+        r_alp.alias("r_alpha_words"),
+        r_stp.alias("r_stopwords"),
+        (r_wc & r_mwl & r_sym & r_bul & r_ell & r_alp & r_stp).alias("verdict"),
+    )
+
+
+# --- host-level curation rollup (r7) ----------------------------------------
+HOST_DUP_BP = 2000  # downweight a host when >= 20% of its docs are dups
+HOST_FP_CHARS = 120  # prefix-fingerprint width for the dup identity
+
+
+@register(
+    "host_curation_report",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         source || '-h' || substr(md5(doc_id::VARCHAR), 1, 1) AS host,
+         md5(substr(text, 1, {HOST_FP_CHARS})) AS h
+  FROM documents
+),
+dups AS (
+  SELECT h FROM d GROUP BY h HAVING count(*) >= 2
+),
+flagged AS (
+  SELECT d.host, d.n_chars,
+         CASE WHEN dups.h IS NULL THEN 0 ELSE 1 END AS is_dup
+  FROM d LEFT JOIN dups ON d.h = dups.h
+)
+SELECT host,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS n_chars,
+       sum(is_dup)::BIGINT AS n_dup_docs,
+       (10000 * sum(is_dup) // count(*))::BIGINT AS dup_bp,
+       (10000 * sum(is_dup) // count(*) >= {HOST_DUP_BP}) AS downweight
+FROM flagged
+GROUP BY host
+""",
+    tags=("curation", "dedup", "quality"),
+)
+def host_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host/domain-level curation rollup — the per-host down-weighting
+    step real pretraining mixes run (CCNet, RefinedWeb): a host whose
+    pages are mostly duplicated content (mirrors, boilerplate farms)
+    gets its sampling weight cut regardless of per-doc quality. Per
+    host: doc count, char mass, docs in >= 1 dup group by PREFIX
+    FINGERPRINT (md5 of the first HOST_FP_CHARS chars — corpus-wide,
+    not host-local, because a mirror duplicates someone else's
+    content; the prefix identity catches tail-edited near-copies that
+    exact-hash misses, and at 100 TB it is one bounded md5 per doc
+    regardless of doc length), integer basis-point dup rate, and the
+    downweight verdict. The host is derived deterministically from (source,
+    md5(doc_id) nibble) because the synthetic documents table carries
+    no URL column; with a real crawl, substitute the parsed hostname —
+    the plan shape is identical.
+
+    Scale shape: one md5 per doc; the dup-group relation is a
+    hash-keyed aggregate (map-side combined, uniform key — no skew),
+    joined back on the same uniform hash; then one low-cardinality
+    host rollup. Two shuffles total, both on uniform keys; basis
+    points via integral division so both engines emit identical
+    bigints."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            "source",
+            F.lit("-h"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        ).alias("host"),
+        F.md5(F.substring("text", 1, HOST_FP_CHARS)).alias("h"),
+    )
+    dups = d.groupBy("h").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") >= 2)
+    flagged = d.join(
+        dups.select("h", F.lit(1).alias("is_dup")), "h", "left"
+    ).select("host", "n_chars", F.coalesce("is_dup", F.lit(0)).alias("is_dup"))
+    return flagged.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.sum("is_dup").cast("bigint").alias("n_dup_docs"),
+        F.expr("10000 * sum(is_dup) div count(1)").cast("bigint").alias("dup_bp"),
+        (F.expr("10000 * sum(is_dup) div count(1)") >= HOST_DUP_BP).alias(
+            "downweight"
+        ),
+    )
