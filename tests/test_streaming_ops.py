@@ -819,6 +819,88 @@ def test_compaction_skips_static_dirs_and_retries_idempotently(
     assert sorted(os.listdir(base)) == names
 
 
+def test_bucketed_compaction_probe_scan_side(spark, tmp_path):
+    """compact_corpus(bucket_key=...) keeps the exact-dedup lane's
+    answers byte-identical AND upgrades the probe plan: the compacted
+    corpus reads as a bucketed table (corpus_probe_parts), so the
+    anti-join plans with NO Exchange on the corpus side — only the
+    arriving batch shuffles. Also covers max_bucket oversize-group
+    dropping."""
+    import pyspark.sql.functions as F
+
+    from wally_spark.streaming.ops import (
+        compact_corpus,
+        corpus_probe_parts,
+        corpus_table_name,
+        dedup_against_corpus_foreach_batch,
+    )
+
+    schema = "doc_id long, text string"
+    batches = [
+        [(1, "alpha"), (2, "beta")],
+        [(3, "gamma"), (4, "alpha")],   # dup of b0
+        [(5, "beta"), (6, "delta")],    # dup of b0 via compacted part
+    ]
+
+    def run(root, bucketed):
+        seen, out = f"{root}/seen", f"{root}/out"
+        fn = dedup_against_corpus_foreach_batch(spark, seen, out)
+        for i, rows in enumerate(batches):
+            fn(spark.createDataFrame(rows, schema), i)
+            if i == 1:
+                if bucketed:
+                    compact_corpus(
+                        spark, seen, upto=1,
+                        bucket_key="content_hash", n_buckets=4,
+                    )
+                else:
+                    compact_corpus(spark, seen, upto=1)
+        return seen, sorted(
+            tuple(r) for r in spark.read.parquet(f"{out}/b*").collect()
+        )
+
+    _, plain = run(str(tmp_path / "plain"), bucketed=False)
+    seen_b, bucketed_rows = run(str(tmp_path / "buck"), bucketed=True)
+    assert plain == bucketed_rows
+    assert {r[1] for r in plain} == {"alpha", "beta", "gamma", "delta"}
+
+    # probe parts: bucketed table first, plain tail second
+    parts = corpus_probe_parts(spark, seen_b)
+    assert len(parts) == 2
+    assert spark.catalog.tableExists(corpus_table_name(seen_b))
+
+    # plan shape: force SMJ; the bucketed corpus side must scan with
+    # no Exchange (only the probe side shuffles)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        probe = spark.createDataFrame(
+            [("x",), ("y",)], "content_hash string"
+        )
+        j = probe.join(
+            parts[0].select("content_hash"), "content_hash", "left_anti"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        assert plan.count("Exchange") == 1, plan  # probe side only
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # max_bucket: a group larger than the cap is dropped at compaction
+    base2 = str(tmp_path / "hot")
+    spark.createDataFrame(
+        [(i, "hot") for i in range(5)] + [(9, "cold")], "k long, content_hash string"
+    ).write.parquet(f"{base2}/b0")
+    compact_corpus(
+        spark, base2, upto=0, bucket_key="content_hash", max_bucket=3
+    )
+    kept = [
+        r["content_hash"]
+        for r in spark.read.parquet(f"{base2}/compacted_upto_0").collect()
+    ]
+    assert kept == ["cold"], kept
+
+
 def test_nb_lane_under_compaction(spark, tmp_path):
     """compact_corpus on a COUNT corpus (NB class counts): folding is
     concatenation only, the lane's read-side aggregate merges rows, so

@@ -444,7 +444,78 @@ def corpus_dirs(spark, base: str, exclude_batch: int | None = None) -> list[str]
     return out
 
 
-def compact_corpus(spark, base: str, upto: int, n_files: int = 8) -> None:
+def corpus_table_name(base: str) -> str:
+    """Deterministic catalog name for ``base``'s bucketed compacted
+    corpus: derived from the path so every session (and every lane)
+    resolves the same table without coordination."""
+    import hashlib
+
+    return "wally_corpus_" + hashlib.md5(base.rstrip("/").encode()).hexdigest()[:10]
+
+
+def _table_location(spark, table: str) -> str | None:
+    """Resolved LOCATION of ``table`` (scheme stripped), or None."""
+    if not spark.catalog.tableExists(table):
+        return None
+    loc = next(
+        (
+            r.data_type
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+            if r.col_name == "Location"
+        ),
+        None,
+    )
+    if loc is None:
+        return None
+    return loc.split("://", 1)[-1].replace("file:", "", 1).rstrip("/")
+
+
+def corpus_probe_parts(
+    spark, base: str, exclude_batch: int | None = None
+) -> list:
+    """Resolve ``base`` for a probe join as a LIST of DataFrames
+    instead of one glob read: the bucketed compacted table first (when
+    ``compact_corpus(bucket_key=...)`` registered one for the newest
+    compacted dir), then one plain read of the uncompacted per-batch
+    tail. A lane that folds an anti-join/semi-join over the parts
+    sequentially gets the same rows as the single-glob read — but the
+    compacted part (the corpus' bulk) joins WITHOUT an Exchange or
+    sort on its side (bucketed SortMergeJoin: only the tiny arriving
+    batch shuffles), which is what keeps per-batch probe cost O(batch
+    + tail), not O(corpus), as batches accumulate toward 100 TB.
+
+    Falls back to the plain read for every dir when no table is
+    registered (fresh session before the next compaction, or an
+    unbucketed corpus) — resolution semantics are corpus_dirs',
+    unchanged."""
+    dirs = corpus_dirs(spark, base, exclude_batch=exclude_batch)
+    if not dirs:
+        return []
+    comp = [d for d in dirs if d.rsplit("/", 1)[-1].startswith("compacted_upto_")]
+    tail = [d for d in dirs if not d.rsplit("/", 1)[-1].startswith("compacted_upto_")]
+    parts = []
+    tbl = corpus_table_name(base)
+    if comp:
+        loc = _table_location(spark, tbl)
+        want = comp[0].split("://", 1)[-1].replace("file:", "", 1).rstrip("/")
+        if loc == want:
+            parts.append(spark.table(tbl))
+        else:
+            tail = comp + tail
+    if tail:
+        parts.append(spark.read.parquet(*tail))
+    return parts
+
+
+def compact_corpus(
+    spark,
+    base: str,
+    upto: int,
+    n_files: int = 8,
+    bucket_key: str | None = None,
+    n_buckets: int = 32,
+    max_bucket: int | None = None,
+) -> None:
     """Fold every ``b<i>`` (i <= upto) plus any older compacted dir
     into ONE ``compacted_upto_<upto>`` directory and delete the inputs
     — the maintenance job that keeps *_against_corpus probes reading
@@ -467,7 +538,22 @@ def compact_corpus(spark, base: str, upto: int, n_files: int = 8) -> None:
     compacted dir. Do NOT run compaction concurrently with lane
     micro-batches: a lane that resolved corpus_dirs just before the
     post-write deletes would fail its read on the deleted dirs (pause
-    the stream, or schedule compaction between triggers)."""
+    the stream, or schedule compaction between triggers).
+
+    ``bucket_key``: when set, the compacted dir is written BUCKETED on
+    that key (hash-clustered files + a catalog table named
+    corpus_table_name(base) with explicit path) — probes through
+    corpus_probe_parts then SortMergeJoin against the corpus with no
+    Exchange/sort on the corpus side, so probe cost stays O(arriving
+    batch + uncompacted tail) as the corpus grows. The dir stays plain
+    parquet on disk: path-based readers (corpus_dirs glob) keep
+    working unchanged, so bucketing is a pure probe-side upgrade.
+    ``max_bucket``: drop rows of any bucket_key group larger than this
+    before writing — a hot probe key (a million near-identical band
+    signatures) multiplies EVERY probe that lands in it; past
+    max_bucket the group's verdict is already decided by its first
+    members, exactly the MAX_BUCKET contract of the batch LSH lanes
+    (plans/dedup.py)."""
     import re
 
     jvm = spark._jvm
@@ -502,12 +588,28 @@ def compact_corpus(spark, base: str, upto: int, n_files: int = 8) -> None:
         return
     if not stale:
         return
-    (
-        spark.read.parquet(*stale)
-        .coalesce(n_files)
-        .write.mode("overwrite")
-        .parquet(f"{base}/compacted_upto_{upto}")
-    )
+    target = f"{base}/compacted_upto_{upto}"
+    df = spark.read.parquet(*stale)
+    if bucket_key is None:
+        df.coalesce(n_files).write.mode("overwrite").parquet(target)
+    else:
+        if max_bucket is not None:
+            small = (
+                df.groupBy(bucket_key)
+                .count()
+                .where(F.col("count") <= max_bucket)
+                .select(bucket_key)
+            )
+            df = df.join(small, bucket_key, "left_semi")
+        tbl = corpus_table_name(base)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            df.write.mode("overwrite")
+            .option("path", target)
+            .bucketBy(n_buckets, bucket_key)
+            .sortBy(bucket_key)
+            .saveAsTable(tbl)
+        )
     for d in stale:
         fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
 
@@ -538,12 +640,14 @@ def dedup_against_corpus_foreach_batch(
 
     key_cols = key_cols or ["text"]
 
-    def prior_batch_dirs(batch_id: int) -> list[str]:
-        """Corpus dirs EXCLUDING this batch's own (a replay after a
-        partial failure must not anti-join against its previous
+    def prior_parts(batch_id: int) -> list:
+        """Corpus probe parts EXCLUDING this batch's own dir (a replay
+        after a partial failure must not anti-join against its previous
         attempt's hashes — that would drop its own docs). Shared
-        resolver handles compaction markers and empty corpora."""
-        return corpus_dirs(spark, seen_path, exclude_batch=batch_id)
+        resolver handles compaction markers and empty corpora; when the
+        corpus was compacted with bucket_key="content_hash" the bulk
+        part anti-joins with no corpus-side Exchange."""
+        return corpus_probe_parts(spark, seen_path, exclude_batch=batch_id)
 
     def dedup(batch_df, batch_id):
         # null-tag every key column: without it concat_ws skips NULLs,
@@ -565,12 +669,14 @@ def dedup_against_corpus_foreach_batch(
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
-        prior = prior_batch_dirs(batch_id)
-        if prior:
-            seen = spark.read.parquet(*prior).select("content_hash")
-            fresh = hashed.join(seen, "content_hash", "left_anti").localCheckpoint()
-        else:  # first batch: nothing seen yet
-            fresh = hashed.localCheckpoint()
+        fresh = hashed
+        for seen in prior_parts(batch_id):
+            # sequential anti-joins over the parts ≡ one anti-join
+            # against their union; the bucketed part joins scan-side
+            fresh = fresh.join(
+                seen.select("content_hash"), "content_hash", "left_anti"
+            )
+        fresh = fresh.localCheckpoint()
         fresh.drop("content_hash").write.mode("overwrite").parquet(
             f"{out_path}/b{batch_id}"
         )
