@@ -137,6 +137,7 @@ def test_no_cartesian_anywhere(spark):
         "text_lm_perplexity",  # two 1-row (T, V) stats combines
         "doc_nb_classifier",  # 1-row class-stats and prior combines
         "sample_temperature",  # 1-row temperature-normalizer side
+        "dsir_importance",  # 1-row (rt, tt) totals side for the LM divisors
     }
     offenders = []
     for name in sorted(REGISTRY):

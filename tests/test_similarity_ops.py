@@ -198,3 +198,50 @@ def test_pq_ann_recall(spark):
     }
     recall = len(exact & pq) / len(exact)
     assert recall >= 0.5, f"PQ recall {recall:.2f}"
+
+
+def test_semantic_dedup_planted_duplicates(spark, tmp_path):
+    """SemDeDup semantics on a planted fixture: near-identical vector
+    groups must (a) land in one cluster, (b) resolve to exactly one
+    kept representative (the lowest vec_id), with every dropped member
+    pointing at an earlier cluster-mate via dup_of; far-apart vectors
+    must all be kept."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 64))
+    rows = []
+    vid = 0
+    # 8 well-separated seeds, each with a 3-member near-identical group
+    for g in range(8):
+        seed = base[g] * 10.0
+        for _ in range(3):
+            rows.append((vid, [float(x) for x in seed + 0.01 * rng.standard_normal(64)], 0))
+            vid += 1
+    # plus 16 singletons far from everything
+    for s in range(16):
+        rows.append((vid, [float(x) for x in base[20 + s] * 10.0], 0))
+        vid += 1
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+
+    from wally_spark.plans import REGISTRY
+
+    out = {r["vec_id"]: r for r in REGISTRY["semantic_dedup"].spark_fn(spark, sf_dir).collect()}
+    assert len(out) == vid
+    for g in range(8):
+        ids = [3 * g, 3 * g + 1, 3 * g + 2]
+        clusters = {out[i]["cluster"] for i in ids}
+        assert len(clusters) == 1, f"group {g} split across clusters {clusters}"
+        kept = [i for i in ids if out[i]["keep"]]
+        assert kept == [ids[0]], f"group {g}: kept {kept}"
+        for i in ids[1:]:
+            assert out[i]["dup_of"] in ids and out[i]["dup_of"] < i
+    # far-apart singletons survive even when sharing a cluster
+    for i in range(24, vid):
+        assert out[i]["keep"] and out[i]["dup_of"] is None, out[i]
+    # determinism
+    again = {r["vec_id"]: tuple(r) for r in REGISTRY["semantic_dedup"].spark_fn(spark, sf_dir).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == again

@@ -329,3 +329,62 @@ def test_pagerank_partitioning_independent(spark):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b
     assert len(a) > 0
+
+
+def test_bpe_merges_match_sequential_reference(spark, tmp_path):
+    """bpe_merges_r4 must agree with a straightforward single-process
+    BPE trainer (Sennrich-style: count symbol pairs over the (word,
+    count) vocab, apply the best merge left-to-right non-overlapping,
+    repeat) on a corpus engineered so round k's winner EXISTS ONLY
+    after round k-1's merge — proving the rounds actually iterate on
+    the merged symbol stream rather than re-ranking round 1 counts."""
+    docs = [
+        (1, "abab abab abab cdcd"),
+        (2, "abab cdcd cdcd xyz"),
+        (3, "ababab cdc xyz xyz"),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in docs],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    # independent reference
+    from collections import Counter
+
+    wc = Counter()
+    for _, t in docs:
+        for w in t.lower().split():
+            if w:
+                wc[w] += 1
+    vocab = {tuple(w): c for w, c in wc.items()}
+    expect = []
+    from wally_spark.plans.curation import BPE_ROUNDS
+
+    for rnd in range(1, BPE_ROUNDS + 1):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((rnd, a, b, a + b, cnt))
+        merged = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged[tuple(out)] = merged.get(tuple(out), 0) + c
+        vocab = merged
+
+    from wally_spark.plans import REGISTRY
+
+    got = [tuple(r) for r in REGISTRY["bpe_merges_r4"].spark_fn(spark, sf_dir).collect()]
+    assert got == expect, (got, expect)
+    # the fixture must actually exercise iteration: a round-2+ winner
+    # contains a round-1 merged symbol
+    assert any(len(a) > 1 or len(b) > 1 for _, a, b, _, _ in expect[1:]), expect

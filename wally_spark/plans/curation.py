@@ -1107,3 +1107,143 @@ def bpe_merges_r4(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("merge_round")
+
+
+# --- DSIR importance resampling (r7) ----------------------------------------
+DSIR_BUCKETS = 512  # hashed n-gram feature space
+DSIR_TARGET_LANG = "en"  # the "target distribution" seed slice
+
+_DSIR_BUCKET_SQL = "((" + " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(f), {k + 1}, 1)) - 1)"
+    f" * {16 ** (7 - k)}"
+    for k in range(8)
+) + f") % {DSIR_BUCKETS})"
+
+
+@register(
+    "dsir_importance",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS b, count(*) AS c
+  FROM (
+    SELECT doc_id, lang, unnest(words) AS f FROM w
+    UNION ALL
+    SELECT doc_id, lang,
+           unnest(list_transform(range(1, len(words)),
+                                 i -> words[i] || ' ' || words[i+1])) AS f
+    FROM w WHERE len(words) >= 2
+  )
+  GROUP BY doc_id, lang, b
+),
+r_counts AS (SELECT b, sum(c) AS rc FROM feats GROUP BY b),
+t_counts AS (
+  SELECT b, sum(c) AS tc FROM feats WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b
+),
+totals AS (
+  SELECT sum(c) AS rt,
+         sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN c ELSE 0 END) AS tt
+  FROM feats
+),
+dw AS (
+  SELECT r.b,
+         floor(1000.0 * ln((coalesce(t.tc, 0) + 1.0) / (totals.tt + {DSIR_BUCKETS}.0)))::BIGINT
+         - floor(1000.0 * ln((r.rc + 1.0) / (totals.rt + {DSIR_BUCKETS}.0)))::BIGINT AS w_mnat
+  FROM r_counts r LEFT JOIN t_counts t ON r.b = t.b CROSS JOIN totals
+)
+SELECT f.doc_id,
+       sum(f.c)::BIGINT AS n_feats,
+       sum(f.c * dw.w_mnat)::BIGINT AS score_mnat,
+       (sum(f.c * dw.w_mnat) > 0) AS selected
+FROM feats f JOIN dw ON f.b = dw.b
+GROUP BY f.doc_id
+""",
+    tags=("text", "curation", "sampling"),
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023): score every document by how much more likely it is under a
+    TARGET distribution (here the DSIR_TARGET_LANG slice, standing in
+    for a high-quality seed corpus) than under the RAW corpus distribution,
+    using bag-of-hashed-ngrams (unigram + bigram) models. Per doc:
+    score = sum over features of count x (log th_target - log th_raw),
+    Laplace-smoothed; ``selected`` marks positive-importance docs (the
+    deterministic variant of the paper's Gumbel-noise resampling).
+
+    Float discipline: each feature's log-likelihood ratio floors ONCE
+    to integer milli-nats (the text_lm_perplexity / doc_nb_classifier
+    convention), after which per-doc scoring is exact bigint
+    arithmetic — partition- and engine-independent.
+
+    Scale shape: features hash into DSIR_BUCKETS buckets (md5 first-8-
+    hex ints, engine-identical), so BOTH language models live in ONE
+    bounded relation (DSIR_BUCKETS rows) regardless of corpus size —
+    it broadcasts to the scoring join. One explode + (doc, bucket)
+    aggregate, two bounded model aggregates, one broadcast join back,
+    one doc-keyed sum. No vocabulary blowup, no driver state."""
+    docs = _docs(spark, sf_dir)
+    w = docs.select("doc_id", "lang", _words_col().alias("words"))
+    uni = w.select("doc_id", "lang", F.explode("words").alias("f"))
+    bi = w.where(F.size("words") >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(words) - 1),"
+                " i -> concat(element_at(words, i), ' ', element_at(words, i+1)))"
+            )
+        ).alias("f"),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("f"), 1, 8), 16, 10).cast("bigint"),
+        F.lit(DSIR_BUCKETS),
+    )
+    feats = (
+        uni.unionByName(bi)
+        .select("doc_id", "lang", bucket.alias("b"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from wally_spark.operators.checkpoint import pin
+
+    feats = pin(feats)  # feeds the two model aggs AND the scoring join
+    is_t = F.col("lang") == DSIR_TARGET_LANG
+    r_counts = feats.groupBy("b").agg(F.sum("c").alias("rc"))
+    t_counts = feats.where(is_t).groupBy("b").agg(F.sum("c").alias("tc"))
+    totals = feats.agg(
+        F.sum("c").alias("rt"),
+        F.sum(F.when(is_t, F.col("c")).otherwise(0)).alias("tt"),
+    )
+    dw = (
+        r_counts.join(t_counts, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.floor(
+                    1000.0
+                    * F.log(
+                        (F.coalesce("tc", F.lit(0)) + 1.0)
+                        / (F.col("tt") + float(DSIR_BUCKETS))
+                    )
+                ).cast("bigint")
+                - F.floor(
+                    1000.0
+                    * F.log((F.col("rc") + 1.0) / (F.col("rt") + float(DSIR_BUCKETS)))
+                ).cast("bigint")
+            ).alias("w_mnat"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(dw), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_feats"),
+            F.sum(F.col("c") * F.col("w_mnat")).cast("bigint").alias("score_mnat"),
+            (F.sum(F.col("c") * F.col("w_mnat")) > 0).alias("selected"),
+        )
+    )
