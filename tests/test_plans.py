@@ -138,6 +138,10 @@ def test_no_cartesian_anywhere(spark):
         "doc_nb_classifier",  # 1-row class-stats and prior combines
         "sample_temperature",  # 1-row temperature-normalizer side
         "dsir_importance",  # 1-row (rt, tt) totals side for the LM divisors
+        "gap_fill_locf",  # 1-row (h0, h1) bounds side for the hour grid
+        "bm25_rank",  # 1-row (n_docs, total_w) stats side
+        "token_pmi",  # 1-row (tb, tu) totals side
+        "ngram_coverage",  # 1-row occurrence-total side
     }
     offenders = []
     for name in sorted(REGISTRY):

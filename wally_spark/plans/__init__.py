@@ -26,6 +26,8 @@ from wally_spark.plans import curation  # noqa: F401,E402
 # modules may register anywhere; newest-last keeps diffs tidy.
 from wally_spark.plans import quality  # noqa: F401,E402
 from wally_spark.plans import analytics_ext  # noqa: F401,E402
+from wally_spark.plans import timeseries  # noqa: F401,E402
+from wally_spark.plans import search  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.

@@ -1,0 +1,391 @@
+"""Corpus search & lexical-statistics operators — round-7 extensions to
+the text surface (SURVEY §2.6; companions to tfidf_top_terms in
+analytics.py).
+
+  bm25_rank       Okapi BM25 top-10 documents for a fixed query
+  token_pmi       top-20 bigram collocations by pointwise mutual info
+  ngram_coverage  5-gram heavy hitters + corpus coverage share
+  zipf_slope      per-language Zipf rank-frequency log-log slope
+
+All four have full DuckDB oracles. Per-term float contributions are
+integerized (floor ppm / milli) BEFORE any multi-row sum, so every
+aggregate the hash sees is associative bigint arithmetic; ln() on
+identical double inputs agrees between the engines (tfidf_top_terms
+precedent).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from wally_spark.plans.registry import register
+from wally_spark.tables import load_tables
+
+BM25_QUERY = ("spark", "window", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+PMI_MIN_COUNT = 5
+PMI_TOPK = 20
+COV_N = 5  # n-gram width for the coverage report
+COV_TOPK = 20
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["documents"]
+
+
+def _words(docs: DataFrame, *extra: str) -> DataFrame:
+    """(doc_id, term) exploded lowercase words, empties dropped."""
+    return docs.select(
+        "doc_id",
+        *extra,
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+        ).alias("term"),
+    )
+
+
+_WORDS_SQL = """
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                    w -> w <> '')) AS term
+  FROM documents
+"""
+
+
+# --- Okapi BM25 -------------------------------------------------------------
+_Q_IN = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+
+@register(
+    "bm25_rank",
+    oracle=f"""
+WITH words AS ({_WORDS_SQL}),
+dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl)::BIGINT AS total_w FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS f FROM words
+  WHERE term IN ({_Q_IN}) GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS dfreq FROM words
+  WHERE term IN ({_Q_IN}) GROUP BY term
+),
+contrib AS (
+  SELECT tf.doc_id,
+         floor(1000000 * ln(1 + (s.n_docs - df.dfreq + 0.5) / (df.dfreq + 0.5))
+               * (tf.f * {BM25_K1 + 1})
+               / (tf.f + {BM25_K1} * ({1 - BM25_B} + {BM25_B} * dl.dl
+                                      / (s.total_w / s.n_docs))))::BIGINT AS c
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+)
+SELECT doc_id, sum(c)::BIGINT AS score_ppm
+FROM contrib GROUP BY doc_id
+ORDER BY score_ppm DESC, doc_id LIMIT {BM25_TOPK}
+""",
+    tags=("search", "text", "ranking"),
+)
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 documents for a fixed query — the classic
+    probabilistic retrieval score (Robertson/Sparck Jones; k1=1.2,
+    b=0.75): per query term, idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+    Each term's contribution is floored to integer ppm BEFORE the
+    per-doc sum, so the score is an associative bigint sum — hash-exact
+    under any shuffle order (a 3-double sum is already order-sensitive
+    at the ulp).
+
+    Scale shape: tf is filtered to the query's terms at the explode
+    (predicate on the generator output — the shuffled relation carries
+    only query-term hits, not the corpus vocabulary); df and the
+    (n_docs, total_w) stats are broadcast-sized; the ranking is a
+    distributed TakeOrderedAndProject top-k, never a global sort."""
+    docs = _docs(spark, sf_dir)
+    words = _words(docs)
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_w"),
+    )
+    hits = words.where(F.col("term").isin(*BM25_QUERY))
+    tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("f"))
+    df_t = hits.groupBy("term").agg(F.countDistinct("doc_id").alias("dfreq"))
+    avgdl = F.col("total_w") / F.col("n_docs")
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5)
+    )
+    contrib = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(
+                1000000
+                * idf
+                * (F.col("f") * (BM25_K1 + 1))
+                / (
+                    F.col("f")
+                    + BM25_K1 * ((1 - BM25_B) + BM25_B * F.col("dl") / avgdl)
+                )
+            )
+            .cast("bigint")
+            .alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("c").cast("bigint").alias("score_ppm"))
+        .orderBy(F.desc("score_ppm"), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+# --- PMI collocations -------------------------------------------------------
+@register(
+    "token_pmi",
+    oracle=f"""
+WITH w AS (
+  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+  FROM documents
+),
+big AS (
+  SELECT b[1] AS w1, b[2] AS w2, count(*) AS c_xy
+  FROM (SELECT unnest(list_transform(range(1, len(words)),
+                                     i -> [words[i], words[i + 1]])) AS b
+        FROM w WHERE len(words) >= 2)
+  GROUP BY w1, w2
+),
+uni AS (
+  SELECT term, count(*) AS c FROM ({_WORDS_SQL}) GROUP BY term
+),
+tot AS (
+  SELECT (SELECT sum(c)::BIGINT FROM uni) AS tu,
+         (SELECT sum(c_xy)::BIGINT FROM big) AS tb
+)
+SELECT b.w1, b.w2, b.c_xy::BIGINT AS c_xy,
+       floor(1000 * ln(b.c_xy / (1.0 * t.tb) * t.tu / u1.c * t.tu / u2.c))
+         ::BIGINT AS pmi_milli
+FROM big b
+JOIN uni u1 ON u1.term = b.w1
+JOIN uni u2 ON u2.term = b.w2
+CROSS JOIN tot t
+WHERE b.c_xy >= {PMI_MIN_COUNT}
+ORDER BY pmi_milli DESC, b.w1, b.w2 LIMIT {PMI_TOPK}
+""",
+    tags=("search", "text", "collocation"),
+)
+def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by pointwise mutual information —
+    PMI = ln(p(x,y) / (p(x)p(y))), the standard collocation-extraction
+    score (Church & Hanks 1990) a tokenizer/phrase-mining pass runs
+    over a pretraining corpus. Low-count bigrams (< PMI_MIN_COUNT) are
+    dropped first — PMI's known pathology is inflating hapax pairs.
+
+    Exactness: the score is computed in a fixed left-to-right chain of
+    IEEE double ops (c_xy/tb · tu/c_x · tu/c_y) — deterministic,
+    identical in both engines — then floored to integer milli-nats;
+    no float accumulations cross rows. Scale shape: bigram and unigram
+    counts are map-side-combined aggregates on uniform keys; the two
+    unigram probes are broadcast joins (vocabulary-sized — cap or
+    count-threshold the vocab at open-web scale); totals are a 1-row
+    broadcast side; the final ranking is a distributed top-k."""
+    docs = _docs(spark, sf_dir)
+    w = docs.select(
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("words")
+    )
+    bigrams = (
+        w.where(F.size("words") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - 1),
+                    lambda i: F.struct(
+                        F.element_at("words", i).alias("w1"),
+                        F.element_at("words", (i + 1).cast("int")).alias("w2"),
+                    ),
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    big = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    uni = _words(docs).groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = big.agg(F.sum("c_xy").cast("bigint").alias("tb")).crossJoin(
+        F.broadcast(uni.agg(F.sum("c").cast("bigint").alias("tu")))
+    )
+    pmi = (
+        F.col("c_xy")
+        / (1.0 * F.col("tb"))
+        * F.col("tu")
+        / F.col("c1")
+        * F.col("tu")
+        / F.col("c2")
+    )
+    return (
+        big.where(F.col("c_xy") >= PMI_MIN_COUNT)
+        .join(F.broadcast(uni.withColumnRenamed("c", "c1")), F.col("w1") == F.col("term"))
+        .drop("term")
+        .join(F.broadcast(uni.withColumnRenamed("c", "c2")), F.col("w2") == F.col("term"))
+        .drop("term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("bigint").alias("c_xy"),
+            F.floor(1000 * F.log(pmi)).cast("bigint").alias("pmi_milli"),
+        )
+        .orderBy(F.desc("pmi_milli"), "w1", "w2")
+        .limit(PMI_TOPK)
+    )
+
+
+# --- n-gram heavy hitters / coverage ---------------------------------------
+@register(
+    "ngram_coverage",
+    oracle=f"""
+WITH w AS (
+  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+  FROM documents
+),
+grams AS (
+  SELECT unnest(list_transform(
+           range(1, len(words) - {COV_N - 2}),
+           i -> {" || ' ' || ".join(f"words[i+{k}]" for k in range(COV_N))}
+         )) AS gram
+  FROM w WHERE len(words) >= {COV_N}
+),
+counts AS (SELECT gram, count(*) AS c FROM grams GROUP BY gram),
+tot AS (
+  SELECT sum(greatest(len(words) - {COV_N - 1}, 0))::BIGINT AS total FROM w
+)
+SELECT c.gram, c.c::BIGINT AS c,
+       floor(1000000 * (c.c / (1.0 * t.total)))::BIGINT AS coverage_ppm
+FROM counts c CROSS JOIN tot t
+ORDER BY c DESC, gram LIMIT {COV_TOPK}
+""",
+    tags=("search", "text", "heavy-hitters"),
+)
+def ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus 5-gram heavy hitters: the top-20 most repeated 5-word
+    sequences with their share (ppm) of ALL 5-gram occurrences — the
+    "what boilerplate dominates this crawl" report that motivates the
+    dedup_substring pass (a license header's coverage share is the
+    fraction of corpus positions it wastes).
+
+    Scale shape: gram expansion is a flat generator (non-distinct, so
+    skew lands in the count aggregate where map-side combine absorbs
+    it — a hot gram costs one partial row per task); the occurrence
+    total is computed from document lengths (one row per doc, no
+    second gram expansion); ranking is a distributed top-k. The exact
+    count here is the audit twin of a count-min/SpaceSaving sketch at
+    100 TB."""
+    docs = _docs(spark, sf_dir)
+    w = docs.select(
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("words")
+    )
+    grams = w.where(F.size("words") >= COV_N).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - (COV_N - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at("words", (i + k).cast("int")) for k in range(COV_N)],
+                ),
+            )
+        ).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    tot = w.agg(
+        F.sum(F.greatest(F.size("words") - (COV_N - 1), F.lit(0)))
+        .cast("bigint")
+        .alias("total")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "gram",
+            F.col("c").cast("bigint").alias("c"),
+            F.floor(1000000 * (F.col("c") / (1.0 * F.col("total"))))
+            .cast("bigint")
+            .alias("coverage_ppm"),
+        )
+        .orderBy(F.desc("c"), "gram")
+        .limit(COV_TOPK)
+    )
+
+
+# --- Zipf rank-frequency slope ----------------------------------------------
+@register(
+    "zipf_slope",
+    oracle=f"""
+WITH counts AS (
+  SELECT lang, term, count(*) AS c
+  FROM (SELECT lang, unnest(list_filter(string_split(lower(text), ' '),
+                                        w -> w <> '')) AS term
+        FROM documents)
+  GROUP BY lang, term
+),
+pts AS (
+  SELECT lang,
+         floor(1000 * ln(row_number() OVER (PARTITION BY lang
+                                            ORDER BY c DESC, term)))::BIGINT AS x,
+         floor(1000 * ln(c))::BIGINT AS y
+  FROM counts
+),
+sums AS (
+  SELECT lang, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy
+  FROM pts GROUP BY lang
+)
+SELECT lang, n AS n_terms,
+       floor(1000.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx))::BIGINT
+         AS slope_milli
+FROM sums
+""",
+    tags=("search", "text", "stats"),
+)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf's-law fit: the least-squares slope of
+    ln(frequency) against ln(rank) over the language's term
+    distribution (natural text sits near −1; a slope far off flags
+    synthetic/spam segments — a corpus-quality diagnostic at the
+    language granularity).
+
+    Exactness: rank and frequency logs are floored to integer
+    milli-nats per term, so the regression moments (sx, sy, sxx, sxy)
+    are associative bigint sums and the slope is ONE deterministic
+    double division at the end. Scale shape: term counts map-side
+    combine; the rank window partitions by language over the
+    vocabulary-sized aggregate (bounded by vocabulary, not corpus
+    mass — cap the vocab by count threshold at open-web scale, which
+    also keeps the bigint moments within range)."""
+    docs = _docs(spark, sf_dir)
+    counts = (
+        _words(docs, "lang")
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_rank = Window.partitionBy("lang").orderBy(F.desc("c"), "term")
+    pts = counts.select(
+        "lang",
+        F.floor(1000 * F.log(F.row_number().over(w_rank))).cast("bigint").alias("x"),
+        F.floor(1000 * F.log("c")).cast("bigint").alias("y"),
+    )
+    sums = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    slope = (
+        1000.0
+        * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    return sums.select(
+        "lang",
+        F.col("n").alias("n_terms"),
+        F.floor(slope).cast("bigint").alias("slope_milli"),
+    )

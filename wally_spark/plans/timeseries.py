@@ -1,0 +1,374 @@
+"""Time-series operators over the events hypertable — round-7
+extensions (SURVEY §2.4; hypertable family begun by hypertable_rollup /
+resample_1h in analytics.py).
+
+  events_ohlc         per (type, hour) open/high/low/close candlestick
+  time_weighted_avg   LOCF time-weighted mean per type (TimescaleDB
+                      ``time_weight('locf', ...)`` semantics)
+  gap_fill_locf       dense hourly grid with last-observation-carried-
+                      forward fill (TimescaleDB ``locf(gapfill(...))``)
+  events_anomaly_mad  robust outlier report: median/MAD per type
+
+All four have full DuckDB oracles. Monetary/value sums are integerized
+per row (``floor(1000 * value)`` — exact per-row, then bigint sums are
+associative) so the value hash is exact regardless of summation order;
+the MAD lane compares doubles only through deterministic selection
+(nearest-rank) and IEEE multiplication, never float accumulation.
+Reference parity: the reference's market-spread app family
+(examples/python/market_spread) maintains per-symbol last-state over a
+price stream; these lanes are the batch analytics face of that state.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from wally_spark.plans.registry import register
+from wally_spark.tables import load_tables
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["events"]
+
+
+# --- OHLC candlesticks ------------------------------------------------------
+@register(
+    "events_ohlc",
+    oracle="""
+WITH e AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_b, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_f,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_l
+  FROM events
+)
+SELECT event_type, epoch(hour_b)::BIGINT AS hour_epoch,
+       max(CASE WHEN rn_f = 1 THEN value END) AS open_v,
+       max(value) AS high_v,
+       min(value) AS low_v,
+       max(CASE WHEN rn_l = 1 THEN value END) AS close_v,
+       count(*)::BIGINT AS n_events,
+       sum(floor(1000 * value)::BIGINT)::BIGINT AS vol_milli
+FROM e GROUP BY event_type, hour_b
+""",
+    tags=("timeseries", "events", "ohlc"),
+)
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(type, hour) OHLC bars — the candlestick rollup every
+    market-data pipeline keeps (the batch face of the reference's
+    market-spread state, examples/python/market_spread/market_spread.py:
+    per-symbol bid/offer last-state). Open/close are selected by
+    deterministic (ts, event_id) rank, never ``first()`` (whose result
+    is partition-order-dependent — wrong under shuffle); high/low are
+    plain min/max; volume is an exact integer sum.
+
+    Scale shape: one window + one aggregate, both partitioned by the
+    SAME (event_type, hour) key, so Catalyst plans a single Exchange
+    reused by both operators; per-partition state is one hour of one
+    type — bounded regardless of corpus size."""
+    ev = _events(spark, sf_dir)
+    hour_b = F.date_trunc("hour", "ts")
+    w_f = Window.partitionBy("event_type", "hour_b").orderBy("ts", "event_id")
+    w_l = Window.partitionBy("event_type", "hour_b").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = ev.select(
+        "event_type", hour_b.alias("hour_b"), "ts", "event_id", "value"
+    ).select(
+        "event_type",
+        "hour_b",
+        "value",
+        F.row_number().over(w_f).alias("rn_f"),
+        F.row_number().over(w_l).alias("rn_l"),
+    )
+    return ranked.groupBy("event_type", "hour_b").agg(
+        F.max(F.when(F.col("rn_f") == 1, F.col("value"))).alias("open_v"),
+        F.max("value").alias("high_v"),
+        F.min("value").alias("low_v"),
+        F.max(F.when(F.col("rn_l") == 1, F.col("value"))).alias("close_v"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(1000 * F.col("value")).cast("bigint")).alias("vol_milli"),
+    ).select(
+        "event_type",
+        F.unix_timestamp("hour_b").alias("hour_epoch"),
+        "open_v",
+        "high_v",
+        "low_v",
+        "close_v",
+        "n_events",
+        "vol_milli",
+    )
+
+
+# --- time-weighted average --------------------------------------------------
+@register(
+    "time_weighted_avg",
+    oracle="""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS us, floor(1000 * value)::BIGINT AS vmilli,
+         lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS next_us
+  FROM events
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       (sum(vmilli * (next_us - us)) // sum(next_us - us))::BIGINT AS twa_milli,
+       (sum(next_us - us) // 1000000)::BIGINT AS span_s
+FROM e WHERE next_us IS NOT NULL
+GROUP BY event_type
+""",
+    tags=("timeseries", "events"),
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF time-weighted average per type (TimescaleDB
+    ``time_weight('locf', ...)``): each observation's value holds until
+    the next observation, so the mean weights each value by its holding
+    interval — the right average for irregularly-sampled gauges, where
+    the arithmetic mean over-counts bursts. The last observation per
+    type has no successor and carries zero weight (standard LOCF
+    endpoint rule).
+
+    Exactness: value is integerized per row (floor milli — exact) and
+    interval weights are integer microseconds, so the weighted sum is
+    pure bigint arithmetic — associative, identical in any partition
+    order — and the final ratio is integer division. Scale shape: ONE
+    lead-window + aggregate on the same event_type key (single
+    Exchange); per-type ordering is the cost any time-weighted operator
+    pays, bounded per partition by the type's slice."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    e = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.floor(1000 * F.col("value")).cast("bigint").alias("vmilli"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    ).where(F.col("next_us").isNotNull())
+    dt = F.col("next_us") - F.col("us")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("sum(vmilli * (next_us - us)) div sum(next_us - us)").alias(
+            "twa_milli"
+        ),
+        F.expr("sum(next_us - us) div 1000000").alias("span_s"),
+    ).select(
+        "event_type",
+        "n_events",
+        F.col("twa_milli").cast("bigint").alias("twa_milli"),
+        "span_s",
+    )
+
+
+# --- LOCF gap fill ----------------------------------------------------------
+@register(
+    "gap_fill_locf",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events
+), grid AS (
+  SELECT t.event_type,
+         unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h
+  FROM (SELECT DISTINCT event_type FROM events) t, bounds b
+), rep AS (
+  SELECT event_type, hour_b AS h, vmilli
+  FROM (SELECT event_type, date_trunc('hour', ts) AS hour_b,
+               floor(1000 * value)::BIGINT AS vmilli,
+               row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+  WHERE rn = 1
+), filled AS (
+  SELECT g.event_type, g.h, rep.vmilli,
+         last_value(rep.vmilli IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill_milli
+  FROM grid g LEFT JOIN rep ON rep.event_type = g.event_type AND rep.h = g.h
+)
+SELECT event_type, epoch(h)::BIGINT AS hour_epoch,
+       fill_milli::BIGINT AS fill_milli,
+       (vmilli IS NULL) AS is_gap
+FROM filled
+""",
+    tags=("timeseries", "events", "gapfill"),
+)
+def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series with last-observation-carried-forward fill
+    (TimescaleDB ``locf(time_bucket_gapfill(...))``): every (type,
+    hour) cell in the observed range appears; empty hours inherit the
+    last seen per-hour representative (the hour's LAST event by
+    deterministic (ts, event_id) rank) and are flagged ``is_gap``.
+    Hours before a type's first observation stay NULL — LOCF has
+    nothing to carry.
+
+    Scale shape: aggregate FIRST (per-hour representative via a
+    (type, hour)-partitioned rank — bounded state), then densify
+    against a generated grid whose size is hours × types — independent
+    of raw volume, same shape as resample_1h — and fill with a
+    per-type ordered window over that aggregate-sized relation. The
+    fill window's partition is one type's calendar hours: bounded by
+    the time range, not the data rate (revenue_dod_delta precedent)."""
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h"),
+    )
+    w_rep = Window.partitionBy("event_type", "hour_b").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    rep = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hour_b"),
+            "ts",
+            "event_id",
+            F.floor(1000 * F.col("value")).cast("bigint").alias("vmilli"),
+        )
+        .select(
+            "event_type",
+            F.col("hour_b").alias("h"),
+            "vmilli",
+            F.row_number().over(w_rep).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w_fill = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(rep, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            "vmilli",
+            F.last("vmilli", ignorenulls=True).over(w_fill).alias("fill_milli"),
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp("h").alias("hour_epoch"),
+            F.col("fill_milli").cast("bigint").alias("fill_milli"),
+            F.col("vmilli").isNull().alias("is_gap"),
+        )
+    )
+
+
+# --- robust outliers: median absolute deviation -----------------------------
+MAD_K_X10000 = 44478  # 3 * 1.4826 (consistency constant) * 10^4
+
+
+@register(
+    "events_anomaly_mad",
+    oracle=f"""
+WITH ranked AS (
+  SELECT event_type, value, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), med AS (
+  SELECT event_type, max(CASE WHEN rn = ceil(0.5 * n) THEN value END) AS med,
+         max(n)::BIGINT AS n
+  FROM ranked GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.value, m.med, m.n, abs(e.value - m.med) AS ad,
+         row_number() OVER (PARTITION BY e.event_type
+                            ORDER BY abs(e.value - m.med), e.event_id) AS rn
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, max(med) AS med, max(n)::BIGINT AS n,
+         max(CASE WHEN rn = ceil(0.5 * n) THEN ad END) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, max(d.med) AS med, max(m.mad) AS mad, max(d.n)::BIGINT AS n,
+       sum(CASE WHEN 10000 * d.ad > {MAD_K_X10000} * m.mad
+                THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+""",
+    tags=("timeseries", "events", "anomaly"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier report: median + MAD (median absolute
+    deviation, the estimator that survives the very outliers it hunts
+    — stddev-based z-scores don't), flagging values beyond
+    3 · 1.4826 · MAD. Both medians are nearest-rank selections of
+    STORED doubles (no interpolation arithmetic — engines agree
+    bit-for-bit, quantiles_exact_check precedent) and the threshold
+    compare is cross-multiplied to one deterministic IEEE multiply per
+    side.
+
+    Scale shape: two ranked passes partitioned by event_type with the
+    tiny per-type medians rejoined by broadcast — the per-type sort is
+    the audit-grade cost (the sketchable cousin is
+    approx_quantiles_by_type); partitions are bounded by the type's
+    slice, and the two window passes reuse one Exchange."""
+    ev = _events(spark, sf_dir)
+    w_v = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_n = Window.partitionBy("event_type")
+    ranked = ev.select("event_type", "value", "event_id").select(
+        "event_type",
+        "value",
+        "event_id",
+        F.row_number().over(w_v).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.5 * F.col("n")), F.col("value"))
+        ).alias("med"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    w_ad = Window.partitionBy("event_type").orderBy("ad", "event_id")
+    dev = (
+        ev.select("event_type", "value", "event_id")
+        .join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "value",
+            "med",
+            "n",
+            F.abs(F.col("value") - F.col("med")).alias("ad"),
+            "event_id",
+        )
+        .select(
+            "event_type",
+            "value",
+            "med",
+            "n",
+            "ad",
+            F.row_number().over(w_ad).alias("rn"),
+        )
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.max("med").alias("med_"),
+        F.max("n").cast("bigint").alias("n_"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.5 * F.col("n")), F.col("ad"))
+        ).alias("mad"),
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.max("n").cast("bigint").alias("n"),
+            F.sum(
+                F.when(
+                    10000 * F.col("ad") > MAD_K_X10000 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
