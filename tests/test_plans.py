@@ -142,6 +142,8 @@ def test_no_cartesian_anywhere(spark):
         "bm25_rank",  # 1-row (n_docs, total_w) stats side
         "token_pmi",  # 1-row (tb, tu) totals side
         "ngram_coverage",  # 1-row occurrence-total side
+        "user_rfm_segments",  # 1-row reference-date side
+        "embedding_pca_power",  # four 1-row rescale-divisor sides
     }
     offenders = []
     for name in sorted(REGISTRY):

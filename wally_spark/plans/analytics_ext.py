@@ -230,3 +230,169 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("node div 2").cast("bigint").alias("key"),
         F.col("rank").alias("rank_milli"),
     )
+
+
+# --- interval-overlap timeline: open order lines per day (r7) ---------------
+@register(
+    "open_order_lines_daily",
+    oracle="""
+WITH iv AS (
+  SELECT date_trunc('day', o.o_orderdate) AS d0,
+         date_trunc('day', l.l_shipdate) + INTERVAL 1 DAY AS d1
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+deltas AS (
+  SELECT d0 AS day, 1 AS delta FROM iv
+  UNION ALL
+  SELECT d1 AS day, -1 AS delta FROM iv
+),
+daily AS (
+  SELECT day,
+         sum(delta)::BIGINT AS net,
+         sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)::BIGINT AS n_opened,
+         sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END)::BIGINT AS n_closed
+  FROM deltas GROUP BY day
+)
+SELECT day,
+       sum(net) OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ::BIGINT AS open_lines,
+       n_opened, n_closed
+FROM daily
+""",
+    tags=("analytics", "timeseries", "intervals"),
+)
+def open_order_lines_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap timeline: how many order lines are in flight
+    (ordered, not yet shipped) on each calendar day — the classic
+    sweep-line counting query (concurrent sessions / active intervals)
+    over [o_orderdate, l_shipdate] intervals. Each interval becomes a
+    +1 event at its start day and a -1 the day after its end; the
+    running sum of the per-day net is the open count.
+
+    Scale shape: the fact-fact orderkey join shuffles on its natural
+    key (bucket-ready — plans/bucketed.py shows the Exchange-free
+    variant shape); the +1/-1 expansion is a flat generator whose mass
+    collapses immediately in a map-side-combined per-day aggregate, so
+    the global cumulative window runs over one row per calendar day —
+    bounded by date range, not data rate (revenue_dod_delta
+    precedent)."""
+    t = load_tables(spark, sf_dir)
+    iv = t["lineitem"].join(
+        t["orders"], t["lineitem"]["l_orderkey"] == t["orders"]["o_orderkey"]
+    ).select(
+        F.date_trunc("day", "o_orderdate").alias("d0"),
+        (F.date_trunc("day", "l_shipdate") + F.expr("interval 1 day")).alias(
+            "d1"
+        ),
+    )
+    deltas = iv.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("d0").alias("day"), F.lit(1).alias("delta")),
+                F.struct(F.col("d1").alias("day"), F.lit(-1).alias("delta")),
+            )
+        ).alias("e")
+    ).select("e.day", "e.delta")
+    daily = deltas.groupBy("day").agg(
+        F.sum("delta").cast("bigint").alias("net"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_opened"),
+        F.sum(F.when(F.col("delta") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_closed"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        F.sum("net").over(w).cast("bigint").alias("open_lines"),
+        "n_opened",
+        "n_closed",
+    )
+
+
+# --- RFM segmentation over the events stream (r7) ---------------------------
+@register(
+    "user_rfm_segments",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, max(ts) AS last_ts, count(*)::BIGINT AS freq,
+         sum(floor(1000 * value)::BIGINT)::BIGINT AS monetary_milli
+  FROM events GROUP BY user_id
+),
+ref AS (SELECT max(ts) AS ref_ts FROM events),
+scored AS (
+  SELECT date_diff('day', date_trunc('day', p.last_ts),
+                   date_trunc('day', r.ref_ts))::BIGINT AS recency_days,
+         p.freq, p.monetary_milli, p.user_id
+  FROM per_user p CROSS JOIN ref r
+),
+tiles AS (
+  SELECT ntile(4) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+         ntile(4) OVER (ORDER BY freq, user_id) AS f_score,
+         ntile(4) OVER (ORDER BY monetary_milli, user_id) AS m_score,
+         monetary_milli
+  FROM scored
+)
+SELECT r_score::BIGINT AS r_score, f_score::BIGINT AS f_score,
+       m_score::BIGINT AS m_score,
+       count(*)::BIGINT AS n_users,
+       sum(monetary_milli)::BIGINT AS monetary_milli_total
+FROM tiles GROUP BY r_score, f_score, m_score
+""",
+    tags=("analytics", "segmentation", "events"),
+)
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation — the
+    standard customer-analytics quartile grid: per user, days since
+    last event, event count, and exact integer monetary mass, each
+    scored into quartiles (4 = best; ties broken by user_id so the
+    binning is deterministic), then rolled up to the 4×4×4 segment
+    cells a campaign targets.
+
+    Scale shape: the raw stream collapses FIRST into one row per user
+    (map-side combined; monetary integerized per row so the sum is
+    associative); the three ntile windows run over that user-bounded
+    aggregate — the same post-aggregation global-window contract as
+    ntile_order_quartiles, with a 1-row reference-date broadcast side.
+    Output is at most 64 cells."""
+    ev = load_tables(spark, sf_dir)["events"]
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.floor(1000 * F.col("value")).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_milli"),
+    )
+    ref = ev.agg(F.max("ts").alias("ref_ts"))
+    scored = per_user.crossJoin(F.broadcast(ref)).select(
+        F.datediff(
+            F.date_trunc("day", "ref_ts"), F.date_trunc("day", "last_ts")
+        )
+        .cast("bigint")
+        .alias("recency_days"),
+        "freq",
+        "monetary_milli",
+        "user_id",
+    )
+    tiles = scored.select(
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("recency_days"), "user_id"))
+        .alias("r_score"),
+        F.ntile(4).over(Window.orderBy("freq", "user_id")).alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy("monetary_milli", "user_id"))
+        .alias("m_score"),
+        "monetary_milli",
+    )
+    return tiles.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("monetary_milli").cast("bigint").alias("monetary_milli_total"),
+    ).select(
+        F.col("r_score").cast("bigint").alias("r_score"),
+        F.col("f_score").cast("bigint").alias("f_score"),
+        F.col("m_score").cast("bigint").alias("m_score"),
+        "n_users",
+        "monetary_milli_total",
+    )

@@ -413,3 +413,127 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_of").isNull().alias("keep"),
         "dup_of",
     )
+
+
+# --- power-iteration PCA: top principal direction (r7) ----------------------
+PCA_NIB_SPLIT = 8  # md5-nibble threshold for the +/-1 init vector
+
+
+def _pca_oracle() -> str:
+    """Unrolled 2-round power iteration on the integer lattice (same
+    CTE-chain technique as _kmeans_cte_chain)."""
+    nib = "strpos('0123456789abcdef', substr(md5(i::VARCHAR), 1, 1)) - 1"
+    return f"""
+WITH ex AS (
+  SELECT vec_id, u.i AS i,
+         CAST(floor(u.x::DOUBLE * {GRID}.0) AS BIGINT) AS q
+  FROM (SELECT vec_id,
+               unnest(list_transform(embedding, (x, i) -> {{'x': x, 'i': i}})) AS u
+        FROM embeddings)
+),
+signs AS (
+  SELECT i, CASE WHEN {nib} < {PCA_NIB_SPLIT} THEN -1 ELSE 1 END AS s
+  FROM (SELECT DISTINCT i FROM ex)
+),
+y AS (SELECT vec_id, sum(q * s)::BIGINT AS y
+      FROM ex JOIN signs USING (i) GROUP BY vec_id),
+dy AS (SELECT (max(abs(y)) // {GRID} + 1)::BIGINT AS d FROM y),
+ys AS (SELECT vec_id, (y // d)::BIGINT AS ys FROM y CROSS JOIN dy),
+v1 AS (SELECT i, sum(q * ys)::BIGINT AS v
+       FROM ex JOIN ys USING (vec_id) GROUP BY i),
+d1 AS (SELECT (max(abs(v)) // {GRID} + 1)::BIGINT AS d FROM v1),
+v1s AS (SELECT i, (v // d)::BIGINT AS vs FROM v1 CROSS JOIN d1),
+z AS (SELECT vec_id, sum(q * vs)::BIGINT AS z
+      FROM ex JOIN v1s USING (i) GROUP BY vec_id),
+dz AS (SELECT (max(abs(z)) // {GRID} + 1)::BIGINT AS d FROM z),
+zs AS (SELECT vec_id, (z // d)::BIGINT AS zs FROM z CROSS JOIN dz),
+v2 AS (SELECT i, sum(q * zs)::BIGINT AS v
+       FROM ex JOIN zs USING (vec_id) GROUP BY i),
+d2 AS (SELECT (max(abs(v)) // {GRID} + 1)::BIGINT AS d FROM v2)
+SELECT i::BIGINT AS pos, (v // d)::BIGINT AS loading
+FROM v2 CROSS JOIN d2
+"""
+
+
+@register("embedding_pca_power", oracle=_pca_oracle(), tags=("embeddings", "pca"))
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding matrix by
+    TWO unrolled power-iteration rounds — v ← Xᵀ(Xv) twice from a
+    deterministic ±1 seed — the dim-importance diagnostic (and
+    whitening precursor) a pipeline runs before deciding what a
+    projection may drop. Uncentered on purpose: centering would break
+    the exact integer lattice, and for the dominant direction the
+    mean term is a rank-one perturbation the diagnostic tolerates.
+
+    Float discipline: components quantize ONCE onto the power-of-two
+    GRID lattice; every subsequent product/sum is int64, and each
+    half-step rescales by a max-abs-derived divisor (``max|v|//GRID+1``,
+    integer division — truncation agrees between engines) so values
+    stay ≤~2²⁰ and products stay far from int64 overflow (safe to
+    ~1e8 vectors; beyond that, add one more rescale on the vector
+    side). The result is partition- and engine-exact BY CONSTRUCTION —
+    the same lattice contract as embedding_kmeans.
+
+    Scale shape: Xv is a vec_id-keyed aggregate over the exploded
+    (vec_id, i, q) relation; Xᵀy joins the n-row y vector back on
+    vec_id (co-keyed shuffle) and aggregates on i — map-side combined
+    both ways; the dim-sized v relations (64 rows) broadcast to the
+    next round; the four rescale divisors are 1-row broadcast sides.
+    No driver-side state at all — unlike MLlib's PCA (driver Gramian),
+    this stays distributed end-to-end."""
+    emb = _emb(spark, sf_dir)
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "x")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.coalesce(
+            F.floor(F.col("x").cast("double") * float(GRID)).cast("bigint"),
+            F.lit(0),
+        ).alias("q"),
+    )
+    nib = F.conv(
+        F.substring(F.md5(F.col("i").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    signs = ex.select("i").distinct().select(
+        "i",
+        F.when(nib < PCA_NIB_SPLIT, F.lit(-1)).otherwise(F.lit(1)).alias("s"),
+    )
+
+    def _rescale(df: DataFrame, col: str, out: str) -> DataFrame:
+        d = df.agg(
+            (F.expr(f"max(abs({col})) div {GRID}") + 1)
+            .cast("bigint")
+            .alias("d")
+        )
+        return df.crossJoin(F.broadcast(d)).select(
+            *[c for c in df.columns if c != col],
+            F.expr(f"{col} div d").cast("bigint").alias(out),
+        )
+
+    y = (
+        ex.join(F.broadcast(signs), "i")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("q") * F.col("s")).cast("bigint").alias("y"))
+    )
+    ys = _rescale(y, "y", "ys")
+    v1 = (
+        ex.join(ys, "vec_id")
+        .groupBy("i")
+        .agg(F.sum(F.col("q") * F.col("ys")).cast("bigint").alias("v"))
+    )
+    v1s = _rescale(v1, "v", "vs")
+    z = (
+        ex.join(F.broadcast(v1s), "i")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("q") * F.col("vs")).cast("bigint").alias("z"))
+    )
+    zs = _rescale(z, "z", "zs")
+    v2 = (
+        ex.join(zs, "vec_id")
+        .groupBy("i")
+        .agg(F.sum(F.col("q") * F.col("zs")).cast("bigint").alias("v"))
+    )
+    return _rescale(v2, "v", "loading").select(
+        F.col("i").cast("bigint").alias("pos"), "loading"
+    )

@@ -434,11 +434,12 @@ GOPHER_STOPS = ("the", "a", "and", "of", "to", "in", "is", "with")
 GOPHER_MIN_STOPS = 2
 
 
-@register(
-    "gopher_rules",
-    oracle=f"""
+def _gopher_feat_sql(carry: str = "") -> str:
+    """Oracle twin of ``_gopher_feat``: the base+feat CTE prefix;
+    ``carry`` is a column-list suffix like ``, source``."""
+    return f"""
 WITH base AS (
-  SELECT doc_id,
+  SELECT doc_id{carry},
          list_filter(string_split(lower(text), ' '), w -> w <> '') AS words,
          string_split(text, chr(10)) AS lines,
          len(text) - len(replace(text, '#', '')) AS n_hash,
@@ -446,7 +447,7 @@ WITH base AS (
   FROM documents
 ),
 feat AS (
-  SELECT doc_id,
+  SELECT doc_id{carry},
          len(words)::BIGINT AS n_words,
          (SELECT coalesce(sum(len(w)), 0) FROM unnest(words) AS t(w))::BIGINT AS n_word_chars,
          len(list_filter(words, w -> regexp_matches(w, '[a-z]')))::BIGINT AS n_alpha,
@@ -457,21 +458,94 @@ feat AS (
          (n_hash + n_ell)::BIGINT AS n_symbols
   FROM base
 )
+"""
+
+
+_G_RULES_SQL = {
+    "r_word_count": f"(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})",
+    "r_mean_word_len": f"({GOPHER_MIN_MWL} * n_words <= n_word_chars"
+    f" AND n_word_chars <= {GOPHER_MAX_MWL} * n_words)",
+    "r_symbol_ratio": "(10 * n_symbols < n_words)",
+    "r_bullet_lines": "(10 * n_bullet < 9 * n_lines)",
+    "r_ellipsis_lines": "(10 * n_ell_lines < 3 * n_lines)",
+    "r_alpha_words": "(5 * n_alpha > 4 * n_words)",
+    "r_stopwords": f"(n_stops >= {GOPHER_MIN_STOPS})",
+}
+_G_VERDICT_SQL = "(" + " AND ".join(_G_RULES_SQL.values()) + ")"
+
+
+def _gopher_feat(docs: DataFrame, *carry: str) -> DataFrame:
+    """Per-doc Gopher rule features in one codegen scan; ``carry``
+    names extra document columns to thread through (e.g. ``source``
+    for the sweep rollup) without a later join."""
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    lines = F.split("text", "\n")
+    base = docs.select(
+        "doc_id",
+        *carry,
+        words.alias("words"),
+        lines.alias("lines"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))).alias("n_hash"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))) / F.lit(3)
+        ).cast("bigint").alias("n_ell"),
+    )
+    return base.select(
+        "doc_id",
+        *carry,
+        F.size("words").cast("bigint").alias("n_words"),
+        F.aggregate(
+            "words", F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+        ).alias("n_word_chars"),
+        F.size(F.filter("words", lambda w: w.rlike("[a-z]"))).cast("bigint").alias("n_alpha"),
+        sum(
+            (F.array_contains("words", s).cast("bigint") for s in GOPHER_STOPS),
+            F.lit(0).cast("bigint"),
+        ).alias("n_stops"),
+        F.size("lines").cast("bigint").alias("n_lines"),
+        F.size(
+            F.filter(
+                "lines",
+                lambda l: F.ltrim(l).startswith("-") | F.ltrim(l).startswith("*"),
+            )
+        ).cast("bigint").alias("n_bullet"),
+        F.size(F.filter("lines", lambda l: F.rtrim(l).endswith("...")))
+        .cast("bigint")
+        .alias("n_ell_lines"),
+        (F.col("n_hash") + F.col("n_ell")).cast("bigint").alias("n_symbols"),
+    )
+
+
+def _gopher_rule_cols() -> dict[str, F.Column]:
+    """Rule name → boolean Column over the _gopher_feat schema. All
+    integer arithmetic (ratio thresholds cross-multiplied)."""
+    r_wc = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    r_mwl = (F.lit(GOPHER_MIN_MWL) * F.col("n_words") <= F.col("n_word_chars")) & (
+        F.col("n_word_chars") <= F.lit(GOPHER_MAX_MWL) * F.col("n_words")
+    )
+    r_sym = F.lit(10) * F.col("n_symbols") < F.col("n_words")
+    r_bul = F.lit(10) * F.col("n_bullet") < F.lit(9) * F.col("n_lines")
+    r_ell = F.lit(10) * F.col("n_ell_lines") < F.lit(3) * F.col("n_lines")
+    r_alp = F.lit(5) * F.col("n_alpha") > F.lit(4) * F.col("n_words")
+    r_stp = F.col("n_stops") >= GOPHER_MIN_STOPS
+    return {
+        "r_word_count": r_wc,
+        "r_mean_word_len": r_mwl,
+        "r_symbol_ratio": r_sym,
+        "r_bullet_lines": r_bul,
+        "r_ellipsis_lines": r_ell,
+        "r_alpha_words": r_alp,
+        "r_stopwords": r_stp,
+    }
+
+
+@register(
+    "gopher_rules",
+    oracle=f"""
+{_gopher_feat_sql()}
 SELECT doc_id, n_words,
-       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}) AS r_word_count,
-       ({GOPHER_MIN_MWL} * n_words <= n_word_chars AND n_word_chars <= {GOPHER_MAX_MWL} * n_words) AS r_mean_word_len,
-       (10 * n_symbols < n_words) AS r_symbol_ratio,
-       (10 * n_bullet < 9 * n_lines) AS r_bullet_lines,
-       (10 * n_ell_lines < 3 * n_lines) AS r_ellipsis_lines,
-       (5 * n_alpha > 4 * n_words) AS r_alpha_words,
-       (n_stops >= {GOPHER_MIN_STOPS}) AS r_stopwords,
-       ((n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
-        AND ({GOPHER_MIN_MWL} * n_words <= n_word_chars AND n_word_chars <= {GOPHER_MAX_MWL} * n_words)
-        AND (10 * n_symbols < n_words)
-        AND (10 * n_bullet < 9 * n_lines)
-        AND (10 * n_ell_lines < 3 * n_lines)
-        AND (5 * n_alpha > 4 * n_words)
-        AND (n_stops >= {GOPHER_MIN_STOPS})) AS verdict
+       {", ".join(f"{e} AS {n}" for n, e in _G_RULES_SQL.items())},
+       {_G_VERDICT_SQL} AS verdict
 FROM feat
 """,
     tags=("text", "curation", "quality"),
@@ -494,61 +568,55 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the whole bundle stays inside whole-stage codegen. At 100 TB
     this runs at parquet-scan speed with full column pruning
     (doc_id, text only)."""
-    docs = _docs(spark, sf_dir)
-    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
-    lines = F.split("text", "\n")
-    base = docs.select(
-        "doc_id",
-        words.alias("words"),
-        lines.alias("lines"),
-        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))).alias("n_hash"),
-        (
-            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))) / F.lit(3)
-        ).cast("bigint").alias("n_ell"),
-    )
-    feat = base.select(
-        "doc_id",
-        F.size("words").cast("bigint").alias("n_words"),
-        F.aggregate(
-            "words", F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
-        ).alias("n_word_chars"),
-        F.size(F.filter("words", lambda w: w.rlike("[a-z]"))).cast("bigint").alias("n_alpha"),
-        sum(
-            (F.array_contains("words", s).cast("bigint") for s in GOPHER_STOPS),
-            F.lit(0).cast("bigint"),
-        ).alias("n_stops"),
-        F.size("lines").cast("bigint").alias("n_lines"),
-        F.size(
-            F.filter(
-                "lines",
-                lambda l: F.ltrim(l).startswith("-") | F.ltrim(l).startswith("*"),
-            )
-        ).cast("bigint").alias("n_bullet"),
-        F.size(F.filter("lines", lambda l: F.rtrim(l).endswith("...")))
-        .cast("bigint")
-        .alias("n_ell_lines"),
-        (F.col("n_hash") + F.col("n_ell")).cast("bigint").alias("n_symbols"),
-    )
-    r_wc = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
-    r_mwl = (F.lit(GOPHER_MIN_MWL) * F.col("n_words") <= F.col("n_word_chars")) & (
-        F.col("n_word_chars") <= F.lit(GOPHER_MAX_MWL) * F.col("n_words")
-    )
-    r_sym = F.lit(10) * F.col("n_symbols") < F.col("n_words")
-    r_bul = F.lit(10) * F.col("n_bullet") < F.lit(9) * F.col("n_lines")
-    r_ell = F.lit(10) * F.col("n_ell_lines") < F.lit(3) * F.col("n_lines")
-    r_alp = F.lit(5) * F.col("n_alpha") > F.lit(4) * F.col("n_words")
-    r_stp = F.col("n_stops") >= GOPHER_MIN_STOPS
+    feat = _gopher_feat(_docs(spark, sf_dir))
+    rules = _gopher_rule_cols()
+    verdict = None
+    for c in rules.values():
+        verdict = c if verdict is None else (verdict & c)
     return feat.select(
         "doc_id",
         "n_words",
-        r_wc.alias("r_word_count"),
-        r_mwl.alias("r_mean_word_len"),
-        r_sym.alias("r_symbol_ratio"),
-        r_bul.alias("r_bullet_lines"),
-        r_ell.alias("r_ellipsis_lines"),
-        r_alp.alias("r_alpha_words"),
-        r_stp.alias("r_stopwords"),
-        (r_wc & r_mwl & r_sym & r_bul & r_ell & r_alp & r_stp).alias("verdict"),
+        *[c.alias(n) for n, c in rules.items()],
+        verdict.alias("verdict"),
+    )
+
+
+@register(
+    "quality_rule_sweep",
+    oracle=f"""
+{_gopher_feat_sql(", source")}
+SELECT source, k, count(*)::BIGINT AS n_docs
+FROM (
+  SELECT source,
+         ({" + ".join(f"CASE WHEN {e} THEN 1 ELSE 0 END" for e in _G_RULES_SQL.values())})::BIGINT AS k
+  FROM feat
+)
+GROUP BY source, k
+""",
+    tags=("text", "curation", "quality"),
+)
+def quality_rule_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-severity calibration sweep: for each source, the
+    distribution of documents over "number of Gopher rules passed"
+    (0..7) — the table that tells a mix designer whether a source dies
+    on ONE rule (fixable threshold) or fails broadly (drop the
+    source), and what the keep-rate would be at any strictness
+    cutoff, without re-running the filter per candidate threshold.
+
+    Scale shape: the same single-scan codegen feature pass as
+    gopher_rules (shared ``_gopher_feat``, ``source`` threaded through
+    the scan so no join re-attaches it), then one low-cardinality
+    (source, k) aggregate — map-side combined, output bounded by
+    n_sources × 8 regardless of corpus mass."""
+    feat = _gopher_feat(_docs(spark, sf_dir), "source")
+    rules = _gopher_rule_cols()
+    k = None
+    for c in rules.values():
+        k = c.cast("bigint") if k is None else (k + c.cast("bigint"))
+    return (
+        feat.select("source", k.alias("k"))
+        .groupBy("source", "k")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
 
 
