@@ -174,6 +174,31 @@ def test_sliding_windows_stream_equivalence(spark, tmp_path):
     assert must_emit, "no closed windows — assertion would be vacuous"
 
 
+def test_ohlc_stream_equivalence(spark, tmp_path):
+    """Streaming OHLC bars equal the batch events_ohlc lane: every
+    emitted bar matches the batch bar exactly (min_by/max_by state
+    merges are order-independent), and every hour the watermark closed
+    before the last micro-batch was emitted."""
+    from wally_spark.plans import REGISTRY
+    from wally_spark.streaming.ops import ohlc_stream
+
+    sdf, ev = _ordered_stream(spark, tmp_path)
+    out = _run_append(ohlc_stream(sdf, watermark="1 second"), spark)
+    batch_rows = REGISTRY["events_ohlc"].spark_fn(spark, SF_SMALL).select(
+        "event_type", "hour_epoch", "open_v", "high_v", "low_v",
+        "close_v", "n_events", "vol_milli",
+    )
+    out = out.select(*batch_rows.columns)
+    stream, batch = _rows(out), _rows(batch_rows)
+    assert set(stream) <= set(batch)
+    pdf = ev.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    step = (len(pdf) + N_FILES - 1) // N_FILES
+    wm = pdf.iloc[: (N_FILES - 1) * step]["ts"].max().timestamp() - 1.0
+    must_emit = [r for r in batch if r[1] + 3600 <= wm]
+    assert set(must_emit) <= set(stream)
+    assert must_emit, "no closed bars — assertion would be vacuous"
+
+
 def test_session_windows_stream_equivalence(spark, tmp_path):
     """F.session_window over micro-batches merges to exactly the batch
     gaps-and-islands sessions (session_idx excluded: a merge-order

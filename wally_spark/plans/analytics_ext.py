@@ -396,3 +396,115 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         "monetary_milli_total",
     )
+
+
+# --- association rules over co-purchase pairs (r7) --------------------------
+BASKET_MIN_SUP = 2  # pair must co-occur in >= this many orders
+BASKET_TOPK = 20
+
+
+@register(
+    "basket_rules",
+    oracle=f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM op),
+item AS (SELECT l_partkey, count(*)::BIGINT AS c FROM op GROUP BY l_partkey),
+pair AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*)::BIGINT AS c_ab
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {BASKET_MIN_SUP}
+),
+rules AS (
+  SELECT pa AS antecedent, pb AS consequent, c_ab FROM pair
+  UNION ALL
+  SELECT pb AS antecedent, pa AS consequent, c_ab FROM pair
+)
+SELECT r.antecedent::BIGINT AS antecedent, r.consequent::BIGINT AS consequent,
+       r.c_ab AS support_n,
+       ((1000000 * r.c_ab) // ia.c)::BIGINT AS conf_ppm,
+       ((1000000 * r.c_ab * n.n_orders) // (ia.c * ic.c))::BIGINT AS lift_ppm
+FROM rules r
+JOIN item ia ON ia.l_partkey = r.antecedent
+JOIN item ic ON ic.l_partkey = r.consequent
+CROSS JOIN n
+ORDER BY lift_ppm DESC, antecedent, consequent
+LIMIT {BASKET_TOPK}
+""",
+    tags=("analytics", "basket", "rules"),
+)
+def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over co-purchase pairs (the Apriori output
+    layer part_cooccurrence stops short of): for each supported pair,
+    both directed rules with exact integer confidence
+    (ppm of antecedent baskets also containing the consequent) and
+    lift (observed/expected co-occurrence) — the two numbers a
+    recommender or mix auditor actually thresholds. Pure bigint
+    arithmetic end-to-end: 10⁶·c_ab div c_a — no float ever enters,
+    so the oracle is exact by construction.
+
+    Scale shape: identical pair generation to part_cooccurrence
+    (order-keyed self-join, fanout bounded by items-per-order); item
+    counts broadcast (supported-pair vocabulary, count-thresholded);
+    the basket total is a 1-row broadcast side; final ranking is a
+    distributed top-k."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n = op.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"))
+    item = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    a, b = op.alias("a"), op.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .where(F.col("c_ab") >= BASKET_MIN_SUP)
+    )
+    rules = pair.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("antecedent"),
+                    F.col("pb").alias("consequent"),
+                    F.col("c_ab"),
+                ),
+                F.struct(
+                    F.col("pb").alias("antecedent"),
+                    F.col("pa").alias("consequent"),
+                    F.col("c_ab"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.antecedent", "r.consequent", "r.c_ab")
+    return (
+        rules.join(
+            F.broadcast(item.withColumnRenamed("c", "ca")),
+            F.col("antecedent") == F.col("l_partkey"),
+        )
+        .drop("l_partkey")
+        .join(
+            F.broadcast(item.withColumnRenamed("c", "cc")),
+            F.col("consequent") == F.col("l_partkey"),
+        )
+        .drop("l_partkey")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("antecedent").cast("bigint").alias("antecedent"),
+            F.col("consequent").cast("bigint").alias("consequent"),
+            F.col("c_ab").alias("support_n"),
+            F.expr("(1000000 * c_ab) div ca").cast("bigint").alias("conf_ppm"),
+            F.expr("(1000000 * c_ab * n_orders) div (ca * cc)")
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "antecedent", "consequent")
+        .limit(BASKET_TOPK)
+    )

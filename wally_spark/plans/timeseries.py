@@ -372,3 +372,75 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# --- CUSUM changepoint detection --------------------------------------------
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+WITH e AS (
+  SELECT event_type, ts, event_id, floor(1000 * value)::BIGINT AS vmilli,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS t,
+         sum(floor(1000 * value)::BIGINT) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_t,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(floor(1000 * value)::BIGINT) OVER (PARTITION BY event_type) AS s_n
+  FROM events
+),
+stat AS (
+  SELECT event_type, ts, t, n,
+         abs(s_t * n - t * s_n)::BIGINT AS d,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(s_t * n - t * s_n) DESC, t) AS rn
+  FROM e
+)
+SELECT event_type, ts AS cp_ts, t::BIGINT AS cp_idx, n::BIGINT AS n, d AS d_max
+FROM stat WHERE rn = 1
+""",
+    tags=("timeseries", "events", "changepoint"),
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per type: the index t maximizing
+    |S_t·n − t·S_n| — the cumulative-sum statistic (Page/Pettitt shape)
+    locating where a series' mean shifts, cross-multiplied so the
+    classic |S_t − (t/n)·S_n| comparison is pure bigint arithmetic
+    (values integerized per row; no division until never). The argmax
+    is deterministic: ties break on the earliest index.
+
+    Scale shape: one per-type ordered cumulative window (the same
+    bounded-per-type sort contract as quantiles_exact_check — this is
+    the audit-grade pass; a streaming CUSUM keeps (S_t, t) as running
+    state instead), the per-type totals ride the same window Exchange,
+    and the argmax is a rank-1 filter, not a sort of the statistic."""
+    ev = _events(spark, sf_dir)
+    w_o = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w_cum = w_o.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("event_type")
+    vmilli = F.floor(1000 * F.col("value")).cast("bigint")
+    e = ev.select("event_type", "ts", "event_id", vmilli.alias("vmilli")).select(
+        "event_type",
+        "ts",
+        F.row_number().over(w_o).alias("t"),
+        F.sum("vmilli").over(w_cum).alias("s_t"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("vmilli").over(w_all).alias("s_n"),
+    )
+    d = F.abs(F.col("s_t") * F.col("n") - F.col("t") * F.col("s_n"))
+    w_max = Window.partitionBy("event_type").orderBy(F.desc("d"), "t")
+    stat = e.select(
+        "event_type",
+        "ts",
+        "t",
+        "n",
+        d.cast("bigint").alias("d"),
+    ).select(
+        "event_type", "ts", "t", "n", "d", F.row_number().over(w_max).alias("rn")
+    )
+    return stat.where(F.col("rn") == 1).select(
+        "event_type",
+        F.col("ts").alias("cp_ts"),
+        F.col("t").cast("bigint").alias("cp_idx"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("d").alias("d_max"),
+    )

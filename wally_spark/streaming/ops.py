@@ -345,6 +345,44 @@ def sliding_windows_stream(df: DataFrame, watermark: str | None = "1 minute") ->
     )
 
 
+def ohlc_stream(df: DataFrame, watermark: str | None = "1 minute") -> DataFrame:
+    """Streaming twin of `events_ohlc` (plans/timeseries.py): per
+    (type, hour) candlestick bars maintained incrementally. Open/close
+    are ``min_by``/``max_by`` over the (ts, event_id) ordering struct —
+    a MERGEABLE aggregate (state keeps the current extremum and its
+    ordering key), so micro-batch arrival order cannot change the
+    result; event_id uniqueness makes the selection tie-free. Volume
+    is the same per-row-integerized exact sum as the batch lane.
+    Append + watermark keeps per-window state bounded; equivalence to
+    the batch bars is asserted in tests/test_stream_twins.py."""
+    if watermark is not None:
+        df = df.withWatermark("ts", watermark)
+    order = F.struct("ts", "event_id")
+    return (
+        df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", order).alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max_by("value", order).alias("close_v"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(1000 * F.col("value")).cast("bigint")).alias(
+                "vol_milli"
+            ),
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp("w.start").alias("hour_epoch"),
+            "open_v",
+            "high_v",
+            "low_v",
+            "close_v",
+            "n_events",
+            "vol_milli",
+        )
+    )
+
+
 def session_windows_stream(df: DataFrame, gap: str = "10 minutes") -> DataFrame:
     """Streaming twin of `win_session`: F.session_window with the same
     10-minute inactivity gap the batch gaps-and-islands uses
