@@ -213,3 +213,33 @@ def test_byte_stats_exact(spark):
     for i in (2, 3):
         assert (rows[i]["n_bytes"], rows[i]["mean_milli"],
                 rows[i]["n_distinct"], rows[i]["hi_mode"]) == (0, 0, 0, 0)
+
+
+def test_parse_wav_header_roundtrip_and_chunk_walk():
+    """The RIFF walker reads canonical headers AND files whose fmt
+    chunk sits after a LIST chunk; garbage degrades to 'unknown'."""
+    import struct
+
+    from wally_spark.operators.multimodal import parse_wav_header
+
+    def wav(channels, sr, bits, data, extra_chunks=b""):
+        ba = channels * bits // 8
+        fmt = struct.pack("<HHIIHH", 1, channels, sr, sr * ba, ba, bits)
+        body = extra_chunks
+        body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    b = wav(2, 44100, 16, b"\x00" * 44100 * 4)  # exactly 1 s stereo
+    assert parse_wav_header(b) == ("wav", 2, 44100, 16, 1000)
+    # LIST chunk (odd length → word-aligned skip over its pad byte)
+    # before fmt — real writers pad odd chunks with one zero byte
+    b2 = wav(
+        1, 8000, 16, b"\x00" * 8000,
+        extra_chunks=b"LIST\x05\x00\x00\x00INFOx\x00",
+    )
+    assert parse_wav_header(b2) == ("wav", 1, 8000, 16, 500)
+    assert parse_wav_header(b"\x00\x01\x02") == ("unknown", None, None, None, None)
+    assert parse_wav_header(b"RIFF\x00\x00\x00\x00AVI ") == (
+        "unknown", None, None, None, None,
+    )

@@ -19,6 +19,10 @@ from pyspark.sql import DataFrame
 IMAGE_META_SCHEMA = "doc_id bigint, width int, height int, n_bytes int"
 IMAGE_HEADER_SCHEMA = "doc_id bigint, fmt string, width int, height int, n_bytes int"
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary"
+WAV_HEADER_SCHEMA = (
+    "doc_id bigint, fmt string, channels int, sample_rate int, "
+    "bits int, duration_ms bigint, n_bytes int"
+)
 
 # JPEG start-of-frame markers (C4/C8/CC are tables/extensions, not SOF)
 _JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
@@ -69,6 +73,71 @@ def parse_image_header(b: bytes) -> tuple[str, int | None, int | None]:
                 break
             i += 2 + seglen
     return ("unknown", None, None)
+
+
+def parse_wav_header(
+    b: bytes,
+) -> tuple[str, int | None, int | None, int | None, int | None]:
+    """Extract (format, channels, sample_rate, bits, duration_ms) from
+    a RIFF/WAVE payload by chunk-walking the header — no audio library.
+    Same production contract as ``parse_image_header``: the metadata
+    pass reads the first bytes only (samples never decoded), and a
+    corrupt payload returns ('unknown', None, ...) instead of raising.
+    Walks the chunk list (not a fixed 44-byte layout) so files with a
+    LIST/INFO chunk before ``fmt `` still parse."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return ("unknown", None, None, None, None)
+    channels = sample_rate = bits = byte_rate = data_size = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        clen = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(b):
+            channels = int.from_bytes(b[i + 10 : i + 12], "little")
+            sample_rate = int.from_bytes(b[i + 12 : i + 16], "little")
+            byte_rate = int.from_bytes(b[i + 16 : i + 20], "little")
+            if i + 24 <= len(b):
+                bits = int.from_bytes(b[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            data_size = clen
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if channels is None:
+        return ("unknown", None, None, None, None)
+    duration_ms = (
+        data_size * 1000 // byte_rate
+        if data_size is not None and byte_rate
+        else None
+    )
+    return ("wav", channels, sample_rate, bits, duration_ms)
+
+
+def decode_wav_header_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Dependency-free REAL audio-metadata decoder: RIFF/WAVE header
+    fields parsed inside an Arrow-batched mapInPandas — the audio face
+    of ``decode_image_header_meta`` (full sample decode would sit
+    behind an optional soundfile/wave import, same swap contract)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raws = [bytes(b) if b is not None else b"" for b in pdf[payload_col]]
+            parsed = [parse_wav_header(b) for b in raws]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": [p[0] for p in parsed],
+                    "channels": pd.array([p[1] for p in parsed], dtype="Int32"),
+                    "sample_rate": pd.array(
+                        [p[2] for p in parsed], dtype="Int32"
+                    ),
+                    "bits": pd.array([p[3] for p in parsed], dtype="Int32"),
+                    "duration_ms": pd.array(
+                        [p[4] for p in parsed], dtype="Int64"
+                    ),
+                    "n_bytes": [len(b) for b in raws],
+                }
+            )
+
+    return df.mapInPandas(decode, WAV_HEADER_SCHEMA)
 
 
 def decode_image_header_meta(

@@ -256,3 +256,71 @@ def mm_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wally_spark.operators.multimodal import byte_stats
 
     return byte_stats(payloads)
+
+
+# --- audio: RIFF/WAVE header metadata (r7) ----------------------------------
+def _le16(col):
+    h = F.format_string("%04x", col.cast("int"))
+    return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+
+def _le32(col):
+    h = F.format_string("%08x", col.cast("int"))
+    return F.concat(
+        F.substring(h, 7, 2),
+        F.substring(h, 5, 2),
+        F.substring(h, 3, 2),
+        F.substring(h, 1, 2),
+    )
+
+
+@register(
+    "mm_wav_header",
+    oracle="""
+SELECT doc_id, 'wav' AS fmt,
+       (1 + doc_id % 2)::INT AS channels,
+       (8000 * (1 + doc_id % 6))::INT AS sample_rate,
+       16 AS bits,
+       (500 * (1 + doc_id % 5))::BIGINT AS duration_ms,
+       44 AS n_bytes
+FROM documents
+""",
+    tags=("multimodal", "audio"),
+)
+def mm_wav_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-metadata extraction through the REAL RIFF/WAVE chunk
+    walker (operators/multimodal.parse_wav_header): each doc gets a
+    VALID canonical 44-byte PCM WAV header (fields derived from doc_id
+    so DuckDB predicts them arithmetically — data sized to an exact
+    half-second multiple so duration_ms is integer by construction),
+    and the operator walks RIFF chunks to read channels / sample rate
+    / bit depth / duration back out of the little-endian bytes. Same
+    100 TB contract as mm_image_header: headers only, samples never
+    decoded, payloads never leave executors, Arrow-batched
+    mapInPandas."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    c = (1 + F.col("doc_id") % 2).cast("int")
+    sr = (8000 * (1 + F.col("doc_id") % 6)).cast("int")
+    ba = (c * 2).cast("int")
+    br = (sr * ba).cast("int")
+    ds = ((br / 2).cast("int") * (1 + F.col("doc_id") % 5)).cast("int")
+    hdr = F.concat(
+        F.lit("52494646"),  # "RIFF"
+        _le32(ds + 36),
+        F.lit("57415645"),  # "WAVE"
+        F.lit("666d7420"),  # "fmt "
+        _le32(F.lit(16)),
+        _le16(F.lit(1)),  # PCM
+        _le16(c),
+        _le32(sr),
+        _le32(br),
+        _le16(ba),
+        _le16(F.lit(16)),  # bits
+        F.lit("64617461"),  # "data"
+        _le32(ds),
+    )
+    payloads = docs.select("doc_id", F.unhex(hdr).alias("payload"))
+
+    from wally_spark.operators.multimodal import decode_wav_header_meta
+
+    return decode_wav_header_meta(payloads)
