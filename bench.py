@@ -45,10 +45,18 @@ def main() -> int:
     names = [q for q in (args.queries.split(",") if args.queries else HEADLINE)]
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    # warm the JVM + parquet footers once with the cheapest query
-    REGISTRY["q6_forecast_revenue"].spark_fn(spark, args.sf_dir).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # Warm the session's MACHINERY, not any measured plan: parquet
+    # footers + codegen (q6), the Python-worker/Arrow path (mm_image_meta
+    # is mapInPandas), and window/shuffle exec (win_tumbling). Without
+    # the latter two, whichever query sits FIRST in registry order pays
+    # Python-worker spin-up and shuffle-service init inside its measured
+    # window — the registry reorder puts new queries first, so the tax
+    # landed exactly on the queries being judged (r7 observation:
+    # position-1 inflated ~2x).
+    for wq in ("q6_forecast_revenue", "mm_image_meta", "win_tumbling"):
+        REGISTRY[wq].spark_fn(spark, args.sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in names:
