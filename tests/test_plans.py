@@ -144,6 +144,9 @@ def test_no_cartesian_anywhere(spark):
         "ngram_coverage",  # 1-row occurrence-total side
         "user_rfm_segments",  # 1-row reference-date side
         "embedding_pca_power",  # four 1-row rescale-divisor sides
+        "knn_label_vote",  # broadcast 10-query set, != condition (as ann_bruteforce)
+        "text_lm_bigram",  # 1-row UNK-mass training-total side
+        "basket_rules",  # 1-row basket-total side for the lift divisor
     }
     offenders = []
     for name in sorted(REGISTRY):

@@ -1247,3 +1247,147 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.col("c") * F.col("w_mnat")) > 0).alias("selected"),
         )
     )
+
+
+# --- bigram-LM perplexity (r7) ----------------------------------------------
+BG_VOCAB = 64  # top-B bigram table; everything else is the UNK bucket
+
+
+@register(
+    "text_lm_bigram",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, b.x AS x, b.y AS y
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(words)),
+                                     i -> {{'x': words[i], 'y': words[i + 1]}})) AS b
+        FROM w WHERE len(words) >= 2)
+),
+train_bg AS (
+  SELECT x, y, count(*) AS c FROM bg
+  WHERE substring(md5(doc_id::VARCHAR), 1, 1) IN ('0','1','2','3')
+  GROUP BY x, y
+),
+ctx AS (SELECT x, sum(c)::BIGINT AS cx FROM train_bg GROUP BY x),
+tt AS (SELECT sum(c)::BIGINT AS t_bi FROM train_bg),
+top AS (
+  SELECT x, y, c FROM (
+    SELECT x, y, c, row_number() OVER (ORDER BY c DESC, x, y) AS rk
+    FROM train_bg) WHERE rk <= {BG_VOCAB}
+),
+probs AS (
+  SELECT t.x, t.y,
+         floor(1000.0 * ln((t.c + 1)::DOUBLE / (ctx.cx + {BG_VOCAB} + 1)))
+           ::BIGINT AS mnat
+  FROM top t JOIN ctx ON ctx.x = t.x
+),
+unk AS (SELECT floor(1000.0 * ln(1.0 / (t_bi + 1)))::BIGINT AS unk_mnat FROM tt),
+scored AS (
+  SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+         sum(CASE WHEN p.mnat IS NULL THEN 0 ELSE p.mnat END)::BIGINT AS seen,
+         sum(CASE WHEN p.mnat IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_unk
+  FROM bg LEFT JOIN probs p USING (x, y)
+  GROUP BY bg.doc_id
+)
+SELECT doc_id, n_bigrams,
+       (-(seen + n_unk * unk_mnat))::BIGINT AS nll_mnat,
+       ((-(seen + n_unk * unk_mnat)) // n_bigrams)::BIGINT AS mnat_per_bigram
+FROM scored, unk
+""",
+    tags=("text", "curation", "quality", "lm"),
+)
+def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity gate — the context-aware upgrade of
+    text_lm_perplexity (CCNet uses a 5-gram KenLM; the plan shape of
+    any fixed-order n-gram LM is this one): train Laplace-smoothed
+    bigram probabilities over the deterministic md5-quarter sample,
+    cap the table at the BG_VOCAB most frequent bigrams (TakeOrdered,
+    broadcast bounded BY CONSTRUCTION), map every other bigram to one
+    UNK log-mass derived from the training total, and score each doc's
+    negative log-likelihood per bigram. A doc scoring far above the
+    corpus's typical mnat_per_bigram reads as shuffled/gibberish text
+    even when its unigram distribution looks normal — exactly what the
+    bigram order adds.
+
+    Float discipline: identical to the unigram lane — every
+    log-probability floors ONCE to integer milli-nats (log of a ratio
+    of exact integers), then pure bigint sums and integral division.
+    Scale shape: bigram expansion is a flat generator collapsed by
+    map-side combine; context counts ride the same aggregate; scoring
+    is one explode + broadcast left-join + doc-keyed aggregate (one
+    shuffle); the 1-row training-total combine is broadcast."""
+    docs = _docs(spark, sf_dir)
+
+    def bigrams_of(d):
+        w = d.select("doc_id", _words_col().alias("words")).where(
+            F.size("words") >= 2
+        )
+        return w.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - 1),
+                    lambda i: F.struct(
+                        F.element_at("words", i).alias("x"),
+                        F.element_at("words", (i + 1).cast("int")).alias("y"),
+                    ),
+                )
+            ).alias("b"),
+        ).select("doc_id", "b.x", "b.y")
+
+    bg = bigrams_of(docs)
+    sampled = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1", "2", "3"
+    )
+    train = (
+        bigrams_of(docs.where(sampled))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ctx = train.groupBy("x").agg(F.sum("c").cast("bigint").alias("cx"))
+    tt = train.agg(F.sum("c").cast("bigint").alias("t_bi"))
+    top = train.orderBy(F.desc("c"), "x", "y").limit(BG_VOCAB)
+    probs = top.join(F.broadcast(ctx), "x").select(
+        "x",
+        "y",
+        F.floor(
+            1000.0
+            * F.log(
+                (F.col("c") + 1).cast("double")
+                / (F.col("cx") + BG_VOCAB + 1)
+            )
+        )
+        .cast("bigint")
+        .alias("mnat"),
+    )
+    unk = tt.select(
+        F.floor(1000.0 * F.log(1.0 / (F.col("t_bi") + 1)))
+        .cast("bigint")
+        .alias("unk_mnat")
+    )
+    scored = (
+        bg.join(F.broadcast(probs), ["x", "y"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(F.coalesce("mnat", F.lit(0))).cast("bigint").alias("seen"),
+            F.sum(F.when(F.col("mnat").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unk"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(unk)).select(
+        "doc_id",
+        "n_bigrams",
+        (-(F.col("seen") + F.col("n_unk") * F.col("unk_mnat")))
+        .cast("bigint")
+        .alias("nll_mnat"),
+        F.expr("(-(seen + n_unk * unk_mnat)) div n_bigrams")
+        .cast("bigint")
+        .alias("mnat_per_bigram"),
+    )

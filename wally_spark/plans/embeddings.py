@@ -455,7 +455,11 @@ FROM v2 CROSS JOIN d2
 """
 
 
-@register("embedding_pca_power", oracle=_pca_oracle(), tags=("embeddings", "pca"))
+@register(
+    "embedding_pca_power",
+    oracle=_pca_oracle(),
+    tags=("embeddings", "pca", "iterative"),
+)
 def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction of the (uncentered) embedding matrix by
     TWO unrolled power-iteration rounds — v ← Xᵀ(Xv) twice from a
@@ -480,17 +484,26 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     both ways; the dim-sized v relations (64 rows) broadcast to the
     next round; the four rescale divisors are 1-row broadcast sides.
     No driver-side state at all — unlike MLlib's PCA (driver Gramian),
-    this stays distributed end-to-end."""
+    this stays distributed end-to-end. The exploded base relation and
+    each rescaled half-step output are PINNED (operators/checkpoint.pin,
+    the graph_pagerank contract): without lineage truncation each stage
+    re-expands everything upstream and the physical plan doubles per
+    half-step (measured: 92 parquet scans for 2 rounds) — harmless on a
+    one-file local table, fatal at 100 TB."""
+    from wally_spark.operators.checkpoint import pin
+
     emb = _emb(spark, sf_dir)
-    ex = emb.select(
-        "vec_id", F.posexplode("embedding").alias("i0", "x")
-    ).select(
-        "vec_id",
-        (F.col("i0") + 1).alias("i"),
-        F.coalesce(
-            F.floor(F.col("x").cast("double") * float(GRID)).cast("bigint"),
-            F.lit(0),
-        ).alias("q"),
+    ex = pin(
+        emb.select(
+            "vec_id", F.posexplode("embedding").alias("i0", "x")
+        ).select(
+            "vec_id",
+            (F.col("i0") + 1).alias("i"),
+            F.coalesce(
+                F.floor(F.col("x").cast("double") * float(GRID)).cast("bigint"),
+                F.lit(0),
+            ).alias("q"),
+        )
     )
     nib = F.conv(
         F.substring(F.md5(F.col("i").cast("string")), 1, 1), 16, 10
@@ -516,19 +529,19 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.sum(F.col("q") * F.col("s")).cast("bigint").alias("y"))
     )
-    ys = _rescale(y, "y", "ys")
+    ys = pin(_rescale(y, "y", "ys"))
     v1 = (
         ex.join(ys, "vec_id")
         .groupBy("i")
         .agg(F.sum(F.col("q") * F.col("ys")).cast("bigint").alias("v"))
     )
-    v1s = _rescale(v1, "v", "vs")
+    v1s = pin(_rescale(v1, "v", "vs"))
     z = (
         ex.join(F.broadcast(v1s), "i")
         .groupBy("vec_id")
         .agg(F.sum(F.col("q") * F.col("vs")).cast("bigint").alias("z"))
     )
-    zs = _rescale(z, "z", "zs")
+    zs = pin(_rescale(z, "z", "zs"))
     v2 = (
         ex.join(zs, "vec_id")
         .groupBy("i")

@@ -737,3 +737,84 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(10000.0 * F.col("cos")).cast("bigint").alias("cos_bp"),
         )
     )
+
+
+# --- kNN label vote: majority-label classification (r7) ---------------------
+@register(
+    "knn_label_vote",
+    oracle=f"""
+WITH ranked AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label, c.label AS nl,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                    c.vec_id) AS rank
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+votes AS (
+  SELECT query_id, true_label, nl AS label, count(*)::BIGINT AS n_votes
+  FROM ranked WHERE rank <= {TOP_K} GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT query_id, true_label, label, n_votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_votes DESC, label) AS rk
+  FROM votes
+)
+SELECT query_id, true_label::BIGINT AS true_label,
+       label::BIGINT AS pred_label, n_votes,
+       (label = true_label) AS correct
+FROM best WHERE rk = 1
+""",
+    tags=("similarity", "knn", "classify"),
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification by majority label vote over the exact top-K
+    cosine neighbors — the label-propagation / weak-annotation step a
+    curation pipeline runs when a small labeled seed set must label a
+    large corpus (here the query set doubles as the eval probe:
+    ``correct`` compares the vote against the query's own label).
+    Vote ties break deterministically on the smaller label id.
+
+    Scale shape: identical candidate generation to ann_bruteforce
+    (broadcast query set, corpus never shuffles, per-query top-K via a
+    bounded rank window); the vote adds one (query, label) aggregate
+    over K·|Q| rows — driver never sees a vector. Swap the candidate
+    stage for ann_ivf/ann_pq probes when the corpus outgrows the
+    exact scan."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qe"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nl"),
+        F.col("embedding").alias("ce"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    ranked = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", _cos(F.col("qe"), F.col("ce")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+    )
+    votes = ranked.groupBy(
+        "query_id", "true_label", F.col("nl").alias("label")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_votes"))
+    w_best = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), "label"
+    )
+    return (
+        votes.withColumn("rk", F.row_number().over(w_best))
+        .where(F.col("rk") == 1)
+        .select(
+            "query_id",
+            F.col("true_label").cast("bigint").alias("true_label"),
+            F.col("label").cast("bigint").alias("pred_label"),
+            "n_votes",
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+    )
