@@ -28,6 +28,7 @@ from wally_spark.plans import quality  # noqa: F401,E402
 from wally_spark.plans import analytics_ext  # noqa: F401,E402
 from wally_spark.plans import timeseries  # noqa: F401,E402
 from wally_spark.plans import search  # noqa: F401,E402
+from wally_spark.plans import sequence  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.

@@ -1,0 +1,381 @@
+"""Event-sequence and graph-structure analytics — round-7 additions
+(SURVEY §2.4 extensions over the events hypertable + co-purchase graph).
+
+  event_transitions       per-user Markov transition matrix over event
+                          types (counts + integer ppm probabilities)
+  event_path_trigrams     support-thresholded 3-step behavioural paths
+  sliding_distinct_users  6-hour sliding distinct-user count via a
+                          bounded explode (never a range-window
+                          distinct, which Spark cannot do incrementally)
+  graph_kcore             K-core of the co-purchase graph by bounded
+                          iterative peeling (unrolled, one lazy plan)
+  text_readability        LIX readability banding in exact integer
+                          arithmetic over the documents table
+
+All five hold full DuckDB oracles: probabilities/indices are integer
+(ppm / milli) so the value hash is exact regardless of partitioning.
+Reference parity: the reference's stateful sequence apps keep
+per-key last-state and per-key path state on a stream
+(lib/wallaroo/core/state/state.pony semantics via machida
+state_computation); these are the batch faces of those shapes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from wally_spark.plans.registry import register
+from wally_spark.tables import load_tables
+
+TRIGRAM_MIN_SUPPORT = 3  # a 3-step path must occur this often to report
+SLIDE_HOURS = 6  # sliding distinct-user window width
+KCORE_K = 3  # report the 3-core
+KCORE_ROUNDS = 6  # bounded peel rounds (fixpoint for these graphs)
+KCORE_EDGE_SUPPORT = 2  # co-purchase edge threshold (matches triangle lane)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["events"]
+
+
+# --- Markov transition matrix ----------------------------------------------
+@register(
+    "event_transitions",
+    oracle="""
+WITH s AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events),
+c AS (
+  SELECT src, dst, count(*)::BIGINT AS n
+  FROM s WHERE dst IS NOT NULL GROUP BY src, dst)
+SELECT src, dst, n,
+       ((1000000 * n) // sum(n) OVER (PARTITION BY src))::BIGINT AS prob_ppm
+FROM c
+""",
+    tags=("events", "sequence", "markov"),
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type Markov transition matrix: consecutive
+    (src → dst) pairs in (ts, event_id) order within each user, with
+    row-normalised transition probability in exact ppm (bigint floor
+    division — no float accumulation, hash-exact on any engine).
+
+    Scale shape: ONE window keyed by user_id (per-partition state is
+    one user's stream), then a 25-row aggregate; the normalising
+    window runs over the |types|² matrix, not the raw events. The
+    reference expresses this as a per-key state_computation holding
+    the previous event (machida state API); here the sequence pairing
+    is a lag/lead window Catalyst can pipeline."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wsrc = Window.partitionBy("src")
+    return pairs.select(
+        "src",
+        "dst",
+        "n",
+        F.floor((F.lit(1000000) * F.col("n")) / F.sum("n").over(wsrc))
+        .cast("bigint")
+        .alias("prob_ppm"),
+    )
+
+
+# --- 3-step behavioural paths ------------------------------------------------
+@register(
+    "event_path_trigrams",
+    oracle=f"""
+WITH s AS (
+  SELECT event_type AS a,
+         lead(event_type, 1) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS b,
+         lead(event_type, 2) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS c,
+         user_id
+  FROM events),
+t AS (
+  SELECT a, b, c, count(*)::BIGINT AS n,
+         count(DISTINCT user_id)::BIGINT AS n_users
+  FROM s WHERE b IS NOT NULL AND c IS NOT NULL GROUP BY a, b, c)
+SELECT a, b, c, n, n_users FROM t WHERE n >= {TRIGRAM_MIN_SUPPORT}
+""",
+    tags=("events", "sequence", "paths"),
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-thresholded 3-step paths (a → b → c) per user stream —
+    the funnel-discovery companion to events_funnel (which checks ONE
+    fixed path; this enumerates all frequent ones).
+
+    Scale shape: the same single user-keyed window as
+    event_transitions (two lead offsets share one sort), and the path
+    space is |types|³ — the aggregate output is bounded by the type
+    vocabulary, not the corpus. n_users is an exact distinct within a
+    ≤|types|³-group aggregate."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("a"),
+            F.lead("event_type", 1).over(w).alias("b"),
+            F.lead("event_type", 2).over(w).alias("c"),
+            "user_id",
+        )
+        .where(F.col("b").isNotNull() & F.col("c").isNotNull())
+        .groupBy("a", "b", "c")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .where(F.col("n") >= TRIGRAM_MIN_SUPPORT)
+    )
+
+
+# --- sliding distinct users ---------------------------------------------------
+@register(
+    "sliding_distinct_users",
+    oracle=f"""
+WITH uh AS (
+  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events),
+hours AS (SELECT DISTINCT h FROM uh),
+ex AS (
+  SELECT uh.user_id, uh.h + to_hours(t.i) AS wend
+  FROM uh CROSS JOIN range({SLIDE_HOURS}) t(i))
+SELECT epoch(ex.wend)::BIGINT AS wend_epoch,
+       count(DISTINCT ex.user_id)::BIGINT AS n_users
+FROM ex JOIN hours ON hours.h = ex.wend
+GROUP BY ex.wend
+""",
+    tags=("events", "timeseries", "sliding", "distinct"),
+)
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users over a trailing {SLIDE_HOURS}-hour window ending
+    at each observed hour — the sliding-uniques metric every ops
+    dashboard wants, computed WITHOUT a range-window distinct (which
+    Spark would have to re-scan per row).
+
+    Shape: dedup to (user, hour) first (the only full-table pass),
+    then each surviving pair is exploded to the ≤{SLIDE_HOURS} window
+    ends it can serve — a bounded, constant fan-out — and a single
+    hash aggregate counts exact distincts per window end. The
+    semi-join against observed hours prunes phantom trailing windows.
+    At 100 TB the dedup is the map-side-combining heavy hitter and the
+    exploded table is ≤{SLIDE_HOURS}× the DEDUPED size (users×hours),
+    not the event count."""
+    ev = _events(spark, sf_dir)
+    uh = ev.select(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).distinct()
+    hours = uh.select("h").distinct()
+    ex = uh.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {SLIDE_HOURS - 1}),"
+                " i -> h + make_interval(0, 0, 0, 0, i, 0, 0))"
+            )
+        ).alias("wend"),
+    )
+    return (
+        ex.join(hours.hint("broadcast"), ex["wend"] == hours["h"], "left_semi")
+        .groupBy("wend")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+        .select(
+            F.unix_timestamp("wend").cast("bigint").alias("wend_epoch"),
+            "n_users",
+        )
+    )
+
+
+# --- K-core decomposition ------------------------------------------------------
+def _kcore_round_sql(prev: str, r: int) -> str:
+    """One peel round as DuckDB CTEs: degree from the surviving edge
+    set, keep vertices with degree >= K, keep edges with both ends
+    kept. Pure integer set algebra — identical on any engine.
+    MATERIALIZED is load-bearing: each round references the previous
+    3-4×, so default CTE inlining expands the 6-round unroll to
+    ~4^6 base-table scans (DuckDB then dies on open file handles)."""
+    return f"""
+d{r} AS MATERIALIZED (
+  SELECT v, count(*)::BIGINT AS deg FROM (
+    SELECT pa AS v FROM {prev} UNION ALL SELECT pb AS v FROM {prev}
+  ) GROUP BY v),
+k{r} AS MATERIALIZED (SELECT v FROM d{r} WHERE deg >= {KCORE_K}),
+e{r} AS MATERIALIZED (
+  SELECT e.pa, e.pb FROM {prev} e
+  JOIN k{r} ka ON ka.v = e.pa JOIN k{r} kb ON kb.v = e.pb)"""
+
+
+@register(
+    "graph_kcore",
+    oracle="""
+WITH op AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= {sup}),{rounds},
+dfin AS (
+  SELECT v, count(*)::BIGINT AS deg FROM (
+    SELECT pa AS v FROM e{last} UNION ALL SELECT pb AS v FROM e{last}
+  ) GROUP BY v)
+SELECT v AS part, deg AS core_degree
+FROM dfin WHERE deg >= {k}
+""".format(
+        k=KCORE_K,
+        sup=KCORE_EDGE_SUPPORT,
+        rounds=",".join(
+            _kcore_round_sql(f"e{r - 1}", r) for r in range(1, KCORE_ROUNDS + 1)
+        ),
+        last=KCORE_ROUNDS,
+    ),
+    tags=("analytics", "graph", "kcore"),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{K}-core of the co-purchase graph (same support-thresholded
+    edge set as graph_triangle_count) by {R} bounded peel rounds:
+    drop vertices with degree < {K}, drop edges touching them, repeat.
+    Emits each surviving vertex with its final in-core degree.
+
+    Scale shape: the peel is unrolled into ONE lazy plan exactly as
+    graph_pagerank unrolls its iterations — per round a symmetric
+    union-all degree aggregate (map-side combining) and two semi-join
+    filters keyed on vertex id; no collect, no driver-side vertex
+    state, and the edge set only ever SHRINKS round over round. The
+    edge build is pinned once (referenced by every round). Bounded
+    rounds are the contract (like PR_ITERS): for support-thresholded
+    co-purchase graphs the peel reaches fixpoint in far fewer rounds,
+    and the oracle unrolls the identical count.
+
+    Unlike pagerank's rank chain (linear lineage growth per round),
+    each peel round references the previous edge set ~5× (degree
+    union 2×, two semi-joins through the kept set), so a fully lazy
+    unroll would blow up ~5^R — every round is pin()ned and the prior
+    round's blocks are released, exactly the dedup_clusters protocol
+    (operators/components.py). Storage stays O(current edge set),
+    which only shrinks.""".format(
+        K=KCORE_K, R=KCORE_ROUNDS
+    )
+    from wally_spark.operators.checkpoint import free_blocks, pin
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= KCORE_EDGE_SUPPORT)
+        .select("pa", "pb")
+    )
+    edges = pin(edges)
+
+    deg = None
+    for r in range(KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("pa").alias("v"))
+            .unionAll(edges.select(F.col("pb").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        )
+        kept = deg.where(F.col("deg") >= KCORE_K).select("v")
+        new_edges = pin(
+            edges.join(
+                kept.withColumnRenamed("v", "pa"), "pa", "left_semi"
+            ).join(kept.withColumnRenamed("v", "pb"), "pb", "left_semi")
+        )
+        if r > 0:
+            free_blocks(edges)  # round r-1's blocks are dead now
+        edges = new_edges
+    # final degree over the settled edge set (deg above described the
+    # PRE-peel set of the last round; recompute on the survivor edges
+    # so vertex and degree refer to the same subgraph)
+    deg = (
+        edges.select(F.col("pa").alias("v"))
+        .unionAll(edges.select(F.col("pb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    return deg.where(F.col("deg") >= KCORE_K).select(
+        F.col("v").alias("part"), F.col("deg").alias("core_degree")
+    )
+
+
+# --- LIX readability ----------------------------------------------------------
+@register(
+    "text_readability",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT
+           AS n_words,
+         len(list_filter(string_split(text, ' '),
+                         w -> length(w) > 6))::BIGINT AS n_long,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+           AS n_sents
+  FROM documents),
+m AS (
+  SELECT doc_id, lang, n_words, n_long, n_sents,
+         CASE WHEN n_words = 0 THEN 0
+              ELSE ((1000 * n_words) // n_sents
+                    + (100000 * n_long) // n_words) END::BIGINT AS lix_milli
+  FROM t)
+SELECT doc_id, lang, n_words, n_long, n_sents, lix_milli,
+       CASE WHEN lix_milli < 25000 THEN 'very_easy'
+            WHEN lix_milli < 35000 THEN 'easy'
+            WHEN lix_milli < 45000 THEN 'medium'
+            WHEN lix_milli < 55000 THEN 'hard'
+            ELSE 'very_hard' END AS band
+FROM m
+""",
+    tags=("text", "quality", "readability"),
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIX readability per document — words/sentence + percentage of
+    long (>6 char) words, the standard language-agnostic readability
+    index — in exact milli-unit integer arithmetic (bigint floor
+    division both sides, so the hash is exact), banded into the usual
+    five difficulty classes. Companion to text_quality's ratio gates:
+    a curation mix can quota on `band` exactly like docs_length_band.
+
+    Single documents scan, all codegen string primitives (split /
+    filter / regexp_extract_all), zero UDFs, embarrassingly parallel.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    longw = F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 6)
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.size(longw).cast("bigint").alias("n_long"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+        )
+        .cast("bigint")
+        .alias("n_sents"),
+    )
+    lix = F.when(F.col("n_words") == 0, F.lit(0)).otherwise(
+        F.floor((F.lit(1000) * F.col("n_words")) / F.col("n_sents"))
+        + F.floor((F.lit(100000) * F.col("n_long")) / F.col("n_words"))
+    )
+    m = t.withColumn("lix_milli", lix.cast("bigint"))
+    band = (
+        F.when(F.col("lix_milli") < 25000, "very_easy")
+        .when(F.col("lix_milli") < 35000, "easy")
+        .when(F.col("lix_milli") < 45000, "medium")
+        .when(F.col("lix_milli") < 55000, "hard")
+        .otherwise("very_hard")
+    )
+    return m.withColumn("band", band)
