@@ -550,3 +550,70 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rescale(v2, "v", "loading").select(
         F.col("i").cast("bigint").alias("pos"), "loading"
     )
+
+
+# --- embedding QC report ------------------------------------------------------
+@register(
+    "embedding_norm_report",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, label,
+         list_aggregate(
+           list_transform(embedding,
+                          x -> (floor(10000 * x::DOUBLE)::BIGINT
+                                * floor(10000 * x::DOUBLE)::BIGINT)),
+           'sum')::BIGINT AS sumsq_q,
+         len(list_filter(embedding, x -> x = 0.0))::BIGINT AS n_zero,
+         len(embedding)::BIGINT AS dim
+  FROM embeddings)
+SELECT vec_id, label, sumsq_q, n_zero, dim,
+       floor(sqrt(sumsq_q::DOUBLE) / 10)::BIGINT AS norm_milli,
+       CASE WHEN sumsq_q = 0 THEN 'zero'
+            WHEN floor(sqrt(sumsq_q::DOUBLE) / 10) < 500 THEN 'short'
+            WHEN floor(sqrt(sumsq_q::DOUBLE) / 10) > 2000 THEN 'long'
+            ELSE 'normal' END AS band
+FROM q
+""",
+    tags=("embedding", "quality"),
+)
+def embedding_norm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QC gate: per-vector L2 norm, zero-element count, and
+    a degenerate/outlier band — the sanity pass a training pipeline
+    runs before ANN indexing or semantic dedup (zero/short vectors
+    poison cosine math; abnormally long ones dominate centroids).
+
+    Arithmetic: elements are integerized once (floor(1e4·x)) and the
+    squared sum is an associative bigint, so the hash is exact under
+    any partitioning; the single sqrt per vector is IEEE-deterministic
+    on both engines. One scan, all higher-order-function codegen, zero
+    UDFs, embarrassingly parallel — at 100 TB this is a map-only pass
+    that pushes only the embedding column through the scan."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    sumsq = F.expr(
+        "aggregate(transform(embedding,"
+        " x -> CAST(floor(10000 * x) AS BIGINT)"
+        "      * CAST(floor(10000 * x) AS BIGINT)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    q = emb.select(
+        "vec_id",
+        "label",
+        sumsq.alias("sumsq_q"),
+        F.size(F.filter(F.col("embedding"), lambda x: x == 0.0))
+        .cast("bigint")
+        .alias("n_zero"),
+        F.size("embedding").cast("bigint").alias("dim"),
+    )
+    norm_milli = F.floor(F.sqrt(F.col("sumsq_q").cast("double")) / 10).cast(
+        "bigint"
+    )
+    band = (
+        F.when(F.col("sumsq_q") == 0, "zero")
+        .when(norm_milli < 500, "short")
+        .when(norm_milli > 2000, "long")
+        .otherwise("normal")
+    )
+    return q.select(
+        "vec_id", "label", "sumsq_q", "n_zero", "dim",
+        norm_milli.alias("norm_milli"), band.alias("band"),
+    )

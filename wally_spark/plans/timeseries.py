@@ -444,3 +444,211 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.col("d").alias("d_max"),
     )
+
+
+# --- diurnal seasonality profile --------------------------------------------
+@register(
+    "events_seasonality",
+    oracle="""
+WITH h AS (
+  SELECT event_type, hour(ts)::BIGINT AS hod,
+         count(*)::BIGINT AS n,
+         sum(floor(1000 * value)::BIGINT)::BIGINT AS v_milli
+  FROM events GROUP BY 1, 2)
+SELECT event_type, hod, n,
+       (v_milli // n)::BIGINT AS mean_value_milli,
+       ((1000000 * n) // sum(n) OVER (PARTITION BY event_type))::BIGINT
+         AS share_ppm
+FROM h
+""",
+    tags=("events", "timeseries", "seasonality"),
+)
+def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per event type: event share and
+    mean value per (type, 0-23) cell — the diurnal baseline a
+    monitoring pipeline subtracts before anomaly scoring (the
+    seasonal term of an STL-style decomposition, computed exactly).
+
+    One map-side-combining aggregate to a |types|×24 table; the
+    normalising window runs over that aggregate, not the stream. All
+    integer (milli values, ppm shares, bigint floor division) —
+    hash-exact at any partitioning."""
+    ev = _events(spark, sf_dir)
+    h = ev.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.floor(F.lit(1000) * F.col("value")).cast("bigint"))
+        .cast("bigint")
+        .alias("v_milli"),
+    )
+    wt = Window.partitionBy("event_type")
+    return h.select(
+        "event_type",
+        "hod",
+        "n",
+        F.floor(F.col("v_milli") / F.col("n")).cast("bigint").alias(
+            "mean_value_milli"
+        ),
+        F.floor((F.lit(1000000) * F.col("n")) / F.sum("n").over(wt))
+        .cast("bigint")
+        .alias("share_ppm"),
+    )
+
+
+# --- autocorrelation of the hourly series ------------------------------------
+AUTOCORR_LAGS = (1, 2, 3, 24)
+
+
+@register(
+    "events_autocorr",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hb,
+         (sum(floor(1000 * value)::BIGINT) // count(*))::BIGINT AS v
+  FROM events GROUP BY 1, 2),
+l AS (
+  SELECT event_type, v,
+         {", ".join(f"lag(v, {k}) OVER (PARTITION BY event_type ORDER BY hb) AS v_l{k}" for k in AUTOCORR_LAGS)}
+  FROM h)
+{" UNION ALL ".join(
+    f"SELECT event_type, {k}::BIGINT AS lag_h, "
+    f"round(corr(v, v_l{k}), 4) AS acf, count(v_l{k})::BIGINT AS n "
+    f"FROM l WHERE v_l{k} IS NOT NULL GROUP BY event_type"
+    for k in AUTOCORR_LAGS)}
+""",
+    tags=("events", "timeseries", "autocorr"),
+)
+def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly mean-value series per event type
+    at lags {AUTOCORR_LAGS} — the periodicity probe (lag 24 = diurnal
+    cycle) behind seasonal-model selection.
+
+    The hourly series is integerized FIRST (bigint floor-divided mean,
+    exact), so both engines correlate identical integer inputs; `corr`
+    itself is the codegen co-moment aggregate rounded to 4 dp, the
+    registry convention set by event_value_hour_corr. All lag windows
+    share one (type, hour)-sorted pass over the AGGREGATED series
+    (calendar-bounded, thousands of rows at any corpus size), never
+    the raw stream."""
+    ev = _events(spark, sf_dir)
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hb")
+    ).agg(
+        F.floor(
+            F.sum(F.floor(F.lit(1000) * F.col("value")).cast("bigint"))
+            / F.count(F.lit(1))
+        )
+        .cast("bigint")
+        .alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("hb")
+    lagged = h.select(
+        "event_type",
+        "v",
+        *[F.lag("v", k).over(w).alias(f"v_l{k}") for k in AUTOCORR_LAGS],
+    )
+    parts = [
+        lagged.where(F.col(f"v_l{k}").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.round(F.corr("v", f"v_l{k}"), 4).alias("acf"),
+            F.count(f"v_l{k}").cast("bigint").alias("n"),
+        )
+        .select(
+            "event_type",
+            F.lit(k).cast("bigint").alias("lag_h"),
+            "acf",
+            "n",
+        )
+        for k in AUTOCORR_LAGS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --- winsorized robust stats --------------------------------------------------
+@register(
+    "value_winsorized",
+    oracle="""
+WITH v AS (
+  SELECT event_type, floor(1000 * value)::BIGINT AS vm,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+b AS (
+  SELECT event_type,
+         max(CASE WHEN rn = greatest((5 * n) // 100, 1) THEN vm END) AS lo,
+         max(CASE WHEN rn = least((95 * n) // 100 + 1, n) THEN vm END) AS hi
+  FROM v GROUP BY event_type)
+SELECT v.event_type,
+       count(*)::BIGINT AS n,
+       b.lo AS p05_milli, b.hi AS p95_milli,
+       sum(least(greatest(v.vm, b.lo), b.hi))::BIGINT AS wsum_milli,
+       (sum(least(greatest(v.vm, b.lo), b.hi)) // count(*))::BIGINT
+         AS wmean_milli
+FROM v JOIN b ON b.event_type = v.event_type
+GROUP BY v.event_type, b.lo, b.hi
+""",
+    tags=("events", "analytics", "robust"),
+)
+def value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type: clamp values to the exact
+    nearest-rank [p05, p95] band, then average — the robust-mean twin
+    of value_outliers (which drops outliers; winsorizing keeps and
+    clamps them, the usual choice for reward/metric aggregation).
+
+    Bounds are deterministic nearest-rank selections (same protocol as
+    events_anomaly_mad — a rank-equality filter, never a sort-collect)
+    broadcast back against the integerized stream; sums are bigint
+    milli so the hash is exact. Two passes over one type-keyed
+    Exchange at scale."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    v = ev.select(
+        "event_type",
+        F.floor(F.lit(1000) * F.col("value")).cast("bigint").alias("vm"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    b = v.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.greatest(F.floor((5 * F.col("n")) / 100), F.lit(1)),
+                F.col("vm"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.least(
+                    F.floor((95 * F.col("n")) / 100) + 1, F.col("n")
+                ),
+                F.col("vm"),
+            )
+        ).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("vm"), F.col("lo")), F.col("hi"))
+    return (
+        v.join(F.broadcast(b), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(clamped).cast("bigint").alias("wsum_milli"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.col("lo").alias("p05_milli"),
+            F.col("hi").alias("p95_milli"),
+            "wsum_milli",
+            F.floor(F.col("wsum_milli") / F.col("n"))
+            .cast("bigint")
+            .alias("wmean_milli"),
+        )
+    )
