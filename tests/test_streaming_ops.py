@@ -932,3 +932,65 @@ def test_nb_lane_under_compaction(spark, tmp_path):
     assert run(str(tmp_path / "plain")) == run(
         str(tmp_path / "comp"), compact_after=1
     )
+
+
+def test_sliding_uniques_against_corpus(spark, tmp_path):
+    """Streaming sliding distinct-users: the per-batch republished
+    report over the persistent (user, hour) presence store must equal
+    the registered batch lane's answer over the same events, and a
+    replayed batch (at-least-once) must not change it."""
+    import os
+
+    from wally_spark.plans import REGISTRY
+    from wally_spark.streaming.ops import sliding_uniques_foreach_batch
+    from wally_spark.tables import load_tables
+
+    from tests.conftest import SF_SMALL
+
+    ev = load_tables(spark, SF_SMALL)["events"].select("user_id", "ts")
+    pdf = ev.toPandas().sort_values("ts").reset_index(drop=True)
+    src = f"{tmp_path}/src"
+    os.makedirs(src, exist_ok=True)
+    n_files = 3
+    step = (len(pdf) + n_files - 1) // n_files
+    for i in range(n_files):
+        stage = f"{tmp_path}/_s{i}"
+        spark.createDataFrame(
+            pdf.iloc[i * step : (i + 1) * step], ev.schema
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(stage, part), os.path.join(src, f"b{i:02d}.parquet"))
+        os.utime(
+            os.path.join(src, f"b{i:02d}.parquet"), (1_000_000 + i, 1_000_000 + i)
+        )
+
+    presence, out = f"{tmp_path}/presence", f"{tmp_path}/report"
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(
+            sliding_uniques_foreach_batch(spark, presence, out)
+        )
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch = REGISTRY["sliding_distinct_users"].spark_fn(spark, SF_SMALL)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
+
+    # presence store is deduped: one row per (user, hour)
+    store = spark.read.parquet(f"{presence}/b*")
+    assert store.count() == store.distinct().count()
+
+    # at-least-once replay of the last batch: same dir overwritten,
+    # report unchanged
+    replay = sliding_uniques_foreach_batch(spark, presence, out)
+    last = spark.createDataFrame(pdf.iloc[(n_files - 1) * step :], ev.schema)
+    replay(last, n_files - 1)
+    got2 = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got2 == want

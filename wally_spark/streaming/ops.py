@@ -1190,3 +1190,65 @@ def bpe_pairs_against_corpus_foreach_batch(spark, counts_path: str, out_path: st
         )
 
     return proc
+
+
+def sliding_uniques_foreach_batch(
+    spark, presence_path: str, out_path: str, slide_hours: int = 6
+):
+    """Streaming face of the registered `sliding_distinct_users` batch
+    lane (plans/sequence.py): maintains a persistent DEDUPED
+    (user_id, hour) presence store and republishes the trailing
+    ``slide_hours`` sliding distinct-user report each micro-batch.
+
+    Why not chained append-mode aggregation: the batch lane's explode
+    maps each presence pair to up to ``slide_hours`` window ends — a
+    derived event-time column that Spark's chained stateful operators
+    cannot watermark-track — and streaming aggregation forbids
+    count(DISTINCT). The corpus pattern sidesteps both: the stateful
+    part is an md5-free exact anti-join dedup against the accumulated
+    presence store (same shape as dedup_against_corpus_foreach_batch),
+    and the report recomputes from the store, which holds ONE ROW per
+    (user, hour) — bounded by users x hours, not event volume, so the
+    per-batch recompute stays cheap at 100 TB event throughput.
+
+    Idempotence: each batch writes only its NEWLY-SEEN pairs into its
+    own ``b<batch_id>`` dir with overwrite; a replay rewrites the same
+    dir and republishes an identical report. The store supports
+    compact_corpus(bucket_key="user_id") like every other corpus."""
+
+    def proc(batch_df, batch_id):
+        pairs = batch_df.select(
+            "user_id", F.date_trunc("hour", "ts").alias("h")
+        ).distinct()
+        fresh = pairs
+        for seen in corpus_probe_parts(spark, presence_path, exclude_batch=batch_id):
+            fresh = fresh.join(seen, ["user_id", "h"], "left_anti")
+        fresh = fresh.localCheckpoint()
+        fresh.write.mode("overwrite").parquet(f"{presence_path}/b{batch_id}")
+
+        parts = corpus_probe_parts(spark, presence_path, exclude_batch=batch_id)
+        uh = fresh
+        for p in parts:
+            uh = uh.unionByName(p)
+        hours = uh.select("h").distinct()
+        ex = uh.select(
+            "user_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {slide_hours - 1}),"
+                    " i -> h + make_interval(0, 0, 0, 0, i, 0, 0))"
+                )
+            ).alias("wend"),
+        )
+        report = (
+            ex.join(hours.hint("broadcast"), ex["wend"] == hours["h"], "left_semi")
+            .groupBy("wend")
+            .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+            .select(
+                F.unix_timestamp("wend").cast("bigint").alias("wend_epoch"),
+                "n_users",
+            )
+        )
+        report.write.mode("overwrite").parquet(out_path)
+
+    return proc
