@@ -102,3 +102,36 @@ def test_substring_dedup_finds_planted_passage(spark, tmp_path):
     for d in (1, 2):
         assert got[d]["n_spans"] >= 1, got[d]
         assert got[d]["dup_tokens"] >= 14, got[d]
+
+
+def test_decode_audit_routes_bad_rows(spark, tmp_path):
+    """events_decode_audit must separate unparseable JSON, a missing /
+    non-integer key, and out-of-range values — planted rows exercise
+    every verdict branch (the sf tables are all-clean, so the oracle
+    run only sees 'ok')."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 1, "click", 1.0, '{"k": 5}'),
+        (2, dt.datetime(2024, 1, 1, 0, 1, 0), 1, "click", 1.0, "{not json"),
+        (3, dt.datetime(2024, 1, 1, 0, 2, 0), 1, "click", 1.0, None),
+        (4, dt.datetime(2024, 1, 1, 0, 3, 0), 1, "click", 1.0, '{"j": 5}'),
+        (5, dt.datetime(2024, 1, 1, 0, 4, 0), 1, "click", 1.0, '{"k": "x"}'),
+        (6, dt.datetime(2024, 1, 1, 0, 5, 0), 1, "click", 1.0, '{"k": 250}'),
+    ]
+    out = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{out}/events.parquet")
+    from wally_spark.plans.sequence import events_decode_audit
+
+    got = {
+        r["verdict"]: (r["n"], r["first_event_id"])
+        for r in events_decode_audit(spark, out).collect()
+    }
+    assert got["ok"] == (1, 1)
+    assert got["malformed"] == (2, 2)  # bad JSON + NULL props
+    assert got["missing_k"] == (2, 4)  # absent key + non-integer value
+    assert got["out_of_range"] == (1, 6)

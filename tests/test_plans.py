@@ -147,6 +147,7 @@ def test_no_cartesian_anywhere(spark):
         "knn_label_vote",  # broadcast 10-query set, != condition (as ann_bruteforce)
         "text_lm_bigram",  # 1-row UNK-mass training-total side
         "basket_rules",  # 1-row basket-total side for the lift divisor
+        "user_activity_gaps",  # 1-row corpus-frontier (max ts) side
     }
     offenders = []
     for name in sorted(REGISTRY):

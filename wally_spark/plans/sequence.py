@@ -379,3 +379,230 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("very_hard")
     )
     return m.withColumn("band", band)
+
+
+# --- decode audit / dead-letter routing ---------------------------------------
+@register(
+    "events_decode_audit",
+    oracle="""
+WITH v AS (
+  SELECT event_type,
+         CASE WHEN props IS NULL OR NOT json_valid(props) THEN 'malformed'
+              WHEN try_cast(json_extract_string(props, '$.k') AS INTEGER)
+                   IS NULL THEN 'missing_k'
+              WHEN try_cast(json_extract_string(props, '$.k') AS INTEGER)
+                   BETWEEN 0 AND 99 THEN 'ok'
+              ELSE 'out_of_range' END AS verdict,
+         event_id
+  FROM events)
+SELECT event_type, verdict, count(*)::BIGINT AS n,
+       min(event_id)::BIGINT AS first_event_id
+FROM v GROUP BY event_type, verdict
+""",
+    tags=("decode", "events", "quality", "dlq"),
+)
+def events_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter-queue audit for the schema-on-read decode path
+    (events_json_extract's operational twin): every event is routed to
+    ok / malformed-JSON / missing-or-non-integer key / out-of-range,
+    with per-(type, verdict) counts and the first offending event id —
+    the report a production decoder keeps NEXT TO its output instead
+    of silently nulling bad rows (the reference's decoder errors fail
+    the pipeline; a 100 TB batch pipeline quarantines and continues).
+
+    Single scan, codegen JSON + conditional only. from_json with a
+    typed schema distinguishes unparseable JSON (null struct) from a
+    parseable object missing the key (null field) — the distinction
+    get_json_object alone cannot make."""
+    ev = load_tables(spark, sf_dir)["events"]
+    # PERMISSIVE from_json yields a struct of NULL fields (not a null
+    # struct) on broken JSON — the corrupt-record column is the only
+    # expression-level way to tell "unparseable" from "key absent"
+    # k parsed as STRING on purpose: with a typed field, PERMISSIVE
+    # mode also flags a type-mismatched k ('{"k": "x"}') as corrupt,
+    # but the routing contract (and the DuckDB oracle's json_valid)
+    # reserves 'malformed' for syntax errors — try_cast below owns the
+    # type verdict
+    parsed = F.from_json(
+        "props",
+        "k string, _corrupt string",
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )
+    # try_cast, not cast: ANSI mode (Spark 4 default) throws on a
+    # non-numeric k — the DLQ must route that row, not kill the job
+    k = F.get_json_object("props", "$.k").try_cast("int")
+    verdict = (
+        F.when(
+            F.col("props").isNull() | parsed["_corrupt"].isNotNull(),
+            "malformed",
+        )
+        .when(k.isNull(), "missing_k")
+        .when(k.between(0, 99), "ok")
+        .otherwise("out_of_range")
+    )
+    return (
+        ev.select("event_type", verdict.alias("verdict"), "event_id")
+        .groupBy("event_type", "verdict")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("event_id").cast("bigint").alias("first_event_id"),
+        )
+    )
+
+
+# --- part affinity (Jaccard over order sets) ----------------------------------
+@register(
+    "part_affinity_jaccard",
+    oracle="""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+tot AS (SELECT l_partkey, count(*)::BIGINT AS n_ord FROM op GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*)::BIGINT AS n_ab
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT p.part_a::BIGINT AS part_a, p.part_b::BIGINT AS part_b, p.n_ab,
+       ta.n_ord AS n_a, tb.n_ord AS n_b,
+       ((1000000 * p.n_ab) // (ta.n_ord + tb.n_ord - p.n_ab))::BIGINT
+         AS jaccard_ppm
+FROM pairs p
+JOIN tot ta ON ta.l_partkey = p.part_a
+JOIN tot tb ON tb.l_partkey = p.part_b
+ORDER BY jaccard_ppm DESC, part_a, part_b
+LIMIT 50
+""",
+    tags=("analytics", "basket", "similarity"),
+)
+def part_affinity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-affinity by exact Jaccard over order sets: |A∩B| from the
+    support-thresholded co-occurrence pairs (part_cooccurrence's
+    bounded O(k²)-per-order build), |A|/|B| from a per-part aggregate,
+    J = n_ab / (n_a + n_b − n_ab) in exact ppm. Normalises raw
+    co-occurrence by popularity — the difference between "bought
+    together" and "both just popular" (basket_rules' lift cousin on
+    set semantics).
+
+    The totals join is keyed on a single part id against a
+    dimension-sized aggregate; the final top-50 compiles to
+    TakeOrderedAndProject on the unique (jaccard desc, a, b) key."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    tot = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ord")
+    )
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    ta = tot.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_ord").alias("n_a")
+    )
+    tb = tot.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_ord").alias("n_b")
+    )
+    j = (
+        pairs.join(ta, "part_a")
+        .join(tb, "part_b")
+        .select(
+            F.col("part_a").cast("bigint").alias("part_a"),
+            F.col("part_b").cast("bigint").alias("part_b"),
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.floor(
+                (F.lit(1000000) * F.col("n_ab"))
+                / (F.col("n_a") + F.col("n_b") - F.col("n_ab"))
+            )
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+    )
+    return j.orderBy(
+        F.desc("jaccard_ppm"), "part_a", "part_b"
+    ).limit(50)
+
+
+# --- per-user activity gaps / churn flags -------------------------------------
+CHURN_IDLE_DAYS = 7
+
+
+@register(
+    "user_activity_gaps",
+    oracle=f"""
+WITH mx AS (SELECT max(ts) AS corpus_max FROM events),
+g AS (
+  SELECT user_id, ts, event_id,
+         floor(epoch(ts) - epoch(lag(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)))::BIGINT AS gap_s
+  FROM events)
+SELECT g.user_id,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT date_trunc('day', g.ts))::BIGINT AS n_days_active,
+       coalesce(max(g.gap_s), 0)::BIGINT AS max_gap_s,
+       floor(epoch(any_value(mx.corpus_max)) - epoch(max(g.ts)))::BIGINT
+         AS idle_s,
+       (floor(epoch(any_value(mx.corpus_max)) - epoch(max(g.ts)))
+        > {CHURN_IDLE_DAYS} * 86400) AS churned
+FROM g CROSS JOIN mx
+GROUP BY g.user_id
+""",
+    tags=("events", "sequence", "churn"),
+)
+def user_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity profile and churn flag: event count, distinct
+    active days, largest intra-user gap, and idle time versus the
+    corpus frontier (churned = idle > {d} days) — the lifecycle gate a
+    retention pipeline computes before cohorting
+    (events_cohort_retention's per-user complement).
+
+    Gaps are floored to whole seconds PER ROW (exact under any
+    partitioning, same protocol as interarrival_stats but integer);
+    the corpus frontier is a 1-row aggregate broadcast-combined like
+    graph_triangle_count's n_edges (allow-listed single-row
+    broadcast-NL, not a data cross join).""".format(d=CHURN_IDLE_DAYS)
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        "ts",
+        F.floor(
+            F.col("ts").cast("double")
+            - F.lag(F.col("ts").cast("double")).over(w)
+        )
+        .cast("bigint")
+        .alias("gap_s"),
+    )
+    mx = ev.agg(F.max("ts").alias("corpus_max"))
+    agg = (
+        g.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct(F.date_trunc("day", F.col("ts")))
+            .cast("bigint")
+            .alias("n_days_active"),
+            F.coalesce(F.max("gap_s"), F.lit(0))
+            .cast("bigint")
+            .alias("max_gap_s"),
+            F.floor(
+                F.first("corpus_max").cast("double")
+                - F.max(F.col("ts").cast("double"))
+            )
+            .cast("bigint")
+            .alias("idle_s"),
+        )
+    )
+    return agg.withColumn(
+        "churned", F.col("idle_s") > CHURN_IDLE_DAYS * 86400
+    )
