@@ -994,3 +994,64 @@ def test_sliding_uniques_against_corpus(spark, tmp_path):
     replay(last, n_files - 1)
     got2 = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert got2 == want
+
+
+def test_decode_route_streams(spark, tmp_path):
+    """Streaming DLQ split: ok rows carry the decoded key, quarantined
+    rows carry their verdict; the union of both branches is the input,
+    and the verdicts match the batch lane's routing on the same rows."""
+    import datetime as dt
+    import os
+
+    from wally_spark.streaming.ops import decode_route_streams
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 1, "click", 1.0, '{"k": 5}'),
+        (2, dt.datetime(2024, 1, 1, 0, 1, 0), 1, "click", 1.0, "{not json"),
+        (3, dt.datetime(2024, 1, 1, 0, 2, 0), 1, "click", 1.0, None),
+        (4, dt.datetime(2024, 1, 1, 0, 3, 0), 1, "click", 1.0, '{"j": 5}'),
+        (5, dt.datetime(2024, 1, 1, 0, 4, 0), 1, "click", 1.0, '{"k": "x"}'),
+        (6, dt.datetime(2024, 1, 1, 0, 5, 0), 1, "click", 1.0, '{"k": 250}'),
+        (7, dt.datetime(2024, 1, 1, 0, 6, 0), 1, "click", 1.0, '{"k": 99}'),
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    src = f"{tmp_path}/src"
+    os.makedirs(src, exist_ok=True)
+    stage = f"{tmp_path}/_s"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(stage, part), os.path.join(src, "b0.parquet"))
+
+    sdf = spark.readStream.schema(schema).parquet(src)
+    ok, dlq = decode_route_streams(sdf)
+    qs = []
+    for name, branch in (("t_dlq_ok", ok), ("t_dlq_bad", dlq)):
+        qs.append(
+            branch.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    for q in qs:
+        q.awaitTermination(120)
+
+    ok_rows = {r["event_id"]: r["k"] for r in spark.sql("SELECT * FROM t_dlq_ok").collect()}
+    dlq_rows = {
+        r["event_id"]: r["verdict"]
+        for r in spark.sql("SELECT * FROM t_dlq_bad").collect()
+    }
+    assert ok_rows == {1: 5, 7: 99}
+    assert dlq_rows == {
+        2: "malformed",
+        3: "malformed",
+        4: "missing_k",
+        5: "missing_k",
+        6: "out_of_range",
+    }
+    assert set(ok_rows) | set(dlq_rows) == {1, 2, 3, 4, 5, 6, 7}

@@ -991,3 +991,77 @@ def dup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_bp"),
         )
     )
+
+
+# --- cross-source contamination -----------------------------------------------
+@register(
+    "cross_source_dup_report",
+    oracle="""
+WITH hs AS (
+  SELECT DISTINCT md5(text) AS h, source FROM documents),
+tot AS (SELECT source, count(*)::BIGINT AS n_hashes FROM hs GROUP BY source)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*)::BIGINT AS n_shared,
+       any_value(ta.n_hashes) AS n_a, any_value(tb.n_hashes) AS n_b,
+       ((1000000 * count(*)) // least(any_value(ta.n_hashes),
+                                      any_value(tb.n_hashes)))::BIGINT
+         AS overlap_ppm
+FROM hs a
+JOIN hs b ON a.h = b.h AND a.source < b.source
+JOIN tot ta ON ta.source = a.source
+JOIN tot tb ON tb.source = b.source
+GROUP BY a.source, b.source
+""",
+    tags=("dedup", "curation", "contamination"),
+)
+def cross_source_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct content hashes appear in BOTH, normalised by the
+    smaller side (overlap coefficient, exact ppm) — the report that
+    decides whether two crawl feeds are the same corpus relabeled
+    (dup_rate_report is per-source; this is the between-sources face,
+    the check run before mixing feeds into a pretraining corpus).
+
+    Scale shape: one (hash, source) dedup keyed by uniform md5, a
+    hash-keyed self-join whose per-hash fanout is bounded by the
+    SOURCE vocabulary (≤|sources| rows per hash, not doc count), and
+    a |sources|²-bounded aggregate. Totals join keys on source — a
+    dimension-sized side."""
+    docs = _docs(spark, sf_dir)
+    hs = docs.select(
+        F.md5(F.col("text").cast("binary")).alias("h"), "source"
+    ).distinct()
+    tot = hs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hashes")
+    )
+    a = hs.select(F.col("h"), F.col("source").alias("source_a"))
+    b = hs.select(F.col("h"), F.col("source").alias("source_b"))
+    pairs = (
+        a.join(b, "h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    ta = tot.select(
+        F.col("source").alias("source_a"), F.col("n_hashes").alias("n_a")
+    )
+    tb = tot.select(
+        F.col("source").alias("source_b"), F.col("n_hashes").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.floor(
+                (F.lit(1000000) * F.col("n_shared"))
+                / F.least(F.col("n_a"), F.col("n_b"))
+            )
+            .cast("bigint")
+            .alias("overlap_ppm"),
+        )
+    )

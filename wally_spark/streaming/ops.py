@@ -1252,3 +1252,38 @@ def sliding_uniques_foreach_batch(
         report.write.mode("overwrite").parquet(out_path)
 
     return proc
+
+
+def decode_route_streams(df: DataFrame):
+    """Streaming dead-letter routing for the JSON decode path — the
+    stream face of the registered `events_decode_audit` batch lane
+    (plans/sequence.py): returns (ok, dlq) DataFrames from one input
+    stream. `ok` carries the decoded integer key; `dlq` carries the
+    raw row plus its verdict (malformed / missing_k / out_of_range)
+    so the quarantine sink preserves everything needed for replay
+    after a decoder fix.
+
+    Both branches are STATELESS projections/filters — they attach to
+    any sink in append mode with no watermark or state store, and the
+    verdict expression is shared with the batch lane's oracle-checked
+    routing (corrupt-record from_json for syntax errors, try_cast for
+    the type verdict, ANSI-safe)."""
+    parsed = F.from_json(
+        "props",
+        "k string, _corrupt string",
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )
+    k = F.get_json_object("props", "$.k").try_cast("int")
+    verdict = (
+        F.when(
+            F.col("props").isNull() | parsed["_corrupt"].isNotNull(),
+            "malformed",
+        )
+        .when(k.isNull(), "missing_k")
+        .when(k.between(0, 99), "ok")
+        .otherwise("out_of_range")
+    )
+    tagged = df.withColumn("verdict", verdict)
+    ok = tagged.where(F.col("verdict") == "ok").withColumn("k", k).drop("verdict")
+    dlq = tagged.where(F.col("verdict") != "ok")
+    return ok, dlq
