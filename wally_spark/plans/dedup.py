@@ -1065,3 +1065,110 @@ def cross_source_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overlap_ppm"),
         )
     )
+
+
+# --- sketch-accuracy audit ----------------------------------------------------
+@register(
+    "minhash_estimate_audit",
+    oracle=f"""
+WITH shingled AS ({_SHINGLES_SQL}),
+exploded AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+),
+{_CAND_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM exploded GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN exploded a ON a.doc_id = c.doc_a
+  JOIN exploded b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         ((10000 * ({" + ".join(
+             f"CASE WHEN sa.mh{h} = sb.mh{h} THEN 1 ELSE 0 END"
+             for h in range(N_HASHES))})) // {N_HASHES})::BIGINT AS est_bp
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+)
+SELECT e.doc_a, e.doc_b, e.est_bp,
+       floor(10000.0 * coalesce(s.inter, 0)
+             / (za.n + zb.n - coalesce(s.inter, 0)))::BIGINT AS exact_bp,
+       (e.est_bp
+        - floor(10000.0 * coalesce(s.inter, 0)
+                / (za.n + zb.n - coalesce(s.inter, 0))))::BIGINT AS err_bp
+FROM est e
+LEFT JOIN shared s ON s.doc_a = e.doc_a AND s.doc_b = e.doc_b
+JOIN sizes za ON za.doc_id = e.doc_a
+JOIN sizes zb ON zb.doc_id = e.doc_b
+""",
+    tags=("dedup", "lsh", "audit"),
+)
+def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: per LSH candidate pair, the MinHash
+    Jaccard estimate (matching components / {N_HASHES}, exact integer
+    bp) NEXT TO the exact set-Jaccard and the signed error — the
+    calibration report that justifies (or retunes) N_HASHES/band
+    shape before trusting the sketch at 100 TB, where exact verify of
+    EVERY pair is unaffordable and only a sampled audit like this one
+    runs. Every ingredient is the registered deterministic machinery
+    (md5 universal-hash signatures, MAX_BUCKET-capped candidates,
+    pair-keyed exact verify), so the audit itself holds a full oracle.
+
+    candidates with NO shared shingle (possible: banding matches on
+    signature collisions) audit as exact_bp=0 via the left join —
+    exactly the false-positive rows the report exists to count."""
+    cands = pin(dedup_minhash(spark, sf_dir).select("doc_a", "doc_b"))
+    sigs = minhash_signatures(fan_out(_docs(spark, sf_dir), "doc_id"))
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{h}").alias(f"a{h}") for h in range(N_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{h}").alias(f"b{h}") for h in range(N_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{h}") == F.col(f"b{h}"), 1).otherwise(0)
+        for h in range(N_HASHES)
+    )
+    est = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor((10000 * matches) / N_HASHES)
+            .cast("bigint")
+            .alias("est_bp"),
+        )
+    )
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        cands.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    exact_bp = F.floor(
+        10000.0
+        * F.coalesce(F.col("inter"), F.lit(0))
+        / (F.col("na") + F.col("nb") - F.coalesce(F.col("inter"), F.lit(0)))
+    ).cast("bigint")
+    return (
+        est.join(shared, ["doc_a", "doc_b"], "left")
+        .join(F.broadcast(za), "doc_a")
+        .join(F.broadcast(zb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_bp",
+            exact_bp.alias("exact_bp"),
+            (F.col("est_bp") - exact_bp).cast("bigint").alias("err_bp"),
+        )
+    )

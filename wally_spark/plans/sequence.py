@@ -606,3 +606,99 @@ def user_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.withColumn(
         "churned", F.col("idle_s") > CHURN_IDLE_DAYS * 86400
     )
+
+
+# --- user event-mix entropy (bot/regularity probe) ----------------------------
+@register(
+    "user_event_entropy",
+    oracle="""
+WITH tc AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY user_id, event_type),
+h AS (
+  SELECT user_id, sum(c)::BIGINT AS n_events,
+         count(*)::BIGINT AS n_types,
+         log2(sum(c)) - sum(c * log2(c)) / sum(c) AS ent
+  FROM tc GROUP BY user_id)
+SELECT user_id, n_events, n_types,
+       floor(100.0 * ent)::BIGINT AS entropy_cb,
+       (n_events >= 50 AND floor(100.0 * ent) < 100) AS low_entropy_heavy
+FROM h
+""",
+    tags=("events", "sequence", "quality"),
+)
+def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix, in centibits —
+    the behavioural-regularity probe an abuse pipeline runs: a heavy
+    user whose traffic is nearly one event type (low entropy, high
+    volume) is flagged as bot-shaped. Same exact-log protocol as
+    text_word_entropy: H = log2(N) − Σ c·log2(c)/N over INTEGER
+    counts, floored to centibits, so the hash is engine-exact.
+
+    Two map-side-combining aggregates keyed (user, type) then user —
+    state bounded by users × |types|, no window, no skew exposure."""
+    ev = load_tables(spark, sf_dir)["events"]
+    tc = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    h = tc.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        (
+            F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c")
+        ).alias("ent"),
+    )
+    ecb = F.floor(100.0 * F.col("ent")).cast("bigint")
+    return h.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        ecb.alias("entropy_cb"),
+        ((F.col("n_events") >= 50) & (ecb < 100)).alias("low_entropy_heavy"),
+    )
+
+
+# --- token-count histogram (corpus shape diagnostic) --------------------------
+@register(
+    "docs_token_histogram",
+    oracle="""
+WITH t AS (
+  SELECT lang,
+         len(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+           AS n_tok
+  FROM documents),
+b AS (
+  SELECT lang,
+         CASE WHEN n_tok = 0 THEN -1
+              ELSE floor(log2(n_tok)) END::BIGINT AS bucket_log2,
+         n_tok
+  FROM t)
+SELECT lang, bucket_log2,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS total_tokens
+FROM b GROUP BY lang, bucket_log2
+""",
+    tags=("text", "sampling", "histogram"),
+)
+def docs_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language power-of-two histogram of document token counts —
+    the corpus-shape diagnostic behind packing and length-quota
+    decisions (value_histogram's documents twin; docs_length_band
+    quotas on fixed chars, this reports the full log₂ distribution of
+    whitespace tokens). log2 of an INTEGER count is engine-identical,
+    so bucket edges — and the hash — are exact. Single scan, one
+    aggregate bounded by langs × ~20 buckets."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    n_tok = F.size(F.filter(F.split(F.lower("text"), " "), lambda w: w != ""))
+    b = docs.select(
+        "lang",
+        F.when(n_tok == 0, F.lit(-1))
+        .otherwise(F.floor(F.log2(n_tok)))
+        .cast("bigint")
+        .alias("bucket_log2"),
+        n_tok.alias("n_tok"),
+    )
+    return b.groupBy("lang", "bucket_log2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+    )
