@@ -243,3 +243,40 @@ def test_parse_wav_header_roundtrip_and_chunk_walk():
     assert parse_wav_header(b"RIFF\x00\x00\x00\x00AVI ") == (
         "unknown", None, None, None, None,
     )
+
+
+def test_pcm_sample_stats_exact(spark):
+    """pcm_sample_stats decodes int16 PCM through the chunk walker and
+    matches a hand computation; non-WAV / NULL payloads emit zeros."""
+    import struct
+
+    from wally_spark.operators.multimodal import (
+        pcm_sample_stats,
+        wav_data_chunk,
+    )
+
+    def wav(samples, extra_chunks=b""):
+        data = struct.pack(f"<{len(samples)}h", *samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        body = extra_chunks
+        body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    samples = [100, -200, 300, 0, -1]
+    # LIST chunk before fmt exercises the walk, like the header test
+    payload = wav(samples, extra_chunks=b"LIST\x05\x00\x00\x00INFOx\x00")
+    assert wav_data_chunk(payload) == struct.pack("<5h", *samples)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"nope")), (3, None)],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in pcm_sample_stats(df).collect()}
+    r = rows[1]
+    assert r["n_samples"] == 5
+    assert r["sumsq"] == sum(s * s for s in samples)
+    assert r["peak_abs"] == 300
+    # sign flips: +100→-200, -200→+300, +300→0(pos), 0→-1 = 3 crossings
+    assert r["zero_cross"] == 3
+    for bad in (2, 3):
+        assert tuple(rows[bad])[1:] == (0, 0, 0, 0)

@@ -345,3 +345,78 @@ def byte_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return df.mapInPandas(extract, BYTE_STATS_SCHEMA)
+
+
+PCM_STATS_SCHEMA = (
+    "doc_id bigint, n_samples bigint, sumsq bigint, peak_abs bigint, "
+    "zero_cross bigint"
+)
+
+
+def wav_data_chunk(b: bytes) -> bytes | None:
+    """Return the raw bytes of the first ``data`` chunk of a RIFF/WAVE
+    payload (the PCM samples), or None when the payload is not a WAV or
+    carries no data chunk. Shares the chunk-walk rules of
+    ``parse_wav_header`` (word-aligned chunks, LIST-before-fmt safe)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        clen = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"data":
+            return b[i + 8 : i + 8 + clen]
+        i += 8 + clen + (clen & 1)
+    return None
+
+
+def pcm_sample_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL audio feature extraction: chunk-walk each WAV payload to
+    its ``data`` chunk, reinterpret as little-endian int16 PCM
+    (``np.frombuffer``), and emit exact integer sample statistics —
+    count, energy (sum of squares), peak amplitude, and sign-change
+    (zero-crossing) count, the classic voice-activity / silence-trim
+    features. Energy stays a bigint sum (no sqrt, no float) so an
+    engine-exact oracle exists; the RMS a consumer wants is one
+    driver-side sqrt away. Same 100 TB contract as ``byte_stats``:
+    payloads never leave executors, one vectorized numpy pass per Arrow
+    batch, a narrow typed row out. Non-WAV / empty payloads emit zero
+    rows of stats instead of dying (the DLQ lane's job is elsewhere).
+
+    Reference parity: the decode half of a celsius-style bytes→values
+    computation (machida decoder + stateless computation,
+    examples/python/celsius_connectors) applied to an audio payload
+    column."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns, ss, pk, zc = [], [], [], []
+            for b in pdf[payload_col]:
+                raw = bytes(b) if b is not None else b""
+                data = wav_data_chunk(raw)
+                if not data or len(data) < 2:
+                    ns.append(0); ss.append(0); pk.append(0); zc.append(0)
+                    continue
+                a = np.frombuffer(
+                    data[: len(data) // 2 * 2], dtype="<i2"
+                ).astype(np.int64)
+                ns.append(int(len(a)))
+                ss.append(int((a * a).sum()))
+                pk.append(int(np.abs(a).max()))
+                zc.append(
+                    int(((a[:-1] < 0) != (a[1:] < 0)).sum())
+                    if len(a) > 1
+                    else 0
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_samples": ns,
+                    "sumsq": ss,
+                    "peak_abs": pk,
+                    "zero_cross": zc,
+                }
+            )
+
+    return df.mapInPandas(extract, PCM_STATS_SCHEMA)

@@ -324,3 +324,84 @@ def mm_wav_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wally_spark.operators.multimodal import decode_wav_header_meta
 
     return decode_wav_header_meta(payloads)
+
+
+@register(
+    "mm_pcm_stats",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(range(0, (8 + doc_id % 9)::INT),
+                        i -> ((doc_id * 31 + i * 97) % 4096) - 2048) AS vs
+  FROM documents
+)
+SELECT doc_id,
+       len(vs)::BIGINT AS n_samples,
+       list_sum(list_transform(vs, v -> v * v))::BIGINT AS sumsq,
+       list_max(list_transform(vs, v -> abs(v)))::BIGINT AS peak_abs,
+       list_sum(list_transform(range(0, (len(vs) - 1)::INT),
+                i -> CASE WHEN (vs[i + 1] < 0) <> (vs[i + 2] < 0)
+                     THEN 1 ELSE 0 END))::BIGINT AS zero_cross
+FROM s
+""",
+    tags=("multimodal", "audio", "features"),
+)
+def mm_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-level audio feature extraction through the REAL decoder
+    (operators/multimodal.pcm_sample_stats): each doc gets a valid
+    mono 16-bit 8 kHz WAV whose PCM samples are derived from doc_id
+    (sample_i = ((doc_id·31 + i·97) mod 4096) − 2048, 8–16 samples),
+    and the operator chunk-walks to the data chunk, reinterprets the
+    little-endian int16 block with numpy, and emits exact integer
+    energy / peak / zero-crossing statistics. DuckDB recomputes every
+    statistic arithmetically from doc_id — a hash-exact oracle for a
+    sample-decoding featurizer UDF (the step mm_wav_header's
+    headers-only contract deliberately skips). All-bigint outputs: no
+    sqrt, no float, partitioning-independent.
+
+    Scale shape: payload synthesis is codegen string ops; the decode
+    is one vectorized numpy pass per Arrow batch; output is a narrow
+    5-column row per payload — map-only, zero shuffles.
+
+    Reference parity: decoder→computation over framed binary payloads
+    (machida/lib/wallaroo/__init__.py decoder protocol;
+    examples/python/celsius_connectors float32 wire decode) recast as
+    an audio-sample column."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    n = (8 + F.col("doc_id") % 9).cast("int")
+    sr = F.lit(8000)
+    ds = (n * 2).cast("int")
+    hdr = F.concat(
+        F.lit("52494646"),  # "RIFF"
+        _le32(ds + 36),
+        F.lit("57415645"),  # "WAVE"
+        F.lit("666d7420"),  # "fmt "
+        _le32(F.lit(16)),
+        _le16(F.lit(1)),  # PCM
+        _le16(F.lit(1)),  # mono
+        _le32(sr),
+        _le32(sr * 2),  # byte rate
+        _le16(F.lit(2)),  # block align
+        _le16(F.lit(16)),  # bits
+        F.lit("64617461"),  # "data"
+        _le32(ds),
+    )
+    data_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: _le16(
+                F.pmod(
+                    (F.col("doc_id") * 31 + i * 97) % 4096 - 2048,
+                    F.lit(65536),
+                )
+            ),
+        ),
+        "",
+    )
+    payloads = docs.select(
+        "doc_id", F.unhex(F.concat(hdr, data_hex)).alias("payload")
+    )
+
+    from wally_spark.operators.multimodal import pcm_sample_stats
+
+    return pcm_sample_stats(payloads)

@@ -702,3 +702,112 @@ def docs_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
     )
+
+
+# --- timed window funnel (ClickHouse windowFunnel parity) --------------------
+FUNNEL_HORIZON_S = 3600  # whole funnel must complete within 1h of first view
+
+
+@register(
+    "events_window_funnel",
+    oracle=f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(v.t0) AS t0, min(e.ts) AS t1
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t0
+    AND e.ts <= v.t0 + INTERVAL {FUNNEL_HORIZON_S} SECOND
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t1
+    AND e.ts <= c.t0 + INTERVAL {FUNNEL_HORIZON_S} SECOND
+  GROUP BY e.user_id
+),
+st AS (
+  SELECT u.user_id,
+         CASE WHEN p.user_id IS NOT NULL THEN 3
+              WHEN c.user_id IS NOT NULL THEN 2
+              WHEN v.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS stage
+  FROM u LEFT JOIN v USING (user_id)
+         LEFT JOIN c USING (user_id)
+         LEFT JOIN p USING (user_id)
+)
+SELECT s.stage::BIGINT AS stage,
+       coalesce(n.n_users, 0)::BIGINT AS n_users
+FROM (SELECT unnest(range(0, 4)) AS stage) s
+LEFT JOIN (SELECT stage, count(*) AS n_users FROM st GROUP BY stage) n
+  USING (stage)
+""",
+    tags=("events", "sequence", "funnel"),
+)
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BOUNDED conversion funnel (the ClickHouse ``windowFunnel``
+    shape): view → later click → later purchase, every step within
+    FUNNEL_HORIZON_S of the user's FIRST view. Reports, for each
+    funnel depth 0–3, how many users topped out exactly there — the
+    campaign-attribution report, where events_funnel's unbounded
+    chain answers a different (lifetime-conversion) question.
+
+    Scale shape: each stage is a type-filtered scan (filter pushed to
+    parquet) aggregated per user, then a user-keyed join against the
+    previous stage's survivor table — survivor tables shrink
+    monotonically and are per-user rows, never raw events. The final
+    rollup is 4 rows joined to a generated stage spine so absent
+    depths report 0 (resample_1h's densify protocol).
+
+    Reference parity: the reference builds funnels as per-key state
+    machines over the keyed stream (state_computation holding
+    last-stage + deadline); this is the batch face with identical
+    semantics."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    u = ev.select("user_id").distinct()
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    horizon = F.expr(f"INTERVAL {FUNNEL_HORIZON_S} SECOND")
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where((F.col("ts") > F.col("t0")) & (F.col("ts") <= F.col("t0") + horizon))
+        .groupBy("user_id")
+        .agg(F.min("t0").alias("t0"), F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t0") + horizon))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    st = (
+        u.join(v.select("user_id", F.lit(1).alias("s1")), "user_id", "left")
+        .join(c.select("user_id", F.lit(1).alias("s2")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("s3")), "user_id", "left")
+        .select(
+            F.when(F.col("s3").isNotNull(), 3)
+            .when(F.col("s2").isNotNull(), 2)
+            .when(F.col("s1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("stage")
+        )
+    )
+    spine = spark.range(4).select(F.col("id").cast("bigint").alias("stage"))
+    counts = st.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        spine.join(counts.withColumn("stage", F.col("stage").cast("bigint")),
+                   "stage", "left")
+        .select(
+            "stage",
+            F.coalesce("n_users", F.lit(0)).cast("bigint").alias("n_users"),
+        )
+    )
