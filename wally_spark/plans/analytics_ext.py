@@ -508,3 +508,103 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_ppm"), "antecedent", "consequent")
         .limit(BASKET_TOPK)
     )
+
+
+# --- open-order aging snapshot ----------------------------------------------
+AGING_SNAPSHOT = "1998-01-01"  # mid-range of the o_orderdate span
+AGING_EDGES = (30, 90, 180)  # band upper bounds in days
+
+
+@register(
+    "orders_aging_bands",
+    oracle=f"""
+WITH open_o AS (
+  SELECT o.o_orderkey, o.o_totalprice,
+         date_diff('day', o.o_orderdate, TIMESTAMP '{AGING_SNAPSHOT}')
+           AS age_days
+  FROM orders o
+  WHERE o.o_orderdate <= TIMESTAMP '{AGING_SNAPSHOT}'
+    AND EXISTS (SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > TIMESTAMP '{AGING_SNAPSHOT}')),
+banded AS (
+  SELECT CASE WHEN age_days <= {AGING_EDGES[0]} THEN 0
+              WHEN age_days <= {AGING_EDGES[1]} THEN 1
+              WHEN age_days <= {AGING_EDGES[2]} THEN 2
+              ELSE 3 END AS band_id,
+         o_totalprice
+  FROM open_o),
+agg AS (
+  SELECT band_id, count(*)::BIGINT AS n_orders,
+         sum(floor(100 * o_totalprice)::BIGINT)::BIGINT AS total_cents
+  FROM banded GROUP BY band_id)
+SELECT s.band_id::BIGINT AS band_id,
+       CASE s.band_id WHEN 0 THEN '0-{AGING_EDGES[0]}d'
+                      WHEN 1 THEN '{AGING_EDGES[0] + 1}-{AGING_EDGES[1]}d'
+                      WHEN 2 THEN '{AGING_EDGES[1] + 1}-{AGING_EDGES[2]}d'
+                      ELSE '{AGING_EDGES[2]}d+' END AS band,
+       coalesce(a.n_orders, 0)::BIGINT AS n_orders,
+       coalesce(a.total_cents, 0)::BIGINT AS total_cents
+FROM (SELECT unnest(range(0, 4)) AS band_id) s
+LEFT JOIN agg a USING (band_id)
+""",
+    tags=("orders", "analytics", "snapshot"),
+)
+def orders_aging_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging report at a snapshot date: orders placed on or
+    before AGING_SNAPSHOT and not yet fully shipped then, bucketed by
+    age into standard AR-style aging bands with order counts and value
+    mass (exact floored cents, the rfm monetary protocol) — the
+    warehouse backlog report open_order_lines_daily's
+    sweep-line generalizes over all days, answered exactly for one
+    audit date.
+
+    Scale shape: "not fully shipped" ≡ EXISTS a lineitem shipping
+    after the snapshot, so the probe side is lineitem FILTERED to
+    l_shipdate > snapshot at the parquet scan (pushed predicate) and
+    deduped to order keys — a semi-join against the date-filtered
+    orders scan, never a max-per-order aggregate over all of lineitem.
+    The rollup is 4 bands joined to a generated spine so empty bands
+    report zeros (resample_1h protocol)."""
+    t = load_tables(spark, sf_dir)
+    snap = F.lit(AGING_SNAPSHOT).cast("timestamp")
+    still_open = (
+        t["lineitem"].where(F.col("l_shipdate") > snap).select("l_orderkey")
+    )
+    open_o = (
+        t["orders"]
+        .where(F.col("o_orderdate") <= snap)
+        .join(still_open, F.col("o_orderkey") == F.col("l_orderkey"), "semi")
+        .select(
+            F.datediff(snap, F.col("o_orderdate")).alias("age_days"),
+            "o_totalprice",
+        )
+    )
+    e0, e1, e2 = AGING_EDGES
+    banded = open_o.select(
+        F.when(F.col("age_days") <= e0, 0)
+        .when(F.col("age_days") <= e1, 1)
+        .when(F.col("age_days") <= e2, 2)
+        .otherwise(3)
+        .alias("band_id"),
+        "o_totalprice",
+    )
+    agg = banded.groupBy("band_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.floor(100 * F.col("o_totalprice")).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+    )
+    spine = spark.range(4).select(F.col("id").cast("int").alias("band_id"))
+    label = (
+        F.when(F.col("band_id") == 0, f"0-{e0}d")
+        .when(F.col("band_id") == 1, f"{e0 + 1}-{e1}d")
+        .when(F.col("band_id") == 2, f"{e1 + 1}-{e2}d")
+        .otherwise(f"{e2}d+")
+    )
+    return spine.join(agg, "band_id", "left").select(
+        F.col("band_id").cast("bigint").alias("band_id"),
+        label.alias("band"),
+        F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+        F.coalesce("total_cents", F.lit(0)).cast("bigint").alias("total_cents"),
+    )

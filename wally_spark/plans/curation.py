@@ -687,9 +687,8 @@ def _span_merge(dup_pos: DataFrame, base: DataFrame) -> DataFrame:
 NB_VOCAB = 16  # binding at every test SF, like LM_VOCAB (prod: ~2^17)
 
 
-@register(
-    "doc_nb_classifier",
-    oracle=f"""
+# Shared by doc_nb_classifier and nb_calibration (byte-identical SQL).
+_NB_ORACLE = f"""
 WITH tok AS (
   SELECT d.doc_id,
          CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
@@ -749,7 +748,12 @@ SELECT s.doc_id, s.n_tokens,
        ) > 0 THEN 1 ELSE 0 END::BIGINT AS pred_en,
        (CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS is_en
 FROM scored s JOIN documents d USING (doc_id), stats, priors
-""",
+"""
+
+
+@register(
+    "doc_nb_classifier",
+    oracle=_NB_ORACLE,
     tags=("text", "curation", "classifier"),
 )
 def doc_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1390,4 +1394,67 @@ def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(-(seen + n_unk * unk_mnat)) div n_bigrams")
         .cast("bigint")
         .alias("mnat_per_bigram"),
+    )
+
+
+# --- NB score calibration (reliability diagram) ------------------------------
+NB_CAL_BAND = 500  # milli-nat score band width
+
+
+@register(
+    "nb_calibration",
+    oracle=f"""
+WITH base AS ({_NB_ORACLE}),
+b AS (
+  SELECT floor(score_mnat / {NB_CAL_BAND}.0)::BIGINT AS band,
+         pred_en, is_en
+  FROM base)
+SELECT band, (band * {NB_CAL_BAND})::BIGINT AS lo_mnat,
+       count(*)::BIGINT AS n_docs,
+       sum(pred_en)::BIGINT AS n_pred_en,
+       sum(is_en)::BIGINT AS n_en,
+       floor(10000.0 * sum(is_en) / count(*))::BIGINT AS en_rate_bp
+FROM b GROUP BY band
+""",
+    tags=("text", "curation", "classifier"),
+)
+def nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the NB quality gate: documents bucketed
+    by NB_CAL_BAND-wide score bands, each band reporting doc count,
+    positive-prediction count, actual-label count, and the realized
+    label rate in exact basis points — the calibration audit that
+    decides where to put a production filter threshold (a classifier
+    can rank well and still be miscalibrated; thresholds must be set
+    on THIS curve, not on raw scores).
+
+    Composes the doc_nb_classifier plan unchanged (same training
+    sample, vocabulary cap, and integer milli-nat scoring — the oracle
+    embeds that lane's SQL verbatim) and adds one band-keyed aggregate
+    bounded by the score range / NB_CAL_BAND, so the only new cost is
+    a ~10-row rollup. Integer floor arithmetic end to end."""
+    base = doc_nb_classifier(spark, sf_dir)
+    band = F.floor(F.col("score_mnat") / float(NB_CAL_BAND)).cast("bigint")
+    return (
+        base.select(
+            band.alias("band"),
+            "pred_en",
+            "is_en",
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("pred_en").cast("bigint").alias("n_pred_en"),
+            F.sum("is_en").cast("bigint").alias("n_en"),
+            F.floor(10000.0 * F.sum("is_en") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("en_rate_bp"),
+        )
+        .select(
+            "band",
+            (F.col("band") * NB_CAL_BAND).cast("bigint").alias("lo_mnat"),
+            "n_docs",
+            "n_pred_en",
+            "n_en",
+            "en_rate_bp",
+        )
     )

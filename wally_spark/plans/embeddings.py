@@ -617,3 +617,58 @@ def embedding_norm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "sumsq_q", "n_zero", "dim",
         norm_milli.alias("norm_milli"), band.alias("band"),
     )
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+WITH comps AS (
+  SELECT u.i - 1 AS dim,
+         floor(10000 * u.x::DOUBLE)::BIGINT AS q,
+         CASE WHEN u.x = 0.0 THEN 1 ELSE 0 END AS z
+  FROM (SELECT unnest(list_transform(embedding,
+                                     (x, i) -> {'x': x, 'i': i})) AS u
+        FROM embeddings))
+SELECT dim::BIGINT AS dim,
+       count(*)::BIGINT AS n_vecs,
+       sum(q)::BIGINT AS sum_q,
+       sum(q * q)::BIGINT AS sumsq_q,
+       min(q)::BIGINT AS min_q,
+       max(q)::BIGINT AS max_q,
+       sum(z)::BIGINT AS n_zero
+FROM comps GROUP BY dim
+""",
+    tags=("embedding", "quality"),
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding statistics (embedding_norm_report is
+    the per-vector face): each coordinate's count, exact integer sum /
+    sum-of-squares on the 1e-4 lattice, range, and zero count — the
+    feature-health report behind whitening decisions and dead-dimension
+    detection (a dimension that is ~always zero wastes index space;
+    one with huge variance dominates unnormalized distances).
+
+    Scale shape: posexplode in the scan stage feeding ONE map-side-
+    combined aggregate keyed by dimension — output is |dims| rows no
+    matter the corpus size, and the shuffle carries dims × partitions
+    partial rows. Same floor(1e4·x) integerization as the norm report,
+    so the two QC lanes quantize identically; all-bigint, hash-exact."""
+    emb = _emb(spark, sf_dir)
+    q = F.floor(10000 * F.col("v").cast("double")).cast("bigint")
+    return (
+        emb.select(F.posexplode("embedding").alias("p", "v"))
+        .select(
+            F.col("p").cast("bigint").alias("dim"),
+            q.alias("q"),
+            F.when(F.col("v") == 0.0, 1).otherwise(0).alias("z"),
+        )
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("q").cast("bigint").alias("sum_q"),
+            F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sumsq_q"),
+            F.min("q").cast("bigint").alias("min_q"),
+            F.max("q").cast("bigint").alias("max_q"),
+            F.sum("z").cast("bigint").alias("n_zero"),
+        )
+    )

@@ -811,3 +811,68 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_users", F.lit(0)).cast("bigint").alias("n_users"),
         )
     )
+
+
+# --- per-user burst detection ------------------------------------------------
+BURST_N = 2  # events in one minute that count as a burst at test SFs
+
+
+@register(
+    "user_burst_minutes",
+    oracle=f"""
+WITH m AS (
+  SELECT user_id, date_trunc('minute', ts) AS mi, count(*)::BIGINT AS n
+  FROM events GROUP BY user_id, mi),
+r AS (
+  SELECT user_id, mi, n,
+         row_number() OVER (PARTITION BY user_id ORDER BY n DESC, mi) AS rk
+  FROM m),
+t AS (
+  SELECT user_id, sum(n)::BIGINT AS total_events,
+         count(*)::BIGINT AS n_active_minutes
+  FROM m GROUP BY user_id)
+SELECT r.user_id, t.total_events, t.n_active_minutes,
+       r.n AS peak_events, r.mi AS peak_minute,
+       (CASE WHEN r.n >= {BURST_N} THEN 1 ELSE 0 END)::BIGINT AS burst
+FROM r JOIN t USING (user_id)
+WHERE r.rk = 1
+""",
+    tags=("events", "sequence", "abuse"),
+)
+def user_burst_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limit / bot-burst audit: each user's peak events-per-minute
+    (earliest minute on ties, deterministic), total activity, and a
+    burst flag at BURST_N — the per-key rate check the reference runs
+    as a keyed count-window alert (alerts_stateful shape) expressed as
+    a batch report.
+
+    Scale shape: two map-side-combined aggregates — (user, minute)
+    then user — and the peak is a partial-aggregating max(struct(n,
+    -epoch)) argmax, NEVER a per-user sort or rank window (the oracle
+    ranks; the engine needn't). No windows, no joins with raw events;
+    the widest shuffle carries one row per active user-minute."""
+    ev = _events(spark, sf_dir)
+    m = ev.groupBy(
+        "user_id", F.date_trunc("minute", "ts").alias("mi")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    per_user = m.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("total_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_active_minutes"),
+        F.max(
+            F.struct(
+                F.col("n").alias("n"),
+                (-F.unix_timestamp("mi")).alias("negm"),
+            )
+        ).alias("pk"),
+    )
+    return per_user.select(
+        "user_id",
+        "total_events",
+        "n_active_minutes",
+        F.col("pk.n").alias("peak_events"),
+        F.timestamp_seconds(-F.col("pk.negm")).alias("peak_minute"),
+        F.when(F.col("pk.n") >= BURST_N, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("burst"),
+    )

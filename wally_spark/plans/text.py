@@ -421,3 +421,130 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("actual", "predicted")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# --- tokenizer fertility report ---------------------------------------------
+@register(
+    "tokenizer_fertility",
+    oracle=f"""
+WITH t AS (
+  SELECT lang, source,
+         len(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+           ::BIGINT AS ws,
+         len(regexp_extract_all(lower(text), '{_BPE_RE}'))::BIGINT AS bpe,
+         length(text)::BIGINT AS chars
+  FROM documents)
+SELECT lang, source,
+       count(*)::BIGINT AS n_docs,
+       sum(ws)::BIGINT AS ws_tokens,
+       sum(bpe)::BIGINT AS bpe_tokens,
+       sum(chars)::BIGINT AS n_chars,
+       ((1000 * sum(bpe)) // sum(ws))::BIGINT AS fertility_milli,
+       ((1000 * sum(chars)) // sum(bpe))::BIGINT AS chars_per_tok_milli
+FROM t GROUP BY lang, source
+""",
+    tags=("text", "tokenizer", "report"),
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility dashboard per (lang, source): BPE-ish
+    subword tokens per whitespace word and characters per subword
+    token, in exact integer millis — the compression diagnostic that
+    tells a training pipeline which corpus slices blow up its token
+    budget (fertility is THE reported metric when sizing multilingual
+    tokenizers). Shares text_tokens' two tokenizers so per-doc counts
+    and this rollup can never disagree.
+
+    Scale shape: one documents scan, token counting inline in the
+    scan stage (no explode — only counts leave it), one aggregate
+    bounded by langs × sources. Ratios by bigint floor division AFTER
+    the sums, so the hash is exact under any partitioning."""
+    docs = _docs(spark, sf_dir)
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    t = docs.select(
+        "lang",
+        "source",
+        F.size(words).cast("bigint").alias("ws"),
+        F.size(F.expr(f"regexp_extract_all(lower(text), '{_BPE_RE}', 0)"))
+        .cast("bigint")
+        .alias("bpe"),
+        F.length("text").cast("bigint").alias("chars"),
+    )
+    return t.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("ws").cast("bigint").alias("ws_tokens"),
+        F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+        F.sum("chars").cast("bigint").alias("n_chars"),
+        F.floor((1000 * F.sum("bpe")) / F.sum("ws"))
+        .cast("bigint")
+        .alias("fertility_milli"),
+        F.floor((1000 * F.sum("chars")) / F.sum("bpe"))
+        .cast("bigint")
+        .alias("chars_per_tok_milli"),
+    )
+
+
+# --- character-class / script mix -------------------------------------------
+@register(
+    "text_script_mix",
+    oracle="""
+WITH c AS (
+  SELECT lang,
+         length(text)::BIGINT AS chars,
+         (length(text) - length(regexp_replace(lower(text), '[a-z]', '', 'g')))
+           ::BIGINT AS letters,
+         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+           ::BIGINT AS digits,
+         (length(text) - length(regexp_replace(text, ' ', '', 'g')))
+           ::BIGINT AS spaces
+  FROM documents)
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(chars)::BIGINT AS n_chars,
+       ((1000 * sum(letters)) // sum(chars))::BIGINT AS letter_milli,
+       ((1000 * sum(digits)) // sum(chars))::BIGINT AS digit_milli,
+       ((1000 * sum(spaces)) // sum(chars))::BIGINT AS space_milli,
+       ((1000 * (sum(chars) - sum(letters) - sum(digits) - sum(spaces)))
+         // sum(chars))::BIGINT AS other_milli
+FROM c GROUP BY lang
+""",
+    tags=("text", "quality", "report"),
+)
+def text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per language: ASCII-letter, digit,
+    space, and other-character mass in exact integer millis — the
+    script-consistency probe a multilingual pipeline uses to catch
+    mislabeled or transliterated slices (a 'zh' shard that is mostly
+    ASCII letters is mislabeled or romanized; a slice heavy in
+    'other' needs encoding review before tokenizer training).
+
+    Counts are length-difference against a class-stripped copy —
+    three codegen regexp_replaces per row, one scan, no explode, an
+    aggregate bounded by |langs|; shares by bigint floor division
+    after the sums (hash-exact)."""
+    docs = _docs(spark, sf_dir)
+    def stripped(col, pat):
+        return F.length(col) - F.length(F.regexp_replace(col, pat, ""))
+    c = docs.select(
+        "lang",
+        F.length("text").cast("bigint").alias("chars"),
+        stripped(F.lower("text"), "[a-z]").cast("bigint").alias("letters"),
+        stripped(F.col("text"), "[0-9]").cast("bigint").alias("digits"),
+        stripped(F.col("text"), " ").cast("bigint").alias("spaces"),
+    )
+    o = (
+        F.sum("chars") - F.sum("letters") - F.sum("digits") - F.sum("spaces")
+    )
+    return c.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("chars").cast("bigint").alias("n_chars"),
+        F.floor((1000 * F.sum("letters")) / F.sum("chars"))
+        .cast("bigint")
+        .alias("letter_milli"),
+        F.floor((1000 * F.sum("digits")) / F.sum("chars"))
+        .cast("bigint")
+        .alias("digit_milli"),
+        F.floor((1000 * F.sum("spaces")) / F.sum("chars"))
+        .cast("bigint")
+        .alias("space_milli"),
+        F.floor((1000 * o) / F.sum("chars")).cast("bigint").alias("other_milli"),
+    )
