@@ -1055,3 +1055,72 @@ def test_decode_route_streams(spark, tmp_path):
         6: "out_of_range",
     }
     assert set(ok_rows) | set(dlq_rows) == {1, 2, 3, 4, 5, 6, 7}
+
+
+def test_neardedup_bucketed_compaction_probe(spark, tmp_path):
+    """The band-exploded signature store compacts BUCKETED on band_key
+    and the near-dedup probe still drops planted near-dups byte-
+    identically; the compacted part joins as a bucketed table with no
+    corpus-side Exchange."""
+    import pyspark.sql.functions as F
+
+    from wally_spark.streaming.ops import (
+        compact_corpus,
+        corpus_probe_parts,
+        corpus_table_name,
+        neardedup_against_corpus_foreach_batch,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    novel = (
+        "one two three four five six seven eight nine ten eleven twelve "
+        "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    )
+    schema = "doc_id long, text string"
+    batches = [
+        [(0, base)],
+        [(1, novel)],
+        # near-dup of 0 (1 shingle run changed, J ≈ 0.89) must drop
+        # through the COMPACTED part; 3 is novel and survives
+        [(2, base.replace("upsilon", "upsilon2")),
+         (3, "red orange yellow green blue indigo violet cyan magenta "
+             "white black brown pink teal olive navy maroon silver "
+             "gold bronze")],
+    ]
+
+    def run(root, bucketed):
+        sigs, out = f"{root}/sigs", f"{root}/out"
+        fn = neardedup_against_corpus_foreach_batch(spark, sigs, out)
+        for i, rows in enumerate(batches):
+            fn(spark.createDataFrame(rows, schema), i)
+            if i == 1:
+                kw = (
+                    dict(bucket_key="band_key", n_buckets=4)
+                    if bucketed
+                    else {}
+                )
+                compact_corpus(spark, sigs, upto=1, **kw)
+        return sigs, {
+            r.doc_id
+            for r in spark.read.parquet(f"{out}/b*").select("doc_id").collect()
+        }
+
+    _, plain = run(str(tmp_path / "plain"), bucketed=False)
+    sigs_b, bucketed_ids = run(str(tmp_path / "buck"), bucketed=True)
+    assert plain == bucketed_ids == {0, 1, 3}
+
+    parts = corpus_probe_parts(spark, sigs_b)
+    assert spark.catalog.tableExists(corpus_table_name(sigs_b))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        probe = spark.createDataFrame([("0:1:2",)], "band_key string")
+        j = probe.join(parts[0].select("band_key"), "band_key")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        assert plan.count("Exchange") == 1, plan  # probe side only
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -735,21 +735,29 @@ def neardedup_against_corpus_foreach_batch(
     companion to dedup_against_corpus_foreach_batch (which is exact):
     each arriving document's MinHash signature (plans/dedup.py, 8
     md5-minhashes over 3-word shingles) is banded and probed against
-    the PERSISTENT signature table; a band collision makes it a
+    the PERSISTENT signature store; a band collision makes it a
     candidate, and the minhash similarity estimate (matching hashes /
     8, an unbiased Jaccard estimator) decides the drop. Survivors'
-    signatures append to the corpus.
+    signatures append to the store.
+
+    The store is BAND-EXPLODED: one row per (band_key, doc_id)
+    carrying the full 8-hash signature (~n_bands rows per doc, narrow).
+    That buys two things at 100 TB: (1) candidate collision and the
+    matching-hash verify FUSE into a single band_key-equi join — no
+    second join back to a per-doc signature table; (2) the store
+    compacts BUCKETED on band_key (compact_corpus(bucket_key=
+    "band_key"), corpus_probe_parts) so the corpus bulk joins with no
+    corpus-side Exchange — only the arriving batch shuffles, keeping
+    per-batch probe cost O(batch + tail), not O(corpus). Compaction's
+    max_bucket drops pathological hot bands (a million near-identical
+    signatures multiply every probe landing on them — those documents
+    are exact-dedup's job).
 
     Intra-batch near-dups resolve first (keep the lowest doc_id of a
     matching pair — deterministic under replay), then the batch probes
-    the corpus. Scale shape: signatures are ~9 narrow columns per doc;
-    the probe joins on band_key (uniform md5 prefix), and at 100 TB the
-    signature table is bucketed by band_key so probes are scan-side;
-    the offline compaction should also drop buckets past the batch
-    queries' MAX_BUCKET (plans/dedup.py) — a hot bucket of a million
-    near-identical signatures multiplies every probe that lands in it.
-    Idempotence: per-batch overwrite dirs, own-batch dir excluded from
-    the probe (same replay contract as the exact variant).
+    the store. Idempotence: per-batch overwrite dirs, own-batch dir
+    excluded from the probe (same replay contract as the exact
+    variant).
 
     min_matching_hashes=6 of 8 ≈ Jaccard ≥ 0.75 expected."""
     from wally_spark.plans.dedup import BAND_ROWS, N_HASHES, minhash_signatures
@@ -761,11 +769,14 @@ def neardedup_against_corpus_foreach_batch(
             *[
                 F.struct(
                     F.lit(b).alias("band_id"),
-                    # ":"-separated like the batch band build — bigint
-                    # minhashes of different digit lengths must not
-                    # collide by plain concatenation
+                    # band_id folded into the key (":"-separated like
+                    # the batch band build — bigint minhashes of
+                    # different digit lengths must not collide by plain
+                    # concatenation) so every join needs ONE key, which
+                    # is also the store's bucket key
                     F.concat_ws(
                         ":",
+                        F.lit(b),
                         F.col(f"mh{BAND_ROWS * b}"),
                         F.col(f"mh{BAND_ROWS * b + 1}"),
                     ).alias("band_key"),
@@ -786,8 +797,10 @@ def neardedup_against_corpus_foreach_batch(
             m = t if m is None else m + t
         return m
 
-    def prior_sig_dirs(batch_id: int) -> list[str]:
-        return corpus_dirs(spark, sigs_path, exclude_batch=batch_id)
+    def a_sig(df):
+        return df.select(
+            "doc_id", *[F.col(f"mh{h}").alias(f"a_mh{h}") for h in range(N_HASHES)]
+        )
 
     def dedup(batch_df, batch_id):
         sigs = minhash_signatures(batch_df).localCheckpoint()
@@ -800,7 +813,6 @@ def neardedup_against_corpus_foreach_batch(
             .join(
                 bands.alias("y"),
                 (F.col("x.band_key") == F.col("y.band_key"))
-                & (F.col("x.band_id") == F.col("y.band_id"))
                 & (F.col("x.doc_id") < F.col("y.doc_id")),
             )
             .select(
@@ -808,10 +820,7 @@ def neardedup_against_corpus_foreach_batch(
             )
             .distinct()
         )
-        sa = sigs.select(
-            F.col("doc_id").alias("doc_a"),
-            *[F.col(f"mh{h}").alias(f"a_mh{h}") for h in range(N_HASHES)],
-        )
+        sa = a_sig(sigs).withColumnRenamed("doc_id", "doc_a")
         sb = sigs.select(
             F.col("doc_id").alias("doc_b"),
             *[F.col(f"mh{h}").alias(f"b_mh{h}") for h in range(N_HASHES)],
@@ -825,49 +834,43 @@ def neardedup_against_corpus_foreach_batch(
         )
         sigs1 = sigs.join(intra_dups, "doc_id", "left_anti")
 
-        # 2) cross-corpus probe (own batch dir excluded for replay)
-        prior = prior_sig_dirs(batch_id)
-        if prior:
-            corpus = spark.read.parquet(*prior)
-            cbands = bands_of(corpus)
-            nbands = bands_of(sigs1)
-            cross_cand = (
-                nbands.alias("x")
-                .join(
-                    cbands.alias("y"),
-                    (F.col("x.band_key") == F.col("y.band_key"))
-                    & (F.col("x.band_id") == F.col("y.band_id")),
+        # 2) cross-store probe: one fused join per store part — the
+        # exploded store row already carries the matched signature
+        probe = bands_of(sigs1).join(a_sig(sigs1), "doc_id")
+        dup_ids = None
+        for part in corpus_probe_parts(spark, sigs_path, exclude_batch=batch_id):
+            hits = (
+                probe.join(
+                    part.select(
+                        "band_key",
+                        *[
+                            F.col(f"mh{h}").alias(f"b_mh{h}")
+                            for h in range(N_HASHES)
+                        ],
+                    ),
+                    "band_key",
                 )
-                .select(
-                    F.col("x.doc_id").alias("doc_a"),
-                    F.col("y.doc_id").alias("doc_b"),
-                )
-                .distinct()
-            )
-            csb = corpus.select(
-                F.col("doc_id").alias("doc_b"),
-                *[F.col(f"mh{h}").alias(f"b_mh{h}") for h in range(N_HASHES)],
-            )
-            nsa = sigs1.select(
-                F.col("doc_id").alias("doc_a"),
-                *[F.col(f"mh{h}").alias(f"a_mh{h}") for h in range(N_HASHES)],
-            )
-            cross_dups = (
-                cross_cand.join(nsa, "doc_a")
-                .join(csb, "doc_b")
                 .where(n_matching("a_", "b_") >= min_matching_hashes)
-                .select(F.col("doc_a").alias("doc_id"))
+                .select("doc_id")
                 .distinct()
             )
-            survivors = sigs1.join(cross_dups, "doc_id", "left_anti")
-        else:
-            survivors = sigs1
+            dup_ids = hits if dup_ids is None else dup_ids.unionByName(hits)
+        survivors = (
+            sigs1
+            if dup_ids is None
+            else sigs1.join(dup_ids, "doc_id", "left_anti")
+        )
         survivors = survivors.localCheckpoint()
 
         batch_keyed.join(survivors.select("doc_id"), "doc_id").write.mode(
             "overwrite"
         ).parquet(f"{out_path}/b{batch_id}")
-        survivors.write.mode("overwrite").parquet(f"{sigs_path}/b{batch_id}")
+        # persist band-EXPLODED signature rows: (band_key, band_id,
+        # doc_id, mh0..7) — the format that makes the probe a single
+        # (bucketable) join
+        bands_of(survivors).join(survivors, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(f"{sigs_path}/b{batch_id}")
 
     return dedup
 
