@@ -349,3 +349,28 @@ def test_hourly_dedup_stream_equivalence(spark, tmp_path):
     max_hour = max(r[0] for r in batch_rows)
     assert all(r[0] == max_hour for r in missing), missing
     assert [r for r in stream_rows if r not in batch_rows] == []
+
+
+def test_transitions_stream_equivalence(spark, tmp_path):
+    """The streaming previous-event state lane folds to exactly the
+    batch event_transitions matrix: same (src, dst) counts and ppm
+    probabilities over the same events."""
+    from pyspark.sql import Window
+
+    from wally_spark.plans import REGISTRY
+    from wally_spark.streaming.ops import transitions_stream
+
+    sdf, _ = _ordered_stream(spark, tmp_path)
+    out = _run_append(transitions_stream(sdf), spark)
+    pairs = out.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wsrc = Window.partitionBy("src")
+    stream_rows = pairs.select(
+        "src", "dst", "n",
+        F.floor((F.lit(1000000) * F.col("n")) / F.sum("n").over(wsrc))
+        .cast("bigint")
+        .alias("prob_ppm"),
+    )
+    batch_rows = REGISTRY["event_transitions"].spark_fn(spark, SF_SMALL)
+    assert _rows(stream_rows) == _rows(batch_rows)

@@ -319,6 +319,56 @@ def running_total_stream(df: DataFrame, threshold: float = 2000.0) -> DataFrame:
     )
 
 
+def transitions_stream(df: DataFrame) -> DataFrame:
+    """Streaming twin of the registered `event_transitions` batch
+    lane: per-key PREVIOUS-EVENT state — the most literal
+    state_computation in the reference's repertoire (machida keeps
+    "the last thing this key did" and emits on change; see
+    lib/wallaroo/core/state semantics) — emitting one (src → dst)
+    transition row per event after a key's first. State per key is one
+    small string tuple, O(keys), unbounded-stream safe; assumes
+    per-key in-order delivery (count_windows_stream contract). The
+    Markov matrix itself is one aggregate over this lane's output —
+    counts are mergeable, so a consumer folds micro-batch increments
+    without reprocessing."""
+    import pandas as pd
+
+    from pyspark import cloudpickle
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, src string, dst string"
+
+    def runner(key, pdfs, state):
+        user = key[0]
+        last = None
+        if state.exists:
+            (blob,) = state.get
+            last = cloudpickle.loads(bytes(blob))
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows):
+            rows = rows.sort_values(["ts", "event_id"])
+        out = []
+        for et in rows["event_type"] if len(rows) else []:
+            if last is not None:
+                out.append((user, last, et))
+            last = str(et)
+        state.update((cloudpickle.dumps(last),))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "src", "dst"])
+        else:
+            yield pd.DataFrame(
+                {c.split()[0]: pd.Series(dtype="object") for c in out_schema.split(",")}
+            )
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        runner,
+        outputStructType=out_schema,
+        stateStructType="blob binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sliding_windows_stream(df: DataFrame, watermark: str | None = "1 minute") -> DataFrame:
     """Streaming twin of `win_sliding`: the identical declarative plan
     (1h windows sliding every 15min), watermarked so append mode is the
