@@ -150,3 +150,14 @@ def test_metrics_hub_http():
         except urllib.error.HTTPError as e:
             assert e.code == 404
         assert get(hub, "/totals")["batches"] == 3
+        # /ui serves the self-contained dashboard page (html, inline
+        # script polling the JSON routes — no external assets)
+        with urllib.request.urlopen(hub.url + "/ui", timeout=10) as r:
+            assert r.headers["Content-Type"].startswith("text/html")
+            page = r.read().decode()
+        assert "wally_spark metrics hub" in page
+        for route in ("/totals", "/operators", "/history"):
+            assert route in page
+        assert "http" not in page.lower().replace("http.server", ""), (
+            "ui page must not fetch external assets"
+        )

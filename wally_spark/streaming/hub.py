@@ -17,6 +17,9 @@ Routes:
   GET /totals      -> MetricsListener.totals()
   GET /operators   -> MetricsListener.per_operator()
   GET /history     -> most recent batches (?limit=N, default 100)
+  GET /ui          -> minimal self-contained HTML dashboard (tables
+                      over the JSON routes, auto-refresh; the
+                      metrics_reporter_ui counterpart, zero deps)
 
 Scale note: the hub reads ONLY driver-local listener state (bounded by
 history length); it never touches executors or query data, so it is
@@ -31,6 +34,58 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from wally_spark.streaming.metrics import MetricsListener
+
+# Self-contained dashboard page: three tables polling the JSON routes.
+# Deliberately dependency-free (no JS libs, no external fetches) so it
+# is safe to serve from a production driver; anything fancier should
+# poll the JSON routes from its own stack.
+_UI_HTML = """<!doctype html>
+<html lang="en"><head><meta charset="utf-8">
+<title>wally_spark metrics</title>
+<style>
+ body { font: 14px/1.4 system-ui, sans-serif; margin: 2rem;
+        color: #1a1a1a; background: #fbfaf9; }
+ h1 { font-size: 1.2rem; } h2 { font-size: 1rem; margin-top: 1.5rem; }
+ table { border-collapse: collapse; margin-top: .5rem; }
+ th, td { border: 1px solid #d9d4cf; padding: .3rem .6rem;
+          text-align: right; }
+ th { background: #efebe7; } td:first-child, th:first-child
+ { text-align: left; }
+ #err { color: #a33; }
+</style></head><body>
+<h1>wally_spark metrics hub</h1>
+<div id="err"></div>
+<h2>Totals</h2><table id="totals"></table>
+<h2>Per-operator state</h2><table id="operators"></table>
+<h2>Recent batches</h2><table id="history"></table>
+<script>
+function fill(id, rows, cols) {
+  const t = document.getElementById(id);
+  t.innerHTML = "";
+  if (!rows.length) { t.innerHTML = "<tr><td>(no data)</td></tr>"; return; }
+  const hdr = t.insertRow();
+  cols.forEach(c => { const th = document.createElement("th");
+                      th.textContent = c; hdr.appendChild(th); });
+  rows.forEach(r => { const tr = t.insertRow();
+    cols.forEach(c => { tr.insertCell().textContent =
+      (typeof r[c] === "number" && !Number.isInteger(r[c]))
+        ? r[c].toFixed(2) : (r[c] ?? ""); }); });
+}
+async function refresh() {
+  try {
+    const [tot, ops, hist] = await Promise.all(
+      ["/totals", "/operators", "/history?limit=20"].map(
+        u => fetch(u).then(r => r.json())));
+    fill("totals", [tot], Object.keys(tot));
+    fill("operators", ops, ops.length ? Object.keys(ops[0]) : []);
+    fill("history", hist.slice().reverse(),
+         hist.length ? Object.keys(hist[0]) : []);
+    document.getElementById("err").textContent = "";
+  } catch (e) { document.getElementById("err").textContent = String(e); }
+}
+refresh(); setInterval(refresh, 2000);
+</script></body></html>
+"""
 
 
 class MetricsHub:
@@ -68,6 +123,14 @@ class MetricsHub:
             def do_GET(self):
                 parsed = urlparse(self.path)
                 route = parsed.path.rstrip("/") or "/"
+                if route == "/ui":
+                    payload = _UI_HTML.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(payload)))
+                    self.end_headers()
+                    self.wfile.write(payload)
+                    return
                 if route == "/":
                     with listener._lock:
                         names = sorted({m.query_name
