@@ -108,6 +108,25 @@ def test_pack_chunks_no_global_window(spark):
         assert "Window" in plan  # the per-bucket cumsum is still a window
 
 
+def test_rfm_no_global_window(spark):
+    """user_rfm_segments scores quartiles over the (unbounded) user
+    relation via the two-phase global_ntile — never a single-partition
+    ntile window (r7: the lane shipped with three of them). The
+    remaining SinglePartition exchanges feed 1-row scalar aggregates
+    (percentile cuts, ref date) — bounded by construction; the gate
+    targets the WINDOW trap: no ntile function at all, and every
+    window operator partitioned by the prefix bucket."""
+    import re
+
+    plan = _plan(spark, "user_rfm_segments", mode="simple")
+    # boundary guard: "percentile(" (the cut agg) contains "ntile("
+    assert not re.search(r"(?<![a-z])ntile\(", plan), plan
+    win_lines = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+    assert win_lines, plan  # the per-bucket rank windows must exist
+    for ln in win_lines:
+        assert "windowspecdefinition(_gb" in ln, ln
+
+
 def test_centroids_partial_aggregation(spark):
     """embedding_centroids must partial-aggregate map-side: the
     exchange carries (label, pos) partial sums, not exploded vector

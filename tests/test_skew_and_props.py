@@ -388,3 +388,37 @@ def test_bpe_merges_match_sequential_reference(spark, tmp_path):
     # the fixture must actually exercise iteration: a round-2+ winner
     # contains a round-1 merged symbol
     assert any(len(a) > 1 or len(b) > 1 for _, a, b, _, _ in expect[1:]), expect
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    """global_ntile (two-phase distributed) must equal F.ntile over a
+    single global window bit-for-bit — including the uneven-bucket
+    rule (n % k leading tiles one row larger) and DESC-via-negation —
+    across sizes that cover n < k, n % k != 0, and heavy ties."""
+    from pyspark.sql import Window
+
+    from wally_spark.operators.prefix import global_ntile
+
+    for n, k in ((3, 4), (17, 4), (64, 4), (101, 7)):
+        rows = [(f"u{i:04d}", (i * 7) % 10, float(i % 3)) for i in range(n)]
+        df = spark.createDataFrame(rows, "uid string, v int, w double")
+        for sort_key, order in (
+            (F.col("v"), [F.col("v").asc(), "uid"]),
+            (-F.col("v"), [F.col("v").desc(), "uid"]),
+            (F.col("w"), [F.col("w").asc(), "uid"]),  # 3-value tie storm
+        ):
+            expect = {
+                r["uid"]: r["t"]
+                for r in df.select(
+                    "uid", F.ntile(k).over(Window.orderBy(*order)).alias("t")
+                ).collect()
+            }
+            got = {
+                r["uid"]: r["t"]
+                for r in global_ntile(
+                    spark, df, sort_key, ["uid"], k, "t", "uid", n_buckets=8
+                )
+                .select("uid", "t")
+                .collect()
+            }
+            assert got == expect, (n, k, str(sort_key))

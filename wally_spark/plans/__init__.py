@@ -108,6 +108,10 @@ _CHANGED_THIS_ROUND = frozenset(
         # r7: symmetric Achlioptas sign split (ADVICE r6) changes the
         # projection values (plans/embeddings.py + _rp_sign_sql)
         "embedding_random_projection",
+        # r7: _candidate_jaccard dropped its doc-count-sized broadcast
+        # hints (unbounded side at 100 TB; AQE still broadcasts when
+        # small) — same values, new physical plan, so re-verify.
+        "dedup_ngram_jaccard", "curation_pipeline", "dup_rate_report",
     }
 )
 

@@ -353,10 +353,14 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the raw stream collapses FIRST into one row per user
     (map-side combined; monetary integerized per row so the sum is
-    associative); the three ntile windows run over that user-bounded
-    aggregate — the same post-aggregation global-window contract as
-    ntile_order_quartiles, with a 1-row reference-date broadcast side.
-    Output is at most 64 cells."""
+    associative). The user relation is UNBOUNDED at 100 TB, so the
+    three quartile scores do NOT use a global ntile window (one task
+    holding every user) — each runs the exact two-phase distributed
+    ntile (operators/prefix.py global_ntile: deterministic-sample
+    cuts → per-bucket rank → driver-prefix-summed offsets), which is
+    partition-parallel with n_buckets-longs driver state and matches
+    SQL ntile's uneven-bucket rule bit-for-bit. 1-row reference-date
+    broadcast side; output is at most 64 cells."""
     ev = load_tables(spark, sf_dir)["events"]
     per_user = ev.groupBy("user_id").agg(
         F.max("ts").alias("last_ts"),
@@ -376,16 +380,28 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "monetary_milli",
         "user_id",
     )
-    tiles = scored.select(
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("recency_days"), "user_id"))
-        .alias("r_score"),
-        F.ntile(4).over(Window.orderBy("freq", "user_id")).alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy("monetary_milli", "user_id"))
-        .alias("m_score"),
-        "monetary_milli",
-    )
+    from wally_spark.operators.prefix import global_ntile
+
+    scored = pin(scored)
+    n_users = scored.count()
+    tiles = scored
+    for out_col, sort_key in (
+        # ntile(ORDER BY recency_days DESC, user_id) == ascending order
+        # on -recency_days with the same tiebreak
+        ("r_score", -F.col("recency_days")),
+        ("f_score", F.col("freq")),
+        ("m_score", F.col("monetary_milli")),
+    ):
+        tiles = global_ntile(
+            spark,
+            tiles,
+            sort_key,
+            ["user_id"],
+            4,
+            out_col,
+            "user_id",
+            total_rows=n_users,
+        )
     return tiles.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("monetary_milli").cast("bigint").alias("monetary_milli_total"),

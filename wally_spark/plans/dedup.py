@@ -325,7 +325,9 @@ def _candidate_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return shared.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    # sizes is doc-count-sized (unbounded at 100 TB) — no broadcast
+    # hint; AQE still picks broadcast when the side is actually small.
+    return shared.join(sa, "doc_a").join(sb, "doc_b")
 
 
 def _jac_bp():
@@ -1162,8 +1164,10 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     return (
         est.join(shared, ["doc_a", "doc_b"], "left")
-        .join(F.broadcast(za), "doc_a")
-        .join(F.broadcast(zb), "doc_b")
+        # za/zb are doc-count-sized (unbounded at 100 TB): shuffle
+        # join on the pair key; AQE broadcasts when genuinely small.
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
