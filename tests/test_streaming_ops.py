@@ -1124,3 +1124,63 @@ def test_neardedup_bucketed_compaction_probe(spark, tmp_path):
         assert plan.count("Exchange") == 1, plan  # probe side only
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_rfm_against_profile_corpus(spark, tmp_path):
+    """Streaming RFM: the per-batch republished quartile grid over the
+    persistent per-user profile corpus must equal the registered batch
+    lane's answer over the same events (shared rfm_grid scoring tail),
+    and an at-least-once replay of the last batch must not change it."""
+    import os
+
+    from wally_spark.plans import REGISTRY
+    from wally_spark.streaming.ops import rfm_foreach_batch
+    from wally_spark.tables import load_tables
+
+    from tests.conftest import SF_SMALL
+
+    ev = load_tables(spark, SF_SMALL)["events"].select("user_id", "ts", "value")
+    pdf = ev.toPandas().sort_values("ts").reset_index(drop=True)
+    src = f"{tmp_path}/src"
+    os.makedirs(src, exist_ok=True)
+    n_files = 3
+    step = (len(pdf) + n_files - 1) // n_files
+    for i in range(n_files):
+        stage = f"{tmp_path}/_s{i}"
+        spark.createDataFrame(
+            pdf.iloc[i * step : (i + 1) * step], ev.schema
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(stage, part), os.path.join(src, f"b{i:02d}.parquet"))
+        os.utime(
+            os.path.join(src, f"b{i:02d}.parquet"), (1_000_000 + i, 1_000_000 + i)
+        )
+
+    profiles, out = f"{tmp_path}/profiles", f"{tmp_path}/report"
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(rfm_foreach_batch(spark, profiles, out))
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch = REGISTRY["user_rfm_segments"].spark_fn(spark, SF_SMALL)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
+
+    # profile store: one row per (batch dir, user)
+    store = spark.read.parquet(f"{profiles}/b*")
+    assert store.count() == store.select("user_id").count()
+
+    # at-least-once replay of the last batch: same dir overwritten,
+    # grid unchanged
+    replay = rfm_foreach_batch(spark, profiles, out)
+    last = spark.createDataFrame(pdf.iloc[(n_files - 1) * step :], ev.schema)
+    replay(last, n_files - 1)
+    got2 = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got2 == want

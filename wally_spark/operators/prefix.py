@@ -44,10 +44,154 @@ def bucket_offsets(
 
 
 # Deterministic-sample size target for global_ntile's bucket cuts: the
-# cut VALUES only shape bucket balance, never the result, so a ~100k
-# sample is plenty — but the sample predicate must be a pure function
-# of the data (no RNG) so every job in the plan sees identical buckets.
-NTILE_SAMPLE_TARGET = 100_000
+# cut VALUES only shape bucket balance, never the result, so ~300 rows
+# per bucket is plenty (balance noise ~ sqrt) — but the sample
+# predicate must be a pure function of the data (no RNG) so every job
+# in the plan sees identical buckets.
+NTILE_SAMPLE_TARGET = 20_000
+
+
+def global_ntile_multi(
+    spark: SparkSession,
+    df: DataFrame,
+    specs: list,
+    k: int,
+    id_col: str,
+    n_buckets: int = 64,
+    total_rows: int | None = None,
+) -> DataFrame:
+    """EXACT ``ntile(k)`` over one or more global orders, each
+    ``(sort_key ASC, *tiebreaks ASC)``, without a single-partition
+    window — the scale-safe form of the classic RFM/quartile scoring
+    windows. ``specs`` is a list of ``(sort_key, tiebreaks, out_col)``.
+
+    A bare ``F.ntile(k).over(Window.orderBy(...))`` plans ONE task
+    holding every row (the global-window trap; see module docstring).
+    This runs the two-phase design instead, AMORTIZED across specs —
+    exactly TWO driver actions total regardless of how many orders are
+    scored (plus an optional count when ``total_rows`` is absent):
+
+    1. cut values: a DETERMINISTIC hash-sample of ``id_col`` (md5
+       prefix < fraction, fraction sized from an exact count — no RNG,
+       so both jobs agree byte-for-byte on bucket membership) yields
+       ~NTILE_SAMPLE_TARGET rows; ONE aggregate computes exact
+       percentiles of every spec's sort_key over the sample —
+       ``n_buckets - 1`` cuts per spec (broadcast state:
+       specs × n_buckets doubles).
+    2. bucket = #cuts strictly below the row's sort_key — an
+       order-consistent, value-pure function (equal keys can never
+       straddle a bucket), so per-bucket ``row_number`` plus the
+       prefix-summed bucket row-counts is the exact global rank,
+       fully partition-parallel. The per-(spec, bucket) counts come
+       from ONE exploded aggregate job; the prefix runs on the driver
+       (specs × n_buckets longs) and returns to the plan as LITERAL
+       offset arrays indexed by bucket id — no join at all.
+    3. the rank maps to its tile with ntile's uneven-bucket rule
+       (first ``n % k`` tiles get one extra row), with n/k arithmetic
+       folded driver-side (n is exact, from the counts job).
+
+    The only shuffles are the per-spec bucket-partitioned rank windows
+    — inherent to ranking under distinct orders. Cut skew from heavy
+    sort-key ties degrades balance, never exactness: ties share a
+    bucket by construction. Sort keys must be non-null numeric column
+    expressions (negate for DESC)."""
+    sks = [sort_key.cast("double") for sort_key, _, _ in specs]
+    hash_frac = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("double") / F.lit(float(1 << 32))
+    if total_rows is None:
+        # one scalar action to size the sample fraction; callers that
+        # know the row count should pass it in
+        total_rows = df.count()
+    frac = min(1.0, NTILE_SAMPLE_TARGET / max(1, total_rows))
+    fracs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    cuts_row = (
+        df.where(hash_frac < F.lit(frac))
+        .agg(
+            *[
+                F.percentile(sk, fracs).alias(f"_cuts{i}")
+                for i, sk in enumerate(sks)
+            ]
+        )
+        .select(
+            *[
+                F.coalesce(F.col(f"_cuts{i}"), F.array()).alias(f"_cuts{i}")
+                for i in range(len(sks))
+            ]
+        )
+    )
+    def _bucket(cuts_col, sk):
+        # helper closure: a default-arg lambda would change the arity
+        # pyspark infers for the higher-order function
+        return F.aggregate(
+            cuts_col,
+            F.lit(0),
+            lambda acc, c: acc + F.when(sk > c, 1).otherwise(0),
+        ).cast("int")
+
+    bucketed = df.crossJoin(F.broadcast(cuts_row))
+    for i, sk in enumerate(sks):
+        bucketed = bucketed.withColumn(
+            f"_gb{i}", _bucket(F.col(f"_cuts{i}"), sk)
+        )
+    bucketed = bucketed.drop(*[f"_cuts{i}" for i in range(len(sks))])
+
+    # ONE job for every spec's per-bucket counts: explode each row into
+    # (spec dim, bucket) and aggregate — specs × n_buckets output rows.
+    ex = bucketed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("dim"), F.col(f"_gb{i}").alias("b")
+                    )
+                    for i in range(len(sks))
+                ]
+            )
+        ).alias("s")
+    ).select("s.dim", "s.b")
+    cnt = {
+        (r["dim"], r["b"]): r["c"]
+        for r in ex.groupBy("dim", "b").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offs: list[list[int]] = []
+    n = 0
+    for i in range(len(sks)):
+        run = 0
+        per = []
+        for b in range(n_buckets):
+            per.append(run)
+            run += cnt.get((i, b), 0)
+        offs.append(per)
+        n = run  # identical for every dim: each row counts once per dim
+
+    from pyspark.sql import Window
+
+    out = bucketed
+    q, rem = divmod(n, k)
+    cutr = rem * (q + 1)
+    for i, (sort_key, tiebreaks, out_col) in enumerate(specs):
+        sk = sks[i]
+        rn = F.row_number().over(
+            Window.partitionBy(f"_gb{i}").orderBy(sk.asc(), *tiebreaks)
+        )
+        # literal offset lookup (n_buckets longs) — no join
+        r = (
+            F.element_at(
+                F.array(*[F.lit(o) for o in offs[i]]), F.col(f"_gb{i}") + 1
+            )
+            + rn
+        ).cast("long")
+        if n < k:
+            tile = r  # every tile holds at most one row
+        else:
+            tile = F.when(
+                r <= cutr, F.floor((r - 1) / (q + 1)) + 1
+            ).otherwise(rem + F.floor((r - cutr - 1) / q) + 1)
+        out = out.withColumn(out_col, tile.cast("long"))
+    return out.drop(*[f"_gb{i}" for i in range(len(sks))])
 
 
 def global_ntile(
@@ -61,77 +205,13 @@ def global_ntile(
     n_buckets: int = 64,
     total_rows: int | None = None,
 ) -> DataFrame:
-    """EXACT ``ntile(k)`` over the global order (sort_key ASC,
-    *tiebreaks ASC) without a single-partition window — the scale-safe
-    form of the classic RFM/quartile scoring window.
-
-    A bare ``F.ntile(k).over(Window.orderBy(...))`` plans ONE task
-    holding every row (the global-window trap; see module docstring).
-    This runs the two-phase design instead:
-
-    1. cut values: a DETERMINISTIC hash-sample of ``id_col`` (md5
-       prefix < fraction, fraction sized from an exact count — no RNG,
-       so the two jobs below agree byte-for-byte on bucket membership)
-       yields ~NTILE_SAMPLE_TARGET rows; exact percentiles of
-       ``sort_key`` over the sample become ``n_buckets - 1`` cuts
-       (driver/broadcast state: n_buckets doubles).
-    2. bucket = #cuts strictly below the row's sort_key — an
-       order-consistent, value-pure function (equal keys can never
-       straddle a bucket), so per-bucket ``row_number`` plus the
-       driver-prefix-summed bucket row-counts (``bucket_offsets``) is
-       the exact global rank, fully partition-parallel.
-    3. the rank maps to its tile with ntile's uneven-bucket rule
-       (first ``n % k`` tiles get one extra row).
-
-    Cut skew from heavy sort-key ties degrades balance, never
-    exactness: ties share a bucket by construction, and the per-bucket
-    window is the only stage that sees them. ``sort_key`` must be a
-    non-null numeric column expression (negate it for DESC)."""
-    n_frac = len(tiebreaks)  # noqa: F841  (doc aid)
-    sk = sort_key.cast("double")
-    hash_frac = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8),
-        16,
-        10,
-    ).cast("double") / F.lit(float(1 << 32))
-    if total_rows is None:
-        # one scalar action to size the sample fraction; callers
-        # scoring the same relation repeatedly should pass it in
-        total_rows = df.count()
-    frac = min(1.0, NTILE_SAMPLE_TARGET / max(1, total_rows))
-    fracs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts_row = (
-        df.where(hash_frac < F.lit(frac))
-        .agg(
-            F.percentile(sk, F.array(*[F.lit(x) for x in fracs])).alias(
-                "_cuts"
-            )
-        )
-        .select(F.coalesce(F.col("_cuts"), F.array()).alias("_cuts"))
-    )
-    bucketed = df.crossJoin(F.broadcast(cuts_row)).withColumn(
-        "_gb",
-        F.aggregate(
-            F.col("_cuts"),
-            F.lit(0),
-            lambda acc, c: acc + F.when(sk > c, 1).otherwise(0),
-        ).cast("int"),
-    ).drop("_cuts").withColumn("_one", F.lit(1))
-    offs = bucket_offsets(spark, bucketed, "_gb", "_one", n_buckets)
-    from pyspark.sql import Window
-
-    rn = F.row_number().over(
-        Window.partitionBy("_gb").orderBy(sk.asc(), *tiebreaks)
-    )
-    ranked = bucketed.withColumn("_rn", rn).join(F.broadcast(offs), "_gb")
-    r = F.col("bucket_off") + F.col("_rn")
-    n = F.col("total")
-    q = F.floor(n / k).cast("long")
-    rem = (n - k * q).cast("long")
-    cutr = rem * (q + 1)
-    tile = F.when(r <= cutr, F.floor((r - 1) / (q + 1)) + 1).otherwise(
-        rem + F.floor((r - cutr - 1) / q) + 1
-    )
-    return ranked.withColumn(out_col, tile.cast("long")).drop(
-        "_gb", "_one", "_rn", "bucket_off", "total"
+    """Single-order convenience wrapper over ``global_ntile_multi``."""
+    return global_ntile_multi(
+        spark,
+        df,
+        [(sort_key, tiebreaks, out_col)],
+        k,
+        id_col,
+        n_buckets=n_buckets,
+        total_rows=total_rows,
     )

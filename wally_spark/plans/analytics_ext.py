@@ -369,7 +369,18 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("monetary_milli"),
     )
-    ref = ev.agg(F.max("ts").alias("ref_ts"))
+    return rfm_grid(spark, per_user)
+
+
+def rfm_grid(spark: SparkSession, per_user: DataFrame) -> DataFrame:
+    """Scoring tail shared by ``user_rfm_segments`` and its streaming
+    twin (streaming/ops.rfm_foreach_batch): given the per-user profile
+    relation ``(user_id, last_ts, freq, monetary_milli)`` — which is
+    what the twin's persistent corpus merges to — score the three
+    quartiles with the distributed exact ntile and roll up the 4×4×4
+    grid. The reference date is max(last_ts), identical to max(ts)
+    over the underlying events."""
+    ref = per_user.agg(F.max("last_ts").alias("ref_ts"))
     scored = per_user.crossJoin(F.broadcast(ref)).select(
         F.datediff(
             F.date_trunc("day", "ref_ts"), F.date_trunc("day", "last_ts")
@@ -380,28 +391,24 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "monetary_milli",
         "user_id",
     )
-    from wally_spark.operators.prefix import global_ntile
+    from wally_spark.operators.prefix import global_ntile_multi
 
     scored = pin(scored)
     n_users = scored.count()
-    tiles = scored
-    for out_col, sort_key in (
-        # ntile(ORDER BY recency_days DESC, user_id) == ascending order
-        # on -recency_days with the same tiebreak
-        ("r_score", -F.col("recency_days")),
-        ("f_score", F.col("freq")),
-        ("m_score", F.col("monetary_milli")),
-    ):
-        tiles = global_ntile(
-            spark,
-            tiles,
-            sort_key,
-            ["user_id"],
-            4,
-            out_col,
-            "user_id",
-            total_rows=n_users,
-        )
+    tiles = global_ntile_multi(
+        spark,
+        scored,
+        [
+            # ntile(ORDER BY recency_days DESC, user_id) == ascending
+            # order on -recency_days with the same tiebreak
+            (-F.col("recency_days"), ["user_id"], "r_score"),
+            (F.col("freq"), ["user_id"], "f_score"),
+            (F.col("monetary_milli"), ["user_id"], "m_score"),
+        ],
+        4,
+        "user_id",
+        total_rows=n_users,
+    )
     return tiles.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("monetary_milli").cast("bigint").alias("monetary_milli_total"),

@@ -1340,3 +1340,53 @@ def decode_route_streams(df: DataFrame):
     ok = tagged.where(F.col("verdict") == "ok").withColumn("k", k).drop("verdict")
     dlq = tagged.where(F.col("verdict") != "ok")
     return ok, dlq
+
+
+def rfm_foreach_batch(spark, profile_path: str, out_path: str):
+    """Streaming face of the registered `user_rfm_segments` batch lane
+    (plans/analytics_ext.py): maintains a persistent per-user PROFILE
+    corpus and republishes the full RFM quartile grid each micro-batch.
+
+    The profile triple is associative — max(last_ts), sum(freq),
+    sum(monetary_milli) — so each batch writes only its OWN per-user
+    partial aggregates into its ``b<batch_id>`` dir (overwrite), and
+    the corpus merges at read time with one user-keyed aggregate:
+    training is count-merging, never a rescan of the raw stream (the
+    same incremental contract as nb_score_against_corpus). The store
+    is one row per (batch, user) — bounded by the active-user set per
+    batch, not event volume — and supports
+    compact_corpus(bucket_key="user_id") like every other corpus.
+
+    The republished report reuses the batch lane's exact scoring tail
+    (plans/analytics_ext.rfm_grid: distributed global_ntile — no
+    single-partition window — and the 4×4×4 rollup), so batch and
+    stream answers are identical over the same events by construction
+    of the shared code path, and the equivalence test pins it.
+
+    Idempotence: an at-least-once replay of a batch rewrites the same
+    ``b<batch_id>`` dir with identical partials and republishes an
+    identical grid."""
+
+    def proc(batch_df, batch_id):
+        part = batch_df.groupBy("user_id").agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum(F.floor(1000 * F.col("value")).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_milli"),
+        )
+        part = part.localCheckpoint()
+        part.write.mode("overwrite").parquet(f"{profile_path}/b{batch_id}")
+        merged = part
+        for p in corpus_probe_parts(spark, profile_path, exclude_batch=batch_id):
+            merged = merged.unionByName(p)
+        per_user = merged.groupBy("user_id").agg(
+            F.max("last_ts").alias("last_ts"),
+            F.sum("freq").cast("bigint").alias("freq"),
+            F.sum("monetary_milli").cast("bigint").alias("monetary_milli"),
+        )
+        from wally_spark.plans.analytics_ext import rfm_grid
+
+        rfm_grid(spark, per_user).write.mode("overwrite").parquet(out_path)
+
+    return proc
