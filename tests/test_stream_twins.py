@@ -374,3 +374,53 @@ def test_transitions_stream_equivalence(spark, tmp_path):
     )
     batch_rows = REGISTRY["event_transitions"].spark_fn(spark, SF_SMALL)
     assert _rows(stream_rows) == _rows(batch_rows)
+
+
+def test_cusum_alarm_stream_matches_sequential_reference(spark, tmp_path):
+    """The online Page-CUSUM alarm lane must reproduce an independent
+    sequential Python implementation bit-for-bit over the same events
+    (exact integer milli arithmetic), with state carried across
+    micro-batches — including alarms whose run spans a batch
+    boundary."""
+    import math
+
+    from wally_spark.streaming.ops import cusum_alarm_stream
+
+    MU, KAPPA, H = 50_000, 5_000, 200_000
+    sdf, ev = _ordered_stream(spark, tmp_path)
+    out = _run_append(cusum_alarm_stream(sdf, MU, KAPPA, H), spark)
+    got = sorted(
+        (r["event_type"], r["ts"], r["t"], r["side"], r["s_milli"])
+        for r in out.collect()
+    )
+
+    # independent reference: plain Python over the same global order
+    pdf = (
+        ev.toPandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    state = {}
+    want = []
+    for _, row in pdf.iterrows():
+        et = row["event_type"]
+        s_pos, s_neg, t = state.get(et, (0, 0, 0))
+        x = int(math.floor(1000 * row["value"]))
+        t += 1
+        s_pos = max(0, s_pos + (x - MU - KAPPA))
+        s_neg = max(0, s_neg + (MU - x - KAPPA))
+        if s_pos > H:
+            want.append((et, row["ts"], t, "up", s_pos))
+            s_pos, s_neg = 0, 0
+        elif s_neg > H:
+            want.append((et, row["ts"], t, "down", s_neg))
+            s_pos, s_neg = 0, 0
+        state[et] = (s_pos, s_neg, t)
+    want = sorted(want)
+    assert got == want
+    assert got, "fixture produced no alarms — tune MU/KAPPA/H"
+    # alarms must span multiple micro-batches (state actually carried)
+    ts_sorted = pdf["ts"].tolist()
+    step = (len(pdf) + N_FILES - 1) // N_FILES
+    first_batch_max = ts_sorted[step - 1]
+    assert any(a[1] > first_batch_max for a in got), "all alarms in batch 0"

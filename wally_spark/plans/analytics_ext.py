@@ -469,7 +469,8 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical pair generation to part_cooccurrence
     (order-keyed self-join, fanout bounded by items-per-order); item
-    counts broadcast (supported-pair vocabulary, count-thresholded);
+    counts join on single part ids with no broadcast hint (the part
+    dimension scales with SF; AQE broadcasts when actually small);
     the basket total is a 1-row broadcast side; final ranking is a
     distributed top-k."""
     li = load_tables(spark, sf_dir)["lineitem"]
@@ -508,13 +509,16 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     ).select("r.antecedent", "r.consequent", "r.c_ab")
     return (
+        # item counts are part-DIMENSION-sized, which still scales with
+        # SF (no broadcast hint — AQE broadcasts when actually small;
+        # the join keys are single part ids either way)
         rules.join(
-            F.broadcast(item.withColumnRenamed("c", "ca")),
+            item.withColumnRenamed("c", "ca"),
             F.col("antecedent") == F.col("l_partkey"),
         )
         .drop("l_partkey")
         .join(
-            F.broadcast(item.withColumnRenamed("c", "cc")),
+            item.withColumnRenamed("c", "cc"),
             F.col("consequent") == F.col("l_partkey"),
         )
         .drop("l_partkey")

@@ -1390,3 +1390,83 @@ def rfm_foreach_batch(spark, profile_path: str, out_path: str):
         rfm_grid(spark, per_user).write.mode("overwrite").parquet(out_path)
 
     return proc
+
+
+def cusum_alarm_stream(
+    df: DataFrame,
+    mu_milli: int,
+    kappa_milli: int,
+    h_milli: int,
+) -> DataFrame:
+    """Online two-sided Page CUSUM alarm per event_type — the
+    STREAMING face of changepoint detection. The registered batch lane
+    (`events_cusum_changepoint`) is retrospective: its statistic
+    |S_t·n − t·S_n| needs the series' final totals, so it cannot
+    stream one-pass. The online form keeps the classic pair of
+    one-sided cumulative sums as per-key state instead:
+
+        s⁺ ← max(0, s⁺ + (x − μ − κ))      (upward mean shift)
+        s⁻ ← max(0, s⁻ + (μ − x − κ))      (downward mean shift)
+
+    and emits an alarm row whenever either crosses h, then resets both
+    (standard restart-after-signal). All arithmetic is exact bigint
+    milli-units (x integerized per row, μ/κ/h given in milli), so the
+    sequential-Python reference test reproduces it bit-for-bit.
+
+    State per key is two longs + a counter — O(types), unbounded-
+    stream safe; assumes per-key in-order delivery (the
+    transitions_stream contract)."""
+    import pandas as pd
+
+    from pyspark import cloudpickle
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "event_type string, ts timestamp, t long, side string, s_milli long"
+    )
+
+    def runner(key, pdfs, state):
+        et = key[0]
+        s_pos, s_neg, t = 0, 0, 0
+        if state.exists:
+            (blob,) = state.get
+            s_pos, s_neg, t = cloudpickle.loads(bytes(blob))
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows):
+            rows = rows.sort_values(["ts", "event_id"])
+        out = []
+        for ts, val in zip(
+            rows["ts"] if len(rows) else [], rows["value"] if len(rows) else []
+        ):
+            import math
+
+            x = int(math.floor(1000 * val))
+            t += 1
+            s_pos = max(0, s_pos + (x - mu_milli - kappa_milli))
+            s_neg = max(0, s_neg + (mu_milli - x - kappa_milli))
+            if s_pos > h_milli:
+                out.append((et, ts, t, "up", s_pos))
+                s_pos, s_neg = 0, 0
+            elif s_neg > h_milli:
+                out.append((et, ts, t, "down", s_neg))
+                s_pos, s_neg = 0, 0
+        state.update((cloudpickle.dumps((s_pos, s_neg, t)),))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["event_type", "ts", "t", "side", "s_milli"]
+            )
+        else:
+            yield pd.DataFrame(
+                {
+                    c.strip().split()[0]: pd.Series(dtype="object")
+                    for c in out_schema.split(",")
+                }
+            )
+
+    return df.groupBy("event_type").applyInPandasWithState(
+        runner,
+        outputStructType=out_schema,
+        stateStructType="blob binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
