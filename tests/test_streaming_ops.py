@@ -1184,3 +1184,42 @@ def test_rfm_against_profile_corpus(spark, tmp_path):
     replay(last, n_files - 1)
     got2 = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert got2 == want
+
+
+def test_rfm_lane_under_folded_compaction(spark, tmp_path):
+    """compact_corpus(fold=rfm_profile_fold) collapses the profile
+    store to ONE row per user without changing the republished grid,
+    and later batches keep merging correctly against the compacted
+    store."""
+    from wally_spark.plans import REGISTRY
+    from wally_spark.streaming.ops import (
+        compact_corpus,
+        rfm_foreach_batch,
+        rfm_profile_fold,
+    )
+    from wally_spark.tables import load_tables
+
+    from tests.conftest import SF_SMALL
+
+    ev = load_tables(spark, SF_SMALL)["events"].select("user_id", "ts", "value")
+    pdf = ev.toPandas().sort_values("ts").reset_index(drop=True)
+    profiles, out = f"{tmp_path}/profiles", f"{tmp_path}/report"
+    proc = rfm_foreach_batch(spark, profiles, out)
+    step = (len(pdf) + 2) // 3
+    for i in range(3):
+        proc(spark.createDataFrame(pdf.iloc[i * step : (i + 1) * step], ev.schema), i)
+
+    want = sorted(
+        map(tuple, REGISTRY["user_rfm_segments"].spark_fn(spark, SF_SMALL).collect())
+    )
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == want
+
+    # fold-compact batches 0..1 (one behind the last committed batch)
+    compact_corpus(spark, profiles, upto=1, fold=rfm_profile_fold)
+    comp = spark.read.parquet(f"{profiles}/compacted_upto_1")
+    assert comp.count() == comp.select("user_id").distinct().count()
+
+    # replaying the final batch against the folded store reproduces
+    # the identical grid
+    proc(spark.createDataFrame(pdf.iloc[2 * step :], ev.schema), 2)
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == want

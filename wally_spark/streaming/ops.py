@@ -603,6 +603,7 @@ def compact_corpus(
     bucket_key: str | None = None,
     n_buckets: int = 32,
     max_bucket: int | None = None,
+    fold=None,
 ) -> None:
     """Fold every ``b<i>`` (i <= upto) plus any older compacted dir
     into ONE ``compacted_upto_<upto>`` directory and delete the inputs
@@ -614,6 +615,15 @@ def compact_corpus(
     Semantics-preserving by construction: compaction CONCATENATES rows
     only — count corpora stay mergeable (the lanes' folds aggregate on
     read) and content corpora tolerate duplicate rows across inputs.
+    ``fold``: optional ``DataFrame -> DataFrame`` applied to the
+    concatenated rows before writing — for ASSOCIATIVE-partial corpora
+    (the RFM profile store's max/sum triples, NB class counts) it
+    collapses per-key partials to one row per key, so the compacted
+    dir is bounded by the KEY set, not batches × keys. The fold must
+    be the same merge the lanes run on read (fold(concat(a, b)) ≡
+    fold(concat(fold(a), b))), which associative aggregates satisfy;
+    everything else (crash-safety, idempotent retry, static-dir
+    handling, bucketing) is unchanged.
     Static ``b<name>`` imports (non-numeric suffix) are standing
     history: never folded, never deleted. Crash-safe AND idempotent:
     the new dir is written before any delete; a crash in between
@@ -678,6 +688,8 @@ def compact_corpus(
         return
     target = f"{base}/compacted_upto_{upto}"
     df = spark.read.parquet(*stale)
+    if fold is not None:
+        df = fold(df)
     if bucket_key is None:
         df.coalesce(n_files).write.mode("overwrite").parquet(target)
     else:
@@ -1342,6 +1354,17 @@ def decode_route_streams(df: DataFrame):
     return ok, dlq
 
 
+def rfm_profile_fold(df: DataFrame) -> DataFrame:
+    """Associative merge of RFM profile partials — the read-time fold
+    of rfm_foreach_batch and the ``fold=`` argument that lets
+    compact_corpus collapse the profile store to ONE row per user."""
+    return df.groupBy("user_id").agg(
+        F.max("last_ts").alias("last_ts"),
+        F.sum("freq").cast("bigint").alias("freq"),
+        F.sum("monetary_milli").cast("bigint").alias("monetary_milli"),
+    )
+
+
 def rfm_foreach_batch(spark, profile_path: str, out_path: str):
     """Streaming face of the registered `user_rfm_segments` batch lane
     (plans/analytics_ext.py): maintains a persistent per-user PROFILE
@@ -1380,11 +1403,7 @@ def rfm_foreach_batch(spark, profile_path: str, out_path: str):
         merged = part
         for p in corpus_probe_parts(spark, profile_path, exclude_batch=batch_id):
             merged = merged.unionByName(p)
-        per_user = merged.groupBy("user_id").agg(
-            F.max("last_ts").alias("last_ts"),
-            F.sum("freq").cast("bigint").alias("freq"),
-            F.sum("monetary_milli").cast("bigint").alias("monetary_milli"),
-        )
+        per_user = rfm_profile_fold(merged)
         from wally_spark.plans.analytics_ext import rfm_grid
 
         rfm_grid(spark, per_user).write.mode("overwrite").parquet(out_path)
