@@ -406,6 +406,9 @@ def test_global_ntile_matches_window_ntile(spark):
             (F.col("v"), [F.col("v").asc(), "uid"]),
             (-F.col("v"), [F.col("v").desc(), "uid"]),
             (F.col("w"), [F.col("w").asc(), "uid"]),  # 3-value tie storm
+            # degenerate: every sort key identical -> one bucket holds
+            # all rows, ranks come purely from the tiebreak
+            (F.col("v") * 0, [F.lit(0).asc(), "uid"]),
         ):
             expect = {
                 r["uid"]: r["t"]

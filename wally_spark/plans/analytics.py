@@ -217,6 +217,14 @@ GROUP BY quartile
     tags=("analytics", "window"),
 )
 def ntile_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile price bands over orders via the literal SQL
+    ntile-window form. KNOWN single-partition sort: fine as the
+    didactic window-op lane at bench scale, but the orders relation is
+    unbounded at the 100 TB target — the scale-safe form is
+    operators/prefix.global_ntile (exact, partition-parallel; see
+    user_rfm_segments, migrated r7). Migrating THIS lane re-enters it
+    in the driver window, which round 7 filled to its 50-slot cap, so
+    the swap is queued for round 8."""
     orders = _t(spark, sf_dir)["orders"]
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
