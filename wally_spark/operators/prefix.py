@@ -93,8 +93,10 @@ def global_ntile_multi(
     The only shuffles are the per-spec bucket-partitioned rank windows
     — inherent to ranking under distinct orders. Cut skew from heavy
     sort-key ties degrades balance, never exactness: ties share a
-    bucket by construction. Sort keys must be non-null numeric column
-    expressions (negate for DESC)."""
+    bucket by construction. Sort keys must be non-null, non-NaN
+    numeric column expressions (negate for DESC). The tile arithmetic
+    runs rank/(q+1) through doubles — exact while n < 2^52, i.e. any
+    physically storable row count."""
     sks = [sort_key.cast("double") for sort_key, _, _ in specs]
     hash_frac = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8),
