@@ -419,7 +419,7 @@ def test_global_ntile_matches_window_ntile(spark):
             got = {
                 r["uid"]: r["t"]
                 for r in global_ntile(
-                    spark, df, sort_key, ["uid"], k, "t", "uid", n_buckets=8
+                    df, sort_key, ["uid"], k, "t", "uid", n_buckets=8
                 )
                 .select("uid", "t")
                 .collect()

@@ -1174,8 +1174,13 @@ def test_rfm_against_profile_corpus(spark, tmp_path):
     assert got == want
 
     # profile store: one row per (batch dir, user)
-    store = spark.read.parquet(f"{profiles}/b*")
-    assert store.count() == store.select("user_id").count()
+    store = spark.read.parquet(f"{profiles}/b*").withColumn(
+        "dir", F.regexp_extract(F.input_file_name(), r"(b\d+)/", 1)
+    )
+    assert (
+        store.count()
+        == store.select("dir", "user_id").distinct().count()
+    )
 
     # at-least-once replay of the last batch: same dir overwritten,
     # grid unchanged

@@ -52,7 +52,6 @@ NTILE_SAMPLE_TARGET = 20_000
 
 
 def global_ntile_multi(
-    spark: SparkSession,
     df: DataFrame,
     specs: list,
     k: int,
@@ -72,20 +71,23 @@ def global_ntile_multi(
     scored (plus an optional count when ``total_rows`` is absent):
 
     1. cut values: a DETERMINISTIC hash-sample of ``id_col`` (md5
-       prefix < fraction, fraction sized from an exact count — no RNG,
-       so both jobs agree byte-for-byte on bucket membership) yields
-       ~NTILE_SAMPLE_TARGET rows; ONE aggregate computes exact
-       percentiles of every spec's sort_key over the sample —
-       ``n_buckets - 1`` cuts per spec (broadcast state:
-       specs × n_buckets doubles).
+       prefix < fraction, fraction sized from an exact count — no
+       RNG) yields ~NTILE_SAMPLE_TARGET rows; ONE aggregate computes
+       exact percentiles of every spec's sort_key over the sample and
+       the ``n_buckets - 1`` cuts per spec return to the DRIVER and
+       re-enter the plan as literals (specs × n_buckets doubles), so
+       later jobs never re-run the sampling scan.
     2. bucket = #cuts strictly below the row's sort_key — an
        order-consistent, value-pure function (equal keys can never
-       straddle a bucket), so per-bucket ``row_number`` plus the
-       prefix-summed bucket row-counts is the exact global rank,
-       fully partition-parallel. The per-(spec, bucket) counts come
-       from ONE exploded aggregate job; the prefix runs on the driver
-       (specs × n_buckets longs) and returns to the plan as LITERAL
-       offset arrays indexed by bucket id — no join at all.
+       straddle a bucket; the double cast is monotone, so bucket
+       membership stays order-consistent for any numeric key), so
+       per-bucket ``row_number`` over the ORIGINAL sort-key expression
+       (exact — never the double) plus the prefix-summed bucket
+       row-counts is the exact global rank, fully partition-parallel.
+       The per-(spec, bucket) counts come from ONE exploded aggregate
+       job; the prefix runs on the driver (specs × n_buckets longs)
+       and returns as LITERAL offset arrays indexed by bucket id — no
+       join at all.
     3. the rank maps to its tile with ntile's uneven-bucket rule
        (first ``n % k`` tiles get one extra row), with n/k arithmetic
        folded driver-side (n is exact, from the counts job).
@@ -96,7 +98,11 @@ def global_ntile_multi(
     bucket by construction. Sort keys must be non-null, non-NaN
     numeric column expressions (negate for DESC). The tile arithmetic
     runs rank/(q+1) through doubles — exact while n < 2^52, i.e. any
-    physically storable row count."""
+    physically storable row count.
+
+    ``df`` must be DETERMINISTIC across jobs (the bucket census and
+    the output run as separate actions): pin() any upstream lineage
+    containing sampling/rand or growing sources before calling."""
     sks = [sort_key.cast("double") for sort_key, _, _ in specs]
     hash_frac = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8),
@@ -117,28 +123,19 @@ def global_ntile_multi(
                 for i, sk in enumerate(sks)
             ]
         )
-        .select(
-            *[
-                F.coalesce(F.col(f"_cuts{i}"), F.array()).alias(f"_cuts{i}")
-                for i in range(len(sks))
-            ]
-        )
+        .collect()[0]
     )
-    def _bucket(cuts_col, sk):
-        # helper closure: a default-arg lambda would change the arity
-        # pyspark infers for the higher-order function
-        return F.aggregate(
-            cuts_col,
-            F.lit(0),
-            lambda acc, c: acc + F.when(sk > c, 1).otherwise(0),
-        ).cast("int")
+    cuts = [list(cuts_row[f"_cuts{i}"] or []) for i in range(len(sks))]
 
-    bucketed = df.crossJoin(F.broadcast(cuts_row))
+    bucketed = df
     for i, sk in enumerate(sks):
-        bucketed = bucketed.withColumn(
-            f"_gb{i}", _bucket(F.col(f"_cuts{i}"), sk)
+        # literal cut comparisons — codegen-friendly (no interpreted
+        # HOF), and bucket assignment cannot drift between jobs
+        bucket = sum(
+            (F.when(sk > F.lit(c), 1).otherwise(0) for c in cuts[i]),
+            start=F.lit(0),
         )
-    bucketed = bucketed.drop(*[f"_cuts{i}" for i in range(len(sks))])
+        bucketed = bucketed.withColumn(f"_gb{i}", bucket.cast("int"))
 
     # ONE job for every spec's per-bucket counts: explode each row into
     # (spec dim, bucket) and aggregate — specs × n_buckets output rows.
@@ -175,9 +172,10 @@ def global_ntile_multi(
     q, rem = divmod(n, k)
     cutr = rem * (q + 1)
     for i, (sort_key, tiebreaks, out_col) in enumerate(specs):
-        sk = sks[i]
+        # rank by the ORIGINAL key expression: the double cast is for
+        # bucketing only — bigints past 2^53 would collapse under it
         rn = F.row_number().over(
-            Window.partitionBy(f"_gb{i}").orderBy(sk.asc(), *tiebreaks)
+            Window.partitionBy(f"_gb{i}").orderBy(sort_key.asc(), *tiebreaks)
         )
         # literal offset lookup (n_buckets longs) — no join
         r = (
@@ -197,7 +195,6 @@ def global_ntile_multi(
 
 
 def global_ntile(
-    spark: SparkSession,
     df: DataFrame,
     sort_key,
     tiebreaks: list,
@@ -209,7 +206,6 @@ def global_ntile(
 ) -> DataFrame:
     """Single-order convenience wrapper over ``global_ntile_multi``."""
     return global_ntile_multi(
-        spark,
         df,
         [(sort_key, tiebreaks, out_col)],
         k,

@@ -369,17 +369,22 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("monetary_milli"),
     )
-    return rfm_grid(spark, per_user)
+    return rfm_grid(per_user)
 
 
-def rfm_grid(spark: SparkSession, per_user: DataFrame) -> DataFrame:
+def rfm_grid(per_user: DataFrame, pinned_out: list | None = None) -> DataFrame:
     """Scoring tail shared by ``user_rfm_segments`` and its streaming
     twin (streaming/ops.rfm_foreach_batch): given the per-user profile
     relation ``(user_id, last_ts, freq, monetary_milli)`` — which is
     what the twin's persistent corpus merges to — score the three
     quartiles with the distributed exact ntile and roll up the 4×4×4
     grid. The reference date is max(last_ts), identical to max(ts)
-    over the underlying events."""
+    over the underlying events.
+
+    ``pinned_out``: callers that materialize the result repeatedly (a
+    long-running foreachBatch stream) pass a list to receive the
+    internally pinned frame and free_blocks() it after their write —
+    otherwise one localCheckpoint block set per call waits on GC."""
     ref = per_user.agg(F.max("last_ts").alias("ref_ts"))
     scored = per_user.crossJoin(F.broadcast(ref)).select(
         F.datediff(
@@ -394,9 +399,10 @@ def rfm_grid(spark: SparkSession, per_user: DataFrame) -> DataFrame:
     from wally_spark.operators.prefix import global_ntile_multi
 
     scored = pin(scored)
+    if pinned_out is not None:
+        pinned_out.append(scored)
     n_users = scored.count()
     tiles = global_ntile_multi(
-        spark,
         scored,
         [
             # ntile(ORDER BY recency_days DESC, user_id) == ascending

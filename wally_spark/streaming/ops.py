@@ -1404,9 +1404,16 @@ def rfm_foreach_batch(spark, profile_path: str, out_path: str):
         for p in corpus_probe_parts(spark, profile_path, exclude_batch=batch_id):
             merged = merged.unionByName(p)
         per_user = rfm_profile_fold(merged)
+        from wally_spark.operators.checkpoint import free_blocks
         from wally_spark.plans.analytics_ext import rfm_grid
 
-        rfm_grid(spark, per_user).write.mode("overwrite").parquet(out_path)
+        pinned: list = []
+        rfm_grid(per_user, pinned_out=pinned).write.mode(
+            "overwrite"
+        ).parquet(out_path)
+        # release this batch's localCheckpoint blocks — a long-running
+        # stream would otherwise accumulate two block sets per batch
+        free_blocks(part, *pinned)
 
     return proc
 
@@ -1454,11 +1461,9 @@ def cusum_alarm_stream(
         if len(rows):
             rows = rows.sort_values(["ts", "event_id"])
         out = []
-        for ts, val in zip(
-            rows["ts"] if len(rows) else [], rows["value"] if len(rows) else []
-        ):
-            import math
+        import math
 
+        for ts, val in zip(rows["ts"], rows["value"]):
             x = int(math.floor(1000 * val))
             t += 1
             s_pos = max(0, s_pos + (x - mu_milli - kappa_milli))
