@@ -391,3 +391,27 @@ def test_ann_ivf_at_10x_vectors(spark, tmp_path_factory):
     dt = time.perf_counter() - t0
     assert n > 0
     assert dt < 300, f"ann_ivf at 10x took {dt:.1f}s"
+
+
+def test_global_ntile_at_10x(spark, big_events):
+    """The distributed exact ntile over 6M raw rows (not a per-user
+    aggregate): must complete partition-parallel and produce exactly
+    the ntile bucket sizes (n % k leading tiles one row larger) — the
+    at-volume proof that rank = bucket offset + intra-bucket rank is
+    globally consistent."""
+    from wally_spark.operators.prefix import global_ntile
+
+    t0 = time.perf_counter()
+    tiled = global_ntile(
+        big_events, F.col("value"), ["event_id"], 4, "q", "event_id"
+    )
+    sizes = {
+        r["q"]: r["n"]
+        for r in tiled.groupBy("q").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    dt = time.perf_counter() - t0
+    n = sum(sizes.values())
+    qq, rem = divmod(n, 4)
+    want = {t: qq + (1 if t <= rem else 0) for t in range(1, 5)}
+    assert sizes == want, (sizes, want)
+    assert dt < 180, f"global ntile at 10x took {dt:.1f}s"
