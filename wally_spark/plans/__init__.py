@@ -50,33 +50,42 @@ from wally_spark.plans import sequence  # noqa: F401,E402
 
 _DRIVER_GREEN = frozenset(
     {
-        # Union of latest-round greens through CORRECTNESS_r06
-        # (regenerate with tools/promote_greens.py).
         "ann_bruteforce", "ann_index_probe", "ann_ivf", "ann_lsh", "ann_pq",
         "ann_quantized", "app_alerts_local_agg", "app_alerts_stateful",
         "app_alerts_stateless", "app_alerts_windowed", "app_alphabet",
         "app_alphabet_partitioned", "app_celsius", "app_celsius_connectors",
         "app_market_spread", "app_multi_worker_forwarding",
         "app_passthrough", "app_word_count", "app_word_count_collect",
-        "asof_next_view", "asof_purchase_view", "bpe_merge_pairs",
-        "chunk_overlap", "corpus_mix_report", "corpus_shard_manifest",
-        "cube_pricing", "cumulative_revenue_share", "curation_pipeline",
+        "asof_next_view", "asof_purchase_view", "basket_rules", "bm25_rank",
+        "bpe_merge_pairs", "bpe_merges_r4", "chunk_overlap",
+        "corpus_mix_report", "corpus_shard_manifest",
+        "cross_source_dup_report", "cube_pricing",
+        "cumulative_revenue_share", "curation_pipeline",
         "decontaminate_holdout", "dedup_clusters", "dedup_embedding",
         "dedup_embedding_lsh", "dedup_exact", "dedup_keep_best",
         "dedup_minhash", "dedup_ngram_jaccard", "dedup_normalized",
         "dedup_simhash", "dedup_simhash_pairs", "dedup_substring",
         "distinct_users_exact", "doc_nb_classifier", "docs_length_band",
-        "dup_rate_report", "embedding_centroids", "embedding_kmeans",
-        "embedding_random_projection", "event_sessionize_stats",
-        "event_value_hour_corr", "events_cohort_retention",
-        "events_dedup_hourly", "events_funnel", "events_json_extract",
-        "events_value_ranks", "graph_pagerank", "graph_triangle_count",
-        "hypertable_rollup", "interarrival_stats", "lang_source_quota",
-        "langid_confusion", "mm_byte_stats", "mm_frame_sample",
-        "mm_image_header", "mm_image_meta", "mm_thumbnail",
-        "ntile_order_quartiles", "pack_chunks", "part_cooccurrence",
-        "pipeline_merge", "pivot_user_event_totals", "q10_returned_items",
-        "q11_important_parts", "q12_priority_class",
+        "docs_token_histogram", "dsir_importance", "dup_rate_report",
+        "embedding_centroids", "embedding_dim_stats", "embedding_kmeans",
+        "embedding_norm_report", "embedding_pca_power",
+        "embedding_random_projection", "event_path_trigrams",
+        "event_sessionize_stats", "event_transitions",
+        "event_value_hour_corr", "events_anomaly_mad", "events_autocorr",
+        "events_cohort_retention", "events_cusum_changepoint",
+        "events_decode_audit", "events_dedup_hourly", "events_funnel",
+        "events_json_extract", "events_ohlc", "events_seasonality",
+        "events_value_ranks", "events_window_funnel", "gap_fill_locf",
+        "gopher_rules", "graph_kcore", "graph_pagerank",
+        "graph_triangle_count", "host_curation_report", "hypertable_rollup",
+        "interarrival_stats", "knn_label_vote", "lang_source_quota",
+        "langid_confusion", "minhash_estimate_audit", "mm_byte_stats",
+        "mm_frame_sample", "mm_image_header", "mm_image_meta",
+        "mm_pcm_stats", "mm_thumbnail", "mm_wav_header", "nb_calibration",
+        "ngram_coverage", "ntile_order_quartiles", "open_order_lines_daily",
+        "orders_aging_bands", "pack_chunks", "part_affinity_jaccard",
+        "part_cooccurrence", "pipeline_merge", "pivot_user_event_totals",
+        "q10_returned_items", "q11_important_parts", "q12_priority_class",
         "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
         "q16_parts_supplier", "q17_small_quantity", "q18_bucketed",
         "q18_large_customers", "q19_discounted_revenue",
@@ -85,18 +94,22 @@ _DRIVER_GREEN = frozenset(
         "q2_best_supplier", "q3_bucketed", "q3_shipping_priority",
         "q4_order_priority", "q5_local_supplier", "q6_forecast_revenue",
         "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-        "quantiles_by_type", "quantiles_exact_check",
+        "quality_rule_sweep", "quantiles_by_type", "quantiles_exact_check",
         "range_join_views_before_purchase", "resample_1h",
         "revenue_dod_delta", "rolling_7d_revenue", "rollup_orders",
         "running_total", "salted_event_totals", "sample_pps",
-        "sample_stratified", "sample_temperature",
-        "setops_viewer_purchasers", "split_train_holdout",
-        "text_boilerplate", "text_fingerprint", "text_langid",
-        "text_langid_ngram", "text_lm_perplexity", "text_pii_scrub",
-        "text_quality", "text_repetition", "text_tokens",
-        "text_word_entropy", "tfidf_top_terms", "topk_per_key",
-        "value_histogram", "value_outliers", "vocab_bigrams", "win_count",
-        "win_session", "win_sliding", "win_tumbling",
+        "sample_stratified", "sample_temperature", "semantic_dedup",
+        "setops_viewer_purchasers", "sliding_distinct_users",
+        "split_train_holdout", "text_boilerplate", "text_fingerprint",
+        "text_langid", "text_langid_ngram", "text_lm_bigram",
+        "text_lm_perplexity", "text_pii_scrub", "text_quality",
+        "text_readability", "text_repetition", "text_script_mix",
+        "text_tokens", "text_word_entropy", "tfidf_top_terms",
+        "time_weighted_avg", "token_pmi", "tokenizer_fertility",
+        "topk_per_key", "user_activity_gaps", "user_burst_minutes",
+        "user_event_entropy", "user_rfm_segments", "value_histogram",
+        "value_outliers", "value_winsorized", "vocab_bigrams", "win_count",
+        "win_session", "win_sliding", "win_tumbling", "zipf_slope",
     }
 )
 
@@ -105,13 +118,7 @@ _DRIVER_GREEN = frozenset(
 # re-enter the driver window. Refresh this set each round.
 _CHANGED_THIS_ROUND = frozenset(
     {
-        # r7: symmetric Achlioptas sign split (ADVICE r6) changes the
-        # projection values (plans/embeddings.py + _rp_sign_sql)
-        "embedding_random_projection",
-        # r7: _candidate_jaccard dropped its doc-count-sized broadcast
-        # hints (unbounded side at 100 TB; AQE still broadcasts when
-        # small) — same values, new physical plan, so re-verify.
-        "dedup_ngram_jaccard", "curation_pipeline", "dup_rate_report",
+        # r8: (none yet — refresh as plans change this round)
     }
 )
 
