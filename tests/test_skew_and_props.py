@@ -425,3 +425,50 @@ def test_global_ntile_matches_window_ntile(spark):
                 .collect()
             }
             assert got == expect, (n, k, str(sort_key))
+
+
+def test_global_ntile_empty_sample_and_col_collision(spark):
+    """r7 ADVICE hardening of global_ntile_multi: (1) an over-stated
+    total_rows shrinks the hash-sample fraction to ~0 — empty cuts must
+    trigger a full-relation retry, never a silent collapse of every row
+    into bucket 0 (the single-partition window the operator exists to
+    avoid); (2) caller columns named like the working _gb<i> columns
+    must survive untouched (withColumn would silently replace them)."""
+    from pyspark.sql import Window
+
+    from wally_spark.operators.prefix import global_ntile, global_ntile_multi
+
+    n, k = 200, 4
+    rows = [(f"u{i:04d}", (i * 7) % 97, i % 5) for i in range(n)]
+    df = spark.createDataFrame(rows, "uid string, v int, _gb0 int")
+    expect = {
+        r["uid"]: r["t"]
+        for r in df.select(
+            "uid", F.ntile(k).over(Window.orderBy(F.col("v").asc(), "uid")).alias("t")
+        ).collect()
+    }
+
+    # (1) absurd total_rows → sample frac ~1e-7 → zero sampled rows →
+    # retry path; result still exact, and buckets still spread (no
+    # all-rows-in-bucket-0 collapse)
+    out = global_ntile(
+        df.drop("_gb0"),
+        F.col("v"),
+        ["uid"],
+        k,
+        "t",
+        "uid",
+        n_buckets=8,
+        total_rows=10**11,
+    )
+    got = {r["uid"]: r["t"] for r in out.select("uid", "t").collect()}
+    assert got == expect
+
+    # (2) caller-owned _gb0 column: values preserved, ntile exact
+    out2 = global_ntile_multi(
+        df, [(F.col("v"), ["uid"], "t")], k, "uid", n_buckets=8
+    )
+    res = {r["uid"]: (r["t"], r["_gb0"]) for r in out2.collect()}
+    for i in range(n):
+        uid = f"u{i:04d}"
+        assert res[uid] == (expect[uid], i % 5), uid

@@ -728,7 +728,8 @@ def test_corpus_compaction(spark, tmp_path):
     b<i> dirs (crash-safety: extra dirs left by a crash between write
     and delete are ignored, never double-counted); a lane running on a
     compacted corpus produces byte-identical reports to an uncompacted
-    run; inputs are deleted after a clean compaction."""
+    run; inputs are tombstoned after a clean compaction (deferred
+    deletion — reaped one full cycle later) and resolution-invisible."""
     import os
 
     from wally_spark.streaming.ops import (
@@ -761,10 +762,16 @@ def test_corpus_compaction(spark, tmp_path):
     assert plain == compacted
     gdir = str(tmp_path / "comp" / "grams")
     names = sorted(os.listdir(gdir))
-    assert "compacted_upto_1" in names and "b0" not in names and "b1" not in names
-    # crash simulation: resurrect a stale b0 next to the compacted dir —
-    # resolution must ignore it
-    os.makedirs(f"{gdir}/b0", exist_ok=True)
+    # deferred deletion: inputs survive the cycle that superseded them
+    # (tombstoned, resolution-invisible), so concurrent readers holding
+    # a pre-swap dir list still read consistently
+    assert "compacted_upto_1" in names and "b0" in names and "b1" in names
+    assert os.path.exists(f"{gdir}/b0/_superseded")
+    dirs = corpus_dirs(spark, gdir)
+    assert not any(d.endswith(("/b0", "/b1")) for d in dirs), dirs
+    # crash simulation: resurrect a stale (untombstoned) b0 next to the
+    # compacted dir — resolution must ignore it by numbering
+    os.remove(f"{gdir}/b0/_superseded")
     dirs = corpus_dirs(spark, gdir)
     assert not any(d.endswith("/b0") for d in dirs), dirs
     # compacting backwards is refused
@@ -780,9 +787,10 @@ def test_compaction_skips_static_dirs_and_retries_idempotently(
     """r7 ADVICE fixes: (1) a static ``b<name>`` import dir (non-numeric
     suffix) must be SKIPPED by compaction — neither folded nor deleted —
     instead of crashing int(); (2) re-running compact_corpus with the
-    same ``upto`` (the natural retry after a crash between write and
-    delete) must be a no-op that finishes pending deletes, never a
-    read-and-overwrite of the existing target."""
+    same ``upto`` (the natural retry after a crash mid-swap) must be a
+    no-op that finishes pending tombstones, never a read-and-overwrite
+    of the existing target. r8 deferred deletion: superseded inputs are
+    tombstoned in the cycle that folds them and reaped one cycle later."""
     import os
 
     from wally_spark.streaming.ops import compact_corpus, corpus_dirs
@@ -796,19 +804,23 @@ def test_compaction_skips_static_dirs_and_retries_idempotently(
     compact_corpus(spark, base, upto=1)
     names = sorted(os.listdir(base))
     assert "bseed" in names and "compacted_upto_1" in names
-    assert "b0" not in names and "b1" not in names
+    # deferred deletion: inputs tombstoned, not deleted, this cycle
+    assert "b0" in names and "b1" in names
+    assert os.path.exists(f"{base}/b0/_superseded")
     rows = sorted(
         tuple(r) for r in spark.read.parquet(*corpus_dirs(spark, base)).collect()
     )
     assert rows == [(1, "a"), (2, "b"), (3, "c")]
 
-    # crash-window retry: resurrect a folded input next to the target,
-    # re-run with the SAME upto — the leftover is deleted, the target
-    # is untouched (same rows), the static dir still stands
-    spark.createDataFrame([(2, "b")], schema).write.parquet(f"{base}/b0")
+    # crash-window retry: simulate a crash between target write and
+    # tombstoning (b0 live again), re-run with the SAME upto — the
+    # leftover is re-tombstoned, the target untouched (same rows), the
+    # static dir still stands
+    os.remove(f"{base}/b0/_superseded")
     compact_corpus(spark, base, upto=1)
     names = sorted(os.listdir(base))
-    assert "b0" not in names and "bseed" in names and "compacted_upto_1" in names
+    assert os.path.exists(f"{base}/b0/_superseded")
+    assert "bseed" in names and "compacted_upto_1" in names
     rows2 = sorted(
         tuple(r) for r in spark.read.parquet(*corpus_dirs(spark, base)).collect()
     )
@@ -817,6 +829,89 @@ def test_compaction_skips_static_dirs_and_retries_idempotently(
     # plain double-run with nothing pending is also a no-op
     compact_corpus(spark, base, upto=1)
     assert sorted(os.listdir(base)) == names
+
+    # next cycle reaps the previous cycle's tombstones: fold b2 at
+    # upto=2 — b0/b1 (tombstoned by cycle 1) are deleted, compacted_
+    # upto_1 is tombstoned (still on disk for live readers), and
+    # resolution sees exactly the new target + static history
+    spark.createDataFrame([(4, "d")], schema).write.parquet(f"{base}/b2")
+    compact_corpus(spark, base, upto=2)
+    names = sorted(os.listdir(base))
+    assert "b0" not in names and "b1" not in names and "b2" in names
+    assert "compacted_upto_2" in names and "compacted_upto_1" in names
+    assert os.path.exists(f"{base}/compacted_upto_1/_superseded")
+    rows3 = sorted(
+        tuple(r) for r in spark.read.parquet(*corpus_dirs(spark, base)).collect()
+    )
+    assert rows3 == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+
+def test_compaction_reader_safe_mid_swap(spark, tmp_path):
+    """The r7 verdict's reader-safety gap, closed: a lane that resolved
+    corpus_dirs BEFORE a compaction ran can still read every path in
+    its snapshot afterwards (deferred deletion keeps superseded dirs on
+    disk for one full cycle), and the pre-swap read returns the same
+    rows as a post-swap resolution — compaction may run concurrently
+    with always-on lanes."""
+    from wally_spark.streaming.ops import compact_corpus, corpus_dirs
+
+    base = str(tmp_path / "corpus")
+    schema = "k long, v string"
+    spark.createDataFrame([(1, "a")], schema).write.parquet(f"{base}/b0")
+    spark.createDataFrame([(2, "b")], schema).write.parquet(f"{base}/b1")
+
+    snapshot = corpus_dirs(spark, base)  # reader resolves pre-swap
+    compact_corpus(spark, base, upto=1)  # swap happens mid-"micro-batch"
+
+    pre = sorted(tuple(r) for r in spark.read.parquet(*snapshot).collect())
+    post = sorted(
+        tuple(r) for r in spark.read.parquet(*corpus_dirs(spark, base)).collect()
+    )
+    assert pre == post == [(1, "a"), (2, "b")]
+
+
+def test_neardedup_store_format_marker(spark, tmp_path):
+    """r7 ADVICE (medium): the near-dedup signature store is stamped
+    with a format marker; constructing the lane over a store written by
+    the retired per-doc layout (no band_key column) fails LOUDLY
+    instead of silently readmitting historical near-duplicates, and a
+    mismatched marker is refused outright."""
+    import pytest as _pytest
+
+    from wally_spark.streaming.ops import (
+        ensure_store_format,
+        neardedup_against_corpus_foreach_batch,
+    )
+
+    # fresh store: factory stamps the marker and works end-to-end
+    sigs = str(tmp_path / "sigs_fresh")
+    out = str(tmp_path / "out")
+    fn = neardedup_against_corpus_foreach_batch(spark, sigs, out)
+    fn(
+        spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(12)))], "doc_id long, text string"
+        ),
+        0,
+    )
+    import os
+
+    assert os.path.exists(f"{sigs}/_WALLY_STORE_FORMAT")
+    # re-construction over the stamped store is fine (marker matches)
+    neardedup_against_corpus_foreach_batch(spark, sigs, out)
+
+    # legacy store: per-doc rows, no band_key → loud refusal
+    legacy = str(tmp_path / "sigs_legacy")
+    spark.createDataFrame(
+        [(1, 11, 22)], "doc_id long, mh0 long, mh1 long"
+    ).write.parquet(f"{legacy}/b0")
+    with _pytest.raises(ValueError, match="predates format"):
+        neardedup_against_corpus_foreach_batch(spark, legacy, out)
+
+    # mismatched marker (another lane's store) → loud refusal
+    other = str(tmp_path / "sigs_other")
+    ensure_store_format(spark, other, "some-other-format-v9")
+    with _pytest.raises(ValueError, match="has format"):
+        neardedup_against_corpus_foreach_batch(spark, other, out)
 
 
 def test_bucketed_compaction_probe_scan_side(spark, tmp_path):

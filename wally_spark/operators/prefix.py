@@ -115,17 +115,32 @@ def global_ntile_multi(
         total_rows = df.count()
     frac = min(1.0, NTILE_SAMPLE_TARGET / max(1, total_rows))
     fracs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
-    cuts_row = (
-        df.where(hash_frac < F.lit(frac))
-        .agg(
+    def _sample_cuts(sample_frac: float) -> list[list[float]]:
+        src = df if sample_frac >= 1.0 else df.where(hash_frac < F.lit(sample_frac))
+        row = src.agg(
             *[
                 F.percentile(sk, fracs).alias(f"_cuts{i}")
                 for i, sk in enumerate(sks)
             ]
-        )
-        .collect()[0]
-    )
-    cuts = [list(cuts_row[f"_cuts{i}"] or []) for i in range(len(sks))]
+        ).collect()[0]
+        return [list(row[f"_cuts{i}"] or []) for i in range(len(sks))]
+
+    cuts = _sample_cuts(frac)
+    if frac < 1.0 and any(not c for c in cuts) and n_buckets > 1:
+        # The hash sample came back empty (over-stated total_rows, or a
+        # pathologically small id domain): empty cuts would silently
+        # collapse every row into bucket 0 — the single-partition window
+        # this operator exists to avoid. Retry over the full relation;
+        # correctness never depended on the sample, only balance does.
+        cuts = _sample_cuts(1.0)
+
+    # Working-column names must not collide with caller columns —
+    # withColumn silently REPLACES same-named columns, which would both
+    # corrupt bucketing and drop the caller's column on the final drop.
+    gb_prefix = "_gb"
+    while any(c.startswith(gb_prefix) for c in df.columns):
+        gb_prefix += "_"
+    gb = [f"{gb_prefix}{i}" for i in range(len(sks))]
 
     bucketed = df
     for i, sk in enumerate(sks):
@@ -135,7 +150,7 @@ def global_ntile_multi(
             (F.when(sk > F.lit(c), 1).otherwise(0) for c in cuts[i]),
             start=F.lit(0),
         )
-        bucketed = bucketed.withColumn(f"_gb{i}", bucket.cast("int"))
+        bucketed = bucketed.withColumn(gb[i], bucket.cast("int"))
 
     # ONE job for every spec's per-bucket counts: explode each row into
     # (spec dim, bucket) and aggregate — specs × n_buckets output rows.
@@ -144,7 +159,7 @@ def global_ntile_multi(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("dim"), F.col(f"_gb{i}").alias("b")
+                        F.lit(i).alias("dim"), F.col(gb[i]).alias("b")
                     )
                     for i in range(len(sks))
                 ]
@@ -175,12 +190,12 @@ def global_ntile_multi(
         # rank by the ORIGINAL key expression: the double cast is for
         # bucketing only — bigints past 2^53 would collapse under it
         rn = F.row_number().over(
-            Window.partitionBy(f"_gb{i}").orderBy(sort_key.asc(), *tiebreaks)
+            Window.partitionBy(gb[i]).orderBy(sort_key.asc(), *tiebreaks)
         )
         # literal offset lookup (n_buckets longs) — no join
         r = (
             F.element_at(
-                F.array(*[F.lit(o) for o in offs[i]]), F.col(f"_gb{i}") + 1
+                F.array(*[F.lit(o) for o in offs[i]]), F.col(gb[i]) + 1
             )
             + rn
         ).cast("long")
@@ -191,7 +206,7 @@ def global_ntile_multi(
                 r <= cutr, F.floor((r - 1) / (q + 1)) + 1
             ).otherwise(rem + F.floor((r - cutr - 1) / q) + 1)
         out = out.withColumn(out_col, tile.cast("long"))
-    return out.drop(*[f"_gb{i}" for i in range(len(sks))])
+    return out.drop(*gb)
 
 
 def global_ntile(

@@ -118,7 +118,12 @@ _DRIVER_GREEN = frozenset(
 # re-enter the driver window. Refresh this set each round.
 _CHANGED_THIS_ROUND = frozenset(
     {
-        # r8: (none yet — refresh as plans change this round)
+        # r8: nullif'd group-sum divisors (ADVICE r7) — new expressions
+        "tokenizer_fertility", "text_script_mix",
+        # r8: global_ntile_multi hardening (empty-cuts retry + temp-col
+        # uniquifier); normal-path plan is unchanged but re-verify the
+        # one registry consumer to be safe.
+        "user_rfm_segments",
     }
 )
 

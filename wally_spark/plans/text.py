@@ -439,8 +439,9 @@ SELECT lang, source,
        sum(ws)::BIGINT AS ws_tokens,
        sum(bpe)::BIGINT AS bpe_tokens,
        sum(chars)::BIGINT AS n_chars,
-       ((1000 * sum(bpe)) // sum(ws))::BIGINT AS fertility_milli,
-       ((1000 * sum(chars)) // sum(bpe))::BIGINT AS chars_per_tok_milli
+       ((1000 * sum(bpe)) // nullif(sum(ws), 0))::BIGINT AS fertility_milli,
+       ((1000 * sum(chars)) // nullif(sum(bpe), 0))::BIGINT
+         AS chars_per_tok_milli
 FROM t GROUP BY lang, source
 """,
     tags=("text", "tokenizer", "report"),
@@ -474,10 +475,13 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ws").cast("bigint").alias("ws_tokens"),
         F.sum("bpe").cast("bigint").alias("bpe_tokens"),
         F.sum("chars").cast("bigint").alias("n_chars"),
-        F.floor((1000 * F.sum("bpe")) / F.sum("ws"))
+        # nullif'd divisors (ADVICE r7): an all-empty/whitespace slice
+        # yields NULL here AND in the oracle (DuckDB's integer // would
+        # otherwise raise where Spark nulls) — agree by construction.
+        F.floor((1000 * F.sum("bpe")) / F.nullif(F.sum("ws"), F.lit(0)))
         .cast("bigint")
         .alias("fertility_milli"),
-        F.floor((1000 * F.sum("chars")) / F.sum("bpe"))
+        F.floor((1000 * F.sum("chars")) / F.nullif(F.sum("bpe"), F.lit(0)))
         .cast("bigint")
         .alias("chars_per_tok_milli"),
     )
@@ -500,11 +504,11 @@ WITH c AS (
 SELECT lang,
        count(*)::BIGINT AS n_docs,
        sum(chars)::BIGINT AS n_chars,
-       ((1000 * sum(letters)) // sum(chars))::BIGINT AS letter_milli,
-       ((1000 * sum(digits)) // sum(chars))::BIGINT AS digit_milli,
-       ((1000 * sum(spaces)) // sum(chars))::BIGINT AS space_milli,
+       ((1000 * sum(letters)) // nullif(sum(chars), 0))::BIGINT AS letter_milli,
+       ((1000 * sum(digits)) // nullif(sum(chars), 0))::BIGINT AS digit_milli,
+       ((1000 * sum(spaces)) // nullif(sum(chars), 0))::BIGINT AS space_milli,
        ((1000 * (sum(chars) - sum(letters) - sum(digits) - sum(spaces)))
-         // sum(chars))::BIGINT AS other_milli
+         // nullif(sum(chars), 0))::BIGINT AS other_milli
 FROM c GROUP BY lang
 """,
     tags=("text", "quality", "report"),
@@ -534,17 +538,21 @@ def text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (
         F.sum("chars") - F.sum("letters") - F.sum("digits") - F.sum("spaces")
     )
+    # nullif'd divisor (ADVICE r7): a lang slice of only empty texts
+    # yields NULL ratios in both engine and oracle instead of a DuckDB
+    # division-by-zero error — agree by construction.
+    d = F.nullif(F.sum("chars"), F.lit(0))
     return c.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("chars").cast("bigint").alias("n_chars"),
-        F.floor((1000 * F.sum("letters")) / F.sum("chars"))
+        F.floor((1000 * F.sum("letters")) / d)
         .cast("bigint")
         .alias("letter_milli"),
-        F.floor((1000 * F.sum("digits")) / F.sum("chars"))
+        F.floor((1000 * F.sum("digits")) / d)
         .cast("bigint")
         .alias("digit_milli"),
-        F.floor((1000 * F.sum("spaces")) / F.sum("chars"))
+        F.floor((1000 * F.sum("spaces")) / d)
         .cast("bigint")
         .alias("space_milli"),
-        F.floor((1000 * o) / F.sum("chars")).cast("bigint").alias("other_milli"),
+        F.floor((1000 * o) / d).cast("bigint").alias("other_milli"),
     )

@@ -484,6 +484,87 @@ def ann_probe_foreach_batch(spark, index_table: str, output_path: str, top_k: in
 
 
 
+TOMBSTONE = "_superseded"  # marker file inside a compaction-superseded dir
+
+
+def _tombstone_value(spark, dir_path: str) -> int | None:
+    """The ``upto`` recorded in ``dir_path``'s tombstone marker, or
+    None when the dir is live (no marker)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{dir_path}/{TOMBSTONE}")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return int(txt.strip() or -1)
+
+
+def _write_marker(spark, path: str, content: str) -> None:
+    """Atomically-enough write of a tiny marker file (overwrite=True)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+STORE_FORMAT_MARKER = "_WALLY_STORE_FORMAT"
+
+
+def ensure_store_format(
+    spark, base: str, fmt: str, required_cols: tuple = ()
+) -> None:
+    """Validate (and stamp) the on-disk format of a persistent store.
+
+    Store layouts evolve (the near-dedup signature store moved from
+    per-doc rows to band-exploded rows in r7); probing a store written
+    by an older layout silently readmits historical duplicates (r7
+    ADVICE). This guard makes the mismatch LOUD: a ``fmt`` marker file
+    is stamped at ``base`` on first use, and every later use refuses a
+    store whose marker disagrees. Pre-marker stores are grandfathered
+    by schema check: if any existing corpus dir is missing one of
+    ``required_cols``, the store predates ``fmt`` — raise with a
+    migration hint instead of probing garbage."""
+    jvm = spark._jvm
+    hbase = jvm.org.apache.hadoop.fs.Path(base)
+    fs = hbase.getFileSystem(spark._jsc.hadoopConfiguration())
+    marker = jvm.org.apache.hadoop.fs.Path(f"{base}/{STORE_FORMAT_MARKER}")
+    if fs.exists(marker):
+        stream = fs.open(marker)
+        try:
+            got = (
+                jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+            ).strip()
+        finally:
+            stream.close()
+        if got != fmt:
+            raise ValueError(
+                f"store at {base} has format {got!r}, lane expects "
+                f"{fmt!r}: migrate (rebuild via compact_corpus after "
+                "re-signing) or point the lane at a fresh store"
+            )
+        return
+    dirs = corpus_dirs(spark, base)
+    if dirs and required_cols:
+        cols = set(spark.read.parquet(*dirs).columns)
+        missing = [c for c in required_cols if c not in cols]
+        if missing:
+            raise ValueError(
+                f"store at {base} predates format {fmt!r} (existing "
+                f"dirs lack column(s) {missing}): rebuild the store "
+                "from source documents before probing, or start a "
+                "fresh store path"
+            )
+    _write_marker(spark, f"{base}/{STORE_FORMAT_MARKER}", fmt)
+
+
 def corpus_dirs(spark, base: str, exclude_batch: int | None = None) -> list[str]:
     """Resolve a persistent corpus under ``base``: the NEWEST
     ``compacted_upto_<N>`` directory (if any) plus every per-batch
@@ -509,17 +590,23 @@ def corpus_dirs(spark, base: str, exclude_batch: int | None = None) -> list[str]
         if not st.isDirectory():
             continue
         name = st.getPath().getName()
+        path = str(st.getPath())
         m = re.fullmatch(r"compacted_upto_(\d+)", name)
         if m:
-            comps.append((int(m.group(1)), str(st.getPath())))
+            if _tombstone_value(spark, path) is None:
+                comps.append((int(m.group(1)), path))
             continue
         m = re.fullmatch(r"b(\d+)", name)
         if m:
-            batches[int(m.group(1))] = str(st.getPath())
+            # tombstoned dirs (superseded by a newer compacted dir,
+            # awaiting deferred deletion) are resolution-invisible:
+            # their rows live in the compacted dir
+            if _tombstone_value(spark, path) is None:
+                batches[int(m.group(1))] = path
         elif name.startswith("b"):
             # non-numeric b* dir = STATIC import (pre-seeded history):
             # always included, never excluded or compacted
-            static.append(str(st.getPath()))
+            static.append(path)
     out: list[str] = sorted(static)
     hi = -1
     if comps:
@@ -626,17 +713,26 @@ def compact_corpus(
     handling, bucketing) is unchanged.
     Static ``b<name>`` imports (non-numeric suffix) are standing
     history: never folded, never deleted. Crash-safe AND idempotent:
-    the new dir is written before any delete; a crash in between
-    leaves extra dirs that corpus_dirs ignores, and a re-run with the
-    same ``upto`` detects the existing target and only finishes the
-    pending deletes (it never re-reads a dir it is about to
-    overwrite). Call it only for batches at least one behind the
-    stream's committed offset — a foreachBatch replay revisits the
-    LAST batch, and own-batch exclusion cannot reach inside a
-    compacted dir. Do NOT run compaction concurrently with lane
-    micro-batches: a lane that resolved corpus_dirs just before the
-    post-write deletes would fail its read on the deleted dirs (pause
-    the stream, or schedule compaction between triggers).
+    the new dir is written before anything else changes; a crash in
+    between leaves extra dirs that corpus_dirs ignores, and a re-run
+    with the same ``upto`` detects the existing target and only
+    finishes the pending tombstones/deletes (it never re-reads a dir
+    it is about to overwrite). Call it only for batches at least one
+    behind the stream's committed offset — a foreachBatch replay
+    revisits the LAST batch, and own-batch exclusion cannot reach
+    inside a compacted dir.
+
+    SAFE TO RUN CONCURRENTLY with lane micro-batches (r7 verdict):
+    superseded inputs are never deleted in the cycle that supersedes
+    them. Cycle N writes its target, then TOMBSTONES its inputs (a
+    ``_superseded`` marker file inside each — parquet readers ignore
+    ``_``-prefixed files, so a lane that resolved corpus_dirs just
+    before the swap still reads its snapshot consistently); cycle N+1
+    deletes dirs tombstoned by earlier cycles. Tombstoned dirs are
+    invisible to corpus_dirs resolution (their rows live in the newer
+    compacted dir) and are excluded from later compactions' inputs,
+    so nothing is ever double-counted. The reader-safety window is
+    one full compaction cycle — longer than any micro-batch.
 
     ``bucket_key``: when set, the compacted dir is written BUCKETED on
     that key (hash-clustered files + a catalog table named
@@ -661,30 +757,50 @@ def compact_corpus(
         return
     comps: list[tuple[int, str]] = []
     batches: list[str] = []
+    doomed: list[str] = []  # tombstoned by an EARLIER cycle → delete now
     for st in fs.listStatus(hbase) or []:
         if not st.isDirectory():
             continue
         name = st.getPath().getName()
+        path = str(st.getPath())
         m = re.fullmatch(r"compacted_upto_(\d+)", name)
+        m2 = re.fullmatch(r"b(\d+)", name) if not m else None
+        if not m and not m2:
+            continue
+        tomb = _tombstone_value(spark, path)
+        if tomb is not None:
+            # already folded into a newer compacted dir: never an input
+            # again; delete once a full cycle has passed (tomb != upto)
+            if tomb != upto:
+                doomed.append(path)
+            continue
         if m:
             n = int(m.group(1))
             if n > upto:
                 raise ValueError(
                     f"corpus already compacted past {upto}: {name}"
                 )
-            comps.append((n, str(st.getPath())))
-            continue
-        m = re.fullmatch(r"b(\d+)", name)
-        if m and int(m.group(1)) <= upto:
-            batches.append(str(st.getPath()))
+            comps.append((n, path))
+        elif int(m2.group(1)) <= upto:
+            batches.append(path)
+
+    def tombstone(dirs: list[str]) -> None:
+        for d in dirs:
+            _write_marker(spark, f"{d}/{TOMBSTONE}", str(upto))
+
+    def reap() -> None:
+        for d in doomed:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+
     stale = [p for n, p in comps if n < upto] + batches
     if any(n == upto for n, _ in comps):
-        # Retry after the write→delete crash window: the target already
-        # holds every row <= upto; just finish the pending deletes.
-        for d in stale:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+        # Retry after a crash mid-swap: the target already holds every
+        # row <= upto; finish the pending tombstones and reap old ones.
+        tombstone(stale)
+        reap()
         return
     if not stale:
+        reap()
         return
     target = f"{base}/compacted_upto_{upto}"
     df = spark.read.parquet(*stale)
@@ -710,8 +826,11 @@ def compact_corpus(
             .sortBy(bucket_key)
             .saveAsTable(tbl)
         )
-    for d in stale:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+    # Deferred deletion: this cycle's inputs are only TOMBSTONED (live
+    # readers that resolved dirs pre-swap keep reading them); dirs
+    # tombstoned by earlier cycles are reaped now.
+    tombstone(stale)
+    reap()
 
 
 def dedup_against_corpus_foreach_batch(
@@ -821,9 +940,20 @@ def neardedup_against_corpus_foreach_batch(
     excluded from the probe (same replay contract as the exact
     variant).
 
-    min_matching_hashes=6 of 8 ≈ Jaccard ≥ 0.75 expected."""
+    min_matching_hashes=6 of 8 ≈ Jaccard ≥ 0.75 expected.
+
+    The store carries a format marker (``ensure_store_format``): a
+    pre-existing store written by the retired per-doc layout fails
+    LOUDLY at lane construction instead of silently readmitting
+    historical near-duplicates (r7 ADVICE)."""
     from wally_spark.plans.dedup import BAND_ROWS, N_HASHES, minhash_signatures
 
+    ensure_store_format(
+        spark,
+        sigs_path,
+        "neardedup-band-exploded-v2",
+        required_cols=("band_key", "band_id", "doc_id", "mh0"),
+    )
     n_bands = N_HASHES // BAND_ROWS
 
     def bands_of(sigs):
