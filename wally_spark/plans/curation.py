@@ -533,6 +533,21 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     window — linear in corpus size with no hot-key task. Reference
     basis: machida computations have no text surface; this extends
     SURVEY §2.6 (engine extension)."""
+    return substring_dup_report(spark, sf_dir, exact_gram=False)
+
+
+def substring_dup_report(
+    spark: SparkSession, sf_dir: str, exact_gram: bool = False
+) -> DataFrame:
+    """dedup_substring's plan with a selectable gram identity:
+    ``exact_gram=False`` (the registered default) keys grams by
+    xxhash64 — 8-byte shuffle keys, ~4x cheaper to hash, birthday
+    collisions expected past ~2^32 distinct grams (each marks one
+    spurious extra span, never a miss); ``exact_gram=True`` keys by
+    the full 128-bit md5 — collision-free in practice, for
+    exactness-critical corpora, at the documented hash + 32-char
+    shuffle-key cost. Identical plan shape either way (the key is
+    only an equality handle through the agg and salted join)."""
     docs = _docs(spark, sf_dir)
     d = docs.select("doc_id", _words_col().alias("words")).where(
         F.size("words") >= ANCHOR_N
@@ -546,11 +561,13 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram_words = [F.col("w")] + [
         F.lead("w", k).over(wdoc) for k in range(1, ANCHOR_N)
     ]
+    gram_text = F.concat_ws(" ", *gram_words)
+    gram_key = F.md5(gram_text) if exact_gram else F.xxhash64(gram_text)
     ex = toks.select(
         "doc_id",
         "n_words",
         (F.col("p0") + 1).alias("p"),
-        F.xxhash64(F.concat_ws(" ", *gram_words)).alias("gram"),
+        gram_key.alias("gram"),
     ).where(F.col("p") <= F.col("n_words") - (ANCHOR_N - 1))
     # ">= 2 distinct docs" ⟺ min(doc_id) != max(doc_id), computed as a
     # TWO-PHASE aggregate (map-side combine: each upstream task emits
@@ -580,7 +597,7 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _span_merge(dup_pos, base)
 
 
-def anchor_gram_docs(docs: DataFrame) -> DataFrame:
+def anchor_gram_docs(docs: DataFrame, exact_gram: bool = False) -> DataFrame:
     """(doc_id, n_words, grams): 1-based sliding ANCHOR_N-word anchor
     grams per doc (docs shorter than ANCHOR_N are excluded — they
     cannot contain a duplicated span). Used by the streaming
@@ -609,14 +626,18 @@ def anchor_gram_docs(docs: DataFrame) -> DataFrame:
     # falsely marks one unrelated position per colliding doc as
     # duplicated — acceptable for dedup (a rare extra span, never a
     # miss), but it means position parity with the md5 oracle is
-    # statistical at that scale, not exact. If exactness at scale is a
-    # requirement, switch the batch gram identity back to a 128-bit
-    # key (md5) at the documented ~4x hash cost.
+    # statistical at that scale, not exact. ``exact_gram=True`` opts
+    # into the full 128-bit md5 identity (collision-free in practice)
+    # at the documented ~4x hash + 32-char shuffle-key cost — for
+    # exactness-critical corpora (r7 verdict item 4).
+    def key_of(text_col):
+        return F.md5(text_col) if exact_gram else F.xxhash64(text_col)
+
     grams = F.transform(
         F.sequence(
             F.lit(1), F.greatest(F.size("words") - (ANCHOR_N - 1), F.lit(1))
         ),
-        lambda i: F.xxhash64(F.array_join(F.slice("words", i, ANCHOR_N), " ")),
+        lambda i: key_of(F.array_join(F.slice("words", i, ANCHOR_N), " ")),
     )
     return d.select(
         "doc_id", F.size("words").alias("n_words"), grams.alias("grams")
