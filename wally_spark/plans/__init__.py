@@ -29,6 +29,7 @@ from wally_spark.plans import analytics_ext  # noqa: F401,E402
 from wally_spark.plans import timeseries  # noqa: F401,E402
 from wally_spark.plans import search  # noqa: F401,E402
 from wally_spark.plans import sequence  # noqa: F401,E402
+from wally_spark.plans import web  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -124,6 +125,9 @@ _CHANGED_THIS_ROUND = frozenset(
         # uniquifier); normal-path plan is unchanged but re-verify the
         # one registry consumer to be safe.
         "user_rfm_segments",
+        # r8: refactored into substring_dup_report(exact_gram=...) —
+        # expressions identical, but re-verify the registered default.
+        "dedup_substring",
     }
 )
 
