@@ -168,6 +168,7 @@ def test_no_cartesian_anywhere(spark):
         "text_lm_bigram",  # 1-row UNK-mass training-total side
         "basket_rules",  # 1-row basket-total side for the lift divisor
         "user_activity_gaps",  # 1-row corpus-frontier (max ts) side
+        "token_budget_allocation",  # 1-row total-weight side for shares
     }
     offenders = []
     for name in sorted(REGISTRY):

@@ -420,3 +420,120 @@ def pcm_sample_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return df.mapInPandas(extract, PCM_STATS_SCHEMA)
+
+
+MP4_BOXES_SCHEMA = (
+    "doc_id bigint, n_boxes int, major_brand string, timescale bigint, "
+    "duration_ms bigint, mdat_bytes bigint"
+)
+
+
+def parse_mp4_boxes(
+    b: bytes,
+) -> tuple[int | None, str | None, int | None, int | None, int | None]:
+    """Extract (n_top_level_boxes, major_brand, timescale, duration_ms,
+    mdat_bytes) from an ISO-BMFF (MP4/MOV) payload by walking the box
+    tree — no video library, headers only (mdat is SKIPPED by size, its
+    bytes never inspected: the 100 TB metadata-pass contract). Reads
+    ftyp's major brand, recurses into moov for the mvhd timescale and
+    duration (version 0 and 1 layouts), and sums mdat payload sizes.
+    size==1 boxes carry a 64-bit largesize; size==0 means
+    to-end-of-file. A corrupt payload returns Nones instead of
+    raising, same contract as the image/wav parsers."""
+    n_boxes = 0
+    brand = None
+    timescale = duration = None
+    mdat_bytes = 0
+    saw_mdat = False
+
+    def walk_children(lo: int, hi: int):
+        nonlocal timescale, duration
+        j = lo
+        while j + 8 <= hi:
+            csize = int.from_bytes(b[j : j + 4], "big")
+            ctype = b[j + 4 : j + 8]
+            body = j + 8
+            if csize == 1:
+                if j + 16 > hi:
+                    return
+                csize = int.from_bytes(b[j + 8 : j + 16], "big")
+                body = j + 16
+            elif csize == 0:
+                csize = hi - j
+            if csize < 8 or j + csize > hi:
+                return
+            if ctype == b"mvhd" and body + 4 <= hi:
+                ver = b[body]
+                if ver == 1 and body + 28 <= hi:
+                    timescale = int.from_bytes(b[body + 20 : body + 24], "big")
+                    duration = int.from_bytes(b[body + 24 : body + 32], "big")
+                elif ver == 0 and body + 20 <= hi:
+                    timescale = int.from_bytes(b[body + 12 : body + 16], "big")
+                    duration = int.from_bytes(b[body + 16 : body + 20], "big")
+            j += csize
+
+    i = 0
+    n = len(b)
+    while i + 8 <= n:
+        size = int.from_bytes(b[i : i + 4], "big")
+        btype = b[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:
+            if i + 16 > n:
+                break
+            size = int.from_bytes(b[i + 8 : i + 16], "big")
+            body = i + 16
+        elif size == 0:
+            size = n - i
+        if size < 8 or i + size > n:
+            break
+        n_boxes += 1
+        if btype == b"ftyp" and body + 4 <= n:
+            brand = b[body : body + 4].decode("latin-1")
+        elif btype == b"moov":
+            walk_children(body, i + size)
+        elif btype == b"mdat":
+            mdat_bytes += size - (body - i)
+            saw_mdat = True
+        i += size
+    if n_boxes == 0:
+        return (None, None, None, None, None)
+    duration_ms = (
+        duration * 1000 // timescale if timescale and duration is not None
+        else None
+    )
+    return (
+        n_boxes,
+        brand,
+        timescale,
+        duration_ms,
+        mdat_bytes if saw_mdat else None,
+    )
+
+
+def decode_mp4_boxes_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Dependency-free REAL container-metadata decoder: ISO-BMFF box
+    walk inside an Arrow-batched mapInPandas — the video face of
+    ``decode_wav_header_meta`` (frame decode would sit behind an
+    optional ffmpeg/pyav import, same swap contract)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raws = [bytes(v) if v is not None else b"" for v in pdf[payload_col]]
+            parsed = [parse_mp4_boxes(v) for v in raws]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_boxes": pd.array([p[0] for p in parsed], dtype="Int32"),
+                    "major_brand": [p[1] for p in parsed],
+                    "timescale": pd.array([p[2] for p in parsed], dtype="Int64"),
+                    "duration_ms": pd.array(
+                        [p[3] for p in parsed], dtype="Int64"
+                    ),
+                    "mdat_bytes": pd.array(
+                        [p[4] for p in parsed], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(decode, MP4_BOXES_SCHEMA)

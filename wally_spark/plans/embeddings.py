@@ -672,3 +672,103 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("z").cast("bigint").alias("n_zero"),
         )
     )
+
+
+# --- per-label centroid-distance outliers (r8) -------------------------------
+OUTLIER_FACTOR = 4  # flag vectors with d2 > OUTLIER_FACTOR * label mean d2
+
+
+@register(
+    "embedding_outliers",
+    oracle=f"""
+WITH comps AS (
+  SELECT vec_id, label, u.i - 1 AS j,
+         CAST(floor(u.x::DOUBLE * {GRID}.0 + 0.5) AS BIGINT) AS x
+  FROM (SELECT vec_id, label,
+               unnest(list_transform(embedding, (x, i) -> {{'x': x, 'i': i}})) AS u
+        FROM embeddings)
+),
+cent AS (
+  SELECT label, j,
+         (sum(x) - ((sum(x) % count(*)) + count(*)) % count(*)) // count(*)
+           AS m
+  FROM comps GROUP BY label, j
+),
+d AS (
+  SELECT c.vec_id, c.label, sum((c.x - k.m) * (c.x - k.m)) AS d2
+  FROM comps c JOIN cent k ON c.label = k.label AND c.j = k.j
+  GROUP BY c.vec_id, c.label
+),
+stats AS (
+  SELECT label, count(*) AS n, sum(d2) AS sum_d2 FROM d GROUP BY label
+)
+SELECT d.vec_id, d.label, d.d2::BIGINT AS d2,
+       (stats.n * d.d2 > {OUTLIER_FACTOR} * stats.sum_d2) AS is_outlier
+FROM d JOIN stats ON d.label = stats.label
+""",
+    tags=("embeddings", "quality", "outlier"),
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outlier detection — the mislabeled-example /
+    contamination probe an embedding-QC pass runs (a vector far from
+    its own class centroid is a labeling error, an out-of-distribution
+    doc, or an encoder failure): squared distance to the label
+    centroid, flagged when OUTLIER_FACTOR× above the label's mean
+    squared distance (the cross-multiplied integer form of the z-ish
+    rule — no float division anywhere).
+
+    Exactness by construction (the embedding_kmeans lattice contract):
+    components quantize to the GRID lattice (exact for power-of-two
+    GRID over float32), centroid means are exact floor divisions via
+    the nonnegative-remainder identity, distances are exact int64
+    sums — order-independent, so Spark and DuckDB agree bit-for-bit
+    under any partitioning.
+
+    Scale shape: posexplode + (label, pos) aggregate for centroids
+    (map-side combined, output labels × dim — dimension-sized,
+    BROADCAST back), per-vector d2 re-aggregates the same exploded
+    rows keyed by vec_id (components of a vector are adjacent in the
+    scan partition, so map-side combine collapses them before the
+    shuffle: one row per vector), one labels-bounded stats join."""
+    emb = _emb(spark, sf_dir)
+    comps = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("j", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "j",
+        F.floor(F.col("v").cast("double") * GRID + F.lit(0.5))
+        .cast("bigint")
+        .alias("x"),
+    )
+    cent = comps.groupBy("label", "j").agg(
+        F.expr(
+            "(sum(x) - ((sum(x) % count(1)) + count(1)) % count(1))"
+            " div count(1)"
+        ).alias("m")
+    )
+    d = (
+        comps.join(F.broadcast(cent), ["label", "j"])
+        .select(
+            "vec_id",
+            "label",
+            ((F.col("x") - F.col("m")) * (F.col("x") - F.col("m"))).alias(
+                "sq"
+            ),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("sq").alias("d2"))
+    )
+    stats = d.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("d2").alias("sum_d2")
+    )
+    return d.join(F.broadcast(stats), "label").select(
+        "vec_id",
+        "label",
+        F.col("d2").cast("bigint").alias("d2"),
+        (F.col("n") * F.col("d2") > OUTLIER_FACTOR * F.col("sum_d2")).alias(
+            "is_outlier"
+        ),
+    )

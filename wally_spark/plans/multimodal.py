@@ -405,3 +405,73 @@ def mm_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wally_spark.operators.multimodal import pcm_sample_stats
 
     return pcm_sample_stats(payloads)
+
+
+# --- video: ISO-BMFF (MP4) container metadata (r8) ---------------------------
+def _be32(col):
+    return F.format_string("%08x", col.cast("int"))
+
+
+@register(
+    "mm_mp4_boxes",
+    oracle="""
+SELECT doc_id,
+       3::INT AS n_boxes,
+       'isom' AS major_brand,
+       (1000 * (1 + doc_id % 4))::BIGINT AS timescale,
+       (1000 * (1 + doc_id % 7))::BIGINT AS duration_ms,
+       (16 + doc_id % 64)::BIGINT AS mdat_bytes
+FROM documents
+""",
+    tags=("multimodal", "video"),
+)
+def mm_mp4_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-container metadata through the REAL ISO-BMFF box walker
+    (operators/multimodal.parse_mp4_boxes): each doc gets a valid
+    minimal MP4 — ftyp(isom) + moov(mvhd) + mdat — with timescale,
+    duration, and mdat size derived from doc_id (duration an exact
+    timescale multiple so duration_ms is integer by construction), and
+    the operator walks big-endian box sizes, recurses into moov for
+    the mvhd fields, and SKIPS mdat by size (payload bytes never
+    inspected — the 100 TB metadata-pass contract; frame decode sits
+    behind an optional ffmpeg import, same swap contract as the image
+    lanes). Arrow-batched mapInPandas, map-only, zero shuffles.
+
+    Reference parity: decoder→computation over framed binary payloads
+    (machida/lib/wallaroo/__init__.py decoder protocol) recast as a
+    video-container column."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    ts = (1000 * (1 + F.col("doc_id") % 4)).cast("int")
+    dur = (ts * (1 + F.col("doc_id") % 7)).cast("int")
+    n = (16 + F.col("doc_id") % 64).cast("int")
+    mvhd = F.concat(
+        _be32(F.lit(108)),
+        F.lit("6d766864"),  # "mvhd"
+        F.lit("00000000"),  # version 0 + flags
+        F.lit("00000000"), F.lit("00000000"),  # ctime, mtime
+        _be32(ts),
+        _be32(dur),
+        F.lit("00010000"),  # rate 1.0
+        F.lit("0100"),  # volume 1.0
+        F.lit("0000"), F.lit("0" * 16),  # reserved
+        # unity matrix
+        F.lit("000100000000000000000000"),
+        F.lit("000000000001000000000000"),
+        F.lit("000000000000000040000000"),
+        F.lit("0" * 48),  # pre_defined[6]
+        _be32(F.lit(1)),  # next_track_id
+    )
+    payload_hex = F.concat(
+        _be32(F.lit(20)), F.lit("66747970"),  # ftyp
+        F.lit("69736f6d"),  # major brand "isom"
+        _be32(F.lit(512)),  # minor version
+        F.lit("6d703431"),  # compatible brand "mp41"
+        _be32(F.lit(116)), F.lit("6d6f6f76"), mvhd,  # moov
+        _be32(n + 8), F.lit("6d646174"),  # mdat
+        F.repeat(F.lit("00"), n),
+    )
+    payloads = docs.select("doc_id", F.unhex(payload_hex).alias("payload"))
+
+    from wally_spark.operators.multimodal import decode_mp4_boxes_meta
+
+    return decode_mp4_boxes_meta(payloads)

@@ -409,3 +409,80 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("rank").alias("rank_min"),
         F.max("rank").alias("rank_max"),
     )
+
+
+# --- token-budget allocation (r8) --------------------------------------------
+MIX_BUDGET = 10_000_000  # total training-token budget to allocate
+
+
+@register(
+    "token_budget_allocation",
+    oracle=f"""
+WITH t AS (
+  SELECT lang, source,
+         sum(len(list_filter(string_split(lower(text), ' '), w -> w <> '')))
+           ::BIGINT AS tokens
+  FROM documents GROUP BY lang, source
+),
+w AS (
+  SELECT lang, source, tokens,
+         floor(sqrt(tokens::DOUBLE))::BIGINT AS weight
+  FROM t
+),
+tot AS (SELECT sum(weight)::BIGINT AS total_w FROM w)
+SELECT w.lang, w.source, w.tokens, w.weight,
+       ({MIX_BUDGET} * w.weight // tot.total_w)::BIGINT AS target_tokens,
+       ((1000 * ({MIX_BUDGET} * w.weight // tot.total_w))
+         // nullif(w.tokens, 0))::BIGINT AS epochs_milli
+FROM w, tot
+""",
+    tags=("sampling", "curation", "mixing"),
+)
+def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix budget allocator — the step that turns per-slice
+    token counts into a concrete sampling plan (the mixing recipe
+    behind multilingual/multi-source corpora, e.g. the sqrt/temperature
+    reweighting of mC4 and XLM-R): each (lang, source) slice gets a
+    share of MIX_BUDGET proportional to sqrt(tokens) — temperature
+    tau=0.5 upweights tail slices — reported with its integer target
+    and the repeat factor (epochs) in exact millis. epochs > 1000 milli
+    flags slices the budget would force to repeat — the dashboard a mix
+    designer reads before launching a run.
+
+    Integer-exact everywhere the engines could drift: the ONLY float
+    op is sqrt (correctly-rounded IEEE on both engines, floored to a
+    bigint weight immediately); shares and epochs are bigint floor
+    divisions of exact sums, so the hash matches under any
+    partitioning. Scale shape: token counting inline in one documents
+    scan (no explode — only counts leave it), a (lang, source)-bounded
+    aggregate, one 1-row total broadcast back with a crossJoin (the
+    bounded-scalar pattern, never a global window), one projection."""
+    docs = _docs(spark, sf_dir)
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    t = (
+        docs.select("lang", "source", F.size(words).cast("bigint").alias("nw"))
+        .groupBy("lang", "source")
+        .agg(F.sum("nw").alias("tokens"))
+    )
+    w = t.select(
+        "lang",
+        "source",
+        "tokens",
+        F.floor(F.sqrt(F.col("tokens").cast("double"))).cast("bigint").alias(
+            "weight"
+        ),
+    )
+    tot = w.agg(F.sum("weight").cast("bigint").alias("total_w"))
+    target = F.expr(f"{MIX_BUDGET} * weight div total_w")
+    return w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "tokens",
+        "weight",
+        target.cast("bigint").alias("target_tokens"),
+        F.expr(
+            f"(1000 * ({MIX_BUDGET} * weight div total_w)) div nullif(tokens, 0)"
+        )
+        .cast("bigint")
+        .alias("epochs_milli"),
+    )

@@ -652,3 +652,131 @@ def value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("wmean_milli"),
         )
     )
+
+
+# --- out-of-order arrival audit (r8) -----------------------------------------
+@register(
+    "late_arrival_report",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         max(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+  FROM events
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_events,
+       sum(CASE WHEN us < hwm THEN 1 ELSE 0 END)::BIGINT AS n_late,
+       (10000 * sum(CASE WHEN us < hwm THEN 1 ELSE 0 END) // count(*))::BIGINT
+         AS late_bp,
+       coalesce(max(CASE WHEN us < hwm THEN (hwm - us) // 1000 END), 0)::BIGINT
+         AS max_lateness_ms
+FROM e GROUP BY user_id
+""",
+    tags=("timeseries", "events", "streaming-audit"),
+)
+def late_arrival_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order arrival audit — the batch diagnostic that SIZES a
+    streaming watermark (SURVEY §2.2 watermark delay): taking event_id
+    as arrival order, an event is LATE when its event time is behind
+    the per-user high-water mark of everything that arrived before it.
+    Per user: event count, late count in basis points, and the worst
+    lateness in ms — max_lateness_ms is exactly the smallest watermark
+    delay that would have lost nothing, making this the lane an
+    operator runs BEFORE choosing `.with_watermark()` (the reference's
+    late-data policies, windows.pony) rather than after losing data.
+
+    Scale shape: one running-max window partitioned by user_id
+    (bounded per-user partitions — never a global order), then one
+    user-keyed aggregate, map-side combined. Integer microsecond
+    arithmetic floored to ms — hash-exact under any partitioning."""
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = e.select(
+        "user_id",
+        "us",
+        F.max("us").over(w).alias("hwm"),
+    )
+    late = (F.col("us") < F.col("hwm")).cast("bigint")
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(late).cast("bigint").alias("n_late"),
+        F.expr(
+            "10000 * sum(cast(us < hwm as bigint)) div count(1)"
+        )
+        .cast("bigint")
+        .alias("late_bp"),
+        F.coalesce(
+            F.max(F.when(F.col("us") < F.col("hwm"),
+                         F.expr("(hwm - us) div 1000"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("max_lateness_ms"),
+    )
+
+
+# --- sliding-window rate-limit audit (r8) ------------------------------------
+RATE_WINDOW_S = 60
+RATE_LIMIT = 5  # events per window per user
+
+
+@register(
+    "events_rate_limit",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, epoch(ts)::BIGINT AS s,
+         count(*) OVER (
+           PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+           RANGE BETWEEN {RATE_WINDOW_S - 1} PRECEDING AND CURRENT ROW)
+           AS rate
+  FROM events
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_events,
+       max(rate)::BIGINT AS peak_rate,
+       sum(CASE WHEN rate > {RATE_LIMIT} THEN 1 ELSE 0 END)::BIGINT
+         AS n_breaches
+FROM e GROUP BY user_id
+""",
+    tags=("timeseries", "events", "streaming-audit"),
+)
+def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rate-limit audit: for every event, the count of
+    the same user's events in the trailing RATE_WINDOW_S seconds (a
+    true RANGE frame over event-time seconds — equal timestamps are
+    peers in both engines, so the count is order-independent by
+    construction); per user, the peak rate and how many events were
+    over RATE_LIMIT. The batch twin of a streaming throttle/abuse
+    monitor, and the calibration table for setting the limit itself.
+
+    Scale shape: one RANGE window partitioned by user_id (bounded
+    per-user partitions), one user-keyed aggregate — map-side
+    combined. All-bigint outputs."""
+    e = _events(spark, sf_dir).select(
+        "user_id", F.unix_timestamp("ts").alias("s")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rangeBetween(-(RATE_WINDOW_S - 1), 0)
+    )
+    rated = e.select(
+        "user_id", F.count(F.lit(1)).over(w).alias("rate")
+    )
+    return rated.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("rate").cast("bigint").alias("peak_rate"),
+        F.sum((F.col("rate") > RATE_LIMIT).cast("bigint"))
+        .cast("bigint")
+        .alias("n_breaches"),
+    )
