@@ -1323,3 +1323,52 @@ def test_rfm_lane_under_folded_compaction(spark, tmp_path):
     # the identical grid
     proc(spark.createDataFrame(pdf.iloc[2 * step :], ev.schema), 2)
     assert sorted(map(tuple, spark.read.parquet(out).collect())) == want
+
+
+def test_linededup_matches_batch_lane_and_replays(spark, tmp_path):
+    """linededup_against_corpus_foreach_batch (r8): union of per-batch
+    reports equals the batch dedup_lines core over the concatenated
+    corpus when batches arrive in ascending doc_id order; replaying the
+    last batch (own-dir exclusion) is idempotent; the store is
+    format-stamped."""
+    import os
+
+    from wally_spark.plans.web import line_dedup_report, segment_docs
+    from wally_spark.streaming.ops import linededup_against_corpus_foreach_batch
+
+    passage = " ".join(f"w{i}" for i in range(10))  # exactly one segment
+    other = " ".join(f"x{i}" for i in range(10))
+    schema = "doc_id long, text string"
+    batches = [
+        [(1, passage + " " + other), (2, passage + " tail one two")],
+        [(10, other + " fresh stuff here"), (11, passage)],
+        [(20, passage + " " + other + " " + passage)],
+    ]
+
+    segs, out = str(tmp_path / "segs"), str(tmp_path / "out")
+    fn = linededup_against_corpus_foreach_batch(spark, segs, out)
+    for i, rows in enumerate(batches):
+        fn(spark.createDataFrame(rows, schema), i)
+    assert os.path.exists(f"{segs}/_WALLY_STORE_FORMAT")
+
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/b*").collect()
+    )
+    union = spark.createDataFrame(
+        [r for rows in batches for r in rows], schema
+    )
+    want = sorted(
+        tuple(r)
+        for r in line_dedup_report(segment_docs(union)).collect()
+    )
+    assert got == want
+
+    # replay idempotence: re-run the last batch; its report is unchanged
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/b2").collect()
+    )
+    fn(spark.createDataFrame(batches[2], schema), 2)
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/b2").collect()
+    )
+    assert before == after

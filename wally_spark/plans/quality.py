@@ -699,3 +699,91 @@ def host_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "downweight"
         ),
     )
+
+
+# --- term-blocklist content filter (r8) ---------------------------------------
+# (term, severity): severity 2 = hard (any occurrence drops the doc),
+# severity 1 = soft (drops only when > SOFT_BP of the doc's words).
+BLOCK_TERMS = (("crash", 2), ("slow", 1), ("fast", 1))
+SOFT_BP = 100  # soft-term mass threshold: 1% of words
+
+_BLOCK_TERMS_SQL = ", ".join(f"('{t}', {s})" for t, s in BLOCK_TERMS)
+
+
+@register(
+    "blocklist_terms_filter",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                    w -> w <> '')) AS word
+  FROM documents
+),
+terms (term, severity) AS (VALUES {_BLOCK_TERMS_SQL}),
+hits AS (
+  SELECT t.doc_id,
+         count(*) AS n_hits,
+         sum(CASE WHEN terms.severity = 2 THEN 1 ELSE 0 END) AS n_hard
+  FROM tok t JOIN terms ON t.word = terms.term
+  GROUP BY t.doc_id
+),
+base AS (SELECT doc_id, count(*) AS n_words FROM tok GROUP BY doc_id)
+SELECT base.doc_id,
+       base.n_words::BIGINT AS n_words,
+       coalesce(hits.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(hits.n_hard, 0)::BIGINT AS n_hard_hits,
+       (coalesce(hits.n_hard, 0) > 0
+        OR 10000 * coalesce(hits.n_hits, 0) > {SOFT_BP} * base.n_words)
+         AS drop_doc
+FROM base LEFT JOIN hits ON hits.doc_id = base.doc_id
+""",
+    tags=("text", "quality", "curation"),
+)
+def blocklist_terms_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-blocklist content filter — the C4 "bad words" gate (Raffel
+    et al. 2020 §2.2 drop any page containing a listed word; real
+    pipelines soften that to a mass threshold): HARD terms drop a
+    document on any occurrence, SOFT terms only when they exceed
+    SOFT_BP of the document's words (cross-multiplied integer
+    comparison — no float). Reports per-doc hit counts and the
+    verdict, so threshold changes can be replayed from the report
+    without rescanning.
+
+    Scale shape: the term list is dimension-sized (thousands of terms
+    in production) and BROADCAST; tokens join it map-side and collapse
+    to per-doc counts before the doc_id shuffle (map-side combine), so
+    a blocklisted-word-heavy corpus still ships one row per doc. The
+    word-count base reuses the same exploded pass."""
+    docs = _docs(spark, sf_dir)
+    terms = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            list(BLOCK_TERMS), "term string, severity int"
+        )
+    )
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+        ).alias("word"),
+    )
+    hits = (
+        tok.join(terms, tok["word"] == terms["term"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.sum((F.col("severity") == 2).cast("bigint")).alias("n_hard"),
+        )
+    )
+    base = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        F.coalesce("n_hard", F.lit(0)).cast("bigint").alias("n_hard_hits"),
+        (
+            (F.coalesce("n_hard", F.lit(0)) > 0)
+            | (
+                10000 * F.coalesce("n_hits", F.lit(0))
+                > SOFT_BP * F.col("n_words")
+            )
+        ).alias("drop_doc"),
+    )

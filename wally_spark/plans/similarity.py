@@ -818,3 +818,58 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label") == F.col("true_label")).alias("correct"),
         )
     )
+
+
+# --- LSH recall audit (r8) ---------------------------------------------------
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the LSH index against exact brute force — the
+    gate that decides whether the banded-LSH config (N_BANDS ×
+    PLANES_PER_BAND) is safe to deploy: per query, how many of the
+    true cosine top-K the LSH candidates recovered, in basis points.
+    The audit a similarity service runs on a held-out query sample
+    after every index build or band-config change (the same
+    sketch-calibration role minhash_estimate_audit plays for MinHash).
+
+    Scale shape: composes the two registered pipelines unchanged
+    (brute force: broadcast query set, corpus never shuffles; LSH:
+    banded signature join) and finishes with a flag join + aggregate
+    on the query-bounded result sets — the audit adds no scan of its
+    own beyond the two pipelines it grades. Oracle: the two lanes'
+    oracles composed as CTE subqueries, so the audit can never drift
+    from what the graded lanes actually compute."""
+    bf = ann_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    got = ann_lsh(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        bf.join(got, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"),
+            F.expr("10000 * sum(coalesce(hit, 0)) div count(1)")
+            .cast("bigint")
+            .alias("recall_bp"),
+        )
+    )
+
+
+from wally_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+register(
+    "ann_recall_report",
+    oracle=f"""
+WITH bf AS (SELECT query_id, neighbor_id FROM ({_REG['ann_bruteforce'].oracle}) t),
+lshr AS (SELECT query_id, neighbor_id FROM ({_REG['ann_lsh'].oracle}) t)
+SELECT bf.query_id,
+       count(*)::BIGINT AS n_true,
+       sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_hit,
+       (10000 * sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         // count(*))::BIGINT AS recall_bp
+FROM bf LEFT JOIN lshr l
+  ON l.query_id = bf.query_id AND l.neighbor_id = bf.neighbor_id
+GROUP BY bf.query_id
+""",
+    tags=("similarity", "ann", "report"),
+)(ann_recall_report)

@@ -54,11 +54,14 @@ _SEGMENTS_SQL = f"""
 """
 
 
-def _segments(docs: DataFrame) -> DataFrame:
+def segment_docs(docs: DataFrame) -> DataFrame:
     """(doc_id, source, p, h, nw): SEG_N-word segments with md5
     identity — built with ONE transform over a per-doc index sequence
     (no token-level explode: only ceil(len/SEG_N) rows leave the scan,
-    each carrying a bounded md5)."""
+    each carrying a bounded md5). Tolerates a missing ``source``
+    column (the streaming lane's batches need not carry one)."""
+    if "source" not in docs.columns:
+        docs = docs.withColumn("source", F.lit(""))
     d = docs.select("doc_id", "source", _words_col().alias("words")).where(
         F.size("words") >= 1
     )
@@ -126,9 +129,16 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded partitions. The oracle spells first-occurrence as a
     per-hash row_number window — fine at oracle scale, rejected for
     the engine (hot hash = one task)."""
+    return line_dedup_report(segment_docs(fan_out(_docs(spark, sf_dir), "doc_id")))
+
+
+def line_dedup_report(ex: DataFrame) -> DataFrame:
+    """dedup_lines' core over pre-built segments (segment_docs):
+    first-occurrence flags via two-phase min(struct) + salted join,
+    per-doc drop report. Shared with the streaming persistent-corpus
+    lane (streaming/ops.linededup_against_corpus_foreach_batch)."""
     from wally_spark.operators.skew import salted_join
 
-    ex = _segments(fan_out(_docs(spark, sf_dir), "doc_id"))
     firsts = ex.groupBy("h").agg(
         F.min(F.struct("doc_id", "p")).alias("first")
     )
@@ -136,6 +146,11 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dropped",
         (F.struct("doc_id", "p") != F.col("first")).cast("bigint"),
     )
+    return _line_report(flagged)
+
+
+def _line_report(flagged: DataFrame) -> DataFrame:
+    """(doc_id, nw, dropped) segment flags → per-doc drop report."""
     return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_segs"),
         F.sum("nw").cast("bigint").alias("n_words"),
@@ -176,7 +191,7 @@ def line_dup_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count + two count-distincts, each two-phase), then a global top-K
     by TakeOrdered (never a full sort). Deterministic tiebreak on the
     hash itself."""
-    ex = _segments(fan_out(_docs(spark, sf_dir), "doc_id"))
+    ex = segment_docs(fan_out(_docs(spark, sf_dir), "doc_id"))
     return (
         ex.groupBy(F.col("h").alias("seg_hash"))
         .agg(

@@ -1624,3 +1624,62 @@ def cusum_alarm_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def linededup_against_corpus_foreach_batch(spark, segs_path: str, out_path: str):
+    """Incremental LINE/PARAGRAPH dedup — the streaming face of the
+    batch ``dedup_lines`` query (CCNet shape): every arriving
+    document's SEG_N-word segments probe the PERSISTENT segment-hash
+    store (every segment ever ingested); a segment drops if its hash
+    is already in the store, or if an earlier (doc_id, position)
+    occurrence exists within the batch. The per-doc drop report
+    (n_segs / n_words / n_dropped_segs / dropped_words / drop_bp —
+    dedup_lines' exact schema) lands in ``out_path/b<batch_id>``, and
+    the batch's distinct segment hashes register in
+    ``segs_path/b<batch_id>`` so later batches see them.
+
+    Equivalence contract (tested): when batches arrive in ascending
+    doc_id order, the union of per-batch reports is row-identical to
+    the batch lane over the concatenated corpus — the store membership
+    IS "an earlier occurrence exists". Store format is stamped
+    (ensure_store_format) so a foreign store fails loudly.
+
+    Shapes (mirrors dedup/substring corpus lanes): probes are
+    hash-equi joins through corpus_probe_parts, so after a
+    compact_corpus(bucket_key="h") the corpus side joins with no
+    Exchange; per-batch overwrite dirs + own-batch exclusion give
+    replay idempotence."""
+    from wally_spark.operators.checkpoint import pin
+    from wally_spark.plans.web import _line_report, segment_docs
+
+    ensure_store_format(
+        spark, segs_path, "linededup-seghash-v1", required_cols=("h",)
+    )
+
+    def proc(batch_df, batch_id):
+        seg = pin(segment_docs(batch_df))
+        firsts = seg.groupBy("h").agg(
+            F.min(F.struct("doc_id", "p")).alias("first")
+        )
+        flagged = seg.join(firsts, "h").withColumn(
+            "dropped",
+            (F.struct("doc_id", "p") != F.col("first")).cast("bigint"),
+        )
+        for part in corpus_probe_parts(spark, segs_path, exclude_batch=batch_id):
+            hit = seg.join(part.select("h"), "h", "left_semi").select(
+                "doc_id", "p"
+            )
+            flagged = flagged.join(
+                hit.withColumn("_c", F.lit(1)), ["doc_id", "p"], "left"
+            ).withColumn(
+                "dropped",
+                F.greatest("dropped", F.coalesce("_c", F.lit(0)).cast("bigint")),
+            ).drop("_c")
+        _line_report(flagged).write.mode("overwrite").parquet(
+            f"{out_path}/b{batch_id}"
+        )
+        seg.select("h").distinct().write.mode("overwrite").parquet(
+            f"{segs_path}/b{batch_id}"
+        )
+
+    return proc
