@@ -128,6 +128,10 @@ _CHANGED_THIS_ROUND = frozenset(
         # r8: refactored into substring_dup_report(exact_gram=...) —
         # expressions identical, but re-verify the registered default.
         "dedup_substring",
+        # r8: sign table now spans MAX_DIM via spark.range (dropped the
+        # explode+distinct dim derivation) and expressions build as
+        # parsed SQL strings — new plan, re-verify.
+        "embedding_random_projection",
     }
 )
 

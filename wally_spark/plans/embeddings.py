@@ -230,12 +230,16 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition- and engine-independent by construction.
 
     Scale shape: posexplode → broadcast-join the (dim × RP_DIMS) sign
-    table (built from the data's own distinct dim indices: no
-    hard-coded width, ≤ dim rows forever) → one doc-keyed aggregate of
-    RP_DIMS codegen sums with map-side combine. One shuffle keyed
-    vec_id, carrying RP_DIMS partial sums per vector per task. NULL
-    components contribute 0 (dirty-corpus rule: a bad row degrades,
-    never kills)."""
+    table → one doc-keyed aggregate of RP_DIMS codegen sums with
+    map-side combine. One shuffle keyed vec_id, carrying RP_DIMS
+    partial sums per vector per task. The sign table spans MAX_DIM
+    rows (the repo-wide embedding-width contract, plans/similarity.py
+    MAX_DIM) built from spark.range — no data scan, no driver action;
+    shorter vectors simply match fewer sign rows. r8 replaced the
+    previous distinct-over-exploded-components derivation, which
+    burned a full explode + shuffle pass on n_vec × dim rows just to
+    learn `dim`. NULL components contribute 0 (dirty-corpus rule: a
+    bad row degrades, never kills)."""
     emb = _emb(spark, sf_dir)
     ex = emb.select(
         "vec_id", F.posexplode("embedding").alias("i0", "x")
@@ -247,34 +251,33 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("q"),
     )
-    def _sign(j: int):
-        nib = F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("i").cast("string"), F.lit(f":{j}"))),
-                1,
-                1,
-            ),
-            16,
-            10,
-        ).cast("int")
+    # Expressions as SQL strings, parsed server-side in one shot: the
+    # functional-builder spelling of these 16 sign columns + 16 sums
+    # cost ~0.4 s of py4j round trips PER PLAN BUILD (measured r8) —
+    # identical logical plan, a fraction of the driver chatter.
+    def _sign_sql(j: int) -> str:
+        nib = (
+            f"cast(conv(substring(md5(concat(cast(i as string), ':{j}')), "
+            "1, 1), 16, 10) as int)"
+        )
         return (
-            F.when(nib < 5, F.lit(-1))
-            .when(nib < 11, F.lit(0))
-            .otherwise(F.lit(1))
-            .alias(f"s{j}")
+            f"case when {nib} < 5 then -1 when {nib} < 11 then 0 "
+            f"else 1 end as s{j}"
         )
 
+    from wally_spark.plans.similarity import MAX_DIM
+
     signs = (
-        ex.select("i").distinct().select("i", *[_sign(j) for j in range(RP_DIMS)])
+        spark.range(1, MAX_DIM + 1)
+        .selectExpr("cast(id as int) as i")
+        .selectExpr("i", *[_sign_sql(j) for j in range(RP_DIMS)])
     )
     return (
         ex.join(F.broadcast(signs), "i")
         .groupBy("vec_id")
         .agg(
             *[
-                F.sum(F.col("q") * F.col(f"s{j}"))
-                .cast("bigint")
-                .alias(f"p{j}")
+                F.expr(f"cast(sum(q * s{j}) as bigint)").alias(f"p{j}")
                 for j in range(RP_DIMS)
             ]
         )
