@@ -169,6 +169,7 @@ def test_no_cartesian_anywhere(spark):
         "basket_rules",  # 1-row basket-total side for the lift divisor
         "user_activity_gaps",  # 1-row corpus-frontier (max ts) side
         "token_budget_allocation",  # 1-row total-weight side for shares
+        "ann_recall_report",  # composes ann_bruteforce's broadcast-NL scan
     }
     offenders = []
     for name in sorted(REGISTRY):

@@ -641,3 +641,58 @@ def orders_aging_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
         F.coalesce("total_cents", F.lit(0)).cast("bigint").alias("total_cents"),
     )
+
+
+# --- supplier fulfillment-latency report (r8) ---------------------------------
+LATE_DAYS = 60  # ship lag beyond this counts as a late line
+
+
+@register(
+    "supplier_latency_report",
+    oracle=f"""
+SELECT l.l_suppkey AS suppkey,
+       count(*)::BIGINT AS n_lines,
+       floor(avg(date_diff('day', o.o_orderdate, l.l_shipdate)))::BIGINT
+         AS avg_lag_days,
+       max(date_diff('day', o.o_orderdate, l.l_shipdate))::BIGINT
+         AS max_lag_days,
+       sum(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                     > {LATE_DAYS} THEN 1 ELSE 0 END)::BIGINT AS n_late,
+       (10000 * sum(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                              > {LATE_DAYS} THEN 1 ELSE 0 END)
+         // count(*))::BIGINT AS late_bp
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY l.l_suppkey
+""",
+    tags=("tpch-ext", "analytics", "report"),
+)
+def supplier_latency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier fulfillment-latency rollup — the operational twin of
+    Q21's "suppliers who kept waiting": per supplier, the order-to-ship
+    lag distribution (avg floored to whole days, max, and the share of
+    lines beyond LATE_DAYS in basis points). Q21 finds the guilty
+    multi-supplier orders; this scores EVERY supplier continuously —
+    the vendor-SLA dashboard a fulfillment pipeline actually monitors.
+
+    Scale shape: one lineitem⋈orders equi-join on orderkey (both fact
+    tables — the shuffle is inherent and co-partitions with the
+    bucketed q3/q18 layout when present), then a supplier-bounded
+    aggregate, map-side combined. date_diff in whole days keeps every
+    output bigint-exact."""
+    t = load_tables(spark, sf_dir)
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    j = t["lineitem"].join(
+        t["orders"], F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return j.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.floor(F.avg(lag)).cast("bigint").alias("avg_lag_days"),
+        F.max(lag).cast("bigint").alias("max_lag_days"),
+        F.sum((lag > LATE_DAYS).cast("bigint")).cast("bigint").alias("n_late"),
+        F.expr(
+            f"10000 * sum(cast(datediff(l_shipdate, o_orderdate) > {LATE_DAYS}"
+            " as bigint)) div count(1)"
+        )
+        .cast("bigint")
+        .alias("late_bp"),
+    )

@@ -787,3 +787,62 @@ def blocklist_terms_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("drop_doc"),
     )
+
+
+# --- quality × duplication contingency (r8) -----------------------------------
+def quality_dup_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency of the Gopher quality verdict against exact-dup
+    membership — the table behind the classic curation question "are
+    our duplicates mostly junk, or are we about to dedup away good
+    text?" (the C4-vs-Gopher ordering debate is exactly about which
+    gate to run first; this measures the interaction on YOUR corpus
+    instead of assuming). Cells: (verdict, is_dup) → docs and char
+    mass.
+
+    Scale shape: reuses the single-scan gopher feature pass and the
+    uniform md5 dup-group aggregate, joined on doc_id (both sides one
+    row per doc), output bounded at 4 cells. Oracle composes the
+    registered gopher oracle as a CTE — the audit can never drift from
+    the gate it measures."""
+    feat = _gopher_feat(_docs(spark, sf_dir), "n_chars")
+    rules = _gopher_rule_cols()
+    verdict = None
+    for c in rules.values():
+        verdict = c if verdict is None else (verdict & c)
+    v = feat.select("doc_id", "n_chars", verdict.alias("verdict"))
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    dups = d.groupBy("h").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") >= 2)
+    flagged = d.join(dups.select("h", F.lit(True).alias("dup")), "h", "left").select(
+        "doc_id", F.coalesce("dup", F.lit(False)).alias("is_dup")
+    )
+    return (
+        v.join(flagged, "doc_id")
+        .groupBy("verdict", "is_dup")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+
+
+from wally_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+register(
+    "quality_dup_contingency",
+    oracle=f"""
+WITH gq AS (SELECT doc_id, verdict FROM ({_REG['gopher_rules'].oracle}) t),
+d AS (SELECT doc_id, n_chars, md5(text) AS h FROM documents),
+dupg AS (SELECT h FROM d GROUP BY h HAVING count(*) >= 2)
+SELECT gq.verdict,
+       (dupg.h IS NOT NULL) AS is_dup,
+       count(*)::BIGINT AS n_docs,
+       sum(d.n_chars)::BIGINT AS n_chars
+FROM gq JOIN d ON d.doc_id = gq.doc_id
+LEFT JOIN dupg ON dupg.h = d.h
+GROUP BY gq.verdict, (dupg.h IS NOT NULL)
+""",
+    tags=("text", "quality", "dedup", "report"),
+)(quality_dup_contingency)

@@ -556,3 +556,46 @@ def text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("space_milli"),
         F.floor((1000 * o) / d).cast("bigint").alias("other_milli"),
     )
+
+
+# --- classifier-agreement audit (r8) -----------------------------------------
+def langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement matrix between the two language-ID classifiers
+    (stopword-hit text_langid vs trigram-profile text_langid_ngram) —
+    the cross-validation a pipeline runs before trusting either as a
+    routing gate: cells off the diagonal are docs the classifiers
+    dispute (route to review or a heavier model), and a diagonal cell
+    collapsing under a profile update is the regression alarm. Counts
+    are per (stopword prediction, ngram prediction) over the docs both
+    classifiers scored.
+
+    Scale shape: composes the two registered lanes unchanged (both are
+    single-scan + bounded-broadcast plans) and adds one doc_id join +
+    a |langs|²-bounded aggregate. Oracle: the two lanes' oracles as
+    CTE subqueries — the audit can never drift from what it grades."""
+    a = text_langid(spark, sf_dir).select("doc_id", F.col("predicted").alias("pred_stop"))
+    b = text_langid_ngram(spark, sf_dir).select(
+        "doc_id", F.col("predicted").alias("pred_ngram")
+    )
+    return (
+        a.join(b, "doc_id")
+        .groupBy("pred_stop", "pred_ngram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+from wally_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+register(
+    "langid_agreement",
+    oracle=f"""
+WITH stopw AS (SELECT doc_id, predicted AS pred_stop
+               FROM ({_REG['text_langid'].oracle}) t),
+ngramw AS (SELECT doc_id, predicted AS pred_ngram
+           FROM ({_REG['text_langid_ngram'].oracle}) t)
+SELECT s.pred_stop, n.pred_ngram, count(*)::BIGINT AS n_docs
+FROM stopw s JOIN ngramw n ON s.doc_id = n.doc_id
+GROUP BY s.pred_stop, n.pred_ngram
+""",
+    tags=("text", "langid", "report"),
+)(langid_agreement)
