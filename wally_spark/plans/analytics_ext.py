@@ -696,3 +696,83 @@ def supplier_latency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("late_bp"),
     )
+
+
+# --- fact-table data-quality audit (r8) ----------------------------------------
+@register(
+    "fact_dq_audit",
+    oracle="""
+WITH j AS (
+  SELECT l.l_quantity, l.l_extendedprice, l.l_discount, l.l_tax,
+         l.l_shipdate, o.o_orderdate
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT r.rule, r.n_violations, r.n_rows FROM (
+  SELECT 'nonpositive_quantity' AS rule,
+         sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)::BIGINT
+           AS n_violations,
+         count(*)::BIGINT AS n_rows FROM j
+  UNION ALL
+  SELECT 'nonpositive_price',
+         sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)::BIGINT,
+         count(*)::BIGINT FROM j
+  UNION ALL
+  SELECT 'discount_out_of_range',
+         sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+           ::BIGINT,
+         count(*)::BIGINT FROM j
+  UNION ALL
+  SELECT 'tax_out_of_range',
+         sum(CASE WHEN l_tax < 0 OR l_tax > 1 THEN 1 ELSE 0 END)::BIGINT,
+         count(*)::BIGINT FROM j
+  UNION ALL
+  SELECT 'ship_before_order',
+         sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)::BIGINT,
+         count(*)::BIGINT FROM j
+) r
+""",
+    tags=("analytics", "quality", "audit"),
+)
+def fact_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-table data-quality audit — the ingest gate a warehouse
+    pipeline runs before facts reach queries (Deequ/expectations
+    shape): five constraint rules (non-positive quantity/price,
+    discount/tax out of [0,1], ship-before-order) evaluated in ONE
+    pass over lineitem⋈orders, reported as (rule, violations, rows) so
+    a scheduler can diff against yesterday's audit and block the load
+    on a new violation class.
+
+    Scale shape: every rule is a conditional-sum aggregate over the
+    same join (one inherent orderkey shuffle, map-side combined to a
+    single partial row per task); rules UNPIVOT from one aggregate row
+    via a literal stack — never five scans. Output bounded at 5
+    rows."""
+    t = load_tables(spark, sf_dir)
+    j = t["lineitem"].join(
+        t["orders"], F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    agg = j.agg(
+        F.sum((F.col("l_quantity") <= 0).cast("bigint")).alias("v1"),
+        F.sum((F.col("l_extendedprice") <= 0).cast("bigint")).alias("v2"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast(
+                "bigint"
+            )
+        ).alias("v3"),
+        F.sum(
+            ((F.col("l_tax") < 0) | (F.col("l_tax") > 1)).cast("bigint")
+        ).alias("v4"),
+        F.sum(
+            (F.col("l_shipdate") < F.col("o_orderdate")).cast("bigint")
+        ).alias("v5"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return agg.selectExpr(
+        """stack(5,
+          'nonpositive_quantity', v1,
+          'nonpositive_price', v2,
+          'discount_out_of_range', v3,
+          'tax_out_of_range', v4,
+          'ship_before_order', v5) as (rule, n_violations)""",
+        "n as n_rows",
+    )
