@@ -132,6 +132,9 @@ _CHANGED_THIS_ROUND = frozenset(
         # explode+distinct dim derivation) and expressions build as
         # parsed SQL strings — new plan, re-verify.
         "embedding_random_projection",
+        # r8: PAIR_EMIT_BUCKET emission cap (sf1 scale-record fix) —
+        # cap value changed in engine + oracle, re-verify.
+        "dedup_embedding_lsh",
     }
 )
 

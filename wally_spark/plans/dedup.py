@@ -152,6 +152,17 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 # pathological corpora (max observed bucket at sf0.1 is 7) and is
 # mirrored in every oracle.
 MAX_BUCKET = 4096
+# Tighter cap for PAIR-EMITTING lanes (dedup_embedding_lsh): a bucket
+# at MAX_BUCKET would still emit 4096²/2 ≈ 8.4M pairs, and the r8 sf1
+# scale record measured exactly that failure — a 10-fold-duplicated
+# embedding corpus grew one natural 200-member band bucket to 2000
+# members (104M pair emissions corpus-wide, 843 s vs 1.5 s at sf0.1).
+# When the OUTPUT is the pair list, the cap must bound emissions
+# (B²/2), not just membership: buckets past PAIR_EMIT_BUCKET are
+# mass-duplicate clusters — exact-dedup/clusters territory, their
+# pairwise listing is redundant (every member pairs with every other).
+# ≤ 32k emissions per bucket; mirrored in the oracle.
+PAIR_EMIT_BUCKET = 256
 
 MH_P = 4294967291  # largest prime < 2^32
 MH_A = (1000000007, 998244353, 997001789, 911382323,
@@ -683,7 +694,7 @@ WITH {_SIGS_CTE},
 sigs_k AS (
   SELECT vec_id, band_id, band_sig FROM (
     SELECT *, count(*) OVER (PARTITION BY band_id, band_sig) AS bsz
-    FROM sigs) WHERE bsz <= {MAX_BUCKET}
+    FROM sigs) WHERE bsz <= {PAIR_EMIT_BUCKET}
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -757,13 +768,14 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would sign the corpus twice and double the Arrow traffic; pin()
     # upgrades to a reliable checkpoint when a checkpoint dir is set
     banded = pin(_banded(emb, "vec_id", "e").drop("e"))
-    # bucket cap (MAX_BUCKET, same rationale as dedup_minhash): a hot
-    # bucket of duplicated embeddings would emit B²/2 candidate rows
+    # emission-bounding bucket cap (PAIR_EMIT_BUCKET — tighter than
+    # MAX_BUCKET because this lane's OUTPUT is the pair list; see the
+    # constant's comment for the measured sf1 failure it prevents)
     sizes = banded.groupBy("band_id", "band_sig").agg(
         F.count(F.lit(1)).alias("bsz")
     )
     banded = banded.join(
-        sizes.where(F.col("bsz") <= MAX_BUCKET), ["band_id", "band_sig"]
+        sizes.where(F.col("bsz") <= PAIR_EMIT_BUCKET), ["band_id", "band_sig"]
     )
     a = banded.select(F.col("vec_id").alias("vec_a"), "band_id", "band_sig")
     b = banded.select(F.col("vec_id").alias("vec_b"), "band_id", "band_sig")
