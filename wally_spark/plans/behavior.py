@@ -1,0 +1,260 @@
+"""User-behavior analytics lanes — round-8 additions (SURVEY §2.4).
+
+  attribution_last_touch  marketing attribution: each purchase credits
+                          the user's most recent PRIOR non-purchase
+                          event type (the "channel"); per-channel
+                          revenue report in exact cents
+  user_survival_curve     Kaplan-Meier-style lifetime survival: for
+                          each observed lifetime d, how many users
+                          lived >= d days
+  events_peak_concurrency per-day peak number of simultaneously open
+                          activity intervals via the classic +1/-1
+                          boundary sweep
+
+Reference parity: the reference keeps per-key last-state on a stream
+(lib/wallaroo/core/state/state.pony via machida state_computation) —
+attribution is the batch face of a last-state lookup; the concurrency
+sweep is the batch face of a gauge the reference's metrics hub
+(monitoring_hub/) maintains incrementally. All outputs integer-exact
+(cents / counts / basis points), so the driver value hash is stable
+under any partitioning.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from wally_spark.plans.registry import register
+from wally_spark.tables import load_tables
+
+CONCURRENCY_HOLD_S = 300  # an event holds its user "active" this long
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["events"]
+
+
+# --- last-touch attribution --------------------------------------------------
+@register(
+    "attribution_last_touch",
+    oracle="""
+WITH a AS (
+  SELECT event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS channel
+  FROM events),
+c AS (
+  SELECT coalesce(channel, 'direct') AS channel,
+         count(*)::BIGINT AS n_purchases,
+         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::BIGINT
+           AS revenue_cents
+  FROM a WHERE event_type = 'purchase' GROUP BY 1)
+SELECT channel, n_purchases, revenue_cents,
+       ((10000 * revenue_cents) // sum(revenue_cents) OVER ())::BIGINT
+         AS revenue_share_bp
+FROM c
+""",
+    tags=("events", "behavior", "attribution"),
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase credits its user's most
+    recent STRICTLY PRIOR non-purchase event type (order = (ts,
+    event_id), so ties are deterministic); purchases with no prior
+    touch go to 'direct'. Per channel: purchase count, revenue in
+    exact cents (floor(value*100 + 0.5) — one identical IEEE multiply
+    on both engines, then bigint sums), and the revenue share in basis
+    points.
+
+    Scale shape: ONE window partitioned by user_id (bounded per-user
+    partitions, never a global order) carrying the last-non-null
+    frame, then a channel-keyed aggregate (map-side combined, channel
+    cardinality = event-type vocabulary). The share window runs over
+    that |channels|-bounded aggregate output — a dimension-sized
+    relation, documented single-partition by construction."""
+    e = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = e.select(
+        "event_type",
+        "value",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("channel"),
+    )
+    per_channel = (
+        touched.where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum(
+                F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )
+    share_w = Window.partitionBy()
+    return per_channel.select(
+        "channel",
+        "n_purchases",
+        "revenue_cents",
+        F.floor(
+            (10000 * F.col("revenue_cents"))
+            / F.sum("revenue_cents").over(share_w)
+        )
+        .cast("bigint")
+        .alias("revenue_share_bp"),
+    )
+
+
+# --- lifetime survival curve -------------------------------------------------
+@register(
+    "user_survival_curve",
+    oracle="""
+WITH lt AS (
+  SELECT user_id,
+         date_diff('day', date_trunc('day', min(ts)),
+                   date_trunc('day', max(ts)))::BIGINT AS lifetime_days
+  FROM events GROUP BY user_id),
+h AS (
+  SELECT lifetime_days, count(*)::BIGINT AS n_users
+  FROM lt GROUP BY lifetime_days)
+SELECT lifetime_days, n_users,
+       sum(n_users) OVER (ORDER BY lifetime_days DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ::BIGINT AS n_surviving,
+       ((10000 * sum(n_users) OVER (ORDER BY lifetime_days DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        // sum(n_users) OVER ())::BIGINT AS survival_bp
+FROM h
+""",
+    tags=("events", "behavior", "retention"),
+)
+def user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier-style survival: a user's lifetime is the whole-day
+    span between their first and last event; for each OBSERVED
+    lifetime d the curve reports how many users survived >= d days and
+    that count in basis points of all users (the standard step-curve
+    evaluation points — days nobody died on add no information).
+
+    Scale shape: one user-keyed min/max aggregate (map-side combined),
+    then a histogram keyed by lifetime_days whose cardinality is
+    bounded by the corpus time SPAN IN DAYS — the reverse-cumulative
+    window runs over that bounded aggregate output (a few thousand
+    rows at any corpus size), documented single-partition by
+    construction; the raw events never see a global window."""
+    e = _events(spark, sf_dir)
+    lt = e.groupBy("user_id").agg(
+        F.datediff(
+            F.date_trunc("day", F.max("ts")), F.date_trunc("day", F.min("ts"))
+        )
+        .cast("bigint")
+        .alias("lifetime_days")
+    )
+    h = lt.groupBy("lifetime_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    wrev = (
+        Window.partitionBy()
+        .orderBy(F.desc("lifetime_days"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy()
+    return h.select(
+        "lifetime_days",
+        "n_users",
+        F.sum("n_users").over(wrev).cast("bigint").alias("n_surviving"),
+        F.floor(
+            (10000 * F.sum("n_users").over(wrev)) / F.sum("n_users").over(wall)
+        )
+        .cast("bigint")
+        .alias("survival_bp"),
+    )
+
+
+# --- peak concurrency sweep --------------------------------------------------
+@register(
+    "events_peak_concurrency",
+    oracle=f"""
+WITH iv AS (
+  SELECT date_trunc('day', ts)::TIMESTAMP AS day, epoch_us(ts) AS s,
+         least(epoch_us(ts) + {CONCURRENCY_HOLD_S} * 1000000,
+               epoch_us(date_trunc('day', ts) + INTERVAL 1 DAY)) AS e
+  FROM events),
+b AS (
+  SELECT day, s AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT day, e AS t, -1 AS delta FROM iv),
+r AS (
+  SELECT day,
+         sum(delta) OVER (PARTITION BY day ORDER BY t, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS open_now
+  FROM b)
+SELECT day,
+       (count(*) / 2)::BIGINT AS n_intervals,
+       max(open_now)::BIGINT AS peak_concurrency
+FROM r GROUP BY day
+""",
+    tags=("events", "behavior", "concurrency"),
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day peak simultaneous activity: each event opens a
+    CONCURRENCY_HOLD_S-second interval [ts, ts+hold) truncated at
+    midnight (so every interval belongs to exactly one day); the
+    classic +1/-1 boundary sweep — explode each interval into an open
+    and a close row, running-sum within the day, take the max — yields
+    the peak number of concurrently open intervals. Close rows sort
+    BEFORE open rows at equal microseconds (ORDER BY t, delta with
+    delta in {{-1,+1}}), the half-open [s,e) convention. The max is
+    order-invariant among equal (t, delta) rows: a run of same-sign
+    deltas produces the same prefix multiset in any order.
+
+    Scale shape: the sweep window partitions by DAY — days process in
+    parallel, each bounded by one day of boundary rows; at 100 TB
+    partition further by (day, shard) with a per-shard carry-in pass
+    (the two-phase prefix-sum machinery in operators/prefix.py) before
+    maxing. Integer microsecond arithmetic end to end."""
+    e = _events(spark, sf_dir).select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.unix_micros("ts").alias("s"),
+    )
+    iv = e.select(
+        "day",
+        "s",
+        F.least(
+            F.col("s") + CONCURRENCY_HOLD_S * 1_000_000,
+            F.unix_micros(F.col("day") + F.expr("interval 1 day")),
+        ).alias("e"),
+    )
+    b = iv.select(
+        "day",
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("e").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("bd"),
+    ).select("day", "bd.t", "bd.delta")
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = b.select("day", F.sum("delta").over(w).alias("open_now"))
+    return r.groupBy("day").agg(
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_intervals"),
+        F.max("open_now").cast("bigint").alias("peak_concurrency"),
+    )

@@ -876,3 +876,117 @@ def user_burst_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("burst"),
     )
+
+
+# --- label-propagation communities (r8) --------------------------------------
+LPA_ROUNDS = 3  # synchronous rounds (bounded contract, like PR_ITERS)
+
+
+def _lpa_round_sql(prev: str, r: int) -> str:
+    """One synchronous LPA round as DuckDB CTEs: count neighbor labels
+    through the (doubled) adjacency, then argmax by (count DESC, label
+    ASC) via row_number. MATERIALIZED for the same reason as the kcore
+    unroll: each round references the previous twice."""
+    return f"""
+c{r} AS MATERIALIZED (
+  SELECT a.dst AS v, l.label, count(*)::BIGINT AS n
+  FROM adj a JOIN {prev} l ON l.v = a.src GROUP BY 1, 2),
+l{r} AS MATERIALIZED (
+  SELECT v, label FROM (
+    SELECT v, label,
+           row_number() OVER (PARTITION BY v ORDER BY n DESC, label) AS rn
+    FROM c{r}) WHERE rn = 1)"""
+
+
+@register(
+    "graph_label_prop",
+    oracle="""
+WITH op AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= {sup}),
+adj AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst FROM e0
+  UNION ALL SELECT pb AS src, pa AS dst FROM e0),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS label FROM adj),{rounds}
+SELECT label AS community, count(*)::BIGINT AS n_members,
+       min(v)::BIGINT AS min_part, max(v)::BIGINT AS max_part
+FROM l{last} GROUP BY label
+""".format(
+        sup=KCORE_EDGE_SUPPORT,
+        rounds=",".join(
+            _lpa_round_sql(f"l{r - 1}", r) for r in range(1, LPA_ROUNDS + 1)
+        ),
+        last=LPA_ROUNDS,
+    ),
+    tags=("analytics", "graph", "communities"),
+)
+def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007) over the co-purchase graph (same support-thresholded
+    edge set as graph_triangle_count / graph_kcore): every vertex
+    starts as its own label; each round, a vertex adopts the most
+    frequent label among its neighbors, ties broken by smallest label
+    — fully deterministic, unlike the classic randomized sweep, so the
+    fixed LPA_ROUNDS unroll is bit-reproducible on any engine and
+    partitioning. Report: per surviving community, member count and
+    the part-id range.
+
+    Scale shape: mirrors graph_pagerank's round structure — per round
+    ONE join of the label relation (|V| rows) against the doubled
+    adjacency keyed on src, then a (dst, label)-keyed count (map-side
+    combined) and a min-struct argmax (never a per-vertex sort at
+    scale: min(struct(-n, label)) is an aggregate). Hub vertices fan
+    through the same salted-join knob the triangle lane uses if a
+    profile shows reducer skew. Rounds are unrolled in ONE lazy plan
+    with per-round pin + free_blocks (each round references the
+    previous label relation twice; lineage would compound otherwise
+    — the graph_kcore protocol).
+    """
+    from wally_spark.operators.checkpoint import free_blocks, pin
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= KCORE_EDGE_SUPPORT)
+        .select("pa", "pb")
+    )
+    adj = pin(
+        edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    )
+    labels = pin(
+        adj.select(F.col("src").alias("v")).distinct().select(
+            "v", F.col("v").alias("label")
+        )
+    )
+    for r in range(LPA_ROUNDS):
+        counts = (
+            adj.join(labels.withColumnRenamed("v", "src"), "src")
+            .groupBy(F.col("dst").alias("v"), "label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        new_labels = pin(
+            counts.groupBy("v")
+            .agg(
+                F.min(
+                    F.struct((-F.col("n")).alias("neg_n"), F.col("label"))
+                ).alias("best")
+            )
+            .select("v", F.col("best.label").alias("label"))
+        )
+        free_blocks(labels)
+        labels = new_labels
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("v").cast("bigint").alias("min_part"),
+        F.max("v").cast("bigint").alias("max_part"),
+    )
