@@ -170,6 +170,7 @@ def test_no_cartesian_anywhere(spark):
         "user_activity_gaps",  # 1-row corpus-frontier (max ts) side
         "token_budget_allocation",  # 1-row total-weight side for shares
         "ann_recall_report",  # composes ann_bruteforce's broadcast-NL scan
+        "text_ngram_novelty",  # 1-row (mn, mx) id-bounds side for slicing
     }
     offenders = []
     for name in sorted(REGISTRY):

@@ -775,3 +775,102 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_outlier"
         ),
     )
+
+
+# --- pairwise-cosine histogram (r8) ------------------------------------------
+PAIR_STRIDES = (1, 13, 177)  # deterministic id-lag pair samples
+PAIR_BIN_BP = 500  # histogram bin width in cosine basis points
+
+
+@register(
+    "embedding_pair_hist",
+    oracle=f"""
+WITH pairs AS (
+  {" UNION ALL ".join(
+    f'''SELECT {s} AS stride,
+        floor(10000.0 * list_cosine_similarity(a.embedding, b.embedding))
+          ::BIGINT AS cos_bp
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + {s}'''
+    for s in PAIR_STRIDES
+  )}
+),
+binned AS (
+  SELECT stride, CAST(floor(cos_bp / {PAIR_BIN_BP}.0) AS BIGINT) AS bin,
+         cos_bp
+  FROM pairs)
+SELECT stride, bin, (bin * {PAIR_BIN_BP})::BIGINT AS bin_lo_bp,
+       count(*)::BIGINT AS n_pairs,
+       CAST(floor(sum(cos_bp) / count(*)) AS BIGINT) AS mean_cos_bp,
+       ((10000 * count(*)) //
+        sum(count(*)) OVER (PARTITION BY stride))::BIGINT AS share_bp
+FROM binned GROUP BY stride, bin
+""",
+    tags=("embedding", "quality"),
+)
+def embedding_pair_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine histogram — the embedding-space collapse /
+    anisotropy QC gate (Ethayarajh 2019 shape): sample pairs
+    DETERMINISTICALLY by id lag (vec i with vec i+stride, three
+    strides, so reruns and the oracle see the exact same pair set —
+    never a random sample), bin each pair's cosine into PAIR_BIN_BP
+    buckets, and report per (stride, bin) the count, in-bin mean, and
+    per-stride share. A healthy space piles mass near 0; mass piled
+    near 10000 across strides means the encoder collapsed. Cosine is
+    the float path ann_bruteforce already proved hash-exact against
+    DuckDB's list_cosine_similarity; bin edges divide by the bin
+    width in float (exactly-representable quotients at bin
+    boundaries), so bucketing is identical on both engines.
+
+    Scale shape: each stride is ONE equi-join keyed on vec_id (no
+    similarity search, no self-cartesian — the join fans out 1:1),
+    unioned, then a (stride, bin)-keyed aggregate, map-side combined;
+    the share window runs over the |strides| × ~41-bin bounded
+    aggregate output. Corpus shuffles once per stride on a uniform
+    bigint key."""
+    from wally_spark.plans.similarity import _cos
+
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    per_stride = [
+        a.join(b, F.col("ib") == F.col("ia") + F.lit(int(s)))
+        .select(
+            F.lit(int(s)).alias("stride"),
+            F.floor(10000.0 * _cos(F.col("ea"), F.col("eb")))
+            .cast("bigint")
+            .alias("cos_bp"),
+        )
+        for s in PAIR_STRIDES
+    ]
+    pairs = per_stride[0]
+    for p in per_stride[1:]:
+        pairs = pairs.unionAll(p)
+    binned = pairs.select(
+        "stride",
+        F.floor(F.col("cos_bp") / float(PAIR_BIN_BP)).cast("bigint").alias("bin"),
+        "cos_bp",
+    )
+    from pyspark.sql import Window
+
+    share_w = Window.partitionBy("stride")
+    return (
+        binned.groupBy("stride", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("cos_bp").alias("_sum"),
+        )
+        .select(
+            "stride",
+            "bin",
+            (F.col("bin") * PAIR_BIN_BP).cast("bigint").alias("bin_lo_bp"),
+            "n_pairs",
+            F.floor(F.col("_sum") / F.col("n_pairs"))
+            .cast("bigint")
+            .alias("mean_cos_bp"),
+            F.floor(
+                (10000 * F.col("n_pairs")) / F.sum("n_pairs").over(share_w)
+            )
+            .cast("bigint")
+            .alias("share_bp"),
+        )
+    )

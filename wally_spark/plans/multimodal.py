@@ -475,3 +475,114 @@ def mm_mp4_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wally_spark.operators.multimodal import decode_mp4_boxes_meta
 
     return decode_mp4_boxes_meta(payloads)
+
+
+# --- exact binary-blob dedup (r8) --------------------------------------------
+_BLOB_FMTS = ("img", "aud", "vid", "txt")
+
+
+@register(
+    "mm_binary_dup",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id,
+         md5(md5(text) || lower(hex(substr(text, 1, 48)::BLOB))) AS h,
+         (16 + octet_length(substr(text, 1, 48)::BLOB))::BIGINT AS nb,
+         CASE ((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) % 4)
+           {" ".join(f"WHEN {i} THEN '{f}'" for i, f in enumerate(_BLOB_FMTS))}
+         END AS fmt
+  FROM documents),
+per_hash AS (
+  SELECT fmt, h, count(*)::BIGINT AS n, any_value(nb) AS nb
+  FROM p GROUP BY fmt, h)
+SELECT fmt,
+       sum(n)::BIGINT AS n_blobs,
+       count(*)::BIGINT AS n_distinct,
+       sum(n * nb)::BIGINT AS bytes_total,
+       sum((n - 1) * nb)::BIGINT AS dup_bytes,
+       ((10000 * sum((n - 1) * nb)) // sum(n * nb))::BIGINT AS dup_bp
+FROM per_hash GROUP BY fmt
+""",
+    tags=("multimodal", "dedup"),
+)
+def mm_binary_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over an opaque BINARY column — the first pass every
+    multimodal corpus runs (identical image/audio files recrawled
+    under different ids): synthesize a per-doc payload (md5 digest
+    bytes + the first 48 UTF-8 bytes of the text, so byte length
+    varies and duplicate TEXT produces duplicate BYTES), then hash the
+    raw bytes EXECUTOR-SIDE in an Arrow-batched mapInPandas — the
+    100 TB shape: the blob never leaves its executor, only the
+    16-byte digest, format tag, and length shuffle. Per container
+    format (derived from the first payload nibble, content-stable
+    across copies): blob count, distinct count, byte mass, duplicated
+    byte mass, and the dup rate in basis points — the report that
+    sizes how much storage a binary-level dedup pass reclaims.
+
+    The blob identity key is md5 over the LOWERCASE HEX of the bytes
+    (not the raw bytes) so the DuckDB oracle — whose md5 only takes
+    VARCHAR — can reproduce it exactly; hex encoding is bijective, so
+    dup semantics are unchanged (same convention as the ExactSubstr
+    gram keys, plans/curation.py)."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    payloads = fan_out(
+        docs.select(
+            "doc_id",
+            F.concat(
+                F.unhex(F.md5(F.col("text").cast("binary"))),
+                F.substring("text", 1, 48).cast("binary"),
+            ).alias("payload"),
+        ),
+        "doc_id",
+    )
+    schema = StructType(
+        [
+            StructField("fmt", StringType()),
+            StructField("h", StringType()),
+            StructField("nb", LongType()),
+        ]
+    )
+
+    def digest(batches):
+        for pdf in batches:
+            blobs = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "fmt": [
+                        _BLOB_FMTS[(b[0] >> 4) % 4] for b in blobs
+                    ],
+                    "h": [
+                        hashlib.md5(b.hex().encode()).hexdigest()
+                        for b in blobs
+                    ],
+                    "nb": [len(b) for b in blobs],
+                }
+            )
+
+    hashed = payloads.mapInPandas(digest, schema)
+    per_hash = hashed.groupBy("fmt", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.first("nb").alias("nb"),
+    )
+    return per_hash.groupBy("fmt").agg(
+        F.sum("n").cast("bigint").alias("n_blobs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(F.col("n") * F.col("nb")).cast("bigint").alias("bytes_total"),
+        F.sum((F.col("n") - 1) * F.col("nb")).cast("bigint").alias("dup_bytes"),
+        F.floor(
+            (10000 * F.sum((F.col("n") - 1) * F.col("nb")))
+            / F.sum(F.col("n") * F.col("nb"))
+        )
+        .cast("bigint")
+        .alias("dup_bp"),
+    )

@@ -443,3 +443,110 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.col("keep_id")).alias("keeper"),
         "n_aliases",
     )
+
+
+# --- corpus novelty curve (r8) -----------------------------------------------
+NOVELTY_SLICES = 10  # crawl-order slices
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+WITH bounds AS (
+  SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+ds AS (
+  SELECT doc_id,
+         ((doc_id - mn) * {NOVELTY_SLICES} // (mx - mn + 1))::BIGINT AS slice
+  FROM documents, bounds),
+shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(words) - 1, 1)),
+           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingles
+  FROM (SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), w -> w <> '') AS words
+        FROM documents)
+  WHERE len(words) >= 3),
+pairs AS (
+  SELECT DISTINCT s.shingle, d.slice
+  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM shingled) s
+  JOIN ds d USING (doc_id)),
+firsts AS (
+  SELECT shingle, min(slice) AS s0 FROM pairs GROUP BY shingle),
+per_slice AS (
+  SELECT slice, count(*)::BIGINT AS n_shingles FROM pairs GROUP BY slice),
+new_per_slice AS (
+  SELECT s0 AS slice, count(*)::BIGINT AS n_new FROM firsts GROUP BY s0),
+docs_per_slice AS (
+  SELECT slice, count(*)::BIGINT AS n_docs FROM ds GROUP BY slice)
+SELECT d.slice, d.n_docs, p.n_shingles,
+       coalesce(n.n_new, 0)::BIGINT AS n_new,
+       ((10000 * coalesce(n.n_new, 0)) // p.n_shingles)::BIGINT AS novelty_bp
+FROM docs_per_slice d
+JOIN per_slice p ON p.slice = d.slice
+LEFT JOIN new_per_slice n ON n.slice = d.slice
+""",
+    tags=("curation", "web", "novelty"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve — the diminishing-returns report for data
+    collection: order the corpus by doc_id ("crawl order"), cut it
+    into NOVELTY_SLICES equal-width id slices, and for each slice
+    report how many of its distinct 3-word shingles appear here for
+    the FIRST time (no earlier slice contains them). A flattening
+    novelty_bp curve says the next crawl increment mostly re-collects
+    known text — the signal to stop paying for a source (same shingle
+    vocabulary as dedup_minhash, so the curve is consistent with what
+    the near-dedup stack will later remove).
+
+    Scale shape: slice assignment is a broadcast of ONE scalar
+    min/max row; shingle work is distinct (shingle, slice) pairs —
+    a hash shuffle keyed by the (uniform) shingle — then a
+    shingle-keyed min and three |slices|-bounded aggregates joined
+    broadcast. No windows, no per-doc sorts; the heavy relation is
+    touched exactly twice (pairs → per-slice count, pairs → firsts),
+    both map-side combined."""
+    from wally_spark.plans.dedup import shingles_of
+
+    docs = _docs(spark, sf_dir)
+    bounds = docs.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    ds = docs.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        "text",
+        F.expr(
+            f"cast((doc_id - mn) * {NOVELTY_SLICES} div (mx - mn + 1) as bigint)"
+        ).alias("slice"),
+    )
+    pairs = (
+        shingles_of(ds.select("doc_id", "text"))
+        .join(ds.select("doc_id", "slice"), "doc_id")
+        .select("shingle", "slice")
+        .distinct()
+    )
+    firsts = pairs.groupBy("shingle").agg(F.min("slice").alias("s0"))
+    per_slice = pairs.groupBy("slice").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    new_per_slice = firsts.groupBy(F.col("s0").alias("slice")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    docs_per_slice = ds.groupBy("slice").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return (
+        docs_per_slice.join(per_slice, "slice")
+        .join(F.broadcast(new_per_slice), "slice", "left")
+        .select(
+            "slice",
+            "n_docs",
+            "n_shingles",
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+            F.floor(
+                (10000 * F.coalesce("n_new", F.lit(0))) / F.col("n_shingles")
+            )
+            .cast("bigint")
+            .alias("novelty_bp"),
+        )
+    )
