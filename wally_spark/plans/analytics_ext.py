@@ -776,3 +776,164 @@ def fact_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
           'ship_before_order', v5) as (rule, n_violations)""",
         "n as n_rows",
     )
+
+
+# --- OLS price elasticity (r8) -----------------------------------------------
+@register(
+    "price_quantity_elasticity",
+    oracle="""
+WITH xy AS (
+  SELECT p.p_brand AS brand,
+         CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+           // CAST(l.l_quantity AS BIGINT) // 100 AS x,
+         CAST(l.l_quantity AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+m AS (
+  SELECT brand, count(*)::BIGINT AS n,
+         sum(x) // count(*) AS mx, sum(y) // count(*) AS my
+  FROM xy GROUP BY brand),
+s AS (
+  SELECT xy.brand, any_value(m.n) AS n,
+         any_value(m.mx) AS mx, any_value(m.my) AS my,
+         sum((x - mx) * (y - my))::BIGINT AS sxy,
+         sum((x - mx) * (x - mx))::BIGINT AS sxx,
+         sum((y - my) * (y - my))::BIGINT AS syy
+  FROM xy JOIN m ON m.brand = xy.brand GROUP BY xy.brand)
+SELECT brand, n, mx::BIGINT AS mean_price_dollars, my::BIGINT AS mean_qty,
+       CAST(floor(1000000.0 * sxy / sxx) AS BIGINT) AS slope_micro,
+       CAST(floor(10000.0 * (sxy::DOUBLE * sxy::DOUBLE)
+                  / (sxx::DOUBLE * syy::DOUBLE)) AS BIGINT) AS r2_bp
+FROM s
+""",
+    tags=("analytics", "regression"),
+)
+def price_quantity_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS slope of order quantity on unit price (dollars) —
+    regression AS AN AGGREGATE, no ML library: slope = S_xy / S_xx
+    over mean-centered integer deviations, reported in micro-units of
+    quantity per dollar, plus r² in basis points.
+
+    Two-pass centering is the 100 TB design, not a convenience: raw
+    second moments (n·Σxy − ΣxΣy) overflow int64 near 10^9 rows
+    (n·Σxy ~ 10^22), while centered deviation products stay ~10^15.
+    Pass 1 computes floored integer means per brand (map-side
+    combined, |brands| rows); pass 2 re-scans with the means joined
+    back BROADCAST (a dimension-sized relation) and accumulates exact
+    bigint deviation sums. The only floats are the final two display
+    divisions — each one IEEE op, identical on both engines. The
+    fact⋈part join keys on partkey (uniform); nothing shuffles twice.
+    """
+    t = load_tables(spark, sf_dir)
+    li, part = t["lineitem"], t["part"]
+    xy = li.join(part, li.l_partkey == part.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.expr(
+            "cast(floor(l_extendedprice * 100.0 + 0.5) as bigint)"
+            " div cast(l_quantity as bigint) div 100"
+        ).alias("x"),
+        F.col("l_quantity").cast("bigint").alias("y"),
+    )
+    m = xy.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("sum(x) div count(1)").alias("mx"),
+        F.expr("sum(y) div count(1)").alias("my"),
+    )
+    s = (
+        xy.join(F.broadcast(m), "brand")
+        .groupBy("brand")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("mx").alias("mx"),
+            F.first("my").alias("my"),
+            F.sum((F.col("x") - F.col("mx")) * (F.col("y") - F.col("my")))
+            .cast("bigint")
+            .alias("sxy"),
+            F.sum((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx")))
+            .cast("bigint")
+            .alias("sxx"),
+            F.sum((F.col("y") - F.col("my")) * (F.col("y") - F.col("my")))
+            .cast("bigint")
+            .alias("syy"),
+        )
+    )
+    return s.select(
+        "brand",
+        "n",
+        F.col("mx").alias("mean_price_dollars"),
+        F.col("my").alias("mean_qty"),
+        F.floor(1000000.0 * F.col("sxy") / F.col("sxx"))
+        .cast("bigint")
+        .alias("slope_micro"),
+        F.floor(
+            10000.0
+            * (F.col("sxy").cast("double") * F.col("sxy").cast("double"))
+            / (F.col("sxx").cast("double") * F.col("syy").cast("double"))
+        )
+        .cast("bigint")
+        .alias("r2_bp"),
+    )
+
+
+# --- supplier concentration HHI (r8) -----------------------------------------
+HHI_CONCENTRATED = 25_000_000  # DOJ 0.25 on the bp² (0..10^8) scale
+HHI_MODERATE = 15_000_000
+
+
+@register(
+    "supplier_concentration_hhi",
+    oracle=f"""
+WITH sq AS (
+  SELECT l_partkey AS part, l_suppkey AS supp,
+         sum(CAST(l_quantity AS BIGINT))::BIGINT AS q
+  FROM lineitem GROUP BY 1, 2),
+sh AS (
+  SELECT part, supp, q,
+         (10000 * q) // sum(q) OVER (PARTITION BY part) AS share_bp
+  FROM sq)
+SELECT part,
+       count(*)::BIGINT AS n_suppliers,
+       max(share_bp)::BIGINT AS top_share_bp,
+       sum(share_bp * share_bp)::BIGINT AS hhi,
+       CASE WHEN sum(share_bp * share_bp) >= {HHI_CONCENTRATED}
+              THEN 'concentrated'
+            WHEN sum(share_bp * share_bp) >= {HHI_MODERATE}
+              THEN 'moderate'
+            ELSE 'competitive' END AS band
+FROM sh GROUP BY part
+""",
+    tags=("analytics", "procurement"),
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain concentration per part: each supplier's share of
+    the part's shipped quantity in basis points, Herfindahl index =
+    Σ share_bp² (0..10^8 scale), banded at the DOJ 0.25 / 0.15
+    thresholds — the procurement-risk report flagging parts that
+    depend on one vendor. All-integer: floored bp shares square and
+    sum exactly on any engine.
+
+    Scale shape: one (part, supp)-keyed aggregate (map-side combined)
+    collapses the fact table to at most |part|×|suppliers-per-part|
+    rows; the share window partitions by PART — millions of parallel
+    partitions each a handful of rows, never global; the final
+    part-keyed aggregate reuses the same partitioning (no extra
+    shuffle under AQE). Output is |part|-bounded."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    sq = li.groupBy(
+        F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp")
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+    w = Window.partitionBy("part")
+    sh = sq.select(
+        "part",
+        F.expr("10000 * q").alias("qq"),
+        F.sum("q").over(w).alias("tot"),
+    ).select("part", F.expr("qq div tot").alias("share_bp"))
+    hhi = F.sum(F.col("share_bp") * F.col("share_bp"))
+    return sh.groupBy("part").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.max("share_bp").cast("bigint").alias("top_share_bp"),
+        hhi.cast("bigint").alias("hhi"),
+        F.when(hhi >= HHI_CONCENTRATED, "concentrated")
+        .when(hhi >= HHI_MODERATE, "moderate")
+        .otherwise("competitive")
+        .alias("band"),
+    )
