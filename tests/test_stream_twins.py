@@ -424,3 +424,32 @@ def test_cusum_alarm_stream_matches_sequential_reference(spark, tmp_path):
     step = (len(pdf) + N_FILES - 1) // N_FILES
     first_batch_max = ts_sorted[step - 1]
     assert any(a[1] > first_batch_max for a in got), "all alarms in batch 0"
+
+
+def test_attribution_stream_equivalence(spark, tmp_path):
+    """The streaming last-touch state lane folds to exactly the batch
+    attribution_last_touch report: same per-channel purchase counts,
+    cent-exact revenue, and share bp over the same events — with
+    last-touch state carried across micro-batch boundaries."""
+    from pyspark.sql import Window
+
+    from wally_spark.plans import REGISTRY
+    from wally_spark.streaming.ops import attribution_stream
+
+    sdf, _ = _ordered_stream(spark, tmp_path)
+    out = _run_append(attribution_stream(sdf), spark)
+    per_channel = out.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+    w = Window.partitionBy()
+    stream_rows = per_channel.select(
+        "channel", "n_purchases", "revenue_cents",
+        F.floor(
+            (10000 * F.col("revenue_cents")) / F.sum("revenue_cents").over(w)
+        )
+        .cast("bigint")
+        .alias("revenue_share_bp"),
+    )
+    batch_rows = REGISTRY["attribution_last_touch"].spark_fn(spark, SF_SMALL)
+    assert _rows(stream_rows) == _rows(batch_rows)

@@ -369,6 +369,65 @@ def transitions_stream(df: DataFrame) -> DataFrame:
     )
 
 
+def attribution_stream(df: DataFrame) -> DataFrame:
+    """Streaming twin of the registered `attribution_last_touch` batch
+    lane: per-user LAST-NON-PURCHASE-TOUCH state (one short string per
+    key, O(keys), unbounded-stream safe) — the same last-state shape
+    as transitions_stream, emitting one attributed purchase row
+    (user_id, channel, cents) per purchase event; purchases before any
+    touch attribute to 'direct'. Revenue is exact integer cents
+    (floor(value*100 + 0.5), the batch lane's convention), so the
+    per-channel report — ONE mergeable aggregate over this lane's
+    output — folds micro-batch increments without reprocessing and
+    matches the batch lane bit-for-bit. Assumes per-key in-order
+    delivery (count_windows_stream contract)."""
+    import math
+
+    import pandas as pd
+
+    from pyspark import cloudpickle
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, channel string, cents long"
+
+    def runner(key, pdfs, state):
+        user = key[0]
+        last = None
+        if state.exists:
+            (blob,) = state.get
+            last = cloudpickle.loads(bytes(blob))
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows):
+            rows = rows.sort_values(["ts", "event_id"])
+        out = []
+        it = (
+            zip(rows["event_type"], rows["value"]) if len(rows) else []
+        )
+        for et, val in it:
+            if et == "purchase":
+                out.append(
+                    (user, last if last is not None else "direct",
+                     int(math.floor(float(val) * 100.0 + 0.5)))
+                )
+            else:
+                last = str(et)
+        state.update((cloudpickle.dumps(last),))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "channel", "cents"])
+        else:
+            yield pd.DataFrame(
+                {c.split()[0]: pd.Series(dtype="object") for c in out_schema.split(",")}
+            )
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        runner,
+        outputStructType=out_schema,
+        stateStructType="blob binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sliding_windows_stream(df: DataFrame, watermark: str | None = "1 minute") -> DataFrame:
     """Streaming twin of `win_sliding`: the identical declarative plan
     (1h windows sliding every 15min), watermarked so append mode is the
