@@ -258,3 +258,104 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) / 2).cast("bigint").alias("n_intervals"),
         F.max("open_now").cast("bigint").alias("peak_concurrency"),
     )
+
+
+# --- revenue decile gains table ----------------------------------------------
+GAINS_K = 10
+
+
+@register(
+    "revenue_decile_gains",
+    oracle=f"""
+WITH pr AS (
+  SELECT user_id,
+         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::BIGINT AS rev
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+t AS (
+  SELECT user_id, rev,
+         ntile({GAINS_K}) OVER (ORDER BY rev DESC, user_id) AS decile
+  FROM pr),
+d AS (
+  SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_users,
+         sum(rev)::BIGINT AS revenue_cents
+  FROM t GROUP BY 1)
+SELECT decile, n_users, revenue_cents,
+       ((10000 * sum(revenue_cents) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         // sum(revenue_cents) OVER ())::BIGINT AS cum_share_bp,
+       CAST(floor(1000.0 * (revenue_cents * 1.0 / n_users)
+                  / (sum(revenue_cents) OVER () * 1.0
+                     / sum(n_users) OVER ())) AS BIGINT) AS lift_milli
+FROM d
+""",
+    tags=("events", "behavior", "gains"),
+)
+def revenue_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue gains/lift table — "the top decile drives X% of
+    revenue": purchasers ranked by exact lifetime purchase cents into
+    GAINS_K deciles (decile 1 = biggest spenders), reporting per
+    decile the user count, revenue mass, CUMULATIVE revenue share in
+    bp, and the lift (decile mean vs population mean, milli).
+
+    The global decile rank is the scale trap this repo already
+    engineered around for RFM: a bare ntile(10) window plans ONE task
+    holding every purchaser. This lane is the second consumer of
+    `operators/prefix.global_ntile_multi` — deterministic sample
+    cuts + per-bucket rank + literal prefix offsets, bit-identical to
+    SQL ntile including the uneven-bucket rule, fully parallel (the
+    plan gate banning the global-window shape covers RFM;
+    tests/test_plans.py). Descending order is spec'd as ascending on
+    the negated key with the same user_id tiebreak. Per-decile math
+    runs on a {GAINS_K}-row aggregate; lift divisions are
+    display-only IEEE doubles, identical on both engines (the
+    integer cross-product would overflow int64 at 100 TB revenue
+    masses)."""
+    from wally_spark.operators.prefix import global_ntile_multi
+
+    e = _events(spark, sf_dir)
+    pr = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    tiles = global_ntile_multi(
+        pr,
+        [(-F.col("rev"), ["user_id"], "decile")],
+        GAINS_K,
+        "user_id",
+    )
+    d = tiles.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("rev").cast("bigint").alias("revenue_cents"),
+    )
+    wcum = (
+        Window.partitionBy()
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy()
+    return d.select(
+        "decile",
+        "n_users",
+        "revenue_cents",
+        F.floor(
+            (10000 * F.sum("revenue_cents").over(wcum))
+            / F.sum("revenue_cents").over(wall)
+        )
+        .cast("bigint")
+        .alias("cum_share_bp"),
+        F.floor(
+            1000.0
+            * (F.col("revenue_cents") * 1.0 / F.col("n_users"))
+            / (
+                F.sum("revenue_cents").over(wall) * 1.0
+                / F.sum("n_users").over(wall)
+            )
+        )
+        .cast("bigint")
+        .alias("lift_milli"),
+    )
