@@ -359,3 +359,81 @@ def revenue_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("lift_milli"),
     )
+
+
+# --- churn-model feature export ----------------------------------------------
+@register(
+    "user_churn_features",
+    oracle="""
+WITH f AS (SELECT max(ts) AS ref_ts FROM events)
+SELECT user_id,
+       count(*)::BIGINT AS n_events,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+         AS n_purchases,
+       sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                ELSE 0 END)::BIGINT AS revenue_cents,
+       count(DISTINCT date_trunc('day', ts))::BIGINT AS active_days,
+       date_diff('day', date_trunc('day', max(ts)),
+                 date_trunc('day', any_value(f.ref_ts)))::BIGINT
+         AS recency_days,
+       ((10000 * sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END))
+        // count(*))::BIGINT AS error_bp,
+       count(DISTINCT event_type)::BIGINT AS n_event_types
+FROM events, f
+GROUP BY user_id
+""",
+    tags=("events", "behavior", "features"),
+)
+def user_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-model feature export — the feature-store shape: ONE
+    user-keyed aggregate scan producing the classic churn features
+    (event volume, purchase count, exact cent revenue, distinct active
+    days, recency vs the corpus frontier, error rate bp, event-type
+    breadth). Everything a downstream trainer needs, nothing computed
+    twice: eight features share one shuffle.
+
+    Scale shape: a 1-row corpus-frontier aggregate broadcast into the
+    scan (the user_activity_gaps convention), then a single user-keyed
+    aggregate — map-side combined except the two DISTINCTs, which
+    Spark expands to one partial-distinct pass over the same
+    partitioning (no extra shuffle of raw events). Output is
+    |users|-bounded; at 100 TB this lane IS the nightly feature-store
+    refresh, and its incremental face is a per-user mergeable state
+    (counts, sums, day sets as maps) over the streaming twin
+    machinery."""
+    e = _events(spark, sf_dir)
+    frontier = e.agg(F.max("ts").alias("ref_ts"))
+    return (
+        e.crossJoin(F.broadcast(frontier))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum((F.col("event_type") == "purchase").cast("bigint"))
+            .cast("bigint")
+            .alias("n_purchases"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100.0 + 0.5).cast("bigint"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+            F.countDistinct(F.date_trunc("day", "ts"))
+            .cast("bigint")
+            .alias("active_days"),
+            F.datediff(
+                F.date_trunc("day", F.first("ref_ts")),
+                F.date_trunc("day", F.max("ts")),
+            )
+            .cast("bigint")
+            .alias("recency_days"),
+            F.expr(
+                "10000 * sum(cast(event_type = 'error' as bigint)) div count(1)"
+            )
+            .cast("bigint")
+            .alias("error_bp"),
+            F.countDistinct("event_type").cast("bigint").alias("n_event_types"),
+        )
+    )

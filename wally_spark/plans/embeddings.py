@@ -874,3 +874,111 @@ def embedding_pair_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_bp"),
         )
     )
+
+
+# --- cross-modal dup/embedding consistency audit (r8) ------------------------
+CONSISTENT_COS_BP = 5000  # template cohorts should embed coherently
+PREFIX_TOKENS = 3  # normalized leading-token cohort key (CCNet-style)
+
+
+@register(
+    "dup_embedding_consistency",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         array_to_string(list_slice(
+           list_filter(string_split(lower(text), ' '), x -> x <> ''),
+           1, {PREFIX_TOKENS}), ' ') AS h
+  FROM documents),
+g AS (
+  SELECT h, min(doc_id) AS keeper, count(*) AS n
+  FROM keyed GROUP BY h HAVING count(*) > 1),
+pairs AS (
+  SELECT g.keeper, k.doc_id AS member, k.source
+  FROM g JOIN keyed k ON k.h = g.h
+  WHERE k.doc_id <> g.keeper),
+scored AS (
+  SELECT p.source,
+         floor(10000.0 * list_cosine_similarity(ea.embedding, eb.embedding))
+           ::BIGINT AS cos_bp
+  FROM pairs p
+  JOIN embeddings ea ON ea.vec_id = p.keeper
+  JOIN embeddings eb ON eb.vec_id = p.member)
+SELECT source,
+       count(*)::BIGINT AS n_pairs,
+       sum(CASE WHEN cos_bp >= {CONSISTENT_COS_BP} THEN 1 ELSE 0 END)::BIGINT
+         AS n_consistent,
+       min(cos_bp)::BIGINT AS min_cos_bp,
+       (sum(cos_bp) // count(*))::BIGINT AS mean_cos_bp,
+       ((10000 * sum(CASE WHEN cos_bp >= {CONSISTENT_COS_BP}
+                          THEN 1 ELSE 0 END)) // count(*))::BIGINT
+         AS consistent_bp
+FROM scored GROUP BY source
+""",
+    tags=("embedding", "dedup", "quality"),
+)
+def dup_embedding_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal pipeline audit: documents sharing a normalized
+    leading-PREFIX_TOKENS-token prefix (template/boilerplate cohorts —
+    the CCNet-style near-dup key; the exact md5 key degenerates to
+    singletons on corpora with no verbatim copies, which would make
+    the audit vacuous) should embed coherently. Scattered cosines
+    inside a template cohort mean the encoder is unstable (dropout
+    left on, version skew across workers) or the doc↔vector id
+    mapping is corrupted. Per source: cohort pairs checked, pairs at
+    or above CONSISTENT_COS_BP, the worst and mean cosine, and the
+    coherence rate bp.
+
+    Scale shape: cohorts via one prefix-keyed aggregate; pairing is
+    STAR (every member against the cohort keeper), so pair count is
+    LINEAR in cohort size — never the quadratic all-pairs a naive
+    within-group self-join plans; embeddings attach via two vec_id
+    equi-joins (uniform keys); the report is |sources|-bounded. The
+    cosine is the float path ann_bruteforce proved hash-exact against
+    DuckDB."""
+    from wally_spark.plans.similarity import _cos
+
+    t = load_tables(spark, sf_dir)
+    docs, emb = t["documents"], t["embeddings"]
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.concat_ws(" ", F.slice(words, 1, PREFIX_TOKENS)).alias("h"),
+    )
+    g = (
+        keyed.groupBy("h")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .select("h", "keeper")
+    )
+    pairs = (
+        keyed.join(g, "h")
+        .where(F.col("doc_id") != F.col("keeper"))
+        .select("keeper", F.col("doc_id").alias("member"), "source")
+    )
+    ea = emb.select(F.col("vec_id").alias("keeper"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("member"), F.col("embedding").alias("eb"))
+    scored = (
+        pairs.join(ea, "keeper")
+        .join(eb, "member")
+        .select(
+            "source",
+            F.floor(10000.0 * _cos(F.col("ea"), F.col("eb")))
+            .cast("bigint")
+            .alias("cos_bp"),
+        )
+    )
+    consistent = (F.col("cos_bp") >= CONSISTENT_COS_BP).cast("bigint")
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(consistent).cast("bigint").alias("n_consistent"),
+        F.min("cos_bp").cast("bigint").alias("min_cos_bp"),
+        F.expr("sum(cos_bp) div count(1)").cast("bigint").alias("mean_cos_bp"),
+        F.expr(
+            f"10000 * sum(cast(cos_bp >= {CONSISTENT_COS_BP} as bigint))"
+            " div count(1)"
+        )
+        .cast("bigint")
+        .alias("consistent_bp"),
+    )
