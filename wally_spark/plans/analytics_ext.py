@@ -937,3 +937,294 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("competitive")
         .alias("band"),
     )
+
+
+# --- degree assortativity over the co-purchase graph (r8) --------------------
+@register(
+    "graph_degree_assortativity",
+    oracle=f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= {EDGE_SUPPORT}),
+deg AS (
+  SELECT node, count(*)::BIGINT AS d FROM (
+    SELECT pa AS node FROM edges UNION ALL SELECT pb FROM edges)
+  GROUP BY node),
+sym AS (
+  SELECT da.d AS x, db.d AS y
+  FROM edges e JOIN deg da ON da.node = e.pa JOIN deg db ON db.node = e.pb
+  UNION ALL
+  SELECT db.d, da.d
+  FROM edges e JOIN deg da ON da.node = e.pa JOIN deg db ON db.node = e.pb),
+m AS (
+  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+  FROM sym)
+SELECT n, sx, sxy, sxx,
+       CAST(floor(1000.0 * (n * sxy - sx * sx)
+                  / nullif(n * sxx - sx * sx, 0)) AS BIGINT) AS r_milli
+FROM m
+""",
+    tags=("graph", "analytics"),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — Newman's r: do
+    well-connected parts co-sell with other hubs (r>0, catalog has a
+    'core basket') or with niche parts (r<0, hub-and-spoke)? Pearson
+    correlation of endpoint degrees over the symmetrized edge list,
+    exact integer moment sums (sym makes Σx=Σy and Σx²=Σy², so r =
+    (nΣxy−(Σx)²)/(nΣx²−(Σx)²)); the single float division is
+    display-only (the price_quantity_elasticity convention).
+
+    Scale shape: same support-pruned edge build as
+    graph_triangle_count (per-order O(k²) fanout, k small); degrees
+    via one union+aggregate; two uniform node-keyed equi-joins attach
+    endpoint degrees; ONE 1-row moment aggregate — no windows, no
+    driver state. Moment sums are int64: |r| bounds need deg²·E <
+    2^63, i.e. safe to ~10^6-degree hubs on 10^10-edge graphs;
+    beyond that, mean-center first (two-pass) before squaring."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = pin(
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= EDGE_SUPPORT)
+        .select("pa", "pb")
+    )
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("pa"), F.col("d").alias("x"))
+    db = deg.select(F.col("node").alias("pb"), F.col("d").alias("y"))
+    attached = edges.join(da, "pa").join(db, "pb")
+    sym = attached.select("x", "y").unionAll(
+        attached.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    )
+    return sym.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    ).selectExpr(
+        "n", "sx", "sxy", "sxx",
+        "CAST(floor(1000.0 * (n * sxy - sx * sx)"
+        " / nullif(n * sxx - sx * sx, 0)) AS BIGINT) AS r_milli",
+    )
+
+
+# --- GROUPING SETS revenue summary (r8) --------------------------------------
+@register(
+    "orders_grouping_sets",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS status_label,
+       coalesce(o_orderpriority, 'ALL') AS priority_label,
+       count(*)::BIGINT AS n_orders,
+       sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))::BIGINT
+         AS revenue_cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), (o_orderpriority), ())
+""",
+    tags=("orders", "analytics", "groupingsets"),
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS lane (cube_pricing and rollup_orders
+    cover the CUBE/ROLLUP shorthands; this is the general form a BI
+    layer emits): order counts and exact cent revenue at (status,
+    priority), each single dimension, and the grand total, with
+    grouped-out dimensions labeled 'ALL' (both columns are non-null in
+    the data, so the label is unambiguous).
+
+    Scale shape: Spark expands grouping sets into one Expand + a
+    single map-side-combined aggregate — one shuffle regardless of how
+    many sets; output bounded by |statuses|×|priorities|."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.groupingSets(
+            [
+                ["o_orderstatus", "o_orderpriority"],
+                ["o_orderstatus"],
+                ["o_orderpriority"],
+                [],
+            ],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status_label"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority_label"),
+            "n_orders",
+            "revenue_cents",
+        )
+    )
+
+
+# --- heavy-hitter / skew profiling report (r8) -------------------------------
+HH_TOP_K = 5
+
+
+@register(
+    "heavy_hitters_report",
+    oracle=f"""
+WITH u AS (
+  SELECT 'events.user_id' AS col_name, CAST(user_id AS VARCHAR) AS key,
+         count(*)::BIGINT AS n FROM events GROUP BY 2
+  ORDER BY n DESC, key LIMIT {HH_TOP_K}),
+et AS (
+  SELECT 'events.event_type', event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY 2 ORDER BY n DESC, event_type LIMIT {HH_TOP_K}),
+pk AS (
+  SELECT 'lineitem.l_partkey', CAST(l_partkey AS VARCHAR),
+         count(*)::BIGINT AS n
+  FROM lineitem GROUP BY 2 ORDER BY n DESC, 2 LIMIT {HH_TOP_K}),
+ck AS (
+  SELECT 'orders.o_custkey', CAST(o_custkey AS VARCHAR),
+         count(*)::BIGINT AS n
+  FROM orders GROUP BY 2 ORDER BY n DESC, 2 LIMIT {HH_TOP_K}),
+tot AS (
+  SELECT 'events.user_id' AS col_name, count(*)::BIGINT AS total FROM events
+  UNION ALL SELECT 'events.event_type', count(*) FROM events
+  UNION ALL SELECT 'lineitem.l_partkey', count(*) FROM lineitem
+  UNION ALL SELECT 'orders.o_custkey', count(*) FROM orders),
+hh AS (
+  SELECT * FROM u UNION ALL SELECT * FROM et
+  UNION ALL SELECT * FROM pk UNION ALL SELECT * FROM ck)
+SELECT hh.col_name, hh.key, hh.n,
+       ((10000 * hh.n) // tot.total)::BIGINT AS share_bp
+FROM hh JOIN tot ON tot.col_name = hh.col_name
+""",
+    tags=("analytics", "profiling", "skew"),
+)
+def heavy_hitters_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-diagnosis profiling report — the tool that tells an
+    operator WHICH keys need salting before a big join: exact top-K
+    heavy hitters (count + share bp) for the join/group columns the
+    engine shuffles on most (events.user_id, events.event_type,
+    lineitem.l_partkey, orders.o_custkey). Deterministic tie-break
+    (count desc, key asc).
+
+    Scale shape: each column is one map-side-combined count aggregate
+    followed by orderBy().limit(K) — Spark compiles that to
+    TakeOrderedAndProject, a distributed partial top-K with NO
+    single-partition window and no full sort; per-table totals are
+    1-row aggregates joined on the 8-row report. Unioned plans share
+    nothing, so AQE runs the four pipelines independently."""
+    t = load_tables(spark, sf_dir)
+    specs = [
+        ("events.user_id", t["events"], F.col("user_id").cast("string")),
+        ("events.event_type", t["events"], F.col("event_type")),
+        ("lineitem.l_partkey", t["lineitem"], F.col("l_partkey").cast("string")),
+        ("orders.o_custkey", t["orders"], F.col("o_custkey").cast("string")),
+    ]
+    hh = None
+    tot = None
+    for name, df, keycol in specs:
+        top = (
+            df.groupBy(keycol.alias("key"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("key"))
+            .limit(HH_TOP_K)
+            .select(F.lit(name).alias("col_name"), "key", "n")
+        )
+        one_tot = df.agg(F.count(F.lit(1)).cast("bigint").alias("total")).select(
+            F.lit(name).alias("col_name"), "total"
+        )
+        hh = top if hh is None else hh.unionAll(top)
+        tot = one_tot if tot is None else tot.unionAll(one_tot)
+    return hh.join(F.broadcast(tot), "col_name").selectExpr(
+        "col_name", "key", "n",
+        "CAST((10000 * n) div total AS BIGINT) AS share_bp",
+    )
+
+
+# --- Laspeyres monthly price index (r8) --------------------------------------
+@register(
+    "price_index_laspeyres",
+    oracle="""
+WITH pm AS (
+  SELECT l_partkey AS pk, date_trunc('month', l_shipdate) AS m,
+         (sum(CAST(floor(1000.0 * l_extendedprice / l_quantity) AS BIGINT))
+          // count(*))::BIGINT AS p_milli,
+         sum(CAST(floor(l_quantity * 1000.0 + 0.5) AS BIGINT))::BIGINT
+           AS q_milli
+  FROM lineitem GROUP BY 1, 2),
+base AS (SELECT min(m) AS m0 FROM pm),
+b AS (
+  SELECT pm.pk, pm.p_milli AS p0, pm.q_milli AS q0
+  FROM pm, base WHERE pm.m = base.m0)
+SELECT epoch(pm.m)::BIGINT AS month_epoch,
+       count(*)::BIGINT AS n_parts,
+       ((10000 * sum(b.q0 * pm.p_milli)) // nullif(sum(b.q0 * b.p0), 0))
+         ::BIGINT AS index_bp
+FROM pm JOIN b ON b.pk = pm.pk
+GROUP BY 1
+""",
+    tags=("analytics", "pricing", "index"),
+)
+def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres monthly price index — the fixed-basket inflation
+    measure: basket = base-month (first month) quantities; per month,
+    index_bp = 10000 · Σ q0·p_m / Σ q0·p0 over parts priced in both
+    the base month and month m. Unit prices integerized per line
+    (floor(1000·ext/qty), both engines' IEEE double division agree
+    bit-for-bit), then averaged per (part, month) with integer div —
+    no float accumulation anywhere.
+
+    Scale shape: ONE (part, month)-keyed aggregate over lineitem (one
+    shuffle, uniform keys); the base-month relation joins back on
+    partkey (plain equi-join — |parts| is unbounded, so no broadcast);
+    the month rollup is |months|-bounded. Weighted sums are int64:
+    q_milli·p_milli per part ≤ ~10^13 at TPC-H magnitudes, summed over
+    ≤10^8 basket parts stays under 2^63 for cent-scale prices."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    pm = (
+        li.selectExpr(
+            "l_partkey AS pk",
+            "date_trunc('month', l_shipdate) AS m",
+            "CAST(floor(1000.0 * l_extendedprice / l_quantity) AS BIGINT)"
+            " AS up_milli",
+            "CAST(floor(l_quantity * 1000.0 + 0.5) AS BIGINT) AS lq_milli",
+        )
+        .groupBy("pk", "m")
+        .agg(
+            F.expr("CAST(sum(up_milli) div count(1) AS BIGINT)").alias(
+                "p_milli"
+            ),
+            F.sum("lq_milli").cast("bigint").alias("q_milli"),
+        )
+    )
+    base = pm.agg(F.min("m").alias("m0"))
+    b = (
+        pm.join(F.broadcast(base), pm["m"] == base["m0"])
+        .select(
+            F.col("pk"),
+            F.col("p_milli").alias("p0"),
+            F.col("q_milli").alias("q0"),
+        )
+    )
+    return (
+        pm.join(b, "pk")
+        .groupBy(F.unix_timestamp("m").cast("bigint").alias("month_epoch"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.expr(
+                "CAST((10000 * sum(q0 * p_milli))"
+                " div nullif(sum(q0 * p0), 0) AS BIGINT)"
+            ).alias("index_bp"),
+        )
+    )

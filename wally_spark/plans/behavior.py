@@ -437,3 +437,136 @@ def user_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("event_type").cast("bigint").alias("n_event_types"),
         )
     )
+
+
+# --- cohort revenue LTV ------------------------------------------------------
+@register(
+    "cohort_revenue_ltv",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, date_trunc('month', o_orderdate) AS m,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+c AS (SELECT o_custkey, min(m) AS cohort FROM o GROUP BY o_custkey),
+a AS (
+  SELECT epoch(c.cohort)::BIGINT AS cohort_epoch,
+         date_diff('month', c.cohort, o.m)::BIGINT AS age_months,
+         count(*)::BIGINT AS n_orders,
+         count(DISTINCT o.o_custkey)::BIGINT AS n_active,
+         sum(o.cents)::BIGINT AS revenue_cents
+  FROM o JOIN c ON c.o_custkey = o.o_custkey
+  GROUP BY 1, 2)
+SELECT cohort_epoch, age_months, n_orders, n_active, revenue_cents,
+       sum(revenue_cents) OVER (PARTITION BY cohort_epoch
+                                ORDER BY age_months)::BIGINT
+         AS cum_revenue_cents
+FROM a
+""",
+    tags=("orders", "behavior", "cohort"),
+)
+def cohort_revenue_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve — the growth-analytics staple: customers
+    cohorted by first-order month, revenue accumulated by cohort age
+    in months (exact cents). Per (cohort, age): orders, distinct
+    active customers, period revenue, and the running cumulative that
+    IS the LTV curve.
+
+    Scale shape: the cohort relation is a customer-keyed aggregate
+    joined back on o_custkey (uniform equi-join — NOT broadcast: the
+    cohort side is |customers| and unbounded at 100 TB); the month
+    grid aggregate is (months × months)-bounded, so the cumulative
+    window runs over a tiny relation partitioned by cohort. The
+    retention twin is events_cohort_retention; this is the
+    revenue-weighted face."""
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").alias("m"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    cohort = o.groupBy("o_custkey").agg(F.min("m").alias("cohort"))
+    a = (
+        o.join(cohort, "o_custkey")
+        .groupBy(
+            F.unix_timestamp("cohort").cast("bigint").alias("cohort_epoch"),
+            (
+                (F.year("m") - F.year("cohort")) * 12
+                + (F.month("m") - F.month("cohort"))
+            )
+            .cast("bigint")
+            .alias("age_months"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_active"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
+    w = Window.partitionBy("cohort_epoch").orderBy("age_months")
+    return a.select(
+        "cohort_epoch", "age_months", "n_orders", "n_active", "revenue_cents",
+        F.sum("revenue_cents").over(w).cast("bigint").alias("cum_revenue_cents"),
+    )
+
+
+# --- inter-purchase interval histogram ---------------------------------------
+@register(
+    "user_purchase_intervals",
+    oracle="""
+WITH p AS (
+  SELECT user_id, date_trunc('day', ts) AS d,
+         lag(date_trunc('day', ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_d
+  FROM events WHERE event_type = 'purchase'),
+g AS (
+  SELECT date_diff('day', prev_d, d)::BIGINT AS gap_days
+  FROM p WHERE prev_d IS NOT NULL),
+h AS (SELECT gap_days, count(*)::BIGINT AS n_gaps FROM g GROUP BY gap_days),
+t AS (SELECT sum(n_gaps)::BIGINT AS total FROM h)
+SELECT gap_days, n_gaps,
+       ((10000 * n_gaps) // total)::BIGINT AS share_bp,
+       ((10000 * sum(n_gaps) OVER (ORDER BY gap_days)) // total)::BIGINT
+         AS cum_share_bp
+FROM h, t
+""",
+    tags=("events", "behavior", "intervals"),
+)
+def user_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase cadence histogram — the repeat-rate /
+    replenishment-cycle report: whole-day gaps between a user's
+    consecutive purchases, with share and cumulative share bp (read
+    off "X% of repeat purchases happen within N days").
+
+    Scale shape: the purchase filter is pushed to the scan; ONE
+    user-keyed window computes the lag; the histogram aggregate is
+    map-side combined down to at most max-gap-days rows, so the
+    cumulative window runs over a day-span-bounded relation (the
+    user_survival_curve convention) and the scalar total broadcasts."""
+    e = load_tables(spark, sf_dir)["events"]
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.date_trunc("day", "ts").alias("d")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = p.select(F.datediff("d", F.lag("d").over(w)).alias("gap_days")).where(
+        F.col("gap_days").isNotNull()
+    )
+    h = g.groupBy(F.col("gap_days").cast("bigint").alias("gap_days")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps")
+    )
+    t = h.agg(F.sum("n_gaps").alias("total"))
+    return (
+        h.crossJoin(F.broadcast(t))
+        .select(
+            "gap_days",
+            "n_gaps",
+            F.expr("CAST((10000 * n_gaps) div total AS BIGINT)").alias(
+                "share_bp"
+            ),
+            F.expr(
+                "CAST((10000 * sum(n_gaps) OVER (ORDER BY gap_days"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"
+                " div total AS BIGINT)"
+            ).alias("cum_share_bp"),
+        )
+    )

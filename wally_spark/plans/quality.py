@@ -846,3 +846,67 @@ GROUP BY gq.verdict, (dupg.h IS NOT NULL)
 """,
     tags=("text", "quality", "dedup", "report"),
 )(quality_dup_contingency)
+
+
+# --- Benford first-digit DQ audit (r8) ---------------------------------------
+# floor(10000 * log10(1 + 1/d)) for d = 1..9 — shared literals so both
+# engines cite the same expected distribution.
+_BENFORD_BP = (3010, 1760, 1249, 969, 791, 669, 579, 511, 457)
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {bp}" for d, bp in enumerate(_BENFORD_BP, start=1)
+) + " END"
+
+
+def events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over event values — the classic
+    fabricated-data / instrumentation-bug detector (a synthetic or
+    capped metric shows a flat or spiked leading-digit histogram where
+    organic magnitudes follow log10(1+1/d)). Per digit 1-9: observed
+    count, observed share bp, the Benford expectation bp (shared
+    literal table), and the signed deviation.
+
+    Scale shape: ONE codegen scan — the leading digit of the integer
+    cents value is pure string/arithmetic expression work — feeding a
+    9-group map-side-combined aggregate; output is exactly 9 rows at
+    any corpus size. The global total joins back as a 1-row broadcast
+    (crossJoin of a scalar aggregate, the user_churn_features
+    convention)."""
+    e = _events(spark, sf_dir).selectExpr(
+        "CAST(substring(CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
+        " AS STRING), 1, 1) AS BIGINT) AS digit"
+    ).where(F.col("digit") >= 1)
+    counts = e.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .selectExpr(
+            "digit",
+            "n",
+            "CAST((10000 * n) div total AS BIGINT) AS observed_bp",
+            f"CAST({_BENFORD_CASE} AS BIGINT) AS expected_bp",
+            f"CAST((10000 * n) div total - ({_BENFORD_CASE}) AS BIGINT)"
+            " AS delta_bp",
+        )
+    )
+
+
+register(
+    "events_benford",
+    oracle=f"""
+WITH e AS (
+  SELECT CAST(substring(CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM events),
+c AS (
+  SELECT digit, count(*)::BIGINT AS n FROM e WHERE digit >= 1 GROUP BY digit),
+t AS (SELECT sum(n)::BIGINT AS total FROM c)
+SELECT digit, n,
+       ((10000 * n) // total)::BIGINT AS observed_bp,
+       ({_BENFORD_CASE})::BIGINT AS expected_bp,
+       ((10000 * n) // total - ({_BENFORD_CASE}))::BIGINT AS delta_bp
+FROM c, t
+""",
+    tags=("events", "quality", "dq"),
+)(events_benford)

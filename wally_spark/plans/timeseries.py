@@ -780,3 +780,80 @@ def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_breaches"),
     )
+
+
+# --- truncated EWMA (r8) ----------------------------------------------------
+EWMA_K = 8  # lag horizon; alpha = 1/2 so weight(lag j) = 2^(K-1-j)
+
+# Shared unrolled weighted-lag expressions: identical SQL text feeds
+# Spark (selectExpr) and the DuckDB oracle, so the two engines compute
+# the same integer arithmetic by construction.
+_EWMA_WS = " + ".join(
+    f"CASE WHEN lag(v_cents, {j}) OVER w IS NOT NULL THEN "
+    f"{1 << (EWMA_K - 1 - j)} * lag(v_cents, {j}) OVER w ELSE 0 END"
+    for j in range(EWMA_K)
+)
+_EWMA_W = " + ".join(
+    f"CASE WHEN lag(v_cents, {j}) OVER w IS NOT NULL THEN "
+    f"{1 << (EWMA_K - 1 - j)} ELSE 0 END"
+    for j in range(EWMA_K)
+)
+
+
+@register(
+    "events_ewma",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_cents
+  FROM events),
+s AS (
+  SELECT user_id, v_cents,
+         (({_EWMA_WS}) // ({_EWMA_W}))::BIGINT AS ewma_cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_events
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, n_events::BIGINT AS n_events,
+       ewma_cents::BIGINT AS ewma_cents,
+       v_cents::BIGINT AS last_cents,
+       ((10000 * v_cents) // nullif(ewma_cents, 0))::BIGINT AS ratio_bp
+FROM s WHERE rn = 1
+""",
+    tags=("timeseries", "events", "ewma"),
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing EWMA of per-user spend at each user's LAST event — the
+    smoothed-baseline feature a spend-spike alert compares against
+    (ratio_bp = last vs baseline). alpha=1/2 EWMA truncated at EWMA_K
+    lags, computed EXACTLY in integers: weight(lag j) = 2^(K-1-j), so
+    ewma = Σ w_j·v_j div Σ w_j over the lags that exist — identical
+    unrolled SQL text runs in both engines (no float accumulation, no
+    recursion).
+
+    Scale shape: one shuffle keyed by user_id serves both windows (the
+    asc lag frame and the desc row_number share the partition key);
+    output is |users|-bounded. The streaming face is a per-user
+    last-K ring buffer — the same state shape as app_market_spread."""
+    e = _events(spark, sf_dir).selectExpr(
+        "user_id", "ts", "event_id",
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_cents",
+    )
+    e.createOrReplaceTempView("_ewma_e")
+    return spark.sql(f"""
+        WITH s AS (
+          SELECT user_id, v_cents,
+                 CAST(({_EWMA_WS}) div ({_EWMA_W}) AS BIGINT) AS ewma_cents,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS n_events
+          FROM _ewma_e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+               CAST(ewma_cents AS BIGINT) AS ewma_cents,
+               CAST(v_cents AS BIGINT) AS last_cents,
+               CAST((10000 * v_cents) div nullif(ewma_cents, 0) AS BIGINT)
+                 AS ratio_bp
+        FROM s WHERE rn = 1
+    """)
