@@ -171,6 +171,12 @@ def test_no_cartesian_anywhere(spark):
         "token_budget_allocation",  # 1-row total-weight side for shares
         "ann_recall_report",  # composes ann_bruteforce's broadcast-NL scan
         "text_ngram_novelty",  # 1-row (mn, mx) id-bounds side for slicing
+        "user_churn_features",  # 1-row corpus-frontier (max ts) side
+        "events_benford",  # 1-row grand-total side for the share divisor
+        "user_purchase_intervals",  # 1-row histogram-total side
+        "session_conversion_lag",  # 1-row histogram-total side
+        "sample_kfold_assign",  # 1-row fold-total side for dev_bp
+        "embedding_cluster_balance",  # 1-row corpus-total side onto K rows
     }
     offenders = []
     for name in sorted(REGISTRY):

@@ -1372,3 +1372,80 @@ def test_linededup_matches_batch_lane_and_replays(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(f"{out}/b2").collect()
     )
     assert before == after
+
+
+def test_churn_features_against_profile_corpus(spark, tmp_path):
+    """Streaming churn features: the per-batch republished feature
+    table over the persistent (user, day, type) profile corpus must
+    equal the registered batch lane's answer over the same events
+    (shared churn_features_from_profile scoring tail), survive an
+    at-least-once replay unchanged, and keep matching after
+    compact_corpus(fold=churn_profile_fold) collapses the store."""
+    import os
+
+    from wally_spark.plans import REGISTRY
+    from wally_spark.plans.behavior import churn_profile_fold
+    from wally_spark.streaming.ops import churn_foreach_batch, compact_corpus
+
+    from wally_spark.tables import load_tables
+
+    from tests.conftest import SF_SMALL
+
+    ev = load_tables(spark, SF_SMALL)["events"].select(
+        "user_id", "ts", "event_type", "value"
+    )
+    pdf = ev.toPandas().sort_values("ts").reset_index(drop=True)
+    src = f"{tmp_path}/src"
+    os.makedirs(src, exist_ok=True)
+    n_files = 3
+    step = (len(pdf) + n_files - 1) // n_files
+    for i in range(n_files):
+        stage = f"{tmp_path}/_s{i}"
+        spark.createDataFrame(
+            pdf.iloc[i * step : (i + 1) * step], ev.schema
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(stage, part), os.path.join(src, f"b{i:02d}.parquet"))
+        os.utime(
+            os.path.join(src, f"b{i:02d}.parquet"), (1_000_000 + i, 1_000_000 + i)
+        )
+
+    profiles, out = f"{tmp_path}/profiles", f"{tmp_path}/report"
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(churn_foreach_batch(spark, profiles, out))
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch = REGISTRY["user_churn_features"].spark_fn(spark, SF_SMALL)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
+
+    # at-least-once replay of the last batch: same dir overwritten,
+    # report unchanged
+    replay = churn_foreach_batch(spark, profiles, out)
+    last = spark.createDataFrame(pdf.iloc[(n_files - 1) * step :], ev.schema)
+    replay(last, n_files - 1)
+    got2 = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got2 == want
+
+    # folded compaction collapses the store without changing the
+    # republished report on the next (empty) batch
+    compact_corpus(
+        spark,
+        profiles,
+        upto=n_files - 1,
+        bucket_key="user_id",
+        fold=churn_profile_fold,
+    )
+    empty = spark.createDataFrame([], ev.schema)
+    replay2 = churn_foreach_batch(spark, profiles, out)
+    replay2(empty, n_files)
+    got3 = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got3 == want

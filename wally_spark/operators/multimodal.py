@@ -537,3 +537,98 @@ def decode_mp4_boxes_meta(df: DataFrame, payload_col: str = "payload") -> DataFr
             )
 
     return df.mapInPandas(decode, MP4_BOXES_SCHEMA)
+
+
+GIF_ANIM_SCHEMA = (
+    "doc_id bigint, fmt string, width int, height int, "
+    "n_frames int, total_delay_cs bigint, n_bytes int"
+)
+
+
+def parse_gif_blocks(b: bytes) -> tuple[str, int, int, int, int] | None:
+    """Walk a GIF's block structure — the REAL container grammar, no
+    codec: signature + logical screen descriptor (little-endian dims,
+    global color table skipped by its flag), then the block stream:
+    0x21 extensions (sub-block chains; Graphic Control Extensions
+    contribute their little-endian delay), 0x2C image descriptors
+    (local color table skipped by flag, LZW min-code byte, pixel
+    sub-block chain skipped) — until the 0x3B trailer. Returns (fmt,
+    width, height, n_frames, total_delay_cs), or None for payloads
+    that are not a GIF / are truncated mid-block (the caller emits
+    NULL features; a corrupt payload must never kill a partition)."""
+    if len(b) < 13 or b[:4] != b"GIF8" or b[4:6] not in (b"7a", b"9a"):
+        return None
+    fmt = "gif8" + b[4:6].decode("ascii")
+    width = b[6] | (b[7] << 8)
+    height = b[8] | (b[9] << 8)
+    flags = b[10]
+    pos = 13
+    if flags & 0x80:  # global color table: 3 * 2^(N+1) bytes
+        pos += 3 * (1 << ((flags & 0x07) + 1))
+    n_frames = 0
+    total_delay_cs = 0
+    try:
+        while True:
+            intro = b[pos]
+            pos += 1
+            if intro == 0x3B:  # trailer
+                return (fmt, width, height, n_frames, total_delay_cs)
+            if intro == 0x21:  # extension: label + sub-block chain
+                label = b[pos]
+                pos += 1
+                first = True
+                while True:
+                    blen = b[pos]
+                    pos += 1
+                    if blen == 0:
+                        break
+                    if label == 0xF9 and first and blen >= 3:
+                        total_delay_cs += b[pos + 1] | (b[pos + 2] << 8)
+                    first = False
+                    pos += blen
+            elif intro == 0x2C:  # image descriptor
+                idflags = b[pos + 8]
+                pos += 9
+                if idflags & 0x80:  # local color table
+                    pos += 3 * (1 << ((idflags & 0x07) + 1))
+                pos += 1  # LZW minimum code size
+                while True:  # pixel data sub-blocks
+                    blen = b[pos]
+                    pos += 1
+                    if blen == 0:
+                        break
+                    pos += blen
+                n_frames += 1
+            else:  # unknown introducer: not a conforming stream
+                return None
+    except IndexError:  # truncated mid-block
+        return None
+
+
+def gif_anim_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Animated-GIF container audit over an opaque binary column:
+    frame count, summed frame delay, dimensions — the features a
+    multimodal curation pass filters on (single-frame 'animations',
+    zero-delay spinners, absurd frame counts) without ever decoding a
+    pixel. Arrow-batched mapInPandas; payloads stay on executors."""
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
+                parsed = None if b is None else parse_gif_blocks(bytes(b))
+                if parsed is None:
+                    rows.append((doc_id, None, None, None, None, None,
+                                 0 if b is None else len(b)))
+                else:
+                    fmt, w, h, nf, delay = parsed
+                    rows.append((doc_id, fmt, w, h, nf, delay, len(b)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "width", "height",
+                    "n_frames", "total_delay_cs", "n_bytes",
+                ],
+            )
+
+    return df.mapInPandas(walk, GIF_ANIM_SCHEMA)

@@ -362,6 +362,77 @@ def revenue_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- churn-model feature export ----------------------------------------------
+def churn_profile(events_df: DataFrame) -> DataFrame:
+    """(user_id, day, event_type) partial aggregates — the ASSOCIATIVE
+    profile the churn features derive from: n, rev_cents, max_ts all
+    merge by sum/sum/max, so a streaming corpus can persist per-batch
+    partials and fold at read time (streaming/ops.churn_foreach_batch
+    persists exactly these rows)."""
+    return events_df.groupBy(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+def churn_profile_fold(df: DataFrame) -> DataFrame:
+    """Associative merge of churn profile partials (the ``fold=`` for
+    compact_corpus and the read-time merge of the streaming twin)."""
+    return df.groupBy("user_id", "day", "event_type").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("rev_cents").cast("bigint").alias("rev_cents"),
+        F.max("max_ts").alias("max_ts"),
+    )
+
+
+def churn_features_from_profile(per: DataFrame) -> DataFrame:
+    """Scoring tail shared by the batch lane and the streaming twin —
+    identical answers over the same events by construction of the
+    shared code path (the rfm_grid convention)."""
+    frontier = per.agg(F.max("max_ts").alias("ref_ts"))
+    return (
+        per.crossJoin(F.broadcast(frontier))
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("n")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("n_purchases"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("rev_cents")
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+            F.countDistinct("day").cast("bigint").alias("active_days"),
+            F.datediff(
+                F.date_trunc("day", F.first("ref_ts")),
+                F.date_trunc("day", F.max("max_ts")),
+            )
+            .cast("bigint")
+            .alias("recency_days"),
+            F.expr(
+                "10000 * sum(CASE WHEN event_type = 'error' THEN n ELSE 0 END)"
+                " div sum(n)"
+            )
+            .cast("bigint")
+            .alias("error_bp"),
+            F.countDistinct("event_type").cast("bigint").alias("n_event_types"),
+        )
+    )
+
+
 @register(
     "user_churn_features",
     oracle="""
@@ -393,50 +464,17 @@ def user_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     breadth). Everything a downstream trainer needs, nothing computed
     twice: eight features share one shuffle.
 
-    Scale shape: a 1-row corpus-frontier aggregate broadcast into the
-    scan (the user_activity_gaps convention), then a single user-keyed
-    aggregate — map-side combined except the two DISTINCTs, which
-    Spark expands to one partial-distinct pass over the same
-    partitioning (no extra shuffle of raw events). Output is
+    Scale shape: a two-level pre-aggregation — the (user, day, type)
+    churn_profile partial (map-side combined, exactly the rows the
+    streaming twin persists per batch) followed by the user rollup in
+    churn_features_from_profile with a 1-row corpus-frontier broadcast
+    (the user_activity_gaps convention). The two DISTINCTs now run
+    over the (user, day, type) profile grain — a relation bounded by
+    active user-days, not raw event volume. Output is
     |users|-bounded; at 100 TB this lane IS the nightly feature-store
-    refresh, and its incremental face is a per-user mergeable state
-    (counts, sums, day sets as maps) over the streaming twin
-    machinery."""
-    e = _events(spark, sf_dir)
-    frontier = e.agg(F.max("ts").alias("ref_ts"))
-    return (
-        e.crossJoin(F.broadcast(frontier))
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.sum((F.col("event_type") == "purchase").cast("bigint"))
-            .cast("bigint")
-            .alias("n_purchases"),
-            F.sum(
-                F.when(
-                    F.col("event_type") == "purchase",
-                    F.floor(F.col("value") * 100.0 + 0.5).cast("bigint"),
-                ).otherwise(F.lit(0))
-            )
-            .cast("bigint")
-            .alias("revenue_cents"),
-            F.countDistinct(F.date_trunc("day", "ts"))
-            .cast("bigint")
-            .alias("active_days"),
-            F.datediff(
-                F.date_trunc("day", F.first("ref_ts")),
-                F.date_trunc("day", F.max("ts")),
-            )
-            .cast("bigint")
-            .alias("recency_days"),
-            F.expr(
-                "10000 * sum(cast(event_type = 'error' as bigint)) div count(1)"
-            )
-            .cast("bigint")
-            .alias("error_bp"),
-            F.countDistinct("event_type").cast("bigint").alias("n_event_types"),
-        )
-    )
+    refresh, and the streaming twin republishes it per micro-batch
+    from the same scoring tail."""
+    return churn_features_from_profile(churn_profile(_events(spark, sf_dir)))
 
 
 # --- cohort revenue LTV ------------------------------------------------------
@@ -569,4 +607,98 @@ def user_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " div total AS BIGINT)"
             ).alias("cum_share_bp"),
         )
+    )
+
+
+# --- session time-to-conversion histogram (r8) -------------------------------
+@register(
+    "session_conversion_lag",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+  SELECT user_id, ts, event_type,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM ordered
+), lags AS (
+  SELECT (floor(epoch(min(CASE WHEN event_type = 'purchase' THEN ts END))
+                - epoch(min(ts)))::BIGINT // 60)::BIGINT AS lag_min
+  FROM sessioned
+  GROUP BY user_id, session_idx
+  HAVING count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+), h AS (SELECT lag_min, count(*)::BIGINT AS n_sessions FROM lags GROUP BY 1),
+t AS (SELECT sum(n_sessions)::BIGINT AS total FROM h)
+SELECT lag_min, n_sessions,
+       ((10000 * n_sessions) // total)::BIGINT AS share_bp,
+       ((10000 * sum(n_sessions) OVER (ORDER BY lag_min)) // total)::BIGINT
+         AS cum_share_bp
+FROM h, t
+""",
+    tags=("events", "behavior", "session"),
+)
+def session_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion within a session — for every session (600 s
+    inactivity gap, the win_session semantics) that contains a
+    purchase, the whole-minute lag from session start to the FIRST
+    purchase, rolled into a histogram with share and cumulative share
+    bp ("X% of converting sessions convert within N minutes" — the
+    checkout-friction report).
+
+    Scale shape: gaps-and-islands sessionization runs in user-keyed
+    windows (one shuffle); the per-session reduction is a conditional
+    min aggregate on the same partitioning; the histogram is bounded
+    by the session-duration span, so the cumulative window and scalar
+    total follow the user_purchase_intervals convention."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+                > 600.0
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    ).select(
+        "user_id", "ts", "event_type",
+        F.sum("is_new").over(wrun).alias("session_idx"),
+    )
+    lags = (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("first_purchase"),
+            F.min("ts").alias("start_ts"),
+        )
+        .where(F.col("first_purchase").isNotNull())
+        .selectExpr(
+            "CAST(CAST(floor(unix_timestamp(first_purchase)"
+            " - unix_timestamp(start_ts)) AS BIGINT) div 60 AS BIGINT)"
+            " AS lag_min"
+        )
+    )
+    h = lags.groupBy("lag_min").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    t = h.agg(F.sum("n_sessions").alias("total"))
+    return h.crossJoin(F.broadcast(t)).selectExpr(
+        "lag_min", "n_sessions",
+        "CAST((10000 * n_sessions) div total AS BIGINT) AS share_bp",
+        "CAST((10000 * sum(n_sessions) OVER (ORDER BY lag_min"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"
+        " div total AS BIGINT) AS cum_share_bp",
     )

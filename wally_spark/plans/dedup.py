@@ -1188,3 +1188,64 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_bp") - exact_bp).cast("bigint").alias("err_bp"),
         )
     )
+
+
+# --- containment (asymmetric Jaccard) on LSH candidates (r8) -----------------
+CONTAIN_T_BP = 7000  # flag pairs where the smaller doc is mostly contained
+
+
+@register(
+    "minhash_containment",
+    oracle=f"""
+WITH shingled AS ({_SHINGLES_SQL}),
+exploded AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+),
+{_CAND_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM exploded GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN exploded a ON a.doc_id = c.doc_a
+  JOIN exploded b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       ((10000 * inter) // least(sa.n, sb.n))::BIGINT AS containment_bp,
+       floor(10000.0 * inter / (sa.n + sb.n - inter))::BIGINT AS jaccard_bp,
+       (((10000 * inter) // least(sa.n, sb.n)) >= {CONTAIN_T_BP}
+        AND 10000.0 * inter / (sa.n + sb.n - inter) < 1000.0) AS subset_dup
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE (10000 * inter) // least(sa.n, sb.n) >= {CONTAIN_T_BP}
+""",
+    tags=("dedup", "containment"),
+)
+def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder CONTAINMENT on LSH candidate pairs — |A∩B| / min(|A|,|B|):
+    catches subset duplication (one doc embedded inside a larger one),
+    which symmetric Jaccard misses by construction (a 100-shingle doc
+    inside a 10,000-shingle doc has Jaccard ≤ 1% but containment 100%).
+    subset_dup marks exactly those pairs: high containment, Jaccard
+    below the dedup_ngram_jaccard keep threshold.
+
+    Scale shape: identical candidate generation to dedup_ngram_jaccard
+    (banded MinHash LSH, MAX_BUCKET-capped buckets — never all-pairs);
+    the exact intersection join is keyed by candidate pair. Integer
+    containment (10000·inter div min-size); the Jaccard column reuses
+    the float path already proven hash-exact."""
+    jac = _candidate_jaccard(spark, sf_dir)
+    contain_bp = F.expr("CAST((10000 * inter) div least(na, nb) AS BIGINT)")
+    return (
+        jac.where(contain_bp >= CONTAIN_T_BP)
+        .select(
+            "doc_a",
+            "doc_b",
+            contain_bp.alias("containment_bp"),
+            F.floor(_jac_bp()).cast("bigint").alias("jaccard_bp"),
+            (
+                (contain_bp >= CONTAIN_T_BP) & (_jac_bp() < 1000.0)
+            ).alias("subset_dup"),
+        )
+    )

@@ -982,3 +982,69 @@ def dup_embedding_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("consistent_bp"),
     )
+
+
+# --- k-means cluster balance / inertia report (r8) ---------------------------
+def _cluster_balance_oracle() -> str:
+    return f"""
+WITH {_kmeans_cte_chain()},
+assigned AS (
+  SELECT vec_id, cluster, floor(10000.0 * (sqrt(d2) / {GRID}.0))::BIGINT
+           AS dist_bp
+  FROM (
+    SELECT vec_id, cluster, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+    FROM dfin) WHERE rk = 1),
+per AS (
+  SELECT cluster, count(*)::BIGINT AS n_vecs,
+         (sum(dist_bp) // count(*))::BIGINT AS mean_dist_bp,
+         max(dist_bp)::BIGINT AS max_dist_bp
+  FROM assigned GROUP BY cluster),
+t AS (SELECT sum(n_vecs)::BIGINT AS total FROM per)
+SELECT cluster, n_vecs,
+       ((10000 * n_vecs) // total)::BIGINT AS share_bp,
+       mean_dist_bp, max_dist_bp
+FROM per, t
+"""
+
+
+@register(
+    "embedding_cluster_balance",
+    oracle=_cluster_balance_oracle(),
+    tags=("embeddings", "kmeans", "quality"),
+)
+def embedding_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-health report over the embedding_kmeans partition (same
+    K/ITERS/GRID/init, so the two lanes describe the SAME clustering):
+    per cluster, member count, corpus share bp, and mean/max
+    centroid-distance bp — the report that catches a collapsed
+    clustering (one giant cluster = embedding collapse; empty or
+    near-empty clusters = bad init or over-provisioned K) before an
+    IVF index or a SemDeDup pass builds on it.
+
+    Scale shape: the clustering is the distributed integer-lattice
+    Lloyd's pass (broadcast centroids, matmul assignment, no
+    per-round shuffle of raw vectors); this lane adds one K-group
+    map-side-combined aggregate + a scalar-total broadcast onto K
+    rows. Integer dist_bp means the means are exact int64 divisions
+    — hash-stable under any partitioning."""
+    from wally_spark.operators.kmeans import lloyd_kmeans
+
+    out = lloyd_kmeans(_emb(spark, sf_dir), k=K, iters=ITERS, grid=GRID)
+    assigned = out.select(
+        "cluster",
+        F.floor(10000.0 * F.col("dist")).cast("bigint").alias("dist_bp"),
+    )
+    per = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.expr("CAST(sum(dist_bp) div count(1) AS BIGINT)").alias(
+            "mean_dist_bp"
+        ),
+        F.max("dist_bp").cast("bigint").alias("max_dist_bp"),
+    )
+    t = per.agg(F.sum("n_vecs").alias("total"))
+    return per.crossJoin(F.broadcast(t)).selectExpr(
+        "cluster", "n_vecs",
+        "CAST((10000 * n_vecs) div total AS BIGINT) AS share_bp",
+        "mean_dist_bp", "max_dist_bp",
+    )

@@ -586,3 +586,68 @@ def mm_binary_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dup_bp"),
     )
+
+
+# --- animated-GIF container walk (r8) ----------------------------------------
+GIF_MAX_FRAMES = 4
+
+
+def _gif_le16(expr: str) -> str:
+    """Little-endian u16 hex for a SQL int expression (shared builder)."""
+    return f"format_string('%02x%02x', ({expr}) % 256, ({expr}) div 256)"
+
+
+@register(
+    "mm_gif_anim_stats",
+    oracle=f"""
+SELECT doc_id, 'gif89a' AS fmt,
+       (16 + doc_id % 256)::INT AS width,
+       (16 + (doc_id * 7) % 256)::INT AS height,
+       (1 + doc_id % {GIF_MAX_FRAMES})::INT AS n_frames,
+       list_sum(list_transform(range(0, 1 + doc_id % {GIF_MAX_FRAMES}),
+                               f -> 10 + (doc_id + f) % 20))::BIGINT
+         AS total_delay_cs,
+       (14 + 25 * (1 + doc_id % {GIF_MAX_FRAMES}))::INT AS n_bytes
+FROM documents
+""",
+    tags=("multimodal",),
+)
+def mm_gif_anim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF audit through the REAL block walker
+    (operators/multimodal.parse_gif_blocks): each doc gets a VALID
+    multi-frame GIF89a — logical screen descriptor, per-frame Graphic
+    Control Extension (little-endian centisecond delay), image
+    descriptor, LZW sub-block chain, trailer — with frame count,
+    delays, and dimensions derived from doc_id so DuckDB predicts
+    every output arithmetically. The operator walks the actual
+    container grammar byte-by-byte (sub-block chains, color-table
+    flags), exactly what a frame-count/duration curation filter does
+    at 100 TB without decoding pixels.
+
+    Scale shape: payload synthesis is pure expression work; the walk
+    is Arrow-batched mapInPandas (payloads never leave executors);
+    output is one row per doc."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    frames = "".join(
+        f"""CASE WHEN {f} < 1 + doc_id % {GIF_MAX_FRAMES} THEN concat(
+            '21f90400', {_gif_le16(f"10 + (doc_id + {f}) % 20")}, '0000',
+            '2c', '00000000',
+            {_gif_le16("16 + doc_id % 256")},
+            {_gif_le16("(16 + (doc_id * 7) % 256)")},
+            '00', '08', '04deadbeef', '00') ELSE '' END, """
+        for f in range(GIF_MAX_FRAMES)
+    )
+    payload_hex = f"""concat(
+        '474946383961',
+        {_gif_le16("16 + doc_id % 256")},
+        {_gif_le16("(16 + (doc_id * 7) % 256)")},
+        '000000',
+        {frames}
+        '3b')"""
+    payloads = docs.selectExpr(
+        "doc_id", f"unhex({payload_hex}) AS payload"
+    )
+
+    from wally_spark.operators.multimodal import gif_anim_stats
+
+    return gif_anim_stats(payloads)

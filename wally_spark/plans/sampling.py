@@ -486,3 +486,70 @@ def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("epochs_milli"),
     )
+
+
+# --- deterministic k-fold assignment + balance audit (r8) --------------------
+K_FOLDS = 5
+
+_FOLD_DUCK = """list_sum(list_transform(range(1, 9),
+         k -> (strpos('0123456789abcdef',
+                      substr(md5(doc_id::VARCHAR), k, 1)) - 1)::BIGINT
+              * (1::BIGINT << (4 * (8 - k)))))::BIGINT"""
+
+
+@register(
+    "sample_kfold_assign",
+    oracle=f"""
+WITH f AS (
+  SELECT {_FOLD_DUCK} % {K_FOLDS} AS fold, lang, source, n_chars
+  FROM documents),
+per AS (
+  SELECT fold, count(*)::BIGINT AS n_docs,
+         count(DISTINCT lang)::BIGINT AS n_langs,
+         count(DISTINCT source)::BIGINT AS n_sources,
+         sum(n_chars)::BIGINT AS total_chars
+  FROM f GROUP BY fold),
+t AS (SELECT sum(n_docs)::BIGINT AS total FROM per)
+SELECT fold, n_docs, n_langs, n_sources, total_chars,
+       (((10000 * n_docs) // total) - 10000 // {K_FOLDS})::BIGINT AS dev_bp
+FROM per, t
+""",
+    tags=("sampling", "split", "cv"),
+)
+def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment + balance
+    audit: fold = md5-derived 32-bit bucket mod K_FOLDS (the
+    split_train_holdout hash convention — identical assignment in
+    every engine, so a document can never migrate folds between the
+    trainer and the evaluator). Per fold: size, language/source
+    coverage, char mass, and the signed share-deviation bp vs the exact
+    1/K share (positive-operand integer divisions only, so floor and
+    truncate agree across engines) (uniform md5 nibbles bound it at ±O(1/√n)).
+
+    Scale shape: fold assignment is pure expression work in the scan;
+    ONE K-group map-side-combined aggregate (the two DISTINCTs expand
+    to a partial-distinct pass on the same partitioning); the scalar
+    total broadcasts onto K rows."""
+    docs = _docs(spark, sf_dir)
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % K_FOLDS
+    )
+    per = docs.groupBy(fold.alias("fold")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    t = per.agg(F.sum("n_docs").alias("total"))
+    return per.crossJoin(F.broadcast(t)).selectExpr(
+        "fold", "n_docs", "n_langs", "n_sources", "total_chars",
+        f"CAST((10000 * n_docs) div total - 10000 div {K_FOLDS}"
+        f" AS BIGINT) AS dev_bp",
+    )

@@ -990,3 +990,81 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").cast("bigint").alias("min_part"),
         F.max("v").cast("bigint").alias("max_part"),
     )
+
+
+# --- stationary distribution of the event-type Markov chain (r8) -------------
+MARKOV_ROUNDS = 6
+
+
+def _markov_oracle() -> str:
+    cte = """s AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events),
+c AS (
+  SELECT src, dst, count(*)::BIGINT AS n
+  FROM s WHERE dst IS NOT NULL GROUP BY src, dst),
+p AS (
+  SELECT src, dst,
+         ((1000000 * n) // sum(n) OVER (PARTITION BY src))::BIGINT AS ppm
+  FROM c),
+states AS (SELECT DISTINCT src AS st FROM c UNION SELECT DISTINCT dst FROM c),
+nt AS (SELECT count(*)::BIGINT AS n FROM states),
+pi0 AS (SELECT st, (1000000 // nt.n)::BIGINT AS v FROM states, nt)"""
+    prev = "pi0"
+    for r in range(1, MARKOV_ROUNDS + 1):
+        cte += f""",
+pi{r} AS (
+  SELECT p.dst AS st, (sum(pi.v * p.ppm) // 1000000)::BIGINT AS v
+  FROM {prev} pi JOIN p ON p.src = pi.st GROUP BY p.dst)"""
+        prev = f"pi{r}"
+    return f"""
+WITH {cte}
+SELECT st AS event_type, v AS pi_ppm FROM {prev}
+"""
+
+
+@register(
+    "events_markov_stationary",
+    oracle=_markov_oracle(),
+    tags=("events", "sequence", "markov", "iterative"),
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain
+    (event_transitions is the matrix face; this is its fixpoint): the
+    long-run share of time a user stream spends in each event type,
+    via MARKOV_ROUNDS synchronous power-iteration steps π·P in EXACT
+    integer ppm (the graph_pagerank milli-rank convention — floor
+    division per step, so the result is partitioning-independent and
+    the unrolled-CTE oracle matches by construction).
+
+    Scale shape: the transition matrix is |types|²-bounded and
+    BROADCAST; each round is one broadcast join + one |types|-group
+    aggregate over the π relation, all lazily composed into ONE plan —
+    the heavy work (the user-keyed lead window building transitions)
+    happens once. Dangling mass (a type with no outgoing edges) is
+    dropped by the join each round, identically in both engines."""
+    tr = event_transitions(spark, sf_dir).select("src", "dst", "prob_ppm")
+    tr = F.broadcast(tr)
+    states = (
+        tr.select(F.col("src").alias("st"))
+        .union(tr.select(F.col("dst").alias("st")))
+        .distinct()
+    )
+    nt = states.agg(F.count(F.lit(1)).alias("n"))
+    pi = states.crossJoin(F.broadcast(nt)).selectExpr(
+        "st", "CAST(1000000 div n AS BIGINT) AS v"
+    )
+    for _ in range(MARKOV_ROUNDS):
+        pi = (
+            pi.join(tr, pi["st"] == tr["src"])
+            .groupBy(F.col("dst").alias("st2"))
+            .agg(
+                F.expr("CAST(sum(v * prob_ppm) div 1000000 AS BIGINT)").alias(
+                    "v"
+                )
+            )
+            .withColumnRenamed("st2", "st")
+        )
+    return pi.select(F.col("st").alias("event_type"), F.col("v").alias("pi_ppm"))

@@ -599,3 +599,201 @@ GROUP BY s.pred_stop, n.pred_ngram
 """,
     tags=("text", "langid", "report"),
 )(langid_agreement)
+
+
+# --- vocabulary Simpson diversity (r8) ---------------------------------------
+@register(
+    "docs_vocab_simpson",
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+                                    w -> w <> '')) AS tok
+  FROM documents),
+tc AS (SELECT source, tok, count(*)::BIGINT AS n FROM toks GROUP BY 1, 2)
+SELECT source,
+       sum(n)::BIGINT AS n_tokens,
+       count(*)::BIGINT AS n_distinct,
+       ((1000000 * sum(n * (n - 1))) // nullif(sum(n) * (sum(n) - 1), 0))
+         ::BIGINT AS simpson_ppm,
+       ((10000 * max(n)) // sum(n))::BIGINT AS top_token_bp
+FROM tc GROUP BY source
+""",
+    tags=("text", "quality", "diversity"),
+)
+def docs_vocab_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary concentration — Simpson's index in ppm
+    (probability two random tokens coincide: Σn_t(n_t−1)/N(N−1),
+    computed EXACTLY in integers) plus the single-heaviest-token share
+    bp. A template-farm source shows simpson_ppm and top_token_bp far
+    above organic prose; the lane is the scalar summary a curation
+    pipeline thresholds before paying for per-doc repetition scoring
+    (text_repetition is the per-doc face).
+
+    Scale shape: explode → ONE (source, token)-keyed map-side-combined
+    count → |sources|-bounded rollup. Uniform token keys; no windows;
+    output bounded by the source catalog."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+        ).alias("tok"),
+    )
+    tc = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return tc.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.expr(
+            "CAST((1000000 * sum(n * (n - 1)))"
+            " div nullif(sum(n) * (sum(n) - 1), 0) AS BIGINT)"
+        ).alias("simpson_ppm"),
+        F.expr("CAST((10000 * max(n)) div sum(n) AS BIGINT)").alias(
+            "top_token_bp"
+        ),
+    )
+
+
+# --- language-ID confidence margin (r8) --------------------------------------
+@register(
+    "text_langid_margin",
+    oracle=f"""
+WITH feat AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), w -> w <> '') AS words
+  FROM documents
+), hits AS (
+  SELECT doc_id,
+         len(list_filter(words, w -> w IN ({_sql_list(_STOP_EN)}))) AS en_hits,
+         len(list_filter(words, w -> w IN ({_sql_list(_STOP_DE)}))) AS de_hits,
+         len(list_filter(words, w -> w IN ({_sql_list(_STOP_FR)}))) AS fr_hits
+  FROM feat
+), scored AS (
+  SELECT CASE WHEN en_hits = 0 AND de_hits = 0 AND fr_hits = 0 THEN 'unknown'
+              WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+              WHEN de_hits >= fr_hits THEN 'de'
+              ELSE 'fr' END AS predicted,
+         greatest(en_hits, de_hits, fr_hits)
+           - (en_hits + de_hits + fr_hits
+              - greatest(en_hits, de_hits, fr_hits)
+              - least(en_hits, de_hits, fr_hits)) AS margin
+  FROM hits
+)
+SELECT predicted,
+       CASE WHEN margin = 0 THEN 'ambiguous'
+            WHEN margin <= 2 THEN 'weak'
+            WHEN margin <= 5 THEN 'moderate'
+            ELSE 'strong' END AS confidence,
+       count(*)::BIGINT AS n_docs,
+       min(margin)::BIGINT AS min_margin,
+       max(margin)::BIGINT AS max_margin
+FROM scored GROUP BY 1, 2
+""",
+    tags=("text", "langid", "quality"),
+)
+def text_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFIDENCE report — the margin between the best and
+    second-best stopword-hit score (text_langid's scoring): a
+    production langid gate routes margin-0 ('ambiguous') docs to a
+    heavier classifier rather than trusting the argmax, and this lane
+    sizes that routing decision per predicted language × confidence
+    band. Margin is best − median of the three counters (exact
+    integers; least/greatest identities avoid any sort).
+
+    Scale shape: same ONE codegen scan as text_langid (stopword
+    membership over the token array — no explode, no join), then a
+    bounded (languages × 4 bands) aggregate. Nothing but expression
+    work touches the corpus."""
+    docs = _docs(spark, sf_dir)
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+
+    def hits(stop):
+        arr = F.array(*[F.lit(w) for w in stop])
+        return F.size(F.filter("words", lambda w: F.array_contains(arr, w)))
+
+    d = docs.select("doc_id", words.alias("words")).select(
+        hits(_STOP_EN).cast("bigint").alias("en_hits"),
+        hits(_STOP_DE).cast("bigint").alias("de_hits"),
+        hits(_STOP_FR).cast("bigint").alias("fr_hits"),
+    )
+    scored = d.selectExpr(
+        "CASE WHEN en_hits = 0 AND de_hits = 0 AND fr_hits = 0 THEN 'unknown'"
+        " WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'"
+        " WHEN de_hits >= fr_hits THEN 'de'"
+        " ELSE 'fr' END AS predicted",
+        "greatest(en_hits, de_hits, fr_hits)"
+        " - (en_hits + de_hits + fr_hits"
+        "    - greatest(en_hits, de_hits, fr_hits)"
+        "    - least(en_hits, de_hits, fr_hits)) AS margin",
+    )
+    return scored.groupBy(
+        "predicted",
+        F.expr(
+            "CASE WHEN margin = 0 THEN 'ambiguous'"
+            " WHEN margin <= 2 THEN 'weak'"
+            " WHEN margin <= 5 THEN 'moderate'"
+            " ELSE 'strong' END"
+        ).alias("confidence"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("margin").cast("bigint").alias("min_margin"),
+        F.max("margin").cast("bigint").alias("max_margin"),
+    )
+
+
+# --- sentence segmentation profile (r8) --------------------------------------
+@register(
+    "text_sentence_stats",
+    oracle="""
+WITH d AS (
+  SELECT source,
+         len(list_filter(string_split_regex(text, '[.!?]+'),
+                         s -> trim(s) <> '')) AS n_sent,
+         len(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+           AS n_words
+  FROM documents)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_sent)::BIGINT AS n_sentences,
+       ((1000 * sum(n_sent)) // count(*))::BIGINT AS sent_per_doc_milli,
+       ((1000 * sum(n_words)) // nullif(sum(n_sent), 0))::BIGINT
+         AS words_per_sent_milli
+FROM d GROUP BY source
+""",
+    tags=("text", "quality", "sentences"),
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-segmentation profile per source — mean sentences per
+    doc and words per sentence (milli precision, exact integer
+    division): the Gopher-style structural signal that separates
+    prose (long docs, moderate sentence length) from listings and
+    keyword-stuffed spam (few terminators → absurd words-per-sentence)
+    before any heavier scoring runs. Sentences = non-empty spans
+    between [.!?]+ runs, identically regex-split in both engines.
+
+    Scale shape: pure expression work in the scan (regex split +
+    array filter, no explode), ONE |sources|-bounded map-side-combined
+    aggregate."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "source",
+        F.size(
+            F.filter(
+                F.split("text", "[.!?]+"), lambda s: F.trim(s) != ""
+            )
+        ).alias("n_sent"),
+        F.size(
+            F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+        ).alias("n_words"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_sent").cast("bigint").alias("n_sentences"),
+        F.expr("CAST((1000 * sum(n_sent)) div count(1) AS BIGINT)").alias(
+            "sent_per_doc_milli"
+        ),
+        F.expr(
+            "CAST((1000 * sum(n_words)) div nullif(sum(n_sent), 0) AS BIGINT)"
+        ).alias("words_per_sent_milli"),
+    )

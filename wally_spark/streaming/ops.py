@@ -1742,3 +1742,43 @@ def linededup_against_corpus_foreach_batch(spark, segs_path: str, out_path: str)
         )
 
     return proc
+
+
+def churn_foreach_batch(spark, profile_path: str, out_path: str):
+    """Streaming face of the registered `user_churn_features` batch
+    lane (plans/behavior.py): maintains a persistent (user, day,
+    event_type) PROFILE corpus and republishes the full churn feature
+    table each micro-batch — the always-fresh feature store.
+
+    Each batch writes only its OWN churn_profile partials into its
+    ``b<batch_id>`` dir (overwrite → at-least-once replay rewrites the
+    identical dir); the corpus merges at read time with one
+    churn_profile_fold aggregate and supports
+    compact_corpus(bucket_key="user_id", fold=churn_profile_fold)
+    like every other corpus. The republished table reuses the batch
+    lane's exact scoring tail (churn_features_from_profile), so batch
+    and stream answers over the same events are identical by
+    construction of the shared code path; the equivalence test pins
+    it. Profile rows are bounded by active (user, day, type) combos
+    per batch, not event volume."""
+    from wally_spark.plans.behavior import (
+        churn_features_from_profile,
+        churn_profile,
+        churn_profile_fold,
+    )
+
+    def proc(batch_df, batch_id):
+        part = churn_profile(batch_df).localCheckpoint()
+        part.write.mode("overwrite").parquet(f"{profile_path}/b{batch_id}")
+        merged = part
+        for p in corpus_probe_parts(spark, profile_path, exclude_batch=batch_id):
+            merged = merged.unionByName(p)
+        per = churn_profile_fold(merged)
+        churn_features_from_profile(per).write.mode("overwrite").parquet(
+            out_path
+        )
+        from wally_spark.operators.checkpoint import free_blocks
+
+        free_blocks(part)
+
+    return proc
