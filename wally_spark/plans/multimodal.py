@@ -556,16 +556,22 @@ def mm_binary_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def digest(batches):
         for pdf in batches:
             blobs = pdf["payload"]
+            # NULL payloads (extraction failures — e.g. null source
+            # text) must not kill the task: same contract as the other
+            # decoders (NULL features, 0 bytes)
             yield pd.DataFrame(
                 {
                     "fmt": [
-                        _BLOB_FMTS[(b[0] >> 4) % 4] for b in blobs
-                    ],
-                    "h": [
-                        hashlib.md5(b.hex().encode()).hexdigest()
+                        None if b is None else _BLOB_FMTS[(b[0] >> 4) % 4]
                         for b in blobs
                     ],
-                    "nb": [len(b) for b in blobs],
+                    "h": [
+                        None
+                        if b is None
+                        else hashlib.md5(b.hex().encode()).hexdigest()
+                        for b in blobs
+                    ],
+                    "nb": [0 if b is None else len(b) for b in blobs],
                 }
             )
 
