@@ -320,3 +320,24 @@ def test_random_projection_broadcasts_signs(spark):
     plan = _plan(spark, "embedding_random_projection")
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_takeordered(spark):
+    """heavy_hitters_report's design claim: each per-column top-K is a
+    distributed TakeOrderedAndProject (partial top-K per partition),
+    NEVER a full sort or a single-partition window over the distinct
+    keys — the property that keeps the profiler cheap at 100 TB."""
+    plan = _plan(spark, "heavy_hitters_report")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "WindowExec" not in plan and "Window " not in plan, plan
+
+
+def test_churn_features_two_level_aggregate(spark):
+    """user_churn_features routes through the (user, day, type)
+    churn_profile partial — the associative grain its streaming twin
+    persists — before the user rollup: the plan must show BOTH
+    aggregate keys, and the raw-event relation must be aggregated
+    before the frontier broadcast joins on."""
+    plan = _plan(spark, "user_churn_features")
+    assert plan.count("HashAggregate") >= 4, plan  # 2 levels x partial/final
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row frontier side

@@ -1158,18 +1158,17 @@ def heavy_hitters_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH pm AS (
   SELECT l_partkey AS pk, date_trunc('month', l_shipdate) AS m,
-         (sum(CAST(floor(1000.0 * l_extendedprice / l_quantity) AS BIGINT))
-          // count(*))::BIGINT AS p_milli,
-         sum(CAST(floor(l_quantity * 1000.0 + 0.5) AS BIGINT))::BIGINT
-           AS q_milli
+         (sum(CAST(floor(100.0 * l_extendedprice / l_quantity) AS BIGINT))
+          // count(*))::BIGINT AS p_cents,
+         sum(CAST(floor(l_quantity + 0.5) AS BIGINT))::BIGINT AS q_units
   FROM lineitem GROUP BY 1, 2),
 base AS (SELECT min(m) AS m0 FROM pm),
 b AS (
-  SELECT pm.pk, pm.p_milli AS p0, pm.q_milli AS q0
+  SELECT pm.pk, pm.p_cents AS p0, pm.q_units AS q0
   FROM pm, base WHERE pm.m = base.m0)
 SELECT epoch(pm.m)::BIGINT AS month_epoch,
        count(*)::BIGINT AS n_parts,
-       ((10000 * sum(b.q0 * pm.p_milli)) // nullif(sum(b.q0 * b.p0), 0))
+       ((10000 * sum(b.q0 * pm.p_cents)) // nullif(sum(b.q0 * b.p0), 0))
          ::BIGINT AS index_bp
 FROM pm JOIN b ON b.pk = pm.pk
 GROUP BY 1
@@ -1181,31 +1180,34 @@ def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
     measure: basket = base-month (first month) quantities; per month,
     index_bp = 10000 · Σ q0·p_m / Σ q0·p0 over parts priced in both
     the base month and month m. Unit prices integerized per line
-    (floor(1000·ext/qty), both engines' IEEE double division agree
-    bit-for-bit), then averaged per (part, month) with integer div —
-    no float accumulation anywhere.
+    (floor(100·ext/qty) cents, both engines' IEEE double division
+    agrees bit-for-bit), then averaged per (part, month) with integer
+    div — no float accumulation anywhere.
 
     Scale shape: ONE (part, month)-keyed aggregate over lineitem (one
     shuffle, uniform keys); the base-month relation joins back on
     partkey (plain equi-join — |parts| is unbounded, so no broadcast);
-    the month rollup is |months|-bounded. Weighted sums are int64:
-    q_milli·p_milli per part ≤ ~10^13 at TPC-H magnitudes, summed over
-    ≤10^8 basket parts stays under 2^63 for cent-scale prices."""
+    the month rollup is |months|-bounded. Weighted sums are int64 on
+    cents × whole units (the milli×milli spelling overflowed at the
+    sf1 scale record): q_units·p_cents per part ≤ ~10^11 at TPC-H
+    magnitudes, so the 10^4-scaled numerator stays under 2^63 up to
+    ~10^3-line part-months on 10^5-part baskets; pre-scale p to
+    dollars beyond that."""
     li = load_tables(spark, sf_dir)["lineitem"]
     pm = (
         li.selectExpr(
             "l_partkey AS pk",
             "date_trunc('month', l_shipdate) AS m",
-            "CAST(floor(1000.0 * l_extendedprice / l_quantity) AS BIGINT)"
-            " AS up_milli",
-            "CAST(floor(l_quantity * 1000.0 + 0.5) AS BIGINT) AS lq_milli",
+            "CAST(floor(100.0 * l_extendedprice / l_quantity) AS BIGINT)"
+            " AS up_cents",
+            "CAST(floor(l_quantity + 0.5) AS BIGINT) AS lq_units",
         )
         .groupBy("pk", "m")
         .agg(
-            F.expr("CAST(sum(up_milli) div count(1) AS BIGINT)").alias(
-                "p_milli"
+            F.expr("CAST(sum(up_cents) div count(1) AS BIGINT)").alias(
+                "p_cents"
             ),
-            F.sum("lq_milli").cast("bigint").alias("q_milli"),
+            F.sum("lq_units").cast("bigint").alias("q_units"),
         )
     )
     base = pm.agg(F.min("m").alias("m0"))
@@ -1213,8 +1215,8 @@ def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
         pm.join(F.broadcast(base), pm["m"] == base["m0"])
         .select(
             F.col("pk"),
-            F.col("p_milli").alias("p0"),
-            F.col("q_milli").alias("q0"),
+            F.col("p_cents").alias("p0"),
+            F.col("q_units").alias("q0"),
         )
     )
     return (
@@ -1223,7 +1225,7 @@ def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_parts"),
             F.expr(
-                "CAST((10000 * sum(q0 * p_milli))"
+                "CAST((10000 * sum(q0 * p_cents))"
                 " div nullif(sum(q0 * p0), 0) AS BIGINT)"
             ).alias("index_bp"),
         )
