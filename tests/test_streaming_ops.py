@@ -1449,3 +1449,70 @@ def test_churn_features_against_profile_corpus(spark, tmp_path):
     replay2(empty, n_files)
     got3 = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert got3 == want
+
+
+def test_ewma_stream_matches_batch_lane(spark, tmp_path):
+    """Streaming EWMA (per-user last-k ring state): after the stream
+    drains, the LATEST emitted row per user must equal the registered
+    events_ewma batch lane bit-for-bit — including users whose ring
+    filled across micro-batch boundaries (cross-batch state carry)."""
+    import os
+
+    from wally_spark.plans import REGISTRY
+    from wally_spark.streaming.ops import ewma_stream
+    from wally_spark.tables import load_tables
+
+    from tests.conftest import SF_SMALL
+
+    ev = load_tables(spark, SF_SMALL)["events"].select(
+        "user_id", "ts", "event_id", "value"
+    )
+    pdf = ev.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    src = f"{tmp_path}/src"
+    os.makedirs(src, exist_ok=True)
+    n_files = 3
+    step = (len(pdf) + n_files - 1) // n_files
+    for i in range(n_files):
+        stage = f"{tmp_path}/_s{i}"
+        spark.createDataFrame(
+            pdf.iloc[i * step : (i + 1) * step], ev.schema
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(stage, part), os.path.join(src, f"b{i:02d}.parquet"))
+        os.utime(
+            os.path.join(src, f"b{i:02d}.parquet"), (1_000_000 + i, 1_000_000 + i)
+        )
+
+    out = f"{tmp_path}/out"
+    q = (
+        ewma_stream(
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got_df = spark.read.parquet(out)
+    # latest emission per user = the row with that user's max n_events
+    latest = {}
+    for r in got_df.collect():
+        if r.user_id not in latest or r.n_events > latest[r.user_id].n_events:
+            latest[r.user_id] = r
+    got = sorted(
+        (r.user_id, r.n_events, r.ewma_cents, r.last_cents, r.ratio_bp)
+        for r in latest.values()
+    )
+    want = sorted(
+        map(tuple, REGISTRY["events_ewma"].spark_fn(spark, SF_SMALL).collect())
+    )
+    assert got == want
+    # cross-batch carry actually exercised: some user must have rows in
+    # more than one micro-batch (n_events strictly grows across emits)
+    multi = got_df.groupBy("user_id").count().where("count > 1").count()
+    assert multi > 0

@@ -1782,3 +1782,81 @@ def churn_foreach_batch(spark, profile_path: str, out_path: str):
         free_blocks(part)
 
     return proc
+
+
+def ewma_stream(df: DataFrame, k: int = 8) -> DataFrame:
+    """Streaming face of the registered `events_ewma` batch lane
+    (plans/timeseries.py): per-user trailing EWMA spend baseline,
+    maintained as a last-k ring buffer of integer cents — the
+    app_market_spread per-key last-state shape. Each micro-batch emits
+    every touched user's refreshed (n_events, ewma_cents, last_cents,
+    ratio_bp); the LATEST row per user equals the batch lane's answer
+    over the same prefix of events by construction (identical weights
+    2^(k-1-j), identical integer div), and the equivalence test pins
+    it including cross-batch ring carry.
+
+    State per key is k longs + a counter — O(users), unbounded-stream
+    safe; assumes per-key in-order delivery (the cusum_alarm_stream
+    contract)."""
+    import pandas as pd
+
+    from pyspark import cloudpickle
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id long, n_events long, ewma_cents long, "
+        "last_cents long, ratio_bp long"
+    )
+
+    def runner(key, pdfs, state):
+        uid = key[0]
+        ring, n = [], 0  # ring: newest-first v_cents, len <= k
+        if state.exists:
+            (blob,) = state.get
+            ring, n = cloudpickle.loads(bytes(blob))
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows):
+            rows = rows.sort_values(["ts", "event_id"])
+        import math
+
+        for val in rows["value"]:
+            ring.insert(0, int(math.floor(val * 100.0 + 0.5)))
+            del ring[k:]
+            n += 1
+        state.update((cloudpickle.dumps((ring, n)),))
+        if ring:
+            ws = sum((1 << (k - 1 - j)) * v for j, v in enumerate(ring))
+            w = sum(1 << (k - 1 - j) for j in range(len(ring)))
+            # exact trunc-toward-zero div, matching Spark's `div`
+            ewma = ws // w if ws >= 0 else -((-ws) // w)
+            if ewma == 0:
+                ratio = None
+            else:
+                num = 10000 * ring[0]
+                ratio = (
+                    num // ewma
+                    if (num >= 0) == (ewma > 0)
+                    else -((-num) // ewma if num < 0 else num // (-ewma))
+                )
+            yield pd.DataFrame(
+                [(uid, n, ewma, ring[0], ratio)],
+                columns=[
+                    "user_id", "n_events", "ewma_cents",
+                    "last_cents", "ratio_bp",
+                ],
+            )
+        else:
+            yield pd.DataFrame(
+                {
+                    c.strip().split()[0]: pd.Series(dtype="object")
+                    for c in out_schema.split(",")
+                }
+            )
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        runner,
+        outputStructType=out_schema,
+        stateStructType="blob binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
