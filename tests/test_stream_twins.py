@@ -453,3 +453,50 @@ def test_attribution_stream_equivalence(spark, tmp_path):
     )
     batch_rows = REGISTRY["attribution_last_touch"].spark_fn(spark, SF_SMALL)
     assert _rows(stream_rows) == _rows(batch_rows)
+
+
+def test_markov_stationary_incremental_matches_batch(spark, tmp_path):
+    """transitions_stream → markov_foreach_batch count corpus: the
+    per-batch republished stationary distribution equals the batch
+    events_markov_stationary lane over the same events (shared
+    stationary_from_transitions tail; per-user previous-event state
+    makes the counts associative across micro-batches), and an
+    at-least-once replay of the final increment leaves it unchanged."""
+    from wally_spark.plans import REGISTRY
+    from wally_spark.streaming.ops import markov_foreach_batch, transitions_stream
+
+    sdf, _ = _ordered_stream(spark, tmp_path)
+    counts, out = f"{tmp_path}/counts", f"{tmp_path}/pi"
+    q = (
+        transitions_stream(sdf)
+        .writeStream.foreachBatch(markov_foreach_batch(spark, counts, out))
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(
+        map(
+            tuple,
+            REGISTRY["events_markov_stationary"].spark_fn(spark, SF_SMALL).collect(),
+        )
+    )
+    assert got == want
+
+    # at-least-once replay: re-run the last batch's increments through
+    # the same proc — identical dir rewritten, distribution unchanged
+    import glob
+
+    last_dir = sorted(glob.glob(f"{counts}/b*"))[-1]
+    last_id = int(last_dir.rsplit("b", 1)[-1])
+    # counts dir holds (src, dst, n); rebuild row-per-transition input
+    rows = spark.read.parquet(last_dir).collect()
+    data = [
+        (r.src, r.dst) for r in rows for _ in range(r.n)
+    ]
+    replay_df = spark.createDataFrame(data, "src string, dst string")
+    markov_foreach_batch(spark, counts, out)(replay_df, last_id)
+    got2 = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got2 == want

@@ -1045,8 +1045,19 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the heavy work (the user-keyed lead window building transitions)
     happens once. Dangling mass (a type with no outgoing edges) is
     dropped by the join each round, identically in both engines."""
-    tr = event_transitions(spark, sf_dir).select("src", "dst", "prob_ppm")
-    tr = F.broadcast(tr)
+    return stationary_from_transitions(
+        event_transitions(spark, sf_dir).select("src", "dst", "prob_ppm")
+    )
+
+
+def stationary_from_transitions(transitions: DataFrame) -> DataFrame:
+    """Power-iteration tail over a (src, dst, prob_ppm) transition
+    relation — shared by the batch lane above and the streaming
+    incremental face (streaming/ops.markov_foreach_batch recomputes
+    probabilities from its merged count corpus with the identical
+    formula, then calls this), so batch ≡ stream by shared code
+    path."""
+    tr = F.broadcast(transitions)
     states = (
         tr.select(F.col("src").alias("st"))
         .union(tr.select(F.col("dst").alias("st")))

@@ -1860,3 +1860,53 @@ def ewma_stream(df: DataFrame, k: int = 8) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def markov_foreach_batch(spark, counts_path: str, out_path: str):
+    """Incremental Markov stationary distribution — the streaming face
+    of the registered `events_markov_stationary` batch lane: consume
+    the (src, dst) rows `transitions_stream` emits (per-user
+    previous-event state does the sequencing, so transition COUNTS are
+    purely associative), keep a persistent count corpus, and
+    republish the stationary distribution each micro-batch.
+
+    Each batch writes only its own (src, dst, n) increments into its
+    ``b<batch_id>`` dir (overwrite → at-least-once replay rewrites the
+    identical dir); the corpus merges at read time with one summing
+    aggregate; probabilities are re-derived with the batch lane's ppm
+    formula and the π fixpoint reuses the batch lane's exact
+    power-iteration tail (plans/sequence.stationary_from_transitions)
+    — batch ≡ stream by shared code path. The corpus is |types|²-sized
+    rows per batch: trivially compactable, never event-volume."""
+    import pyspark.sql.functions as F  # noqa: F811 (module-level alias)
+    from pyspark.sql import Window
+
+    from wally_spark.plans.sequence import stationary_from_transitions
+
+    def proc(batch_df, batch_id):
+        part = batch_df.groupBy("src", "dst").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+        part = part.localCheckpoint()
+        part.write.mode("overwrite").parquet(f"{counts_path}/b{batch_id}")
+        merged = part
+        for p in corpus_probe_parts(spark, counts_path, exclude_batch=batch_id):
+            merged = merged.unionByName(p)
+        counts = merged.groupBy("src", "dst").agg(
+            F.sum("n").cast("bigint").alias("n")
+        )
+        wsrc = Window.partitionBy("src")
+        tr = counts.select(
+            "src", "dst",
+            F.floor((F.lit(1000000) * F.col("n")) / F.sum("n").over(wsrc))
+            .cast("bigint")
+            .alias("prob_ppm"),
+        )
+        stationary_from_transitions(tr).write.mode("overwrite").parquet(
+            out_path
+        )
+        from wally_spark.operators.checkpoint import free_blocks
+
+        free_blocks(part)
+
+    return proc
