@@ -280,3 +280,72 @@ def test_pcm_sample_stats_exact(spark):
     assert r["zero_cross"] == 3
     for bad in (2, 3):
         assert tuple(rows[bad])[1:] == (0, 0, 0, 0)
+
+
+# --- GIF block walker (r8) ---------------------------------------------------
+def _gif_anim(w: int, h: int, delays, gct_bits=None, lct_bits=None) -> bytes:
+    """Build a conforming animated GIF89a: optional global color
+    table, one GCE+image-descriptor pair per delay, optional local
+    color tables, trailer."""
+    import struct
+
+    flags = 0x80 | (gct_bits - 1) if gct_bits else 0
+    b = b"GIF89a" + struct.pack("<HH", w, h) + bytes([flags, 0, 0])
+    if gct_bits:
+        b += b"\x01\x02\x03" * (1 << gct_bits)
+    for d in delays:
+        b += bytes([0x21, 0xF9, 4, 0, d & 0xFF, d >> 8, 0, 0])
+        idflags = 0x80 | (lct_bits - 1) if lct_bits else 0
+        b += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([idflags])
+        if lct_bits:
+            b += b"\x04\x05\x06" * (1 << lct_bits)
+        b += bytes([8, 3]) + b"abc" + b"\x00"
+    return b + b"\x3b"
+
+
+def test_parse_gif_blocks_structures():
+    from wally_spark.operators.multimodal import parse_gif_blocks
+
+    assert parse_gif_blocks(_gif_anim(320, 200, [10, 25])) == (
+        "gif89a", 320, 200, 2, 35,
+    )
+    # color tables (global and local) are skipped by their flag bits
+    assert parse_gif_blocks(_gif_anim(64, 64, [7], gct_bits=3)) == (
+        "gif89a", 64, 64, 1, 7,
+    )
+    assert parse_gif_blocks(_gif_anim(64, 64, [7, 9], lct_bits=2)) == (
+        "gif89a", 64, 64, 2, 16,
+    )
+    # non-GCE extensions (e.g. 0xFF application/NETSCAPE loop) are
+    # walked over without contributing delay
+    loop = b"GIF89a" + bytes([4, 0, 4, 0, 0, 0, 0])
+    loop += bytes([0x21, 0xFF, 11]) + b"NETSCAPE2.0" + bytes([3, 1, 0, 0, 0])
+    loop += bytes([0x2C]) + b"\x00" * 8 + bytes([0, 8, 1]) + b"x" + b"\x00"
+    loop += b"\x3b"
+    assert parse_gif_blocks(loop) == ("gif89a", 4, 4, 1, 0)
+
+
+def test_parse_gif_blocks_never_raises():
+    """Fuzz: arbitrary bytes (including truncations of valid GIFs)
+    must return None or a well-typed tuple — never raise; one corrupt
+    payload must never kill a partition."""
+    import random
+
+    from wally_spark.operators.multimodal import parse_gif_blocks
+
+    rng = random.Random(8)
+    valid = _gif_anim(100, 50, [1, 2, 3], gct_bits=2)
+    cases = [bytes()] + [valid[:i] for i in range(0, len(valid), 7)]
+    cases += [
+        bytes(rng.randrange(256) for _ in range(rng.randrange(0, 64)))
+        for _ in range(300)
+    ]
+    cases += [b"GIF89a" + bytes(rng.randrange(256) for _ in range(30))
+              for _ in range(100)]
+    for c in cases:
+        out = parse_gif_blocks(c)
+        if out is not None:
+            fmt, w, h, nf, delay = out
+            assert fmt in ("gif87a", "gif89a")
+            assert 0 <= w < 65536 and 0 <= h < 65536
+            assert nf >= 0 and delay >= 0
