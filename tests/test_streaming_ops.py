@@ -1516,3 +1516,70 @@ def test_ewma_stream_matches_batch_lane(spark, tmp_path):
     # more than one micro-batch (n_events strictly grows across emits)
     multi = got_df.groupBy("user_id").count().where("count > 1").count()
     assert multi > 0
+
+
+def test_ltv_against_profile_corpus(spark, tmp_path):
+    """Streaming cohort LTV: the per-batch republished curve over the
+    persistent (custkey, month) profile corpus must equal the batch
+    lane (shared ltv_from_profile tail) — including customers whose
+    cohort month arrives in a LATER batch than their first-seen order
+    (min-cohort re-derivation on the merged corpus) — and survive an
+    at-least-once replay unchanged."""
+    import os
+
+    from wally_spark.plans import REGISTRY
+    from wally_spark.streaming.ops import ltv_foreach_batch
+    from wally_spark.tables import load_tables
+
+    from tests.conftest import SF_SMALL
+
+    o = load_tables(spark, SF_SMALL)["orders"].select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    # REVERSE date order: early orders arrive LAST, so most customers'
+    # cohort months only appear in late batches — the min-cohort merge
+    # is genuinely exercised, not just replayed in order
+    pdf = o.toPandas().sort_values("o_orderdate", ascending=False).reset_index(
+        drop=True
+    )
+    src = f"{tmp_path}/src"
+    os.makedirs(src, exist_ok=True)
+    n_files = 3
+    step = (len(pdf) + n_files - 1) // n_files
+    for i in range(n_files):
+        stage = f"{tmp_path}/_s{i}"
+        spark.createDataFrame(
+            pdf.iloc[i * step : (i + 1) * step], o.schema
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(stage, part), os.path.join(src, f"b{i:02d}.parquet"))
+        os.utime(
+            os.path.join(src, f"b{i:02d}.parquet"), (1_000_000 + i, 1_000_000 + i)
+        )
+
+    profiles, out = f"{tmp_path}/profiles", f"{tmp_path}/report"
+    q = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(ltv_foreach_batch(spark, profiles, out))
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(
+        map(
+            tuple,
+            REGISTRY["cohort_revenue_ltv"].spark_fn(spark, SF_SMALL).collect(),
+        )
+    )
+    assert got == want
+
+    replay = ltv_foreach_batch(spark, profiles, out)
+    last = spark.createDataFrame(pdf.iloc[(n_files - 1) * step :], o.schema)
+    replay(last, n_files - 1)
+    got2 = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got2 == want

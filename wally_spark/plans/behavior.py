@@ -515,17 +515,43 @@ def cohort_revenue_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid aggregate is (months × months)-bounded, so the cumulative
     window runs over a tiny relation partitioned by cohort. The
     retention twin is events_cohort_retention; this is the
-    revenue-weighted face."""
-    o = load_tables(spark, sf_dir)["orders"].select(
-        "o_custkey",
-        F.date_trunc("month", "o_orderdate").alias("m"),
-        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+    revenue-weighted face. Routed through the (custkey, month)
+    ltv_profile partial — the associative grain its streaming twin
+    persists (streaming/ops.ltv_foreach_batch)."""
+    return ltv_from_profile(
+        ltv_profile(load_tables(spark, sf_dir)["orders"])
+    )
+
+
+def ltv_profile(orders_df: DataFrame) -> DataFrame:
+    """(o_custkey, m) partial aggregates — ASSOCIATIVE (sum n, sum
+    cents; the customer's cohort is min(m), itself associative), so a
+    streaming corpus can persist per-batch partials and fold at read
+    time."""
+    return orders_df.groupBy(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint"))
         .cast("bigint")
         .alias("cents"),
     )
-    cohort = o.groupBy("o_custkey").agg(F.min("m").alias("cohort"))
+
+
+def ltv_profile_fold(df: DataFrame) -> DataFrame:
+    """Associative merge of LTV profile partials (the ``fold=`` for
+    compact_corpus and the read-time merge of the streaming twin)."""
+    return df.groupBy("o_custkey", "m").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+
+
+def ltv_from_profile(per: DataFrame) -> DataFrame:
+    """Scoring tail shared by the batch lane and the streaming twin."""
+    cohort = per.groupBy("o_custkey").agg(F.min("m").alias("cohort"))
     a = (
-        o.join(cohort, "o_custkey")
+        per.join(cohort, "o_custkey")
         .groupBy(
             F.unix_timestamp("cohort").cast("bigint").alias("cohort_epoch"),
             (
@@ -536,7 +562,7 @@ def cohort_revenue_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("age_months"),
         )
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("n").cast("bigint").alias("n_orders"),
             F.countDistinct("o_custkey").cast("bigint").alias("n_active"),
             F.sum("cents").cast("bigint").alias("revenue_cents"),
         )

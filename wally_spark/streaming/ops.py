@@ -1910,3 +1910,36 @@ def markov_foreach_batch(spark, counts_path: str, out_path: str):
         free_blocks(part)
 
     return proc
+
+
+def ltv_foreach_batch(spark, profile_path: str, out_path: str):
+    """Incremental cohort-LTV — the streaming face of the registered
+    `cohort_revenue_ltv` batch lane (plans/behavior.py): a persistent
+    (o_custkey, month) PROFILE corpus of associative partials (sum n,
+    sum cents; the cohort itself is a min over the merged profile, so
+    a customer's cohort month can only move EARLIER as late data
+    arrives — exactly the batch semantics), republishing the full LTV
+    curve each micro-batch through the batch lane's exact scoring tail
+    (ltv_from_profile). Profile rows are bounded by active
+    customer-months per batch; compactable with
+    fold=ltv_profile_fold."""
+    from wally_spark.plans.behavior import (
+        ltv_from_profile,
+        ltv_profile,
+        ltv_profile_fold,
+    )
+
+    def proc(batch_df, batch_id):
+        part = ltv_profile(batch_df).localCheckpoint()
+        part.write.mode("overwrite").parquet(f"{profile_path}/b{batch_id}")
+        merged = part
+        for p in corpus_probe_parts(spark, profile_path, exclude_batch=batch_id):
+            merged = merged.unionByName(p)
+        ltv_from_profile(ltv_profile_fold(merged)).write.mode(
+            "overwrite"
+        ).parquet(out_path)
+        from wally_spark.operators.checkpoint import free_blocks
+
+        free_blocks(part)
+
+    return proc
