@@ -500,3 +500,31 @@ def test_markov_stationary_incremental_matches_batch(spark, tmp_path):
     markov_foreach_batch(spark, counts, out)(replay_df, last_id)
     got2 = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert got2 == want
+
+
+def test_conversion_lag_stream_matches_batch(spark, tmp_path):
+    """The per-user open-session state lane folds to exactly the batch
+    session_conversion_lag histogram: same lag_min multiset, same
+    share/cum-share bp over the same events — including sessions whose
+    first purchase arrives in a later micro-batch than their start."""
+    from pyspark.sql import Window
+
+    from wally_spark.plans import REGISTRY
+    from wally_spark.streaming.ops import conversion_lag_stream
+
+    sdf, _ = _ordered_stream(spark, tmp_path)
+    out = _run_append(conversion_lag_stream(sdf), spark)
+    h = out.groupBy("lag_min").agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    t = h.agg(F.sum("n_sessions").alias("total"))
+    stream_rows = (
+        h.crossJoin(F.broadcast(t))
+        .selectExpr(
+            "lag_min", "n_sessions",
+            "CAST((10000 * n_sessions) div total AS BIGINT) AS share_bp",
+            "CAST((10000 * sum(n_sessions) OVER (ORDER BY lag_min"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"
+            " div total AS BIGINT) AS cum_share_bp",
+        )
+    )
+    batch_rows = REGISTRY["session_conversion_lag"].spark_fn(spark, SF_SMALL)
+    assert _rows(stream_rows) == _rows(batch_rows)

@@ -1943,3 +1943,64 @@ def ltv_foreach_batch(spark, profile_path: str, out_path: str):
         free_blocks(part)
 
     return proc
+
+
+def conversion_lag_stream(df: DataFrame, gap_s: int = 600) -> DataFrame:
+    """Streaming face of the registered `session_conversion_lag` batch
+    lane (plans/behavior.py): per-user OPEN-SESSION state — (session
+    start, last event ts, converted flag), one small tuple per key —
+    emitting one (user_id, lag_min) row at the FIRST purchase of each
+    inactivity session (gap_s quiet closes it, the win_session
+    semantics). The batch histogram is one aggregate over this lane's
+    emissions; the equivalence test folds them with the batch lane's
+    exact share formulas and matches it bit-for-bit.
+
+    Lag arithmetic mirrors the batch lane exactly: whole seconds are
+    truncated per timestamp (unix_timestamp semantics), then
+    whole-minute trunc division; the session boundary compares
+    double-seconds differences like the batch window does. Assumes
+    per-key in-order delivery (the cusum_alarm_stream contract)."""
+    import pandas as pd
+
+    from pyspark import cloudpickle
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, lag_min long"
+
+    def runner(key, pdfs, state):
+        uid = key[0]
+        start_ns, last_ns, converted = None, None, False
+        if state.exists:
+            (blob,) = state.get
+            start_ns, last_ns, converted = cloudpickle.loads(bytes(blob))
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows):
+            rows = rows.sort_values(["ts", "event_id"])
+        out = []
+        for ts, et in zip(rows["ts"], rows["event_type"]):
+            ns = ts.value
+            if last_ns is None or (ns / 1e9 - last_ns / 1e9) > float(gap_s):
+                start_ns, converted = ns, False
+            last_ns = ns
+            if et == "purchase" and not converted:
+                lag_s = ns // 1_000_000_000 - start_ns // 1_000_000_000
+                out.append((uid, lag_s // 60))
+                converted = True
+        state.update((cloudpickle.dumps((start_ns, last_ns, converted)),))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "lag_min"])
+        else:
+            yield pd.DataFrame(
+                {
+                    c.strip().split()[0]: pd.Series(dtype="object")
+                    for c in out_schema.split(",")
+                }
+            )
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        runner,
+        outputStructType=out_schema,
+        stateStructType="blob binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
