@@ -1583,3 +1583,58 @@ def test_ltv_against_profile_corpus(spark, tmp_path):
     replay(last, n_files - 1)
     got2 = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert got2 == want
+
+
+def test_benford_incremental_matches_batch(spark, tmp_path):
+    """Streaming Benford monitor: the per-batch republished audit over
+    the digit-count corpus equals the batch events_benford lane
+    (shared benford_from_counts tail), and replaying the last batch
+    changes nothing."""
+    import os
+
+    from wally_spark.plans import REGISTRY
+    from wally_spark.streaming.ops import benford_foreach_batch
+    from wally_spark.tables import load_tables
+
+    from tests.conftest import SF_SMALL
+
+    ev = load_tables(spark, SF_SMALL)["events"].select("ts", "event_id", "value")
+    pdf = ev.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    src = f"{tmp_path}/src"
+    os.makedirs(src, exist_ok=True)
+    n_files = 3
+    step = (len(pdf) + n_files - 1) // n_files
+    for i in range(n_files):
+        stage = f"{tmp_path}/_s{i}"
+        spark.createDataFrame(
+            pdf.iloc[i * step : (i + 1) * step], ev.schema
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(stage, part), os.path.join(src, f"b{i:02d}.parquet"))
+        os.utime(
+            os.path.join(src, f"b{i:02d}.parquet"), (1_000_000 + i, 1_000_000 + i)
+        )
+
+    counts, out = f"{tmp_path}/counts", f"{tmp_path}/audit"
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(benford_foreach_batch(spark, counts, out))
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(
+        map(tuple, REGISTRY["events_benford"].spark_fn(spark, SF_SMALL).collect())
+    )
+    assert got == want
+
+    replay = benford_foreach_batch(spark, counts, out)
+    last = spark.createDataFrame(pdf.iloc[(n_files - 1) * step :], ev.schema)
+    replay(last, n_files - 1)
+    got2 = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got2 == want

@@ -871,13 +871,26 @@ def events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     any corpus size. The global total joins back as a 1-row broadcast
     (crossJoin of a scalar aggregate, the user_churn_features
     convention)."""
-    e = _events(spark, sf_dir).selectExpr(
-        "CAST(substring(CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
-        " AS STRING), 1, 1) AS BIGINT) AS digit"
-    ).where(F.col("digit") >= 1)
-    counts = e.groupBy("digit").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
+    return benford_from_counts(benford_digit_counts(_events(spark, sf_dir)))
+
+
+def benford_digit_counts(events_df: DataFrame) -> DataFrame:
+    """(digit, n) leading-digit counts — ASSOCIATIVE, so the streaming
+    face (streaming/ops.benford_foreach_batch) persists per-batch
+    partials and folds by sum."""
+    return (
+        events_df.selectExpr(
+            "CAST(substring(CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
+            " AS STRING), 1, 1) AS BIGINT) AS digit"
+        )
+        .where(F.col("digit") >= 1)
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+def benford_from_counts(counts: DataFrame) -> DataFrame:
+    """Scoring tail shared by the batch lane and the streaming face."""
     total = counts.agg(F.sum("n").alias("total"))
     return (
         counts.crossJoin(F.broadcast(total))

@@ -2004,3 +2004,34 @@ def conversion_lag_stream(df: DataFrame, gap_s: int = 600) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def benford_foreach_batch(spark, counts_path: str, out_path: str):
+    """Incremental Benford first-digit DQ monitor — the streaming face
+    of the registered `events_benford` batch lane: leading-digit
+    counts are purely associative, so each batch writes its own
+    9-row-bounded (digit, n) increment into ``b<batch_id>``
+    (overwrite → replay-idempotent), the corpus folds by sum at read
+    time, and the full audit republishes each micro-batch through the
+    batch lane's exact scoring tail (quality.benford_from_counts,
+    shared literal expectation table) — the always-on
+    fabricated-data/instrumentation alarm."""
+    import pyspark.sql.functions as F  # noqa: F811 (module-level alias)
+
+    from wally_spark.plans.quality import benford_digit_counts, benford_from_counts
+
+    def proc(batch_df, batch_id):
+        part = benford_digit_counts(batch_df).localCheckpoint()
+        part.write.mode("overwrite").parquet(f"{counts_path}/b{batch_id}")
+        merged = part
+        for p in corpus_probe_parts(spark, counts_path, exclude_batch=batch_id):
+            merged = merged.unionByName(p)
+        counts = merged.groupBy("digit").agg(
+            F.sum("n").cast("bigint").alias("n")
+        )
+        benford_from_counts(counts).write.mode("overwrite").parquet(out_path)
+        from wally_spark.operators.checkpoint import free_blocks
+
+        free_blocks(part)
+
+    return proc
