@@ -392,3 +392,36 @@ def test_kafka_sink_value_encoding(spark):
     assert dict(enc.dtypes)["value"] == "string"
     vals = sorted(json.loads(r["value"])["s"] for r in enc.collect())
     assert vals == ["a", "b"]
+
+
+def test_orc_roundtrip_batch_and_stream(spark, tmp_path):
+    """ORC source/sink: batch write → batch read → file-stream read all
+    preserve rows and schema (the warehouse-interchange format next to
+    parquet; Spark-native, no external package)."""
+    from wally_spark.sinks import ORCSink
+    from wally_spark.sources import ORCSourceConfig
+    from wally_spark.tables import load_tables
+
+    from tests.conftest import SF_SMALL
+
+    ev = load_tables(spark, SF_SMALL)["events"].select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = f"{tmp_path}/orc"
+    ORCSink(path=path).write_batch(ev)
+
+    src = ORCSourceConfig(name="ev", path=path)
+    back = src.read_batch(spark)
+    assert back.schema == ev.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, ev.collect()))
+
+    out = f"{tmp_path}/out"
+    q = (
+        ORCSink(path=out, checkpoint=f"{tmp_path}/ckpt")
+        .write_stream(src.read_stream(spark))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.orc(out)
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, ev.collect()))

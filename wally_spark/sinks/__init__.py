@@ -67,6 +67,33 @@ class ParquetSink(SinkConfig):
 
 
 @dataclass
+class ORCSink(SinkConfig):
+    """ORC columnar sink (batch + stream) — the warehouse-interchange
+    twin of ParquetSink; Spark-native, same partitioning/checkpoint
+    contract."""
+
+    path: str
+    checkpoint: str | None = None
+    partition_by: tuple[str, ...] = ()
+    mode: str = "overwrite"
+
+    def write_batch(self, df):
+        w = df.write.mode(self.mode)
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.orc(self.path)
+        return df
+
+    def write_stream(self, df):
+        w = df.writeStream.format("orc").option("path", self.path)
+        if self.checkpoint:
+            w = w.option("checkpointLocation", self.checkpoint)
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        return w
+
+
+@dataclass
 class ConsoleSink(SinkConfig):
     output_mode: str = "append"
 

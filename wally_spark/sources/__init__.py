@@ -74,6 +74,23 @@ class JSONSourceConfig(SourceConfig):
 
 
 @dataclass
+class ORCSourceConfig(SourceConfig):
+    """ORC columnar file source (batch + file-stream) — built into
+    Spark like parquet; the interchange format warehouse-side Hive/Trino
+    deployments hand over."""
+
+    name: str
+    path: str
+
+    def read_batch(self, spark):
+        return spark.read.orc(self.path)
+
+    def read_stream(self, spark):
+        schema = spark.read.orc(self.path).schema
+        return spark.readStream.schema(schema).orc(self.path)
+
+
+@dataclass
 class GenSourceConfig(SourceConfig):
     """Reference GenSourceConfig (machida/__init__.py:528): an object
     with initial_value()/apply(last) generating the stream. Streaming:
