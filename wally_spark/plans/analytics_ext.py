@@ -1,7 +1,11 @@
 """Round-3 analytics extensions: lag-window time-series deltas and
 triangle counting over the co-purchase graph (SURVEY §2.4/§2.7
-extensions). Registered after plans.quality so the driver window is
-not displaced (see plans/__init__.py).
+extensions); round-8 adds graph_degree_assortativity (Newman r over
+the same support-pruned edge set), orders_grouping_sets (explicit
+GROUPING SETS), heavy_hitters_report (TakeOrdered skew profiler) and
+price_index_laspeyres (fixed-basket monthly price index, cents×units
+int64 discipline). Registered after plans.quality so the driver
+window is not displaced (see plans/__init__.py).
 """
 
 from __future__ import annotations

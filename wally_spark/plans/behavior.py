@@ -10,6 +10,16 @@
   events_peak_concurrency per-day peak number of simultaneously open
                           activity intervals via the classic +1/-1
                           boundary sweep
+  revenue_decile_gains    gains/lift table over the distributed exact
+                          ntile operator
+  user_churn_features     8-feature churn export over the associative
+                          (user, day, type) churn_profile grain (its
+                          streaming twin persists exactly those rows)
+  cohort_revenue_ltv      first-order-month cohort LTV curve over the
+                          associative (custkey, month) ltv_profile
+  user_purchase_intervals inter-purchase whole-day gap histogram
+  session_conversion_lag  session start → first purchase lag histogram
+                          (600 s inactivity sessions)
 
 Reference parity: the reference keeps per-key last-state on a stream
 (lib/wallaroo/core/state/state.pony via machida state_computation) —

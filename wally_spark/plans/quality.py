@@ -9,6 +9,10 @@ of machida computations, machida/lib/wallaroo/__init__.py:270).
   event_value_hour_corr Pearson corr(value, hour-of-day) per event type
   text_pii_scrub        regex PII detection + redaction counts (r5)
   corpus_mix_report     per-(lang, source) corpus share dashboard (r5)
+  events_benford        (r8) Benford first-digit DQ audit — shared
+                        literal expectation table; streaming face keeps
+                        a 9-row digit-count corpus
+                        (streaming/ops.benford_foreach_batch)
 
 All have full DuckDB oracles. Fractions are integer basis points;
 the correlation is rounded to 4 dp on both sides (registry convention

@@ -11,8 +11,13 @@
                           iterative peeling (unrolled, one lazy plan)
   text_readability        LIX readability banding in exact integer
                           arithmetic over the documents table
+  events_markov_stationary (r8) stationary distribution of the
+                          event-type chain — power iteration in exact
+                          integer ppm over a broadcast |types|² matrix;
+                          streaming face folds transitions_stream
+                          counts (streaming/ops.markov_foreach_batch)
 
-All five hold full DuckDB oracles: probabilities/indices are integer
+All hold full DuckDB oracles: probabilities/indices are integer
 (ppm / milli) so the value hash is exact regardless of partitioning.
 Reference parity: the reference's stateful sequence apps keep
 per-key last-state and per-key path state on a stream

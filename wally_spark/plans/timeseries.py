@@ -8,8 +8,13 @@ resample_1h in analytics.py).
   gap_fill_locf       dense hourly grid with last-observation-carried-
                       forward fill (TimescaleDB ``locf(gapfill(...))``)
   events_anomaly_mad  robust outlier report: median/MAD per type
+  events_ewma         (r8) per-user trailing EWMA spend baseline at the
+                      last event — exact integer weights 2^(K-1-j),
+                      unrolled SQL shared verbatim with the oracle; the
+                      streaming twin (streaming/ops.ewma_stream) holds
+                      the same ring as per-key state
 
-All four have full DuckDB oracles. Monetary/value sums are integerized
+All lanes have full DuckDB oracles. Monetary/value sums are integerized
 per row (``floor(1000 * value)`` — exact per-row, then bigint sums are
 associative) so the value hash is exact regardless of summation order;
 the MAD lane compares doubles only through deterministic selection
