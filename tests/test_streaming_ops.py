@@ -1638,3 +1638,75 @@ def test_benford_incremental_matches_batch(spark, tmp_path):
     replay(last, n_files - 1)
     got2 = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert got2 == want
+
+
+def test_heavy_hitters_incremental_matches_batch(spark, tmp_path):
+    """Streaming heavy-hitter profiler over the events.event_type key:
+    the per-batch republished top-K equals the batch heavy_hitters
+    formula over the same rows (same deterministic tie-break and
+    share bp), and replaying the last batch changes nothing."""
+    import os
+
+    from wally_spark.streaming.ops import heavy_hitters_foreach_batch
+    from wally_spark.tables import load_tables
+
+    from tests.conftest import SF_SMALL
+
+    ev = load_tables(spark, SF_SMALL)["events"].select(
+        "ts", "event_id", F.col("event_type").alias("key")
+    )
+    pdf = ev.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    src = f"{tmp_path}/src"
+    os.makedirs(src, exist_ok=True)
+    n_files = 3
+    step = (len(pdf) + n_files - 1) // n_files
+    for i in range(n_files):
+        stage = f"{tmp_path}/_s{i}"
+        spark.createDataFrame(
+            pdf.iloc[i * step : (i + 1) * step], ev.schema
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(stage, part), os.path.join(src, f"b{i:02d}.parquet"))
+        os.utime(
+            os.path.join(src, f"b{i:02d}.parquet"), (1_000_000 + i, 1_000_000 + i)
+        )
+
+    counts, out = f"{tmp_path}/counts", f"{tmp_path}/top"
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(
+            heavy_hitters_foreach_batch(spark, counts, out, top_k=3)
+        )
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want_counts = ev.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    total = want_counts.agg(F.sum("n").cast("bigint").alias("total"))
+    want = sorted(
+        map(
+            tuple,
+            want_counts.orderBy(F.col("n").desc(), F.col("key"))
+            .limit(3)
+            .crossJoin(total)
+            .selectExpr(
+                "key", "n",
+                "CAST((10000 * n) div total AS BIGINT) AS share_bp",
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+
+    replay = heavy_hitters_foreach_batch(spark, counts, out, top_k=3)
+    last = spark.createDataFrame(pdf.iloc[(n_files - 1) * step :], ev.schema)
+    replay(last, n_files - 1)
+    got2 = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got2 == want

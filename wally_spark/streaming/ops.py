@@ -2035,3 +2035,47 @@ def benford_foreach_batch(spark, counts_path: str, out_path: str):
         free_blocks(part)
 
     return proc
+
+
+def heavy_hitters_foreach_batch(
+    spark, counts_path: str, out_path: str, top_k: int = 5
+):
+    """Incremental heavy-hitter profiler — the streaming face of the
+    registered `heavy_hitters_report` batch lane for ONE keyed stream:
+    per-key counts are associative, so each batch writes its own
+    (key, n) increments into ``b<batch_id>`` (overwrite →
+    replay-idempotent), the corpus folds by sum at read time, and the
+    exact top-K + share-bp report republishes per micro-batch via
+    orderBy().limit() (TakeOrderedAndProject — the batch lane's
+    distributed partial top-K, never a window). The corpus is bounded
+    by distinct keys per batch; compact with bucket_key='key'."""
+    import pyspark.sql.functions as F  # noqa: F811 (module-level alias)
+
+    def proc(batch_df, batch_id):
+        part = batch_df.groupBy("key").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+        part = part.localCheckpoint()
+        part.write.mode("overwrite").parquet(f"{counts_path}/b{batch_id}")
+        merged = part
+        for p in corpus_probe_parts(spark, counts_path, exclude_batch=batch_id):
+            merged = merged.unionByName(p)
+        counts = merged.groupBy("key").agg(
+            F.sum("n").cast("bigint").alias("n")
+        )
+        total = counts.agg(F.sum("n").cast("bigint").alias("total"))
+        top = (
+            counts.orderBy(F.col("n").desc(), F.col("key"))
+            .limit(top_k)
+            .crossJoin(total)
+            .selectExpr(
+                "key", "n",
+                "CAST((10000 * n) div total AS BIGINT) AS share_bp",
+            )
+        )
+        top.write.mode("overwrite").parquet(out_path)
+        from wally_spark.operators.checkpoint import free_blocks
+
+        free_blocks(part)
+
+    return proc
