@@ -341,3 +341,26 @@ def test_churn_features_two_level_aggregate(spark):
     plan = _plan(spark, "user_churn_features")
     assert plan.count("HashAggregate") >= 4, plan  # 2 levels x partial/final
     assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row frontier side
+
+
+def test_grouping_sets_single_shuffle(spark):
+    """orders_grouping_sets: Spark must expand all four grouping sets
+    into ONE Expand feeding a single aggregate — exactly one Exchange
+    regardless of how many sets (the design claim vs running four
+    aggregates)."""
+    import re
+
+    plan = _plan(spark, "orders_grouping_sets")
+    assert "Expand" in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_ewma_single_user_shuffle(spark):
+    """events_ewma: the asc lag frame, the partition count, and the
+    desc row_number must all reuse ONE user_id shuffle — exactly one
+    Exchange in the plan (re-sorting within partitions is fine; a
+    second shuffle is not)."""
+    import re
+
+    plan = _plan(spark, "events_ewma")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
