@@ -663,8 +663,8 @@ WITH ordered AS (
                            ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM ordered
 ), lags AS (
-  SELECT (floor(epoch(min(CASE WHEN event_type = 'purchase' THEN ts END))
-                - epoch(min(ts)))::BIGINT // 60)::BIGINT AS lag_min
+  SELECT ((floor(epoch(min(CASE WHEN event_type = 'purchase' THEN ts END)))
+                - floor(epoch(min(ts))))::BIGINT // 60)::BIGINT AS lag_min
   FROM sessioned
   GROUP BY user_id, session_idx
   HAVING count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
@@ -685,6 +685,11 @@ def session_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase, rolled into a histogram with share and cumulative share
     bp ("X% of converting sessions convert within N minutes" — the
     checkout-friction report).
+
+    Second truncation happens PER TIMESTAMP on both sides
+    (unix_timestamp semantics = floor(epoch(ts)) each), never floor of
+    the difference — the two disagree by 1 s on fractional-second
+    data, so agreement is by construction, not luck.
 
     Scale shape: gaps-and-islands sessionization runs in user-keyed
     windows (one shuffle); the per-session reduction is a conditional
