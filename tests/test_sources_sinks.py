@@ -425,3 +425,43 @@ def test_orc_roundtrip_batch_and_stream(spark, tmp_path):
     q.awaitTermination(120)
     streamed = spark.read.orc(out)
     assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, ev.collect()))
+
+
+def test_avro_roundtrip_batch_and_stream(spark, tmp_path):
+    """Avro source/sink round-trip — env-gated like the Kafka e2e: the
+    spark-avro module is an external jar the sandbox doesn't ship, so
+    this skips unless the datasource resolves; wherever it does, the
+    same batch/stream contract as the ORC test is asserted."""
+    import pytest
+
+    from wally_spark.sinks import AvroSink
+    from wally_spark.sources import AvroSourceConfig
+    from wally_spark.tables import load_tables
+
+    from tests.conftest import SF_SMALL
+
+    ev = load_tables(spark, SF_SMALL)["events"].select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = f"{tmp_path}/avro"
+    try:
+        AvroSink(path=path).write_batch(ev)
+    except Exception as e:  # noqa: BLE001 — availability probe
+        if "Failed to find data source: avro" in str(e):
+            pytest.skip("spark-avro module not deployed in this env")
+        raise
+
+    src = AvroSourceConfig(name="ev", path=path)
+    back = src.read_batch(spark)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, ev.collect()))
+
+    out = f"{tmp_path}/out"
+    q = (
+        AvroSink(path=out, checkpoint=f"{tmp_path}/ckpt")
+        .write_stream(src.read_stream(spark))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.format("avro").load(out)
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, ev.collect()))

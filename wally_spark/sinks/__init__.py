@@ -94,6 +94,33 @@ class ORCSink(SinkConfig):
 
 
 @dataclass
+class AvroSink(SinkConfig):
+    """Avro row-file sink (batch + stream) — same partitioning and
+    checkpoint contract as ParquetSink/ORCSink; requires the
+    spark-avro module jar at deployment (see AvroSourceConfig)."""
+
+    path: str
+    checkpoint: str | None = None
+    partition_by: tuple[str, ...] = ()
+    mode: str = "overwrite"
+
+    def write_batch(self, df):
+        w = df.write.mode(self.mode).format("avro")
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.save(self.path)
+        return df
+
+    def write_stream(self, df):
+        w = df.writeStream.format("avro").option("path", self.path)
+        if self.checkpoint:
+            w = w.option("checkpointLocation", self.checkpoint)
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        return w
+
+
+@dataclass
 class ConsoleSink(SinkConfig):
     output_mode: str = "append"
 

@@ -91,6 +91,27 @@ class ORCSourceConfig(SourceConfig):
 
 
 @dataclass
+class AvroSourceConfig(SourceConfig):
+    """Avro row-file source (batch + file-stream). Spark treats Avro
+    as an external module (`org.apache.spark:spark-avro`); this config
+    works wherever the deployment ships that jar — the sandbox does
+    not, so the round-trip test env-gates on a write probe (the Kafka
+    contract-test convention)."""
+
+    name: str
+    path: str
+
+    def read_batch(self, spark):
+        return spark.read.format("avro").load(self.path)
+
+    def read_stream(self, spark):
+        schema = spark.read.format("avro").load(self.path).schema
+        return (
+            spark.readStream.schema(schema).format("avro").load(self.path)
+        )
+
+
+@dataclass
 class GenSourceConfig(SourceConfig):
     """Reference GenSourceConfig (machida/__init__.py:528): an object
     with initial_value()/apply(last) generating the stream. Streaming:
