@@ -53,41 +53,52 @@ from wally_spark.plans import behavior  # noqa: F401,E402
 _DRIVER_GREEN = frozenset(
     {
         "ann_bruteforce", "ann_index_probe", "ann_ivf", "ann_lsh", "ann_pq",
-        "ann_quantized", "app_alerts_local_agg", "app_alerts_stateful",
-        "app_alerts_stateless", "app_alerts_windowed", "app_alphabet",
-        "app_alphabet_partitioned", "app_celsius", "app_celsius_connectors",
-        "app_market_spread", "app_multi_worker_forwarding",
-        "app_passthrough", "app_word_count", "app_word_count_collect",
-        "asof_next_view", "asof_purchase_view", "basket_rules", "bm25_rank",
-        "bpe_merge_pairs", "bpe_merges_r4", "chunk_overlap",
-        "corpus_mix_report", "corpus_shard_manifest",
+        "ann_quantized", "ann_recall_report", "app_alerts_local_agg",
+        "app_alerts_stateful", "app_alerts_stateless", "app_alerts_windowed",
+        "app_alphabet", "app_alphabet_partitioned", "app_celsius",
+        "app_celsius_connectors", "app_market_spread",
+        "app_multi_worker_forwarding", "app_passthrough", "app_word_count",
+        "app_word_count_collect", "asof_next_view", "asof_purchase_view",
+        "attribution_last_touch", "basket_rules", "blocklist_terms_filter",
+        "bm25_rank", "bpe_merge_pairs", "bpe_merges_r4", "chunk_overlap",
+        "cohort_revenue_ltv", "corpus_mix_report", "corpus_shard_manifest",
         "cross_source_dup_report", "cube_pricing",
         "cumulative_revenue_share", "curation_pipeline",
         "decontaminate_holdout", "dedup_clusters", "dedup_embedding",
         "dedup_embedding_lsh", "dedup_exact", "dedup_keep_best",
-        "dedup_minhash", "dedup_ngram_jaccard", "dedup_normalized",
-        "dedup_simhash", "dedup_simhash_pairs", "dedup_substring",
-        "distinct_users_exact", "doc_nb_classifier", "docs_length_band",
-        "docs_token_histogram", "dsir_importance", "dup_rate_report",
-        "embedding_centroids", "embedding_dim_stats", "embedding_kmeans",
-        "embedding_norm_report", "embedding_pca_power",
+        "dedup_lines", "dedup_minhash", "dedup_ngram_jaccard",
+        "dedup_normalized", "dedup_simhash", "dedup_simhash_pairs",
+        "dedup_substring", "distinct_users_exact", "doc_nb_classifier",
+        "docs_length_band", "docs_token_histogram", "docs_vocab_simpson",
+        "dsir_importance", "dup_embedding_consistency", "dup_rate_report",
+        "embedding_centroids", "embedding_cluster_balance",
+        "embedding_dim_stats", "embedding_kmeans", "embedding_norm_report",
+        "embedding_outliers", "embedding_pair_hist", "embedding_pca_power",
         "embedding_random_projection", "event_path_trigrams",
         "event_sessionize_stats", "event_transitions",
         "event_value_hour_corr", "events_anomaly_mad", "events_autocorr",
-        "events_cohort_retention", "events_cusum_changepoint",
-        "events_decode_audit", "events_dedup_hourly", "events_funnel",
-        "events_json_extract", "events_ohlc", "events_seasonality",
-        "events_value_ranks", "events_window_funnel", "gap_fill_locf",
-        "gopher_rules", "graph_kcore", "graph_pagerank",
-        "graph_triangle_count", "host_curation_report", "hypertable_rollup",
-        "interarrival_stats", "knn_label_vote", "lang_source_quota",
-        "langid_confusion", "minhash_estimate_audit", "mm_byte_stats",
-        "mm_frame_sample", "mm_image_header", "mm_image_meta",
-        "mm_pcm_stats", "mm_thumbnail", "mm_wav_header", "nb_calibration",
-        "ngram_coverage", "ntile_order_quartiles", "open_order_lines_daily",
-        "orders_aging_bands", "pack_chunks", "part_affinity_jaccard",
-        "part_cooccurrence", "pipeline_merge", "pivot_user_event_totals",
-        "q10_returned_items", "q11_important_parts", "q12_priority_class",
+        "events_benford", "events_cohort_retention",
+        "events_cusum_changepoint", "events_decode_audit",
+        "events_dedup_hourly", "events_ewma", "events_funnel",
+        "events_json_extract", "events_markov_stationary", "events_ohlc",
+        "events_peak_concurrency", "events_rate_limit", "events_seasonality",
+        "events_value_ranks", "events_window_funnel", "fact_dq_audit",
+        "gap_fill_locf", "gopher_rules", "graph_degree_assortativity",
+        "graph_kcore", "graph_label_prop", "graph_pagerank",
+        "graph_triangle_count", "heavy_hitters_report",
+        "host_curation_report", "hypertable_rollup", "interarrival_stats",
+        "knn_label_vote", "lang_source_quota", "langid_agreement",
+        "langid_confusion", "late_arrival_report", "line_dup_catalog",
+        "minhash_containment", "minhash_estimate_audit", "mm_binary_dup",
+        "mm_byte_stats", "mm_frame_sample", "mm_gif_anim_stats",
+        "mm_image_header", "mm_image_meta", "mm_mp4_boxes", "mm_pcm_stats",
+        "mm_thumbnail", "mm_wav_header", "nb_calibration", "ngram_coverage",
+        "ntile_order_quartiles", "open_order_lines_daily",
+        "orders_aging_bands", "orders_grouping_sets", "pack_chunks",
+        "part_affinity_jaccard", "part_cooccurrence", "pipeline_merge",
+        "pivot_user_event_totals", "price_index_laspeyres",
+        "price_quantity_elasticity", "q10_returned_items",
+        "q11_important_parts", "q12_priority_class",
         "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
         "q16_parts_supplier", "q17_small_quantity", "q18_bucketed",
         "q18_large_customers", "q19_discounted_revenue",
@@ -96,22 +107,28 @@ _DRIVER_GREEN = frozenset(
         "q2_best_supplier", "q3_bucketed", "q3_shipping_priority",
         "q4_order_priority", "q5_local_supplier", "q6_forecast_revenue",
         "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-        "quality_rule_sweep", "quantiles_by_type", "quantiles_exact_check",
-        "range_join_views_before_purchase", "resample_1h",
-        "revenue_dod_delta", "rolling_7d_revenue", "rollup_orders",
-        "running_total", "salted_event_totals", "sample_pps",
+        "quality_dup_contingency", "quality_rule_sweep", "quantiles_by_type",
+        "quantiles_exact_check", "range_join_views_before_purchase",
+        "resample_1h", "revenue_decile_gains", "revenue_dod_delta",
+        "rolling_7d_revenue", "rollup_orders", "running_total",
+        "salted_event_totals", "sample_kfold_assign", "sample_pps",
         "sample_stratified", "sample_temperature", "semantic_dedup",
-        "setops_viewer_purchasers", "sliding_distinct_users",
-        "split_train_holdout", "text_boilerplate", "text_fingerprint",
-        "text_langid", "text_langid_ngram", "text_lm_bigram",
-        "text_lm_perplexity", "text_pii_scrub", "text_quality",
-        "text_readability", "text_repetition", "text_script_mix",
-        "text_tokens", "text_word_entropy", "tfidf_top_terms",
-        "time_weighted_avg", "token_pmi", "tokenizer_fertility",
-        "topk_per_key", "user_activity_gaps", "user_burst_minutes",
-        "user_event_entropy", "user_rfm_segments", "value_histogram",
-        "value_outliers", "value_winsorized", "vocab_bigrams", "win_count",
-        "win_session", "win_sliding", "win_tumbling", "zipf_slope",
+        "session_conversion_lag", "setops_viewer_purchasers",
+        "sliding_distinct_users", "split_train_holdout",
+        "supplier_concentration_hhi", "supplier_latency_report",
+        "text_boilerplate", "text_fingerprint", "text_langid",
+        "text_langid_margin", "text_langid_ngram", "text_lm_bigram",
+        "text_lm_perplexity", "text_ngram_novelty", "text_pii_scrub",
+        "text_quality", "text_readability", "text_repetition",
+        "text_script_mix", "text_sentence_stats", "text_tokens",
+        "text_word_entropy", "tfidf_top_terms", "time_weighted_avg",
+        "token_budget_allocation", "token_pmi", "tokenizer_fertility",
+        "topk_per_key", "url_blocklist", "url_canonical_dedup",
+        "user_activity_gaps", "user_burst_minutes", "user_churn_features",
+        "user_event_entropy", "user_purchase_intervals", "user_rfm_segments",
+        "user_survival_curve", "value_histogram", "value_outliers",
+        "value_winsorized", "vocab_bigrams", "win_count", "win_session",
+        "win_sliding", "win_tumbling", "zipf_slope",
     }
 )
 
@@ -120,22 +137,7 @@ _DRIVER_GREEN = frozenset(
 # re-enter the driver window. Refresh this set each round.
 _CHANGED_THIS_ROUND = frozenset(
     {
-        # r8: nullif'd group-sum divisors (ADVICE r7) — new expressions
-        "tokenizer_fertility", "text_script_mix",
-        # r8: global_ntile_multi hardening (empty-cuts retry + temp-col
-        # uniquifier); normal-path plan is unchanged but re-verify the
-        # one registry consumer to be safe.
-        "user_rfm_segments",
-        # r8: refactored into substring_dup_report(exact_gram=...) —
-        # expressions identical, but re-verify the registered default.
-        "dedup_substring",
-        # r8: sign table now spans MAX_DIM via spark.range (dropped the
-        # explode+distinct dim derivation) and expressions build as
-        # parsed SQL strings — new plan, re-verify.
-        "embedding_random_projection",
-        # r8: PAIR_EMIT_BUCKET emission cap (sf1 scale-record fix) —
-        # cap value changed in engine + oracle, re-verify.
-        "dedup_embedding_lsh",
+        # r9: (populate as plans change this round)
     }
 )
 
