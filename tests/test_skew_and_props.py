@@ -390,6 +390,88 @@ def test_bpe_merges_match_sequential_reference(spark, tmp_path):
     assert any(len(a) > 1 or len(b) > 1 for _, a, b, _, _ in expect[1:]), expect
 
 
+def test_bpe_encode_matches_sequential_encoder(spark, tmp_path):
+    """bpe_encode must agree with a single-process encode: train the
+    same 4 merges sequentially, apply them greedily to every word, and
+    charge each doc slice the resulting token counts. Same engineered
+    corpus as the trainer test, so round-k merges only exist after
+    round k-1 — an encoder that re-applies round-1 merges (or skips
+    the 4th) diverges."""
+    docs = [
+        (1, "abab abab abab cdcd", "en", "web"),
+        (2, "abab cdcd cdcd xyz", "en", "web"),
+        (3, "ababab cdc xyz xyz", "fr", "book"),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in docs],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    from collections import Counter
+
+    from wally_spark.plans.curation import BPE_ROUNDS
+
+    wc = Counter()
+    for _, t, _, _ in docs:
+        for w in t.lower().split():
+            if w:
+                wc[w] += 1
+    vocab = {tuple(w): c for w, c in wc.items()}
+    words = {tuple(w): tuple(w) for w in wc}  # original -> current syms
+    for _ in range(BPE_ROUNDS):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        (a, b), _cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+
+        def merge(syms):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return tuple(out)
+
+        vocab = Counter()
+        for w, syms in words.items():
+            words[w] = merge(syms)
+            vocab[words[w]] = vocab.get(words[w], 0) + wc["".join(w)]
+    n_syms = {"".join(w): len(s) for w, s in words.items()}
+
+    expect = {}
+    for _, t, lg, s in docs:
+        ws = [w for w in t.lower().split() if w]
+        nd, nw, n0, nt = expect.get((lg, s), (0, 0, 0, 0))
+        expect[(lg, s)] = (
+            nd + 1,
+            nw + len(ws),
+            n0 + sum(len(w) for w in ws),
+            nt + sum(n_syms[w] for w in ws),
+        )
+
+    from wally_spark.plans import REGISTRY
+
+    got = {
+        (r["lang"], r["source"]): (
+            r["n_docs"], r["n_words"], r["n_sym0"], r["n_tokens"],
+            r["fertility_milli"], r["compression_milli"],
+        )
+        for r in REGISTRY["bpe_encode"].spark_fn(spark, sf_dir).collect()
+    }
+    for k, (nd, nw, n0, nt) in expect.items():
+        assert got[k] == (nd, nw, n0, nt, 1000 * nt // nw, 1000 * nt // n0), (
+            k, got[k], expect[k],
+        )
+        # merges must actually compress: tokens strictly between word
+        # count (full-word merge ceiling) and raw symbol count
+        assert nw <= nt < n0, (k, got[k])
+
+
 def test_global_ntile_matches_window_ntile(spark):
     """global_ntile (two-phase distributed) must equal F.ntile over a
     single global window bit-for-bit — including the uneven-bucket

@@ -1134,6 +1134,188 @@ def bpe_merges_r4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("merge_round")
 
 
+# --- BPE tokenizer APPLY (r9) ------------------------------------------------
+def _bpe_encode_oracle() -> str:
+    """Unrolled-CTE oracle for ``bpe_encode``: replays the identical
+    4-round training (same CTE text as ``_bpe_oracle`` but with
+    ``word`` carried through the v-chain and the LAST winner also
+    applied, yielding v{R} — the fully-merged vocabulary), then joins
+    every document word against its encoded symbol count."""
+    d, dd = "chr(1)", "chr(1)||chr(1)"
+    parts = [
+        """tok AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+  FROM documents
+),
+wc AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+v0 AS (
+  SELECT word,
+         {d} || array_to_string(
+           list_transform(range(1, len(word)+1), i -> substr(word, i, 1)),
+           {dd}) || {d} AS s, c
+  FROM wc
+)""".format(d=d, dd=dd)
+    ]
+    for r in range(BPE_ROUNDS):
+        parts.append(
+            """p{r} AS (
+  SELECT u.a AS a, u.b AS b, sum(c)::BIGINT AS cnt
+  FROM (
+    SELECT list_transform(range(1, len(sy)), i -> {{'a': sy[i], 'b': sy[i+1]}}) AS ps, c
+    FROM (SELECT string_split(substr(s, 2, len(s)-2), {dd}) AS sy, c FROM v{r})
+  ), unnest(ps) AS t(u)
+  GROUP BY u.a, u.b
+),
+t{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+v{n} AS (
+  SELECT word, replace(s, {d}||a||{dd}||b||{d}, {d}||a||b||{d}) AS s, c
+  FROM v{r} CROSS JOIN t{r}
+)""".format(r=r, n=r + 1, dd=dd, d=d)
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+syms AS (
+  SELECT word, length(word)::BIGINT AS n_chars,
+         len(string_split(substr(s, 2, len(s)-2), {dd}))::BIGINT AS n_syms
+  FROM v{BPE_ROUNDS}
+),
+dtok AS (
+  SELECT lang, source,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+           AS word
+  FROM documents
+),
+enc AS (
+  SELECT lang, source, count(*)::BIGINT AS n_words,
+         sum(n_chars)::BIGINT AS n_sym0, sum(n_syms)::BIGINT AS n_tokens
+  FROM dtok JOIN syms USING (word) GROUP BY lang, source
+),
+slices AS (
+  SELECT lang, source, count(*)::BIGINT AS n_docs
+  FROM documents GROUP BY lang, source
+)
+SELECT s.lang, s.source, s.n_docs,
+       coalesce(e.n_words, 0)::BIGINT AS n_words,
+       coalesce(e.n_sym0, 0)::BIGINT AS n_sym0,
+       coalesce(e.n_tokens, 0)::BIGINT AS n_tokens,
+       ((1000 * e.n_tokens) // nullif(e.n_words, 0))::BIGINT
+         AS fertility_milli,
+       ((1000 * e.n_tokens) // nullif(e.n_sym0, 0))::BIGINT
+         AS compression_milli
+FROM slices s LEFT JOIN enc e USING (lang, source)
+ORDER BY s.lang, s.source"""
+    )
+
+
+@register(
+    "bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    tags=("text", "curation", "tokenizer"),
+)
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — the missing half of the tokenizer
+    story (``bpe_merges_r4`` trains the merge table; this lane encodes
+    the corpus with it): replays the identical 4-round training loop,
+    applies ALL four winning merges to the word vocabulary, then
+    charges every document word its post-merge symbol count. Output is
+    the per-(lang, source) token-budget ledger — words, pre-merge
+    symbols (= characters), post-merge BPE tokens, fertility
+    (tokens/word) and compression (tokens/char) in exact integer milli
+    — the number a pipeline actually bills against a token budget
+    after tokenizer training (ref surface: computation_multi over
+    decoded text, machida/lib/wallaroo/__init__.py:270).
+
+    Scale shape (the bpe_merges_r4 discipline, curation.py:1076): the
+    corpus collapses to the (word, count) vocabulary ONCE; all four
+    merge applications run on the vocab (O(vocab × word_len) each,
+    independent of corpus size) with 1-row broadcast winners and
+    per-round pin/free so lineage stays linear. ENCODING never touches
+    symbol strings corpus-side: documents explode to words, the join
+    against the encoded vocab is a uniform word-keyed equi-join (the
+    vocab is NOT broadcast — unbounded at 100 TB), and only integer
+    counts aggregate out, bounded by |langs| × |sources|. Fertility /
+    compression divide AFTER the sums with nullif'd divisors (empty
+    slices yield NULL in both engines)."""
+    from wally_spark.operators.checkpoint import free_blocks, pin
+
+    d = _BPE_D
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(F.explode(_words_col()).alias("word"))
+    wc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    s0 = F.concat(
+        F.lit(d),
+        F.array_join(
+            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+            d + d,
+        ),
+        F.lit(d),
+    )
+    vocab = pin(wc.select("word", s0.alias("s"), "c"))
+    for _ in range(BPE_ROUNDS):
+        syms = vocab.select(
+            F.split(F.expr("substring(s, 2, length(s)-2)"), d + d).alias("sy"), "c"
+        ).where(F.size("sy") >= 2)
+        pairs = syms.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(sy)-1),"
+                    " i -> struct(element_at(sy, i) AS a, element_at(sy, i+1) AS b))"
+                )
+            ).alias("p"),
+            "c",
+        ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "c")
+        agg = pairs.groupBy("a", "b").agg(F.sum("c").cast("bigint").alias("cnt"))
+        top = pin(agg.orderBy(F.desc("cnt"), "a", "b").limit(1))
+        merged_s = F.replace(
+            F.col("s"),
+            F.concat(F.lit(d), F.col("a"), F.lit(d + d), F.col("b"), F.lit(d)),
+            F.concat(F.lit(d), F.col("a"), F.col("b"), F.lit(d)),
+        )
+        new_vocab = pin(
+            vocab.crossJoin(F.broadcast(top)).select("word", merged_s.alias("s"), "c")
+        )
+        free_blocks(vocab)
+        vocab = new_vocab
+    per_word = vocab.select(
+        "word",
+        F.length("word").cast("bigint").alias("n_chars"),
+        F.size(F.split(F.expr("substring(s, 2, length(s)-2)"), d + d))
+        .cast("bigint")
+        .alias("n_syms"),
+    )
+    dtok = docs.select("lang", "source", F.explode(_words_col()).alias("word"))
+    enc = (
+        dtok.join(per_word, "word")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_chars").cast("bigint").alias("n_sym0"),
+            F.sum("n_syms").cast("bigint").alias("n_tokens"),
+        )
+    )
+    slices = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return (
+        slices.join(enc, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce("n_sym0", F.lit(0)).cast("bigint").alias("n_sym0"),
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.floor((1000 * F.col("n_tokens")) / F.nullif("n_words", F.lit(0)))
+            .cast("bigint")
+            .alias("fertility_milli"),
+            F.floor((1000 * F.col("n_tokens")) / F.nullif("n_sym0", F.lit(0)))
+            .cast("bigint")
+            .alias("compression_milli"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 # --- DSIR importance resampling (r7) ----------------------------------------
 DSIR_BUCKETS = 512  # hashed n-gram feature space
 DSIR_TARGET_LANG = "en"  # the "target distribution" seed slice
