@@ -349,3 +349,91 @@ def test_parse_gif_blocks_never_raises():
             assert fmt in ("gif87a", "gif89a")
             assert 0 <= w < 65536 and 0 <= h < 65536
             assert nf >= 0 and delay >= 0
+
+
+def _mk_bmp(px):
+    """9x8 24bpp bottom-up BMP from a top-down gray pixel matrix."""
+    import struct
+
+    w, h = 9, 8
+    stride = (w * 3 + 3) // 4 * 4
+    data = b""
+    for r in range(h - 1, -1, -1):
+        row = b"".join(bytes([px[r][c]] * 3) for c in range(w))
+        data += row + b"\x00" * (stride - len(row))
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0)
+        + data
+    )
+
+
+def test_bmp_dhash_near_dup_pixels(spark):
+    """Operator-level perceptual semantics: a one-pixel brightness
+    tweak to a real BMP must move the dHash by at most 2 bits (the two
+    comparisons that pixel participates in), while an inverted-gradient
+    image sits far away — byte-identical hashing could never pass
+    this."""
+    from wally_spark.operators.multimodal import bmp_dhash, parse_bmp_gray
+
+    base = [[(10 + 7 * ((r + c) % 5)) for c in range(9)] for r in range(8)]
+    tweak = [row[:] for row in base]
+    tweak[3][4] += 9  # re-encode-style local change
+    far = [[80 - p for p in row] for row in base]
+    assert parse_bmp_gray(_mk_bmp(base)) == base  # decoder exactness
+    df = spark.createDataFrame(
+        [(1, _mk_bmp(base)), (2, _mk_bmp(tweak)), (3, _mk_bmp(far))],
+        "doc_id long, payload binary",
+    )
+    h = {r["doc_id"]: r["dhash"] for r in bmp_dhash(df).collect()}
+    near = bin((h[1] ^ h[2]) & (2**64 - 1)).count("1")
+    far_d = bin((h[1] ^ h[3]) & (2**64 - 1)).count("1")
+    assert 1 <= near <= 2, (near, h)
+    assert far_d > 20, (far_d, h)
+
+
+def test_mm_phash_dup_finds_planted_near_pair(spark, tmp_path):
+    """End-to-end planted semantics for mm_phash_dup: doc 2 is doc 1
+    with ONE word substituted (a near dup, NOT byte-identical — its
+    BMP differs in exactly one pixel), doc 3 is unrelated text. The
+    pair list must contain (1, 2) at hamming 1-2 (the two comparisons
+    the changed pixel participates in) and nothing involving doc 3."""
+    # exactly 72 words => sample k reads word k+1: a 1-word edit moves
+    # exactly one pixel
+    import hashlib
+
+    def byte(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:2], 16)
+
+    wa = [f"w{i}" for i in range(72)]
+
+    def ham_after_sub(sub):
+        g = [byte(w) for w in wa]
+        h = g[:]
+        h[10] = byte(sub)
+        flips = 0
+        for k in (9, 10):  # the two comparisons pixel 10 participates in
+            if (g[k] > g[k + 1]) != (h[k] > h[k + 1]):
+                flips += 1
+        return flips
+
+    # pick a substitute whose md5 byte actually flips a comparison, so
+    # the planted pair sits at hamming 1-2 (near, NOT identical-hash)
+    sub = next(f"s{i}" for i in range(500) if ham_after_sub(f"s{i}") >= 1)
+    wb = wa[:]
+    wb[10] = sub
+    wc = [f"z{i}q" for i in range(72)]
+    rows = [(1, " ".join(wa), "en", "s0", 0), (2, " ".join(wb), "en", "s0", 0),
+            (3, " ".join(wc), "en", "s0", 0)]
+    out = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{out}/documents.parquet")
+
+    from wally_spark.plans import REGISTRY
+
+    pairs = [tuple(r) for r in REGISTRY["mm_phash_dup"].spark_fn(spark, out).collect()]
+    near = [p for p in pairs if p[0] == 1 and p[1] == 2]
+    assert len(near) == 1 and 1 <= near[2 - 2][2] <= 2, pairs
+    assert not any(3 in (p[0], p[1]) for p in pairs), pairs

@@ -657,3 +657,196 @@ def mm_gif_anim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wally_spark.operators.multimodal import gif_anim_stats
 
     return gif_anim_stats(payloads)
+
+
+# --- perceptual image near-dup (dHash over decoded BMP pixels, r9) -----------
+# dHash bit (r, c) compares sampled pixels k = r*9+c and k+1; 4 bands of
+# 16 bits give the pigeonhole guarantee: any pair within PHASH_HAM_T=3
+# bits shares at least one identical band, so banding loses NO pair
+# under the threshold (same argument as dedup_simhash_pairs' prefix
+# bucket, made exact).
+PHASH_HAM_T = 3
+_PHASH_ROWS, _PHASH_COLS = 8, 9
+
+
+def _phash_g_sql(k: int, engine: str) -> str:
+    """Sampled gray value k (0..71): the first md5 byte of the word at
+    1-based index 1 + (k*n_words) div 72 — a deterministic 'render'
+    whose pixels are STABLE under word substitution (a changed word
+    perturbs only the cells that sample it; word order and count
+    otherwise preserved), which is exactly the locality a perceptual
+    hash needs, while unrelated docs get i.i.d.-uniform bytes (md5) so
+    background hamming concentrates near 32/64. Both engines read the
+    identical hex pair: Spark md5 over the UTF-8 bytes == DuckDB md5
+    over the VARCHAR (the repo-wide convention, plans/dedup.py)."""
+    if engine == "spark":
+        return (
+            f"conv(substr(md5(cast(element_at(w, cast(1 + (({k} * n) div 72)"
+            " as int)) as binary)), 1, 2), 16, 10)"
+        )
+    return f"('0x' || substr(md5(w[1 + (({k} * n) // 72)]), 1, 2))::INT"
+
+
+def _phash_dhash_sql(engine: str) -> str:
+    """The 64-bit dHash as one integer expression over a projected
+    word array ``w`` / word count ``n``: bit (r,c) set iff g(r*9+c) >
+    g(r*9+c+1), weight 2^(r*8+c); bit 63 carries the negative
+    two's-complement weight so the value is an exact BIGINT in both
+    engines. (Spark's conv() yields a STRING — comparisons go through
+    the same ::INT-equivalent cast on both sides.)"""
+    terms = []
+    for r in range(_PHASH_ROWS):
+        for c in range(_PHASH_COLS - 1):
+            k = r * _PHASH_COLS + c
+            bit = r * 8 + c
+            w = str(1 << bit) if bit < 63 else "-9223372036854775808"
+            ga, gb = _phash_g_sql(k, engine), _phash_g_sql(k + 1, engine)
+            if engine == "spark":
+                ga, gb = f"cast({ga} as int)", f"cast({gb} as int)"
+            terms.append(f"CASE WHEN {ga} > {gb} THEN {w} ELSE 0 END")
+    return "(" + "\n + ".join(terms) + ")"
+
+
+def _phash_bmp_hex_sql() -> str:
+    """Spark SQL hex string for a REAL 9x8 24bpp bottom-up BMP whose
+    gray pixels are the sampled character codes — 54-byte header
+    (file size 278, data offset 54, BITMAPINFOHEADER 40, 9x8, 1 plane,
+    24 bpp, BI_RGB, image size 224) + 8 rows of 9 BGR pixels padded to
+    a 28-byte stride."""
+    hdr = (
+        "424d"          # 'BM'
+        "16010000"      # file size 278 LE
+        "00000000"      # reserved
+        "36000000"      # pixel data offset 54
+        "28000000"      # BITMAPINFOHEADER size 40
+        "09000000"      # width 9
+        "08000000"      # height 8 (positive => bottom-up)
+        "0100" "1800"   # 1 plane, 24 bpp
+        "00000000"      # BI_RGB
+        "e0000000"      # image size 224
+        "00000000" "00000000"  # x/y pixels-per-metre
+        "00000000" "00000000"  # colors used / important
+    )
+    parts = [f"'{hdr}'"]
+    for r in reversed(range(_PHASH_ROWS)):  # bottom-up row order
+        for c in range(_PHASH_COLS):
+            k = r * _PHASH_COLS + c
+            # the sampled gray value IS two lowercase md5 hex chars —
+            # emit them directly as the pixel byte, tripled for BGR
+            parts.append(
+                f"repeat(substr(md5(cast(element_at(w, cast(1 + (({k} * n)"
+                " div 72) as int)) as binary)), 1, 2), 3)"
+            )
+        parts.append("'00'")  # stride pad 27 -> 28
+    return "concat(" + ", ".join(parts) + ")"
+
+
+from wally_spark.plans.dedup import PAIR_EMIT_BUCKET  # noqa: E402
+
+
+@register(
+    "mm_phash_dup",
+    oracle=f"""
+WITH wd AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+d AS (
+  SELECT doc_id, {_phash_dhash_sql('duckdb')} AS dhash
+  FROM (SELECT doc_id, w, len(w) AS n FROM wd WHERE len(w) >= 1)
+),
+b AS (
+  SELECT doc_id, dhash, band, (dhash >> (16 * band)) & 65535 AS bv
+  FROM d, (SELECT unnest([0, 1, 2, 3]) AS band)
+),
+bk AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, bv) AS bsz FROM b)
+  WHERE bsz <= {PAIR_EMIT_BUCKET}
+)
+SELECT DISTINCT a.doc_id AS doc_a, x.doc_id AS doc_b,
+       bit_count(xor(a.dhash, x.dhash))::BIGINT AS hamming
+FROM bk a JOIN bk x
+  ON a.band = x.band AND a.bv = x.bv AND a.doc_id < x.doc_id
+WHERE bit_count(xor(a.dhash, x.dhash)) <= {PHASH_HAM_T}
+ORDER BY doc_a, doc_b
+""",
+    tags=("multimodal", "dedup", "phash"),
+)
+def mm_phash_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup — the lane ``mm_binary_dup`` cannot
+    cover (byte-identical only; real multimodal curation must catch
+    re-encoded/renamed images whose PIXELS survive): every doc gets a
+    REAL 9x8 24bpp BMP rendered from its content, the decoder
+    (operators/multimodal.parse_bmp_gray — full header/stride/
+    bottom-up parse, no codec lib) recovers the pixels EXECUTOR-SIDE
+    inside Arrow-batched mapInPandas, and a 64-bit dHash (bit = left
+    pixel brighter than right) is the only thing that leaves the
+    executor. Near-dup pairs come from 4x16-bit hamming bands —
+    pigeonhole-EXACT for the threshold (hamming <= 3 implies one
+    identical band), never all-pairs — then exact bit_count(xor)
+    verification, exactly the dedup_simhash_pairs discipline.
+
+    The render samples 72 evenly-spaced WORDS and maps each to its
+    first md5 byte: word substitutions perturb only the cells that
+    sample them (small hamming — the perceptual-locality property),
+    while unrelated docs get uniform bytes (background hamming ~32,
+    so false pairs are vanishing). At 100 TB: payloads never shuffle
+    (8-byte fingerprints do), band buckets over PAIR_EMIT_BUCKET are
+    dropped from pair EMISSION (mass-dup clusters are dedup_exact's
+    job — the r8 sf1 lesson, plans/dedup.py:155), hamming is one
+    codegen bit_count per candidate, and the multi-band duplicate
+    emission collapses with one distinct. The DuckDB oracle reproduces
+    the fingerprints arithmetically from the same sampled md5 bytes,
+    so the whole render -> decode -> hash -> band -> verify chain is
+    checked end-to-end."""
+    from wally_spark.operators.checkpoint import pin
+    from wally_spark.operators.multimodal import bmp_dhash
+
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], "doc_id")
+    payloads = (
+        docs.where(F.col("text").isNotNull())
+        .selectExpr(
+            "doc_id",
+            "filter(split(lower(text), ' '), x -> x != '') AS w",
+        )
+        .withColumn("n", F.size("w"))
+        .where(F.col("n") >= 1)
+        .selectExpr("doc_id", f"unhex({_phash_bmp_hex_sql()}) AS payload")
+    )
+    d = pin(bmp_dhash(payloads).where(F.col("dhash").isNotNull()))
+    b = d.select(
+        "doc_id",
+        "dhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("dhash", 16 * i).bitwiseAND(F.lit(65535))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band", "bv"),
+    )
+    sizes = b.groupBy("band", "bv").agg(F.count(F.lit(1)).alias("bsz"))
+    bk = b.join(
+        sizes.where(F.col("bsz") <= PAIR_EMIT_BUCKET), ["band", "bv"]
+    ).select("doc_id", "dhash", "band", "bv")
+    a, x = bk.alias("a"), bk.alias("x")
+    ham = F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("x.dhash")))
+    return (
+        a.join(
+            x,
+            (F.col("a.band") == F.col("x.band"))
+            & (F.col("a.bv") == F.col("x.bv"))
+            & (F.col("a.doc_id") < F.col("x.doc_id")),
+        )
+        .where(ham <= PHASH_HAM_T)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("x.doc_id").alias("doc_b"),
+            ham.cast("bigint").alias("hamming"),
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
