@@ -1710,3 +1710,80 @@ def test_heavy_hitters_incremental_matches_batch(spark, tmp_path):
     replay(last, n_files - 1)
     got2 = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert got2 == want
+
+
+def test_urldedup_matches_batch_lane_and_replays(spark, tmp_path):
+    """urldedup_against_corpus_foreach_batch (r9): union of per-batch
+    keeper verdicts equals the batch url_keeper_report over the
+    concatenated corpus when batches arrive in ascending doc_id order;
+    canonicalization is the SHARED expression (scheme case, trailing
+    slash, utm/ref params, fragments all collapse); replaying the last
+    batch (own-dir exclusion) is idempotent; the store is
+    format-stamped and keeps matching after compact_corpus."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from wally_spark.plans.web import canonical_url_col, url_keeper_report
+    from wally_spark.streaming.ops import (
+        compact_corpus,
+        urldedup_against_corpus_foreach_batch,
+    )
+
+    schema = "doc_id long, raw_url string"
+    batches = [
+        [
+            (1, "https://a.example.com/page/7"),
+            (2, "HTTPS://A.example.com/page/7/"),          # case + slash
+            (3, "https://a.example.com/page/7?utm_source=feed"),  # tracking
+        ],
+        [
+            (10, "https://a.example.com/page/7#frag"),     # historical dup
+            (11, "https://b.example.com/page/9?id=3"),     # content param
+            (12, "https://b.example.com/page/9?id=4"),     # DIFFERENT page
+        ],
+        [
+            (20, "https://b.example.com/page/9?id=3&ref=x"),  # dup of 11
+            (21, "https://c.example.com/fresh"),
+        ],
+    ]
+
+    urls, out = str(tmp_path / "urls"), str(tmp_path / "out")
+    fn = urldedup_against_corpus_foreach_batch(spark, urls, out)
+    for i, rows in enumerate(batches):
+        fn(spark.createDataFrame(rows, schema), i)
+    assert os.path.exists(f"{urls}/_WALLY_STORE_FORMAT")
+
+    got = sorted(tuple(r) for r in spark.read.parquet(f"{out}/b*").collect())
+    union = spark.createDataFrame([r for rows in batches for r in rows], schema)
+    want = sorted(
+        tuple(r)
+        for r in url_keeper_report(
+            union.select("doc_id", canonical_url_col(F.col("raw_url")).alias("canon_url"))
+        ).select("doc_id", "canon_url", "keeper").collect()
+    )
+    assert got == want
+    # the fixture must actually exercise collapse: dups exist
+    keepers = {r[0]: r[2] for r in got}
+    assert keepers[1] and not keepers[2] and not keepers[3]
+    assert not keepers[10] and keepers[11] and keepers[12]
+    assert not keepers[20] and keepers[21]
+
+    # replay idempotence: re-run the last batch; verdicts unchanged
+    before = sorted(tuple(r) for r in spark.read.parquet(f"{out}/b2").collect())
+    fn(spark.createDataFrame(batches[2], schema), 2)
+    after = sorted(tuple(r) for r in spark.read.parquet(f"{out}/b2").collect())
+    assert before == after
+
+    # compaction keeps the store probe-equivalent: a 4th batch that
+    # redelivers an old URL must still see it as dup
+    compact_corpus(spark, urls, upto=2, bucket_key="u")
+    fn(
+        spark.createDataFrame(
+            [(30, "https://a.example.com/page/7"), (31, "https://d.example.com/new")],
+            schema,
+        ),
+        3,
+    )
+    b3 = {r["doc_id"]: r["keeper"] for r in spark.read.parquet(f"{out}/b3").collect()}
+    assert not b3[30] and b3[31]

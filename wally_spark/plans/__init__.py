@@ -137,7 +137,10 @@ _DRIVER_GREEN = frozenset(
 # re-enter the driver window. Refresh this set each round.
 _CHANGED_THIS_ROUND = frozenset(
     {
-        # r9: (populate as plans change this round)
+        # r9: canonicalization + keeper tail factored into shared
+        # helpers (canonical_url_col / url_keeper_report) for the
+        # streaming face — expressions identical, re-verify anyway.
+        "url_canonical_dedup",
     }
 )
 

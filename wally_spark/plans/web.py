@@ -318,6 +318,50 @@ def url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRACKING_RE = "^(utm_[a-z]+|ref|fbclid|gclid)="
 
 
+def canonical_url_col(raw):
+    """Canonical form of a raw-URL column — lowercase scheme/host/path,
+    fragment dropped, trailing slash dropped, tracking query params
+    (utm_*, ref, fbclid, gclid) stripped while content-bearing params
+    survive. Pure per-row string codegen; shared by the batch
+    ``url_canonical_dedup`` lane and the streaming corpus face
+    (streaming/ops.urldedup_against_corpus_foreach_batch) so the two
+    can never canonicalize differently."""
+    no_frag = F.split(raw, "#")[0]
+    base = F.regexp_replace(F.lower(F.split(no_frag, "\\?")[0]), "/$", "")
+    qs = F.coalesce(F.try_element_at(F.split(no_frag, "\\?"), F.lit(2)), F.lit(""))
+    kept_params = F.array_join(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+        ),
+        "&",
+    )
+    return F.concat(
+        base,
+        F.coalesce(
+            F.concat(F.lit("?"), F.nullif(kept_params, F.lit(""))),
+            F.lit(""),
+        ),
+    )
+
+
+def url_keeper_report(canon: DataFrame) -> DataFrame:
+    """Keeper resolution over a (doc_id, canon_url) frame: two-phase
+    min/count aggregate on canon_url joined back on the same uniform
+    key — the batch lane's exact tail, shared with the streaming
+    equivalence test."""
+    groups = canon.groupBy("canon_url").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_aliases"),
+    )
+    return canon.join(groups, "canon_url").select(
+        "doc_id",
+        "canon_url",
+        (F.col("doc_id") == F.col("keep_id")).alias("keeper"),
+        "n_aliases",
+    )
+
+
 @register(
     "url_canonical_dedup",
     oracle=f"""
@@ -413,36 +457,10 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(nib.isin(*"67ef"), "#sec").otherwise(""),
         ).alias("raw_url"),
     )
-    no_frag = F.split("raw_url", "#")[0]
-    base = F.regexp_replace(F.lower(F.split(no_frag, "\\?")[0]), "/$", "")
-    qs = F.coalesce(F.try_element_at(F.split(no_frag, "\\?"), F.lit(2)), F.lit(""))
-    kept_params = F.array_join(
-        F.filter(
-            F.split(qs, "&"),
-            lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
-        ),
-        "&",
-    )
     canon = raw.select(
-        "doc_id",
-        F.concat(
-            base,
-            F.coalesce(
-                F.concat(F.lit("?"), F.nullif(kept_params, F.lit(""))),
-                F.lit(""),
-            ),
-        ).alias("canon_url"),
+        "doc_id", canonical_url_col(F.col("raw_url")).alias("canon_url")
     )
-    groups = canon.groupBy("canon_url").agg(
-        F.min("doc_id").alias("keep_id"),
-        F.count(F.lit(1)).cast("bigint").alias("n_aliases"),
-    )
-    return canon.join(groups, "canon_url").select(
-        "doc_id",
-        "canon_url",
-        (F.col("doc_id") == F.col("keep_id")).alias("keeper"),
-        "n_aliases",
-    )
+    return url_keeper_report(canon)
 
 
 # --- corpus novelty curve (r8) -----------------------------------------------

@@ -1744,6 +1744,65 @@ def linededup_against_corpus_foreach_batch(spark, segs_path: str, out_path: str)
     return proc
 
 
+def urldedup_against_corpus_foreach_batch(spark, urls_path: str, out_path: str):
+    """Incremental canonical-URL dedup — the streaming face of the
+    batch ``url_canonical_dedup`` lane (r8 web family): every arriving
+    (doc_id, raw_url) row canonicalizes with the SAME shared
+    expression (plans/web.canonical_url_col — scheme/host/path
+    lowercase, fragment + trailing slash dropped, tracking params
+    stripped), then its keeper verdict is "no earlier occurrence": the
+    canonical form is absent from the PERSISTENT url store (every
+    canonical URL ever ingested) AND this doc_id is the batch-minimum
+    for its form. The per-doc report (doc_id, canon_url, keeper) lands
+    in ``out_path/b<batch_id>``; the batch's distinct canonical forms
+    register in ``urls_path/b<batch_id>`` so later crawls see them —
+    the always-on recrawl-collapse gate in front of a crawl-merge job.
+
+    Equivalence contract (tested): when batches arrive in ascending
+    doc_id order, the union of per-batch verdicts is row-identical to
+    the batch lane's keeper column over the concatenated corpus
+    (store membership IS "an earlier occurrence exists"). Store format
+    is stamped (ensure_store_format) so a foreign store fails loudly.
+
+    Shapes (mirrors the linededup corpus lane): probes are
+    canonical-form equi-joins through corpus_probe_parts, so after a
+    compact_corpus(bucket_key="u") the corpus side joins with no
+    Exchange; per-batch overwrite dirs + own-batch exclusion give
+    replay idempotence."""
+    from wally_spark.operators.checkpoint import pin
+    from wally_spark.plans.web import canonical_url_col
+
+    ensure_store_format(
+        spark, urls_path, "urldedup-canon-v1", required_cols=("u",)
+    )
+
+    def proc(batch_df, batch_id):
+        canon = pin(
+            batch_df.select(
+                "doc_id", canonical_url_col(F.col("raw_url")).alias("u")
+            )
+        )
+        firsts = canon.groupBy("u").agg(F.min("doc_id").alias("first_id"))
+        flagged = canon.join(firsts, "u").withColumn(
+            "keeper", F.col("doc_id") == F.col("first_id")
+        )
+        for part in corpus_probe_parts(spark, urls_path, exclude_batch=batch_id):
+            hit = canon.join(part.select("u"), "u", "left_semi").select("doc_id")
+            flagged = (
+                flagged.join(hit.withColumn("_c", F.lit(1)), "doc_id", "left")
+                .withColumn("keeper", F.col("keeper") & F.col("_c").isNull())
+                .drop("_c")
+            )
+        flagged.select(
+            "doc_id", F.col("u").alias("canon_url"), "keeper"
+        ).write.mode("overwrite").parquet(f"{out_path}/b{batch_id}")
+        canon.select("u").distinct().write.mode("overwrite").parquet(
+            f"{urls_path}/b{batch_id}"
+        )
+
+    return proc
+
+
 def churn_foreach_batch(spark, profile_path: str, out_path: str):
     """Streaming face of the registered `user_churn_features` batch
     lane (plans/behavior.py): maintains a persistent (user, day,
