@@ -1234,3 +1234,235 @@ def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("index_bp"),
         )
     )
+
+
+# --- local clustering coefficient (r9) ---------------------------------------
+@register(
+    "graph_clustering_coeff",
+    oracle=f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (
+  SELECT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= {EDGE_SUPPORT}),
+deg AS (
+  SELECT node, count(*)::BIGINT AS deg FROM (
+    SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+  GROUP BY node),
+tri AS (
+  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+  FROM e e1
+  JOIN e e2 ON e2.pa = e1.pb
+  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+pt AS (
+  SELECT node, count(*)::BIGINT AS n_tri FROM (
+    SELECT a AS node FROM tri UNION ALL
+    SELECT b FROM tri UNION ALL
+    SELECT c FROM tri)
+  GROUP BY node)
+SELECT d.node, d.deg, coalesce(pt.n_tri, 0)::BIGINT AS n_tri,
+       ((10000 * 2 * coalesce(pt.n_tri, 0))
+        // (d.deg * (d.deg - 1)))::BIGINT AS cc_bp
+FROM deg d LEFT JOIN pt USING (node)
+WHERE d.deg >= 2
+ORDER BY d.node
+""",
+    tags=("analytics", "graph"),
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the co-purchase graph
+    — the classic "how clique-like is this part's neighborhood"
+    community signal (cc = 2*triangles / deg*(deg-1), in basis
+    points): same support-pruned edge set as graph_triangle_count,
+    triangles enumerated ONCE by the oriented two-join, then each
+    triangle credits all three corners via one 3-wide explode.
+
+    Scale shape (graph_triangle_count's discipline, this file:73): the
+    wedge join keys on the single wedge-center id and runs through
+    operators/skew.salted_join (hubs scatter across 8 reducers); the
+    closing join keys on the composite pair; degrees come from one
+    explode + count; the final deg⋈tri join is uniform on node id.
+    Per-node output is parts-bounded (the graph's node set), never
+    pair- or wedge-sized. int64 bounds: deg*(deg-1) <= |parts|² and
+    2*10^4*tri fit comfortably (tri per node <= deg² <= 10^12 would
+    need deg ~10^6 — a support-pruned co-purchase graph caps far
+    below; raise EDGE_SUPPORT if a corpus ever approaches it)."""
+    from wally_spark.operators.skew import salted_join
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= EDGE_SUPPORT)
+        .select("pa", "pb")
+    )
+    edges = pin(edges)  # referenced 4x: wedge sides, closer, degrees
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    wedges = salted_join(
+        edges.select(F.col("pa").alias("w_pa"), F.col("pb").alias("k")),
+        edges.select(F.col("pa").alias("k"), F.col("pb").alias("w_pb")),
+        on="k",
+        n_salts=8,
+    )
+    e3 = edges.alias("e3")
+    tri = wedges.join(
+        e3,
+        (F.col("e3.pa") == F.col("w_pa")) & (F.col("e3.pb") == F.col("w_pb")),
+    ).select(F.col("w_pa").alias("a"), F.col("k").alias("b"), F.col("w_pb").alias("c"))
+    pt = (
+        tri.select(
+            F.explode(F.array("a", "b", "c")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    )
+    return (
+        deg.join(pt, "node", "left")
+        .where(F.col("deg") >= 2)
+        .select(
+            "node",
+            "deg",
+            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_tri"),
+            F.floor(
+                (10000 * 2 * F.coalesce("n_tri", F.lit(0)))
+                / (F.col("deg") * (F.col("deg") - 1))
+            )
+            .cast("bigint")
+            .alias("cc_bp"),
+        )
+        .orderBy("node")
+    )
+
+
+# --- per-column null/distinct profile (r9) -----------------------------------
+_DQ_PROFILE_COLS = (
+    "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@register(
+    "dq_null_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name,
+       count(*)::BIGINT AS n_rows,
+       (count(*) - count({c}))::BIGINT AS n_nulls,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       ((10000 * (count(*) - count({c}))) // count(*))::BIGINT AS null_bp
+FROM orders"""
+        for c in _DQ_PROFILE_COLS
+    )
+    + "\nORDER BY col_name",
+    tags=("analytics", "quality", "profile"),
+)
+def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of the orders fact — the
+    schema-health dashboard every ingest pipeline refreshes (null
+    rate + exact cardinality per column; a custkey whose distinct
+    count collapses, or a status column suddenly 30% null, is an
+    upstream break caught before it poisons joins).
+
+    Scale shape: one single-column aggregate PER PROFILED COLUMN,
+    unioned — each branch's parquet scan reads exactly one column
+    (column pruning; verified by the ReadSchema plan gate pattern),
+    and exact distinct is a per-branch two-phase aggregate on that
+    column alone, so no branch ever carries another column's shuffle.
+    The profile column set is fixed and dimension-sized; output is
+    |columns| rows. (At 100 TB swap exact n_distinct for HLL the way
+    approx_distinct_users shadows distinct_users_exact — the profile
+    SHAPE is what this lane pins.)"""
+    orders = load_tables(spark, sf_dir)["orders"]
+    parts = []
+    for c in _DQ_PROFILE_COLS:
+        parts.append(
+            orders.select(c).agg(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias("n_nulls"),
+                F.countDistinct(c).cast("bigint").alias("n_distinct"),
+                F.floor(
+                    (10000 * (F.count(F.lit(1)) - F.count(c)))
+                    / F.count(F.lit(1))
+                )
+                .cast("bigint")
+                .alias("null_bp"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col_name")
+
+
+# --- event-mix drift between month halves (r9) -------------------------------
+@register(
+    "schema_drift_report",
+    oracle="""
+WITH c AS (
+  SELECT event_type,
+         sum(CASE WHEN extract(day FROM ts) <= 15 THEN 1 ELSE 0 END)
+           ::BIGINT AS n_early,
+         sum(CASE WHEN extract(day FROM ts) <= 15 THEN 0 ELSE 1 END)
+           ::BIGINT AS n_late,
+         sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_value
+  FROM events GROUP BY event_type)
+SELECT event_type, n_early, n_late, n_null_value,
+       ((10000 * n_early) // sum(n_early) OVER ())::BIGINT AS share_early_bp,
+       ((10000 * n_late) // nullif(sum(n_late) OVER (), 0))::BIGINT
+         AS share_late_bp,
+       (((10000 * n_late) // nullif(sum(n_late) OVER (), 0))
+        - ((10000 * n_early) // sum(n_early) OVER ()))::BIGINT AS drift_bp
+FROM c ORDER BY event_type
+""",
+    tags=("analytics", "quality", "drift"),
+)
+def schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-drift report — the batch sibling of the streaming
+    mix-drift monitor (streaming/ops.mix_drift_foreach_batch): event
+    mix of the month's FIRST half vs SECOND half, per type — early and
+    late counts, null-value count (the schema-decay signal), each
+    half's share in basis points, and the signed share drift. A type
+    whose share moves 500 bp between halves, or whose values go null,
+    is an upstream contract change caught by one query.
+
+    Scale shape: ONE codegen scan with conditional integer sums into a
+    types-bounded aggregate; the share windows run over that
+    |types|-row relation (documented single-partition by construction
+    — the attribution_last_touch convention). Divisions after the
+    sums; the late-half divisor is nullif'd (a corpus ending on day 15
+    yields NULL late shares in both engines)."""
+    early = F.dayofmonth("ts") <= 15
+    ev = load_tables(spark, sf_dir)["events"]
+    c = ev.groupBy("event_type").agg(
+        F.sum(F.when(early, 1).otherwise(0)).cast("bigint").alias("n_early"),
+        F.sum(F.when(early, 0).otherwise(1)).cast("bigint").alias("n_late"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_value"),
+    )
+    w = Window.partitionBy()
+    share_e = F.floor((10000 * F.col("n_early")) / F.sum("n_early").over(w)).cast(
+        "bigint"
+    )
+    share_l = F.floor(
+        (10000 * F.col("n_late")) / F.nullif(F.sum("n_late").over(w), F.lit(0))
+    ).cast("bigint")
+    return c.select(
+        "event_type",
+        "n_early",
+        "n_late",
+        "n_null_value",
+        share_e.alias("share_early_bp"),
+        share_l.alias("share_late_bp"),
+        (share_l - share_e).cast("bigint").alias("drift_bp"),
+    ).orderBy("event_type")

@@ -743,3 +743,105 @@ def session_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"
         " div total AS BIGINT) AS cum_share_bp",
     )
+
+
+# --- A/B experiment analysis (r9) --------------------------------------------
+@register(
+    "ab_test_report",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                  ELSE 0 END)::BIGINT AS revenue_cents
+  FROM events GROUP BY user_id),
+v AS (
+  SELECT CASE WHEN substr(md5(user_id::VARCHAR), 1, 1)
+                   BETWEEN '0' AND '7'
+              THEN 'A' ELSE 'B' END AS variant,
+         count(*)::BIGINT AS n_users,
+         sum(converted)::BIGINT AS n_converters,
+         sum(revenue_cents)::BIGINT AS revenue_cents
+  FROM per_user GROUP BY 1)
+SELECT variant, n_users, n_converters,
+       ((10000 * n_converters) // n_users)::BIGINT AS conv_bp,
+       revenue_cents,
+       (revenue_cents // n_users)::BIGINT AS arpu_cents,
+       (((10000 * n_converters) // n_users)
+        - (sum((10000 * n_converters) // n_users) OVER ()
+           - ((10000 * n_converters) // n_users)))::BIGINT
+         AS conv_lift_bp
+FROM v ORDER BY variant
+""",
+    tags=("events", "behavior", "experiment"),
+)
+def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout — the analysis every growth team runs on
+    the events stream: users split 50/50 by a DETERMINISTIC hash of
+    user_id (md5 first nibble — the industry-standard sticky
+    assignment: no assignment table to join, same variant on every
+    device), then per variant: exposed users, converters (>=1
+    purchase), conversion rate in basis points, exact-cent revenue,
+    ARPU, and the conversion lift vs the other arm.
+
+    Scale shape: ONE user-keyed aggregate collapses the event stream
+    to a per-user row (map-side combined), the variant rollup is
+    2-bounded, and the lift window runs over that 2-row aggregate —
+    documented single-partition by construction. Integer division
+    AFTER the sums keeps the driver hash exact; n_users >= 1 per
+    emitted variant group so no divisor guard is needed."""
+    e = _events(spark, sf_dir).select("user_id", "event_type", "value")
+    is_p = F.col("event_type") == "purchase"
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.when(is_p, 1).otherwise(0)).alias("converted"),
+        F.sum(
+            F.when(
+                is_p, F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )
+    v = (
+        per_user.groupBy(
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+                .between("0", "7"),
+                "A",
+            )
+            .otherwise("B")
+            .alias("variant")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_converters"),
+            F.sum("revenue_cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
+    conv_bp = F.floor((10000 * F.col("n_converters")) / F.col("n_users")).cast(
+        "bigint"
+    )
+    w = Window.partitionBy()
+    out = v.select(
+        "variant",
+        "n_users",
+        "n_converters",
+        conv_bp.alias("conv_bp"),
+        "revenue_cents",
+        F.floor(F.col("revenue_cents") / F.col("n_users"))
+        .cast("bigint")
+        .alias("arpu_cents"),
+    )
+    return out.select(
+        "variant",
+        "n_users",
+        "n_converters",
+        "conv_bp",
+        "revenue_cents",
+        "arpu_cents",
+        (F.col("conv_bp") - (F.sum("conv_bp").over(w) - F.col("conv_bp")))
+        .cast("bigint")
+        .alias("conv_lift_bp"),
+    ).orderBy("variant")

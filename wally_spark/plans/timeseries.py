@@ -862,3 +862,70 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS ratio_bp
         FROM s WHERE rn = 1
     """)
+
+
+# --- per-type daily-volume OLS trend (r9) ------------------------------------
+@register(
+    "event_volume_trend",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         (ts::DATE - DATE '1970-01-01')::BIGINT AS x,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+  FROM daily GROUP BY 1)
+SELECT event_type, n AS n_days, sy AS n_events,
+       ((1000 * sy) // n)::BIGINT AS mean_daily_milli,
+       ((1000 * (n * sxy - sx * sy)) // nullif(n * sxx - sx * sx, 0))
+         ::BIGINT AS slope_milli
+FROM s ORDER BY event_type
+""",
+    tags=("timeseries", "events", "trend"),
+)
+def event_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily-volume trend — the capacity-planning regression
+    ("is error volume growing?"): ordinary least squares of daily
+    event count against the epoch-day index, in EXACT integers via the
+    closed form slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), reported in
+    events-per-day millis alongside the mean daily volume. A one-day
+    corpus has zero x-variance — the nullif'd divisor yields NULL
+    slope in both engines instead of raising.
+
+    Scale shape: ONE scan → (type, day) aggregate (map-side combined,
+    bounded by types × date range) → one types-bounded moment
+    aggregate; division AFTER the sums. Both engines truncate the
+    signed quotient toward zero (Spark ``div`` == DuckDB ``//``).
+    int64 bounds: x ≈ 2·10⁴ epoch days, so nΣx² ≈ |days|²·x² stays
+    under 2⁶³ until |days| ≈ 10⁵ (300 years of dailies) even with
+    10⁹-event days (Σxy ≈ |days|·x·y ≈ 10⁵·2·10⁴·10⁹ ≈ 2·10¹⁸ is the
+    binding term — re-origin x to min(day) before that corpus)."""
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return s.selectExpr(
+        "event_type",
+        "n AS n_days",
+        "sy AS n_events",
+        "CAST((1000 * sy) div n AS BIGINT) AS mean_daily_milli",
+        "CAST((1000 * (n * sxy - sx * sy))"
+        " div nullif(n * sxx - sx * sx, 0) AS BIGINT) AS slope_milli",
+    ).orderBy("event_type")
