@@ -1466,3 +1466,105 @@ def schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         share_l.alias("share_late_bp"),
         (share_l - share_e).cast("bigint").alias("drift_bp"),
     ).orderBy("event_type")
+
+
+# --- common-neighbor link prediction (r9) ------------------------------------
+LINKPRED_TOP = 100
+
+
+@register(
+    "graph_link_prediction",
+    oracle=f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (
+  SELECT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= {EDGE_SUPPORT}),
+deg AS (
+  SELECT node, count(*)::BIGINT AS deg FROM (
+    SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+  GROUP BY node),
+w AS (
+  SELECT e1.pa AS a, e2.pb AS c, count(DISTINCT e1.pb)::BIGINT AS cn
+  FROM e e1 JOIN e e2 ON e2.pa = e1.pb
+  GROUP BY 1, 2),
+nonedge AS (
+  SELECT w.a, w.c, w.cn FROM w
+  LEFT JOIN e ON e.pa = w.a AND e.pb = w.c
+  WHERE e.pa IS NULL)
+SELECT a, c, cn,
+       ((10000 * cn) // (da.deg + dc.deg - cn))::BIGINT AS jaccard_bp
+FROM nonedge JOIN deg da ON da.node = a JOIN deg dc ON dc.node = c
+ORDER BY cn DESC, a, c
+LIMIT {LINKPRED_TOP}
+""",
+    tags=("analytics", "graph", "linkpred"),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the co-purchase graph —
+    the "customers who bought these also buy..." candidate generator:
+    for every NON-edge pair joined by at least one wedge, the common
+    neighbor count and neighborhood Jaccard (cn / (deg_a + deg_c −
+    cn)) in basis points; top-{LINKPRED_TOP} by score with
+    deterministic tie-break. (A wedge a−b−c with a<b<c orients both
+    endpoints, so each candidate pair forms once.)
+
+    Scale shape: same support-pruned edge set and salted wedge join as
+    graph_triangle_count (hubs scatter across 8 reducers); candidate
+    mass is wedge-bounded and collapses by (a, c) BEFORE the degree
+    joins; the existing-edge check is a composite-key anti-join; final
+    cut is orderBy+limit → TakeOrderedAndProject (distributed partial
+    top-K, no global sort). Raising EDGE_SUPPORT is the 100 TB dial."""
+    from wally_spark.operators.skew import salted_join
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= EDGE_SUPPORT)
+        .select("pa", "pb")
+    )
+    edges = pin(edges)  # wedge sides + anti-join + degrees
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    wedges = salted_join(
+        edges.select(F.col("pa").alias("wa"), F.col("pb").alias("k")),
+        edges.select(F.col("pa").alias("k"), F.col("pb").alias("wc")),
+        on="k",
+        n_salts=8,
+    )
+    cand = wedges.groupBy(
+        F.col("wa").alias("a"), F.col("wc").alias("c")
+    ).agg(F.countDistinct("k").cast("bigint").alias("cn"))
+    nonedge = cand.join(
+        edges,
+        (F.col("pa") == F.col("a")) & (F.col("pb") == F.col("c")),
+        "left_anti",
+    )
+    da, dc = deg.alias("da"), deg.alias("dc")
+    return (
+        nonedge.join(da, F.col("da.node") == F.col("a"))
+        .join(dc, F.col("dc.node") == F.col("c"))
+        .select(
+            "a",
+            "c",
+            "cn",
+            F.floor(
+                (10000 * F.col("cn"))
+                / (F.col("da.deg") + F.col("dc.deg") - F.col("cn"))
+            )
+            .cast("bigint")
+            .alias("jaccard_bp"),
+        )
+        .orderBy(F.desc("cn"), "a", "c")
+        .limit(LINKPRED_TOP)
+    )

@@ -553,3 +553,57 @@ def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST((10000 * n_docs) div total - 10000 div {K_FOLDS}"
         f" AS BIGINT) AS dev_bp",
     )
+
+
+# --- deterministic reservoir sample per stratum (r9) -------------------------
+RESERVOIR_K = 8
+_RES_SALTS = 32
+
+
+@register(
+    "sample_reservoir",
+    oracle=f"""
+SELECT lang, rk, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(doc_id::VARCHAR), doc_id)::BIGINT AS rk
+  FROM documents)
+WHERE rk <= {RESERVOIR_K}
+ORDER BY lang, rk
+""",
+    tags=("sampling", "reservoir"),
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic reservoir sample — K docs per language stratum,
+    seed-free and replayable: rank by the md5 of the doc id (a fixed
+    uniform permutation — Algorithm-R's uniformity without mutable
+    state, so batch reruns and audits reproduce the identical sample)
+    and keep the first K. The streaming equivalent is trivially this
+    same rule applied incrementally (min-K by hash is a semigroup).
+
+    Scale shape: two-phase exact top-K — a first row_number window
+    over (lang, 32-way doc-hash salt) keeps K per salt, so a hot
+    stratum fans across 32 reducers and the second, per-stratum window
+    ranks at most 32·K survivors (bounded input, never the stratum).
+    The oracle spells the single-window form — identical rows because
+    per-salt top-K is a superset of the stratum top-K."""
+    d = _docs(spark, sf_dir).select(
+        "lang",
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("hkey"),
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(_RES_SALTS)).alias("salt"),
+    )
+    w1 = Window.partitionBy("lang", "salt").orderBy("hkey", "doc_id")
+    survivors = (
+        d.withColumn("lrk", F.row_number().over(w1))
+        .where(F.col("lrk") <= RESERVOIR_K)
+        .select("lang", "doc_id", "hkey")
+    )
+    w2 = Window.partitionBy("lang").orderBy("hkey", "doc_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= RESERVOIR_K)
+        .select("lang", F.col("rk").cast("bigint").alias("rk"), "doc_id")
+        .orderBy("lang", "rk")
+    )

@@ -389,3 +389,72 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_terms"),
         F.floor(slope).cast("bigint").alias("slope_milli"),
     )
+
+
+# --- vocabulary coverage curve (r9) ------------------------------------------
+COVERAGE_THRESHOLDS = (1, 2, 4, 8, 16, 32, 64, 128)
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle="WITH tok AS (\n"
+    "  SELECT unnest(list_filter(string_split(lower(text), ' '),"
+    " x -> x <> '')) AS word FROM documents),\n"
+    "wc AS (SELECT word, count(*)::BIGINT AS c FROM tok GROUP BY word),\n"
+    "tot AS (SELECT sum(c)::BIGINT AS total FROM wc)\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT {f}::BIGINT AS min_count,
+       (SELECT count(*) FROM wc WHERE c >= {f})::BIGINT AS n_vocab,
+       (SELECT coalesce(sum(c), 0) FROM wc WHERE c >= {f})::BIGINT
+         AS covered_tokens,
+       ((10000 * (SELECT coalesce(sum(c), 0) FROM wc WHERE c >= {f}))
+        // (SELECT total FROM tot))::BIGINT AS coverage_bp"""
+        for f in COVERAGE_THRESHOLDS
+    )
+    + "\nORDER BY min_count",
+    tags=("text", "tokenizer", "vocab"),
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage curve — the vocab-sizing question every
+    tokenizer build answers first ("a vocab of words seen >= f times
+    covers X% of corpus tokens"): for each frequency threshold, the
+    surviving vocabulary size, the token mass it covers, and coverage
+    in basis points. Read with zipf_slope (same module): together they
+    say how fat the tail a byte-fallback tokenizer must absorb.
+
+    Scale shape: corpus collapses to (word, count) ONCE (map-side
+    combined); all eight thresholds evaluate as conditional integer
+    sums in ONE aggregate over the vocab (no per-threshold scans, no
+    global word ordering — threshold coverage needs no rank, which is
+    what keeps this exact AND distributed); the 8-row unpivot is a
+    stack over the 1-row aggregate. Division after the sums."""
+    tok = _docs(spark, sf_dir).select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+        ).alias("word")
+    )
+    wc = tok.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    aggs = [F.sum("c").cast("bigint").alias("total")]
+    for f in COVERAGE_THRESHOLDS:
+        aggs.append(
+            F.count(F.when(F.col("c") >= f, 1)).cast("bigint").alias(f"nv_{f}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(F.col("c") >= f, F.col("c"))), F.lit(0))
+            .cast("bigint")
+            .alias(f"cov_{f}")
+        )
+    one = wc.agg(*aggs)
+    stack = ", ".join(
+        f"{f}L, nv_{f}, cov_{f}" for f in COVERAGE_THRESHOLDS
+    )
+    return one.selectExpr(
+        f"stack({len(COVERAGE_THRESHOLDS)}, {stack})"
+        " AS (min_count, n_vocab, covered_tokens)",
+        "total",
+    ).selectExpr(
+        "min_count",
+        "n_vocab",
+        "covered_tokens",
+        "CAST((10000 * covered_tokens) div total AS BIGINT) AS coverage_bp",
+    ).orderBy("min_count")

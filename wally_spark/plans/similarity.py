@@ -873,3 +873,110 @@ GROUP BY bf.query_id
 """,
     tags=("similarity", "ann", "report"),
 )(ann_recall_report)
+
+
+# --- corpus-wide kNN graph via banded LSH (r9) -------------------------------
+KNN_GRAPH_K = 3
+
+
+def _knn_graph_oracle() -> str:
+    # cosine spelled as the ENGINE's exact float sequence (_cos: ordered
+    # float64 fold of products, then dot / (sqrt(na)*sqrt(nb))) rather
+    # than list_cosine_similarity, whose internal dot/sqrt(na*nb)
+    # rounding differs by 1 ulp — enough to flip a floor() at a bp
+    # boundary once the output is corpus-wide instead of 10 queries.
+    from wally_spark.plans.dedup import PAIR_EMIT_BUCKET
+
+    dot = (
+        "list_sum(list_transform(list_zip(s.embedding, d.embedding),"
+        " p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+    )
+    na = "list_sum(list_transform(s.embedding, x -> x::DOUBLE * x::DOUBLE))"
+    nb = "list_sum(list_transform(d.embedding, x -> x::DOUBLE * x::DOUBLE))"
+    cos = f"({dot} / (sqrt({na}) * sqrt({nb})))"
+    return f"""
+WITH {_SIGS_CTE},
+bk AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_id, band_sig) AS bsz
+    FROM sigs)
+  WHERE bsz <= {PAIR_EMIT_BUCKET}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS src, c.vec_id AS dst
+  FROM bk a JOIN bk c
+    ON a.band_id = c.band_id AND a.band_sig = c.band_sig
+   AND a.vec_id <> c.vec_id)
+SELECT src, rank, dst, cos_bp FROM (
+  SELECT cand.src, cand.dst,
+         floor(10000.0 * {cos})::BIGINT AS cos_bp,
+         row_number() OVER (
+           PARTITION BY cand.src
+           ORDER BY {cos} DESC, cand.dst) AS rank
+  FROM cand JOIN embeddings s ON s.vec_id = cand.src
+            JOIN embeddings d ON d.vec_id = cand.dst)
+WHERE rank <= {KNN_GRAPH_K}
+ORDER BY src, rank
+"""
+
+
+@register(
+    "embedding_knn_graph",
+    oracle=_knn_graph_oracle(),
+    tags=("similarity", "ann", "graph"),
+)
+def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide approximate kNN GRAPH — the structure semantic
+    clustering / label propagation / graph-based dedup consume (every
+    vector gets its top-K banded-LSH neighbors, not just a 10-query
+    probe set like ann_lsh): candidates are same-band signature
+    collisions in EITHER direction, exact cosine ranks each vector's
+    candidate list, keep K.
+
+    Scale shape (dedup_embedding_lsh's discipline, plans/dedup.py):
+    one narrow pass signs the corpus; the self-join keys on (band_id,
+    band_sig) only; buckets past PAIR_EMIT_BUCKET are dropped from
+    emission BEFORE the join (mass-duplicate cells — their kNN lists
+    are degenerate self-copies, exact dedup's job), bounding emissions
+    at B² per bucket; multi-band duplicates collapse with one
+    dropDuplicates; the per-vector top-K window's partition is
+    candidate-bounded (≤ bands × PAIR_EMIT_BUCKET), never
+    corpus-sized."""
+    from wally_spark.plans.dedup import PAIR_EMIT_BUCKET
+
+    emb = _emb(spark, sf_dir)
+    b = _banded(emb, "vid", "e")
+    sizes = b.groupBy("band_id", "band_sig").agg(
+        F.count(F.lit(1)).alias("bsz")
+    )
+    bk = b.join(
+        sizes.where(F.col("bsz") <= PAIR_EMIT_BUCKET), ["band_id", "band_sig"]
+    ).select("vid", "e", "band_id", "band_sig")
+    a, c = bk.alias("a"), bk.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band_id") == F.col("c.band_id"))
+            & (F.col("a.band_sig") == F.col("c.band_sig"))
+            & (F.col("a.vid") != F.col("c.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("src"),
+            F.col("c.vid").alias("dst"),
+            F.col("a.e").alias("se"),
+            F.col("c.e").alias("de"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), "dst")
+    return (
+        cand.withColumn("cos", _cos(F.col("se"), F.col("de")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_GRAPH_K)
+        .select(
+            "src",
+            F.col("rank").cast("bigint").alias("rank"),
+            "dst",
+            F.floor(10000.0 * F.col("cos")).cast("bigint").alias("cos_bp"),
+        )
+        .orderBy("src", "rank")
+    )
