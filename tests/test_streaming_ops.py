@@ -1787,3 +1787,102 @@ def test_urldedup_matches_batch_lane_and_replays(spark, tmp_path):
     )
     b3 = {r["doc_id"]: r["keeper"] for r in spark.read.parquet(f"{out}/b3").collect()}
     assert not b3[30] and b3[31]
+
+
+def _phash_bmp(px):
+    """9x8 24bpp bottom-up BMP from a top-down gray matrix (test helper,
+    mirrors tests/test_multimodal_ops._mk_bmp)."""
+    import struct
+
+    w, h = 9, 8
+    stride = (w * 3 + 3) // 4 * 4
+    data = b""
+    for r in range(h - 1, -1, -1):
+        row = b"".join(bytes([px[r][c]] * 3) for c in range(w))
+        data += row + b"\x00" * (stride - len(row))
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0)
+        + data
+    )
+
+
+def test_phashdedup_against_corpus(spark, tmp_path):
+    """Streaming perceptual dedup: a re-encoded (one-pixel-tweaked)
+    image arriving in a LATER batch must flag as dup of the stored
+    original; unrelated images must not; union of verdicts equals the
+    lower-id-neighbor rule over the concatenated corpus; replay is
+    idempotent; the store keeps matching after compact_corpus."""
+    import os
+
+    from wally_spark.operators.multimodal import dhash64, parse_bmp_gray
+    from wally_spark.plans.multimodal import PHASH_HAM_T
+    from wally_spark.streaming.ops import (
+        compact_corpus,
+        phashdedup_against_corpus_foreach_batch,
+    )
+
+    base = [[(10 + 7 * ((r + c) % 5)) for c in range(9)] for r in range(8)]
+    tweak = [row[:] for row in base]
+    tweak[3][4] += 9
+    grad = [[(20 + 9 * c) for c in range(9)] for _ in range(8)]
+    inv = [[100 - p for p in row] for row in grad]
+    imgs = {1: base, 2: grad, 10: tweak, 11: inv, 20: base, 21: tweak}
+    batches = [[(1, _phash_bmp(imgs[1])), (2, _phash_bmp(imgs[2]))],
+               [(10, _phash_bmp(imgs[10])), (11, _phash_bmp(imgs[11]))],
+               [(20, _phash_bmp(imgs[20])), (21, _phash_bmp(imgs[21]))]]
+    schema = "doc_id long, payload binary"
+
+    sigs, out = str(tmp_path / "sigs"), str(tmp_path / "out")
+    fn = phashdedup_against_corpus_foreach_batch(spark, sigs, out)
+    for i, rows in enumerate(batches):
+        fn(spark.createDataFrame(rows, schema), i)
+    assert os.path.exists(f"{sigs}/_WALLY_STORE_FORMAT")
+
+    got = {r["doc_id"]: r["is_dup"]
+           for r in spark.read.parquet(f"{out}/b*").collect()}
+
+    # independent reference: lower-id doc within threshold sharing a band
+    H = {d: dhash64(parse_bmp_gray(_phash_bmp(px))) for d, px in imgs.items()}
+
+    def bands(h):
+        return {(i, (h >> (16 * i)) & 0xFFFF) for i in range(4)}
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    want = {
+        d: any(
+            e < d and bands(H[d]) & bands(H[e]) and ham(H[d], H[e]) <= PHASH_HAM_T
+            for e in imgs
+        )
+        for d in imgs
+    }
+    assert got == want, (got, want)
+    # the fixture must exercise NEAR-dup (not only byte-identical):
+    # 10 is a tweak of 1 (0 < hamming <= T), 11/2 unrelated
+    assert 0 < ham(H[1], H[10]) <= PHASH_HAM_T
+    assert want[10] and want[20] and want[21]
+    assert not (want[1] or want[2] or want[11])
+
+    # replay idempotence
+    before = sorted(tuple(r) for r in spark.read.parquet(f"{out}/b2").collect())
+    fn(spark.createDataFrame(batches[2], schema), 2)
+    after = sorted(tuple(r) for r in spark.read.parquet(f"{out}/b2").collect())
+    assert before == after
+
+    # compaction keeps probes equivalent
+    compact_corpus(spark, sigs, upto=2, bucket_key="bv")
+    fresh = [[(5 + 11 * ((r * 3 + c) % 7)) for c in range(9)] for r in range(8)]
+    h_fresh = dhash64(fresh)
+    assert all(ham(h_fresh, h) > PHASH_HAM_T for h in H.values())  # precondition
+    fn(
+        spark.createDataFrame(
+            [(30, _phash_bmp(tweak)), (31, _phash_bmp(fresh))], schema
+        ),
+        3,
+    )
+    b3 = {r["doc_id"]: r["is_dup"]
+          for r in spark.read.parquet(f"{out}/b3").collect()}
+    assert b3[30] and not b3[31]

@@ -1744,6 +1744,108 @@ def linededup_against_corpus_foreach_batch(spark, segs_path: str, out_path: str)
     return proc
 
 
+def phashdedup_against_corpus_foreach_batch(spark, sigs_path: str, out_path: str):
+    """Incremental PERCEPTUAL image dedup — the streaming face of the
+    batch ``mm_phash_dup`` lane: every arriving (doc_id, payload) BMP
+    decodes executor-side to its 64-bit dHash (operators/multimodal.
+    bmp_dhash — payloads never shuffle), and a doc is a dup if its
+    fingerprint sits within PHASH_HAM_T bits of any fingerprint in the
+    PERSISTENT signature store (every image ever ingested) or of a
+    lower-doc_id image in the same batch. Candidates come through the
+    same 4x16-bit band index (pigeonhole-exact for the threshold);
+    verification is one codegen bit_count(xor) predicate inside a
+    semi-join, so a hot store bucket never materializes pair rows —
+    the verdict-only shape a crawl-ingest gate needs. Reports
+    (doc_id, dhash, is_dup) land in ``out_path/b<batch_id>``; the
+    batch's distinct (band, bv, dhash) rows register in
+    ``sigs_path/b<batch_id>``.
+
+    Equivalence contract (tested): with ascending doc_id batches, the
+    union of verdicts equals "exists a lower-id doc within the
+    threshold sharing a band" over the concatenated corpus. Store is
+    format-stamped; per-batch overwrite dirs + own-batch exclusion
+    give replay idempotence; compact_corpus(bucket_key="bv") keeps the
+    store probe-cheap."""
+    from wally_spark.operators.checkpoint import free_blocks, pin
+    from wally_spark.operators.multimodal import bmp_dhash
+    from wally_spark.plans.multimodal import PHASH_HAM_T
+
+    ensure_store_format(
+        spark, sigs_path, "phashdedup-bands-v1",
+        required_cols=("band", "bv", "dhash"),
+    )
+
+    def _bands(d):
+        return d.select(
+            "doc_id",
+            "dhash",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright("dhash", 16 * i).bitwiseAND(F.lit(65535))
+                        for i in range(4)
+                    ]
+                )
+            ).alias("band", "bv"),
+        )
+
+    def proc(batch_df, batch_id):
+        d = pin(bmp_dhash(batch_df).where(F.col("dhash").isNotNull()))
+        b = pin(_bands(d))
+        a, x = b.alias("a"), b.alias("x")
+        intra = (
+            a.join(
+                x,
+                (F.col("a.band") == F.col("x.band"))
+                & (F.col("a.bv") == F.col("x.bv"))
+                & (F.col("x.doc_id") < F.col("a.doc_id"))
+                & (
+                    F.bit_count(
+                        F.col("a.dhash").bitwiseXOR(F.col("x.dhash"))
+                    )
+                    <= PHASH_HAM_T
+                ),
+                "left_semi",
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        dup = intra
+        for part in corpus_probe_parts(spark, sigs_path, exclude_batch=batch_id):
+            p = part.select(
+                F.col("band").alias("p_band"),
+                F.col("bv").alias("p_bv"),
+                F.col("dhash").alias("p_dhash"),
+            )
+            hit = (
+                b.join(
+                    p,
+                    (F.col("band") == F.col("p_band"))
+                    & (F.col("bv") == F.col("p_bv"))
+                    & (
+                        F.bit_count(F.col("dhash").bitwiseXOR(F.col("p_dhash")))
+                        <= PHASH_HAM_T
+                    ),
+                    "left_semi",
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            dup = dup.unionByName(hit).distinct()
+        d.join(dup.withColumn("_d", F.lit(True)), "doc_id", "left").select(
+            "doc_id",
+            "dhash",
+            F.coalesce("_d", F.lit(False)).alias("is_dup"),
+        ).write.mode("overwrite").parquet(f"{out_path}/b{batch_id}")
+        b.select("band", "bv", "dhash").distinct().write.mode(
+            "overwrite"
+        ).parquet(f"{sigs_path}/b{batch_id}")
+        free_blocks(b)
+        free_blocks(d)
+
+    return proc
+
+
 def urldedup_against_corpus_foreach_batch(spark, urls_path: str, out_path: str):
     """Incremental canonical-URL dedup — the streaming face of the
     batch ``url_canonical_dedup`` lane (r8 web family): every arriving
