@@ -1568,3 +1568,77 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cn"), "a", "c")
         .limit(LINKPRED_TOP)
     )
+
+
+# --- per-brand return-rate report (r9) ---------------------------------------
+@register(
+    "brand_return_rate",
+    oracle="""
+WITH j AS (
+  SELECT p.p_brand,
+         l.l_returnflag,
+         l.l_quantity,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+              AS BIGINT) AS net_cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+SELECT p_brand,
+       count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+         AS n_returned,
+       ((10000 * sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END))
+        // count(*))::BIGINT AS return_bp,
+       sum(CASE WHEN l_returnflag = 'R' THEN net_cents ELSE 0 END)::BIGINT
+         AS returned_cents,
+       sum(net_cents)::BIGINT AS net_cents,
+       ((10000 * sum(CASE WHEN l_returnflag = 'R' THEN net_cents ELSE 0 END))
+        // nullif(sum(net_cents), 0))::BIGINT AS returned_value_bp
+FROM j GROUP BY p_brand
+ORDER BY p_brand
+""",
+    tags=("analytics", "tpch", "returns"),
+)
+def brand_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand return-rate report — the merchandising QA view
+    (which brands come back?): line and value return shares in basis
+    points over discounted net revenue in exact cents (the
+    round(×100) convention of q1's oracle family).
+
+    Scale shape: lineitem⋈part is a uniform equi-join on partkey
+    (part is dimension-sized — Catalyst broadcasts it under AQE; the
+    plan works either way), ONE conditional-sum aggregate bounded by
+    |brands|; divisions after the sums, value divisor nullif'd (an
+    all-zero-price brand yields NULL share in both engines)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    part = load_tables(spark, sf_dir)["part"]
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li["l_partkey"] == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("net_cents"),
+    )
+    ret = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    ret_cents = F.when(
+        F.col("l_returnflag") == "R", F.col("net_cents")
+    ).otherwise(F.lit(0))
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(ret).cast("bigint").alias("n_returned"),
+            F.expr(
+                "CAST((10000 * sum(CASE WHEN l_returnflag = 'R' THEN 1"
+                " ELSE 0 END)) div count(1) AS BIGINT)"
+            ).alias("return_bp"),
+            F.sum(ret_cents).cast("bigint").alias("returned_cents"),
+            F.sum("net_cents").cast("bigint").alias("net_cents"),
+            F.expr(
+                "CAST((10000 * sum(CASE WHEN l_returnflag = 'R' THEN net_cents"
+                " ELSE 0 END)) div nullif(sum(net_cents), 0) AS BIGINT)"
+            ).alias("returned_value_bp"),
+        )
+        .orderBy("p_brand")
+    )

@@ -845,3 +845,110 @@ def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("conv_lift_bp"),
     ).orderBy("variant")
+
+
+# --- session entry/exit matrix (r9) ------------------------------------------
+@register(
+    "session_entry_exit",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessioned AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered),
+ranked AS (
+  SELECT user_id, sid, event_type,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY ts, event_id) AS rf,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY ts DESC, event_id DESC) AS rl,
+         count(*) OVER (PARTITION BY user_id, sid) AS n
+  FROM sessioned),
+ps AS (
+  SELECT user_id, sid,
+         max(CASE WHEN rf = 1 THEN event_type END) AS entry_type,
+         max(CASE WHEN rl = 1 THEN event_type END) AS exit_type,
+         max(n)::BIGINT AS n_events
+  FROM ranked GROUP BY 1, 2)
+SELECT entry_type, exit_type,
+       count(*)::BIGINT AS n_sessions,
+       sum(n_events)::BIGINT AS total_events,
+       sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounce,
+       ((10000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END))
+        // count(*))::BIGINT AS bounce_bp
+FROM ps GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    tags=("events", "behavior", "session"),
+)
+def session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session entry/exit matrix — the landing/leaving report product
+    analytics reads daily ("sessions that start with an error and end
+    with an error are rage-quits; view→purchase sessions convert"):
+    10-minute-gap sessions (win_session's gap rule), each classified
+    by its first and last event type (deterministic (ts, event_id)
+    rank — never first(), which is shuffle-order-dependent), rolled up
+    to per-(entry, exit) session counts, event mass, single-event
+    bounce count, and bounce rate in basis points.
+
+    Scale shape: all four windows (lag, running session id, two
+    ranks) partition by user_id or (user_id, sid) — bounded per-user
+    state, one Exchange reused; the rollup output is |types|²-bounded.
+    Division after the sums."""
+    e = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+                > 600.0
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessioned = ordered.withColumn(
+        "sid",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "sid")
+    ranked = sessioned.select(
+        "user_id",
+        "sid",
+        "event_type",
+        F.row_number().over(ws.orderBy("ts", "event_id")).alias("rf"),
+        F.row_number()
+        .over(ws.orderBy(F.desc("ts"), F.desc("event_id")))
+        .alias("rl"),
+        F.count(F.lit(1)).over(ws).alias("n"),
+    )
+    ps = ranked.groupBy("user_id", "sid").agg(
+        F.max(F.when(F.col("rf") == 1, F.col("event_type"))).alias("entry_type"),
+        F.max(F.when(F.col("rl") == 1, F.col("event_type"))).alias("exit_type"),
+        F.max("n").cast("bigint").alias("n_events"),
+    )
+    return (
+        ps.groupBy("entry_type", "exit_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("total_events"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bounce"),
+            F.expr(
+                "CAST((10000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END))"
+                " div count(1) AS BIGINT)"
+            ).alias("bounce_bp"),
+        )
+        .orderBy("entry_type", "exit_type")
+    )

@@ -927,3 +927,59 @@ FROM c, t
 """,
     tags=("events", "quality", "dq"),
 )(events_benford)
+
+
+# --- per-source length-concentration Gini (r9) -------------------------------
+@register(
+    "source_length_gini",
+    oracle="""
+WITH r AS (
+  SELECT source, n_chars::BIGINT AS x,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS i
+  FROM documents)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(x)::BIGINT AS total_chars,
+       ((10000 * (2 * sum(i * x) - (count(*) + 1) * sum(x)))
+        // nullif(count(*) * sum(x), 0))::BIGINT AS gini_bp
+FROM r GROUP BY source
+ORDER BY source
+""",
+    tags=("quality", "mix", "report"),
+)
+def source_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length concentration (Gini coefficient in
+    basis points) — the mix-health diagnostic that distinguishes a
+    source of uniform articles (G≈0) from one where a few megadocs
+    carry all the token mass (G→1; such sources skew every
+    tokens-per-doc budget downstream). Exact integers via the sorted
+    rank identity G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ), ascending rank
+    with deterministic (n_chars, doc_id) tie-break.
+
+    Scale shape: one row_number window per source (the per-key rank
+    pattern of events_value_ranks) feeding a source-bounded moment
+    aggregate; integer division after the sums, nullif'd for an
+    all-empty source. int64 bound: Σi·xᵢ ≤ n²·max_chars — safe to
+    ~10⁶ docs/source at 1 MB docs; shard megasources upstream of
+    that (the lane's own report flags them)."""
+    r = _docs(spark, sf_dir).select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .cast("bigint")
+        .alias("i"),
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("x").cast("bigint").alias("total_chars"),
+            F.expr(
+                "CAST((10000 * (2 * sum(i * x) - (count(1) + 1) * sum(x)))"
+                " div nullif(count(1) * sum(x), 0) AS BIGINT)"
+            ).alias("gini_bp"),
+        )
+        .orderBy("source")
+    )
