@@ -705,3 +705,82 @@ def bmp_dhash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "dhash"])
 
     return df.mapInPandas(hash_batches, BMP_DHASH_SCHEMA)
+
+
+# --- PNG chunk walker (r9) ---------------------------------------------------
+PNG_CHUNKS_SCHEMA = (
+    "doc_id bigint, fmt string, width int, height int, n_chunks int, "
+    "n_idat int, idat_bytes bigint, has_iend boolean, n_bytes int"
+)
+
+
+def parse_png_chunks(b: bytes):
+    """Walk a PNG's chunk list — (length, type, data, CRC) records
+    after the 8-byte signature — without decompressing a pixel:
+    returns (width, height, n_chunks, n_idat, idat_bytes, has_iend)
+    or None if the stream is not a structurally valid PNG prefix.
+    Truncated/corrupt streams return None (down-rank, don't kill the
+    partition); CRCs are counted, not verified (a 100 TB audit pass
+    leaves CRC checks to the decode stage)."""
+    if b is None or len(b) < 16 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos = 8
+    width = height = None
+    n_chunks = n_idat = 0
+    idat_bytes = 0
+    has_iend = False
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos:pos + 4], "big")
+        typ = b[pos + 4:pos + 8]
+        if pos + 8 + ln + 4 > len(b):
+            return None  # truncated chunk
+        if n_chunks == 0:
+            if typ != b"IHDR" or ln < 13:
+                return None
+            width = int.from_bytes(b[pos + 8:pos + 12], "big")
+            height = int.from_bytes(b[pos + 12:pos + 16], "big")
+        if typ == b"IDAT":
+            n_idat += 1
+            idat_bytes += ln
+        n_chunks += 1
+        pos += 8 + ln + 4
+        if typ == b"IEND":
+            has_iend = True
+            break
+    if width is None:
+        return None
+    return width, height, n_chunks, n_idat, idat_bytes, has_iend
+
+
+def png_chunk_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Container-level PNG audit over an opaque binary column:
+    dimensions, chunk census, IDAT mass, IEND presence — the
+    structural-integrity features a multimodal curation pass filters
+    on (no trailer => truncated download; zero IDAT => empty shell)
+    without decompressing anything. Arrow-batched mapInPandas;
+    payloads stay on executors."""
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
+                parsed = None if b is None else parse_png_chunks(bytes(b))
+                if parsed is None:
+                    rows.append(
+                        (doc_id, None, None, None, None, None, None, None,
+                         0 if b is None else len(b))
+                    )
+                else:
+                    w, h, nc, ni, ib, iend = parsed
+                    rows.append(
+                        (doc_id, "png", w, h, nc, ni, ib, iend, len(b))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "width", "height", "n_chunks",
+                    "n_idat", "idat_bytes", "has_iend", "n_bytes",
+                ],
+            )
+
+    return df.mapInPandas(walk, PNG_CHUNKS_SCHEMA)

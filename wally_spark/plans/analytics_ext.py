@@ -1642,3 +1642,94 @@ def brand_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# --- full nation-to-nation trade matrix (r9) ---------------------------------
+@register(
+    "nation_trade_matrix",
+    oracle="""
+SELECT supp_nation, cust_nation,
+       count(*)::BIGINT AS n_lines,
+       sum(net_cents)::BIGINT AS revenue_cents,
+       ((10000 * sum(net_cents))
+        // sum(sum(net_cents)) OVER ())::BIGINT AS share_bp
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS net_cents
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey) t
+GROUP BY supp_nation, cust_nation
+ORDER BY supp_nation, cust_nation
+""",
+    tags=("analytics", "tpch", "join"),
+)
+def nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full nation→nation trade-flow matrix — q7's bilateral query
+    generalized to EVERY (supplier nation, customer nation) cell: line
+    counts, exact-cent discounted revenue, and each corridor's share
+    of world trade in basis points — the world-trade heatmap a supply
+    analytics team keeps, and the skew census for planning
+    nation-keyed joins.
+
+    Scale shape: the lineitem fact joins orders on orderkey (uniform),
+    then BROADCASTS the three dimension sides (customer at TPC-H scale
+    is fact-like — it joins on the uniform o_custkey key first and
+    only the |nations|-wide name columns broadcast); the rollup is
+    |nations|²-bounded (625 cells) and the share window runs over that
+    bounded relation. Division after the sums."""
+    t = {
+        n: load_tables(spark, sf_dir)[n]
+        for n in ("lineitem", "orders", "customer", "supplier", "nation")
+    }
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    j = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+            .alias("net_cents"),
+        )
+    )
+    w = Window.partitionBy()
+    return (
+        j.groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("net_cents").cast("bigint").alias("revenue_cents"),
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "n_lines",
+            "revenue_cents",
+            F.floor(
+                (10000 * F.col("revenue_cents"))
+                / F.sum("revenue_cents").over(w)
+            )
+            .cast("bigint")
+            .alias("share_bp"),
+        )
+        .orderBy("supp_nation", "cust_nation")
+    )

@@ -850,3 +850,71 @@ def mm_phash_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- PNG chunk-walk audit (r9) -----------------------------------------------
+@register(
+    "mm_png_chunks",
+    oracle="""
+SELECT doc_id, 'png' AS fmt,
+       (64 + doc_id % 512)::INT AS width,
+       (64 + (doc_id * 31) % 512)::INT AS height,
+       (2 + (1 + doc_id % 3)
+          + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::INT AS n_chunks,
+       (1 + doc_id % 3)::INT AS n_idat,
+       ((1 + doc_id % 3) * (8 + doc_id % 16))::BIGINT AS idat_bytes,
+       true AS has_iend,
+       (8 + 25 + (1 + doc_id % 3) * (12 + (8 + doc_id % 16))
+          + CASE WHEN doc_id % 2 = 0 THEN 17 ELSE 0 END + 12)::INT
+         AS n_bytes
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("multimodal", "container"),
+)
+def mm_png_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG container audit through the REAL chunk walker
+    (operators/multimodal.parse_png_chunks): each doc gets a VALID
+    multi-chunk PNG (IHDR + 1-3 IDATs of doc-derived length + an
+    optional tEXt + IEND, dimensions the mm_image_header convention),
+    and the walker recovers dimensions, the chunk census, IDAT byte
+    mass, and trailer presence from the raw bytes — the
+    structural-integrity features (truncated download = no IEND,
+    empty shell = zero IDAT) a multimodal curation pass filters on
+    without inflating a single pixel.
+
+    Scale shape: payload synthesis is pure hex codegen in the scan;
+    the walk is Arrow-batched mapInPandas (payloads never leave
+    executors, only the fixed-width feature row shuffles); output is
+    one row per doc. The DuckDB oracle predicts every feature
+    arithmetically from doc_id, so walker bugs (off-by-one chunk
+    stride, CRC skip) surface as hash mismatches."""
+    from wally_spark.operators.multimodal import png_chunk_stats
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    k = F.lit(1) + F.col("doc_id") % 3
+    idat_len = (F.lit(8) + F.col("doc_id") % 16).cast("int")
+    w = (F.lit(64) + F.col("doc_id") % 512).cast("int")
+    h = (F.lit(64) + (F.col("doc_id") * 31) % 512).cast("int")
+    idat_chunk = F.concat(
+        F.format_string("%08x", idat_len),
+        F.lit("49444154"),
+        F.repeat(F.lit("00"), idat_len),
+        F.lit("00000000"),
+    )
+    hdr = F.concat(
+        F.lit("89504e470d0a1a0a"),           # signature
+        F.lit("0000000d49484452"),           # IHDR length + type
+        F.format_string("%08x", w),
+        F.format_string("%08x", h),
+        F.lit("0806000000"),                 # depth/color/etc
+        F.lit("00000000"),                   # IHDR CRC (uncheck'd)
+        F.repeat(idat_chunk, k.cast("int")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("0000000574455874" + "00" * 5 + "00000000"),
+        ).otherwise(F.lit("")),
+        F.lit("0000000049454e4400000000"),   # IEND
+    )
+    payloads = docs.select("doc_id", F.unhex(hdr).alias("payload"))
+    return png_chunk_stats(payloads).orderBy("doc_id")
