@@ -952,3 +952,65 @@ def session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entry_type", "exit_type")
     )
+
+
+# --- user activity concentration (r9) ----------------------------------------
+@register(
+    "user_activity_gini",
+    oracle="""
+WITH per_user AS (
+  SELECT event_type, user_id, count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY x, user_id) AS i
+  FROM per_user)
+SELECT event_type,
+       count(*)::BIGINT AS n_users,
+       sum(x)::BIGINT AS n_events,
+       ((10000 * (2 * sum(i * x) - (count(*) + 1) * sum(x)))
+        // (count(*) * sum(x)))::BIGINT AS gini_bp
+FROM r GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("events", "behavior", "concentration"),
+)
+def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type user-activity concentration (Gini, basis points) — the
+    power-user curve compressed to one number per event type: G≈0 means
+    uniform engagement, G→1 means a few users generate everything (the
+    signal that a type's volume is bot- or whale-driven, read next to
+    user_burst_minutes). Exact integers via the sorted-rank identity
+    (source_length_gini's formula) with deterministic (count, user_id)
+    tie-break.
+
+    Scale shape: one (type, user) aggregate (map-side combined), one
+    rank window per type feeding a types-bounded moment aggregate;
+    division after the sums — per-user counts are >= 1 so the divisor
+    is never zero. int64 bound: Σi·x ≤ |users|²·max_count."""
+    per_user = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    r = per_user.select(
+        "event_type",
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("x", "user_id"))
+        .cast("bigint")
+        .alias("i"),
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("x").cast("bigint").alias("n_events"),
+            F.expr(
+                "CAST((10000 * (2 * sum(i * x) - (count(1) + 1) * sum(x)))"
+                " div (count(1) * sum(x)) AS BIGINT)"
+            ).alias("gini_bp"),
+        )
+        .orderBy("event_type")
+    )

@@ -583,3 +583,56 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("weeks_since"),
     ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# --- as-of join with match tolerance (r9) ---
+@register(
+    "asof_purchase_view_1h",
+    oracle="""
+WITH views AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS view_value
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+), purchases AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, round(p.value, 2) AS purchase_value,
+       round(CASE WHEN p.ts - v.ts <= INTERVAL 1 HOUR THEN v.view_value END,
+             2) AS asof_view_value
+FROM purchases p
+ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+""",
+    tags=("asof", "events", "tolerance"),
+)
+def asof_purchase_view_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOLERANCED as-of join — asof_purchase_view with a 1-hour match
+    window (pandas merge_asof's ``tolerance``): a purchase only picks
+    up the latest prior view if it happened within the hour; staler
+    state is NULLed, not carried. The semantics a market-data join
+    actually needs (a quote from last Tuesday must not price today's
+    order) — exercised through the SAME union-and-carry operator
+    (operators/asof.py tolerance_s), one user-keyed shuffle, no
+    windows over unbounded partitions."""
+    from wally_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("view_value"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases, views, on="user_id", ts="ts",
+        right_cols=("view_value",), tolerance_s=3600.0,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("purchase_value"),
+        F.round("asof_view_value", 2).alias("asof_view_value"),
+    )
