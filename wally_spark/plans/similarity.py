@@ -877,23 +877,12 @@ GROUP BY bf.query_id
 
 # --- corpus-wide kNN graph via banded LSH (r9) -------------------------------
 KNN_GRAPH_K = 3
+EMB_DIM = 64  # the corpus embedding width (_SIGS_CTE assumes it too)
 
 
 def _knn_graph_oracle() -> str:
-    # cosine spelled as the ENGINE's exact float sequence (_cos: ordered
-    # float64 fold of products, then dot / (sqrt(na)*sqrt(nb))) rather
-    # than list_cosine_similarity, whose internal dot/sqrt(na*nb)
-    # rounding differs by 1 ulp — enough to flip a floor() at a bp
-    # boundary once the output is corpus-wide instead of 10 queries.
     from wally_spark.plans.dedup import PAIR_EMIT_BUCKET
 
-    dot = (
-        "list_sum(list_transform(list_zip(s.embedding, d.embedding),"
-        " p -> p[1]::DOUBLE * p[2]::DOUBLE))"
-    )
-    na = "list_sum(list_transform(s.embedding, x -> x::DOUBLE * x::DOUBLE))"
-    nb = "list_sum(list_transform(d.embedding, x -> x::DOUBLE * x::DOUBLE))"
-    cos = f"({dot} / (sqrt({na}) * sqrt({nb})))"
     return f"""
 WITH {_SIGS_CTE},
 bk AS (
@@ -908,10 +897,15 @@ cand AS (
    AND a.vec_id <> c.vec_id)
 SELECT src, rank, dst, cos_bp FROM (
   SELECT cand.src, cand.dst,
-         floor(10000.0 * {cos})::BIGINT AS cos_bp,
+         floor(10000.0 * list_cosine_similarity(
+                 s.embedding::DOUBLE[], d.embedding::DOUBLE[]) + 1e-9)
+           ::BIGINT AS cos_bp,
          row_number() OVER (
            PARTITION BY cand.src
-           ORDER BY {cos} DESC, cand.dst) AS rank
+           ORDER BY floor(10000.0 * list_cosine_similarity(
+                      s.embedding::DOUBLE[], d.embedding::DOUBLE[]) + 1e-9)
+                    DESC, cand.dst)
+           AS rank
   FROM cand JOIN embeddings s ON s.vec_id = cand.src
             JOIN embeddings d ON d.vec_id = cand.dst)
 WHERE rank <= {KNN_GRAPH_K}
@@ -932,51 +926,80 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions in EITHER direction, exact cosine ranks each vector's
     candidate list, keep K.
 
-    Scale shape (dedup_embedding_lsh's discipline, plans/dedup.py):
-    one narrow pass signs the corpus; the self-join keys on (band_id,
-    band_sig) only; buckets past PAIR_EMIT_BUCKET are dropped from
-    emission BEFORE the join (mass-duplicate cells — their kNN lists
-    are degenerate self-copies, exact dedup's job), bounding emissions
-    at B² per bucket; multi-band duplicates collapse with one
-    dropDuplicates; the per-vector top-K window's partition is
-    candidate-bounded (≤ bands × PAIR_EMIT_BUCKET), never
+    Scale shape (dedup_embedding_lsh's discipline, plans/dedup.py:745):
+    the self-join and dedup run over NARROW (vid, band, sig) rows —
+    vectors join in only AFTER the pair set is deduplicated, so the
+    wide arrays never ride the band shuffle (its measured 2x); buckets
+    past PAIR_EMIT_BUCKET are dropped from emission BEFORE the join
+    (mass-duplicate cells — exact dedup's job); cosine is one Arrow
+    einsum per batch (_pair_cos_udf — expression-tree spellings,
+    interpreted OR unrolled-codegen, measured 3-6x slower at this
+    lane's 1.6M-candidate mass); ranking is at integer basis-point
+    resolution with dst tie-break so engine float noise cannot flip a
+    rank; the per-vector top-K window is candidate-bounded, never
     corpus-sized."""
     from wally_spark.plans.dedup import PAIR_EMIT_BUCKET
 
     emb = _emb(spark, sf_dir)
-    b = _banded(emb, "vid", "e")
+    b = pin(_banded(emb, "vid", "e").drop("e"))
     sizes = b.groupBy("band_id", "band_sig").agg(
         F.count(F.lit(1)).alias("bsz")
     )
     bk = b.join(
         sizes.where(F.col("bsz") <= PAIR_EMIT_BUCKET), ["band_id", "band_sig"]
-    ).select("vid", "e", "band_id", "band_sig")
+    ).select("vid", "band_id", "band_sig")
     a, c = bk.alias("a"), bk.alias("c")
+    # enumerate each UNDIRECTED pair once (src < dst): cosine is
+    # symmetric, so the scored pairs mirror afterwards — half the
+    # einsum and join mass of a directed enumeration
     cand = (
         a.join(
             c,
             (F.col("a.band_id") == F.col("c.band_id"))
             & (F.col("a.band_sig") == F.col("c.band_sig"))
-            & (F.col("a.vid") != F.col("c.vid")),
+            & (F.col("a.vid") < F.col("c.vid")),
         )
-        .select(
-            F.col("a.vid").alias("src"),
-            F.col("c.vid").alias("dst"),
-            F.col("a.e").alias("se"),
-            F.col("c.e").alias("de"),
-        )
+        .select(F.col("a.vid").alias("src"), F.col("c.vid").alias("dst"))
         .dropDuplicates(["src", "dst"])
     )
-    w = Window.partitionBy("src").orderBy(F.desc("cos"), "dst")
+    from wally_spark.plans.dedup import _pair_cos_udf
+
+    se = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("se"))
+    de = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("de"))
+    # rank at BASIS-POINT resolution with dst tie-break, and floor with
+    # a +1e-9 nudge on BOTH sides: the ranking is then a pure function
+    # of the integer cos_bp values. The oracle casts to DOUBLE[] —
+    # DuckDB's cosine over FLOAT[] stays in float32 (measured 3.5e-8
+    # off, enough to cross a bp boundary); in float64 both engines
+    # agree to ~1e-15 and the nudge absorbs exact-boundary cases.
+    scored = (
+        cand.join(se, "src")
+        .join(de, "dst")
+        .withColumn(
+            "cos_bp",
+            F.floor(
+                10000.0 * _pair_cos_udf(F.col("se"), F.col("de")) + 1e-9
+            ).cast("bigint"),
+        )
+        .select("src", "dst", "cos_bp")
+    )
+    # NOT pinned: measured — materializing 800k scored rows costs more
+    # than the second branch's recompute (exchange reuse shares the
+    # candidate join; only the cheap mirror projection differs)
+    both = scored.unionByName(
+        scored.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "cos_bp"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_bp"), "dst")
     return (
-        cand.withColumn("cos", _cos(F.col("se"), F.col("de")))
-        .withColumn("rank", F.row_number().over(w))
+        both.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= KNN_GRAPH_K)
         .select(
             "src",
             F.col("rank").cast("bigint").alias("rank"),
             "dst",
-            F.floor(10000.0 * F.col("cos")).cast("bigint").alias("cos_bp"),
+            "cos_bp",
         )
         .orderBy("src", "rank")
     )
