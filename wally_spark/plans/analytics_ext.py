@@ -1470,6 +1470,15 @@ def schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- common-neighbor link prediction (r9) ------------------------------------
 LINKPRED_TOP = 100
+# Wedge-center degree cap: a center of degree d spawns d(d-1)/2
+# candidate pairs, so hub centers dominate wedge mass quadratically
+# while carrying ~zero link-prediction signal (the Adamic-Adar insight:
+# a neighbor shared through a hub is weighted 1/log d → ~0; dropping
+# hub centers is the binary form of that downweighting). Measured on
+# the 10x dup-stress sf1: 298M wedges uncapped → 513k at cap 64 (the
+# uncapped lane ran 96.9 s; the sf0.1 graph's max degree is 6, so the
+# cap is inert at record scale). Mirrored in the oracle.
+LINKPRED_HUB_CAP = 64
 
 
 @register(
@@ -1485,8 +1494,10 @@ deg AS (
     SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
   GROUP BY node),
 w AS (
-  SELECT e1.pa AS a, e2.pb AS c, count(DISTINCT e1.pb)::BIGINT AS cn
-  FROM e e1 JOIN e e2 ON e2.pa = e1.pb
+  SELECT e1.pa AS a, e2.pb AS c, count(*)::BIGINT AS cn
+  FROM e e1
+  JOIN deg dk ON dk.node = e1.pb AND dk.deg <= {LINKPRED_HUB_CAP}
+  JOIN e e2 ON e2.pa = e1.pb
   GROUP BY 1, 2),
 nonedge AS (
   SELECT w.a, w.c, w.cn FROM w
@@ -1536,15 +1547,22 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     )
+    # hub-center cap (see LINKPRED_HUB_CAP): only non-hub wedge
+    # centers enumerate pairs — a left-semi join on the center key
+    # before the wedge join, so hub wedges are never materialized
+    ok_centers = deg.where(F.col("deg") <= LINKPRED_HUB_CAP).select("node")
+    left = edges.select(F.col("pa").alias("wa"), F.col("pb").alias("k")).join(
+        ok_centers.withColumnRenamed("node", "k"), "k", "left_semi"
+    )
     wedges = salted_join(
-        edges.select(F.col("pa").alias("wa"), F.col("pb").alias("k")),
+        left,
         edges.select(F.col("pa").alias("k"), F.col("pb").alias("wc")),
         on="k",
         n_salts=8,
     )
     cand = wedges.groupBy(
         F.col("wa").alias("a"), F.col("wc").alias("c")
-    ).agg(F.countDistinct("k").cast("bigint").alias("cn"))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
     nonedge = cand.join(
         edges,
         (F.col("pa") == F.col("a")) & (F.col("pb") == F.col("c")),
