@@ -784,3 +784,156 @@ def png_chunk_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return df.mapInPandas(walk, PNG_CHUNKS_SCHEMA)
+
+
+JPEG_SEGMENTS_SCHEMA = (
+    "doc_id bigint, fmt string, n_segments int, width int, height int, "
+    "n_app int, com_payload int, scan_bytes int, has_eoi boolean, n_bytes int"
+)
+
+
+def parse_jpeg_segments(b: bytes):
+    """Walk a JPEG's marker-segment list — SOI, APPn, COM, DQT, SOFn,
+    SOS, EOI — without entropy-decoding a single MCU: returns
+    (n_segments, width, height, n_app, com_payload_bytes, scan_bytes,
+    has_eoi) or None if the stream is not a structurally valid JPEG
+    prefix. After SOS the walker skips entropy-coded bytes (honoring
+    0xFF00 stuffing and RST markers) to the EOI — the structural
+    truncation check a 100 TB curation pass needs, at header cost."""
+    if b is None or len(b) < 4 or b[0:2] != b"\xff\xd8":
+        return None
+    n_segments = 1  # SOI
+    width = height = None
+    n_app = 0
+    com_payload = 0
+    scan_bytes = 0
+    has_eoi = False
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        ln = int.from_bytes(b[pos + 2:pos + 4], "big")
+        if pos + 2 + ln > len(b) or ln < 2:
+            return None
+        if 0xE0 <= marker <= 0xEF:
+            n_app += 1
+        elif marker == 0xFE:
+            com_payload += ln - 2
+        elif marker in _JPEG_SOF:
+            if ln >= 7:
+                height = int.from_bytes(b[pos + 5:pos + 7], "big")
+                width = int.from_bytes(b[pos + 7:pos + 9], "big")
+        n_segments += 1
+        pos += 2 + ln
+        if marker == 0xDA:  # SOS: skip entropy-coded data to EOI
+            scan_start = pos
+            while pos + 1 < len(b):
+                if b[pos] == 0xFF and b[pos + 1] == 0xD9:
+                    scan_bytes = pos - scan_start
+                    has_eoi = True
+                    n_segments += 1  # EOI
+                    pos += 2
+                    break
+                if b[pos] == 0xFF and b[pos + 1] not in (0x00, *range(0xD0, 0xD8)):
+                    return None  # unexpected marker inside scan
+                pos += 1
+            break
+    if width is None:
+        return None
+    return n_segments, width, height, n_app, com_payload, scan_bytes, has_eoi
+
+
+def jpeg_segment_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Container-level JPEG audit over an opaque binary column — the
+    mm_png_chunks contract for the other dominant web-image format:
+    marker-segment census, SOF dimensions, APPn/COM metadata mass,
+    entropy-scan byte count, EOI (truncation) check. Arrow-batched
+    mapInPandas; payloads stay on executors."""
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
+                parsed = None if b is None else parse_jpeg_segments(bytes(b))
+                if parsed is None:
+                    rows.append(
+                        (doc_id, None, None, None, None, None, None, None,
+                         None, 0 if b is None else len(b))
+                    )
+                else:
+                    ns, w, h, na, cp, sb, eoi = parsed
+                    rows.append(
+                        (doc_id, "jpeg", ns, w, h, na, cp, sb, eoi, len(b))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "n_segments", "width", "height",
+                    "n_app", "com_payload", "scan_bytes", "has_eoi",
+                    "n_bytes",
+                ],
+            )
+
+    return df.mapInPandas(walk, JPEG_SEGMENTS_SCHEMA)
+
+
+PCM_SILENCE_SCHEMA = (
+    "doc_id bigint, n_samples bigint, n_silent bigint, "
+    "longest_zero_run bigint, lead_silence bigint, trail_silence bigint, "
+    "n_clipped bigint"
+)
+
+
+def pcm_silence_stats(
+    df: DataFrame, payload_col: str = "payload", clip_abs: int = 2000
+) -> DataFrame:
+    """Silence / clipping audit over WAV payloads — the trim-and-filter
+    features an audio curation pass runs before feature extraction:
+    exact zero-sample census, longest all-zero run, leading/trailing
+    silence lengths, and |sample| >= clip_abs clip counts, all integer
+    (engine-exact oracle territory). One vectorized numpy pass per
+    Arrow batch; payloads never leave executors."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "n_samples", "n_silent", "longest_zero_run",
+                "lead_silence", "trail_silence", "n_clipped",
+            )}
+            for b in pdf[payload_col]:
+                raw = bytes(b) if b is not None else b""
+                data = wav_data_chunk(raw)
+                if not data or len(data) < 2:
+                    for k in out:
+                        out[k].append(0)
+                    continue
+                a = np.frombuffer(
+                    data[: len(data) // 2 * 2], dtype="<i2"
+                ).astype(np.int64)
+                z = a == 0
+                n = len(a)
+                nz = np.flatnonzero(~z)
+                if len(nz) == 0:
+                    lead, trail, longest = n, n, n
+                else:
+                    lead = int(nz[0])
+                    trail = int(n - 1 - nz[-1])
+                    # longest zero run: split indices of zeros by gaps
+                    zi = np.flatnonzero(z)
+                    if len(zi) == 0:
+                        longest = 0
+                    else:
+                        breaks = np.flatnonzero(np.diff(zi) > 1)
+                        runs = np.split(zi, breaks + 1)
+                        longest = max(len(r) for r in runs)
+                out["n_samples"].append(n)
+                out["n_silent"].append(int(z.sum()))
+                out["longest_zero_run"].append(int(longest))
+                out["lead_silence"].append(int(lead))
+                out["trail_silence"].append(int(trail))
+                out["n_clipped"].append(int((np.abs(a) >= clip_abs).sum()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], **out})
+
+    return df.mapInPandas(extract, PCM_SILENCE_SCHEMA)

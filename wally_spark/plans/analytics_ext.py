@@ -1751,3 +1751,296 @@ def nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_nation", "cust_nation")
     )
+
+
+# --- year-over-year revenue growth (r9) --------------------------------------
+@register(
+    "orders_yoy_growth",
+    oracle="""
+WITH r AS (
+  SELECT n_name AS nation, year(o_orderdate)::BIGINT AS yr,
+         count(*)::BIGINT AS n_orders,
+         sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))::BIGINT
+           AS revenue_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2)
+SELECT nation, yr, n_orders, revenue_cents,
+       ((revenue_cents - lag(revenue_cents) OVER w) * 10000
+        // nullif(lag(revenue_cents) OVER w, 0))::BIGINT AS yoy_bp
+FROM r WINDOW w AS (PARTITION BY nation ORDER BY yr)
+ORDER BY nation, yr
+""",
+    tags=("analytics", "tpch", "timeseries"),
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per customer nation — the board
+    deck's growth table: exact-cent annual revenue per nation with the
+    YoY delta in basis points (negative in shrinking years; NULL for a
+    nation's first year — both engines' truncating division agrees on
+    negative deltas, verified (-7)//2 == -7 div 2 == -3).
+
+    Scale shape: the orders fact joins customer on the uniform custkey
+    (customer is fact-like; only the |nations|-wide dim broadcasts),
+    the rollup is |nations|×|years|-bounded, and the lag window runs
+    per-nation over that bounded relation — no global ordering.
+
+    Reference parity: multi-year keyed state evolution
+    (machida/lib/wallaroo state_computation over keyed partitions)
+    re-expressed as a lag window over a bounded rollup."""
+    t = load_tables(spark, sf_dir)
+    j = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    r = j.groupBy("nation", "yr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+    return r.select(
+        "nation",
+        "yr",
+        "n_orders",
+        "revenue_cents",
+        F.expr(
+            "CAST((revenue_cents - lag(revenue_cents) OVER"
+            " (PARTITION BY nation ORDER BY yr)) * 10000"
+            " div nullif(lag(revenue_cents) OVER"
+            " (PARTITION BY nation ORDER BY yr), 0) AS BIGINT)"
+        ).alias("yoy_bp"),
+    ).orderBy("nation", "yr")
+
+
+# --- join-key skew audit (r9) ------------------------------------------------
+@register(
+    "join_skew_audit",
+    oracle="""
+WITH k AS (
+  SELECT user_id, count(*)::BIGINT AS n_rows FROM events GROUP BY 1),
+t AS (
+  SELECT sum(n_rows)::BIGINT AS total, count(*)::BIGINT AS n_keys FROM k)
+SELECT user_id, n_rows,
+       ((10000 * n_rows) // total)::BIGINT AS share_bp,
+       ((10000 * n_rows * n_keys) // total)::BIGINT AS x_avg_bp,
+       ((n_rows * 32 + total - 1) // total)::BIGINT AS salt_factor
+FROM k, t
+ORDER BY n_rows DESC, user_id
+LIMIT 10
+""",
+    tags=("analytics", "skew", "ops"),
+)
+def join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit — the pre-flight report for any user-keyed
+    shuffle at 100 TB: the 10 heaviest user_id keys with their row
+    counts, corpus share (bp), multiple-of-average load (bp, =
+    n_rows / (total/n_keys)), and the salt factor a 32-way salted join
+    would need so this key's largest sub-split carries <= 1/32 of the
+    corpus (ceil(n_rows*32/total)) — exactly the parameter
+    operators/skew.salted_aggregate takes.
+
+    Scale shape: ONE user-keyed count (map-side combined), a 1-row
+    broadcast total, and a TakeOrdered top-10 — never a global sort.
+    Int64 bound: 10^4 * n_rows * n_keys <= 10^4 * 10^9 * 10^9 would
+    overflow, but n_rows * n_keys <= total * max_key_share keeps real
+    corpora under 2^63 through petabyte scale (documented; at 10^12
+    events split the product's factors)."""
+    e = load_tables(spark, sf_dir)["events"]
+    k = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    t = k.agg(
+        F.sum("n_rows").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    return (
+        k.crossJoin(F.broadcast(t))
+        .selectExpr(
+            "user_id",
+            "n_rows",
+            "CAST((10000 * n_rows) div total AS BIGINT) AS share_bp",
+            "CAST((10000 * n_rows * n_keys) div total AS BIGINT) AS x_avg_bp",
+            "CAST((n_rows * 32 + total - 1) div total AS BIGINT)"
+            " AS salt_factor",
+        )
+        .orderBy(F.col("n_rows").desc(), "user_id")
+        .limit(10)
+    )
+
+
+# --- within-brand price dispersion + SKU outliers (r9) -----------------------
+@register(
+    "brand_price_dispersion",
+    oracle="""
+WITH c AS (
+  SELECT p_brand, p_partkey,
+         CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM part),
+s AS (
+  SELECT p_brand,
+         count(*)::BIGINT AS n_parts,
+         sum(cents)::BIGINT AS sum_cents,
+         sum(cents * cents)::BIGINT AS sumsq_cents
+  FROM c GROUP BY 1),
+v AS (
+  SELECT p_brand, n_parts, sum_cents,
+         (sum_cents // n_parts)::BIGINT AS mean_cents,
+         round((sumsq_cents::DOUBLE
+                - (sum_cents::DOUBLE * sum_cents::DOUBLE)
+                  / n_parts::DOUBLE) / n_parts::DOUBLE, 2) AS var_cents2
+  FROM s)
+SELECT v.p_brand AS brand, v.n_parts, v.mean_cents, v.var_cents2,
+       CAST(floor(10000.0 * sqrt(v.var_cents2) / v.mean_cents) AS BIGINT)
+         AS cv_bp,
+       sum(CASE WHEN abs(c.cents - v.mean_cents)::DOUBLE
+                     > 2.0 * sqrt(v.var_cents2)
+                THEN 1 ELSE 0 END)::BIGINT AS n_outlier_skus
+FROM v JOIN c ON c.p_brand = v.p_brand
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY brand
+""",
+    tags=("analytics", "pricing", "quality"),
+)
+def brand_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-brand price-dispersion report with SKU outlier counts —
+    the pricing-integrity audit: per brand, exact-cent price variance
+    (population), coefficient of variation in basis points, and the
+    number of SKUs priced more than 2 standard deviations from the
+    brand mean (mispriced/miscoded listings).
+
+    Float discipline: moments (n, sum, sum-of-squares) are EXACT int64
+    in cents (sumsq <= 10^5-cent prices squared x 10^8 parts < 2^63
+    through sf100); the variance/sqrt finish is ONE fixed-shape double
+    expression per brand row evaluated identically in both engines —
+    no cross-row double summation anywhere, so IEEE determinism gives
+    hash-exact agreement.
+
+    Scale shape: one |brands|-bounded moment aggregate, then the
+    bounded stats BROADCAST back onto parts for the outlier pass —
+    two scans, zero wide shuffles."""
+    c = load_tables(spark, sf_dir)["part"].select(
+        "p_brand",
+        F.floor(F.col("p_retailprice") * 100.0 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    s = c.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.sum(F.col("cents") * F.col("cents"))
+        .cast("bigint")
+        .alias("sumsq_cents"),
+    )
+    v = s.selectExpr(
+        "p_brand AS brand",
+        "n_parts",
+        "CAST(sum_cents div n_parts AS BIGINT) AS mean_cents",
+        "round((CAST(sumsq_cents AS DOUBLE)"
+        " - (CAST(sum_cents AS DOUBLE) * CAST(sum_cents AS DOUBLE))"
+        "   / CAST(n_parts AS DOUBLE)) / CAST(n_parts AS DOUBLE), 2)"
+        " AS var_cents2",
+    )
+    joined = c.join(
+        F.broadcast(v), c["p_brand"] == v["brand"], "inner"
+    ).select("brand", "n_parts", "mean_cents", "var_cents2", "cents")
+    return (
+        joined.groupBy("brand", "n_parts", "mean_cents", "var_cents2")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") - F.col("mean_cents")).cast("double")
+                    > 2.0 * F.sqrt(F.col("var_cents2")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outlier_skus")
+        )
+        .selectExpr(
+            "brand",
+            "n_parts",
+            "mean_cents",
+            "var_cents2",
+            "CAST(floor(10000.0 * sqrt(var_cents2) / mean_cents) AS BIGINT)"
+            " AS cv_bp",
+            "n_outlier_skus",
+        )
+        .orderBy("brand")
+    )
+
+
+# --- observed supply redundancy (r9) -----------------------------------------
+@register(
+    "supplier_redundancy",
+    oracle="""
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+pc AS (
+  SELECT l_partkey, count(*)::BIGINT AS n_suppliers FROM ps GROUP BY 1)
+SELECT p_brand AS brand,
+       count(*)::BIGINT AS n_parts,
+       sum(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END)::BIGINT
+         AS single_source,
+       sum(CASE WHEN n_suppliers = 2 THEN 1 ELSE 0 END)::BIGINT
+         AS dual_source,
+       sum(CASE WHEN n_suppliers >= 3 THEN 1 ELSE 0 END)::BIGINT
+         AS multi_source,
+       ((10000 * sum(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END))
+        // count(*))::BIGINT AS single_source_bp,
+       max(n_suppliers)::BIGINT AS max_suppliers
+FROM pc JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+ORDER BY brand
+""",
+    tags=("analytics", "supply", "risk"),
+)
+def supplier_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed supply-redundancy audit — the supply-chain risk report:
+    from the distinct (part, supplier) pairs actually seen in order
+    lines, each part's supplier count, banded single/dual/multi-source,
+    rolled up per brand with the single-source share in basis points
+    (single-sourced parts are the fragile ones).
+
+    Scale shape: DISTINCT on the composite (partkey, suppkey) key is
+    one uniform shuffle (map-side partial distinct first), the per-part
+    count rides the same partitioning, the part dim joins on the
+    uniform partkey, and the rollup is |brands|-bounded."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    part = load_tables(spark, sf_dir)["part"]
+    pc = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_suppliers"))
+    )
+    j = pc.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    one = F.when(F.col("n_suppliers") == 1, 1).otherwise(0)
+    return (
+        j.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum(one).cast("bigint").alias("single_source"),
+            F.sum(F.when(F.col("n_suppliers") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("dual_source"),
+            F.sum(F.when(F.col("n_suppliers") >= 3, 1).otherwise(0))
+            .cast("bigint")
+            .alias("multi_source"),
+            F.floor((10000 * F.sum(one)) / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("single_source_bp"),
+            F.max("n_suppliers").cast("bigint").alias("max_suppliers"),
+        )
+        .orderBy("brand")
+    )

@@ -1249,3 +1249,328 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("subset_dup"),
         )
     )
+
+
+# --- winnowing fingerprint dedup (r9) ----------------------------------------
+# MOSS-style winnowing (Schleimer, Wilkerson, Aiken, SIGMOD'03): hash
+# every k-gram (k=4 words), slide a w=4 window over consecutive gram
+# hashes, select each window's MINIMUM — the selected-fingerprint set
+# is guaranteed to share a fingerprint with any other doc that shares
+# a (k+w-1)-word run, making it a span-sensitive near-dup detector
+# (between dedup_minhash's whole-doc Jaccard and dedup_substring's
+# exact spans). Selection is a pure window-min over integers, so both
+# engines derive the identical set.
+WINNOW_K = 4  # words per gram
+WINNOW_W = 4  # grams per winnowing window
+WINNOW_MIN_SHARED = 2
+
+_WINNOW_CTES = f"""w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+  FROM documents
+  WHERE len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+        >= {WINNOW_K}
+), g AS (
+  SELECT doc_id, unnest(range(1, greatest(len(words) - {WINNOW_K - 2}, 1)))
+           AS pos,
+         words
+  FROM w
+), gh AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5({" || ' ' || ".join(
+             f"words[pos + {k}]" for k in range(WINNOW_K))}), 1, 8))::BIGINT
+           AS h
+  FROM g
+), winmin AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+           AS fp,
+         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+           AS wn
+  FROM gh
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM winmin WHERE wn = {WINNOW_W}
+), nfp AS (SELECT doc_id, count(*)::BIGINT AS n FROM fps GROUP BY 1),
+fps_k AS (
+  SELECT doc_id, fp FROM (
+    SELECT *, count(*) OVER (PARTITION BY fp) AS bsz FROM fps)
+  WHERE bsz <= {PAIR_EMIT_BUCKET}
+)"""
+
+
+@register(
+    "dedup_winnowing",
+    oracle=f"""
+WITH {_WINNOW_CTES},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared_fp
+  FROM fps_k a JOIN fps_k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {WINNOW_MIN_SHARED})
+SELECT doc_a, doc_b, n_shared_fp,
+       ((10000 * n_shared_fp) // least(na.n, nb.n))::BIGINT AS overlap_bp
+FROM pairs
+JOIN nfp na ON na.doc_id = doc_a
+JOIN nfp nb ON nb.doc_id = doc_b
+""",
+    tags=("dedup", "winnowing", "fingerprint"),
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup pairs (the MOSS fingerprinting algorithm):
+    4-word-gram hashes → per-window minima (w=4) → distinct selected
+    fingerprints per doc → inverted-index pairs sharing >= 2
+    fingerprints, scored by shared-fingerprint count and containment
+    (bp of the smaller doc's fingerprint set). Span-sensitive where
+    minhash is whole-doc: two docs sharing one long paragraph light up
+    here even when their global Jaccard is tiny.
+
+    Scale shape: gram hashing is codegen (posexplode + lead, the
+    shingle_stream discipline); winnowing is a doc-keyed window min
+    (one shuffle, reused for the distinct); the inverted index joins
+    on the uniform fingerprint key with the PAIR_EMIT_BUCKET emission
+    cap (a fingerprint held by B docs emits B²/2 pairs — past the cap
+    it is a mass-dup group, dedup_exact territory). Never all-pairs.
+
+    Reference parity: stateful dedup-window computations
+    (machida/lib/wallaroo state_computation; ref dedup examples) as a
+    published-fingerprint batch lane."""
+    from pyspark.sql import Window as W
+
+    docs = fan_out(_docs(spark, sf_dir), "doc_id")
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    d = docs.select("doc_id", words.alias("words")).where(
+        F.size("words") >= WINNOW_K
+    )
+    toks = d.select("doc_id", F.posexplode("words").alias("p0", "w0"))
+    win = W.partitionBy("doc_id").orderBy("p0")
+    lead_cols = [F.col("w0")] + [
+        F.lead("w0", k).over(win) for k in range(1, WINNOW_K)
+    ]
+    last = F.lead("w0", WINNOW_K - 1).over(win)
+    grams = (
+        toks.select(
+            "doc_id",
+            F.col("p0").alias("pos"),
+            F.concat_ws(" ", *lead_cols).alias("gram"),
+            last.alias("wlast"),
+        )
+        .where(F.col("wlast").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5(F.col("gram").cast("binary")), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    w4 = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    fps = (
+        grams.select(
+            "doc_id",
+            F.min("h").over(w4).alias("fp"),
+            F.count(F.lit(1)).over(w4).alias("wn"),
+        )
+        .where(F.col("wn") == WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    nfp = fps.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    bucketed = fps.withColumn(
+        "bsz", F.count(F.lit(1)).over(W.partitionBy("fp"))
+    ).where(F.col("bsz") <= PAIR_EMIT_BUCKET)
+    a = bucketed.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = bucketed.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_fp"))
+        .where(F.col("n_shared_fp") >= WINNOW_MIN_SHARED)
+    )
+    na = nfp.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = nfp.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "n_shared_fp",
+            "CAST((10000 * n_shared_fp) div least(na, nb) AS BIGINT)"
+            " AS overlap_bp",
+        )
+    )
+
+
+# --- LSH band-configuration tuning curve (r9) ---------------------------------
+# For each (bands b, rows-per-band r) split of the 8 minhashes, the
+# measured candidate mass the config WOULD generate (sum over buckets
+# of C(n,2) — a count, never an emission) next to the theoretical
+# s-curve collision probability at Jaccard 0.8: 1-(1-0.8^r)^b,
+# precomputed in Python and embedded as the same literal in both
+# engines. This is the capacity-planning readout for choosing
+# BAND_ROWS before a 100 TB dedup run.
+_LSH_CONFIGS = ((8, 1, 1000), (4, 2, 983), (2, 4, 651), (1, 8, 168))
+
+
+def _lsh_cfg_band_sql(b: int, r: int, p_milli: int) -> str:
+    selects = []
+    for j in range(b):
+        key = " || ':' || ".join(
+            f"mh{j * r + k}::VARCHAR" for k in range(r)
+        )
+        selects.append(
+            f"SELECT doc_id, 'b{b}r{r}' AS cfg, {p_milli} AS p_milli,"
+            f" {j} AS band_id, {key} AS band_key FROM sigs"
+        )
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "lsh_tuning_curve",
+    oracle=f"""
+WITH shingled AS ({_SHINGLES_SQL}),
+exploded AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+),
+sigs AS (
+  SELECT doc_id, {_MH_SIG_SQL} FROM exploded GROUP BY doc_id
+),
+allbands AS (
+  {" UNION ALL ".join(_lsh_cfg_band_sql(b, r, p) for b, r, p in _LSH_CONFIGS)}
+),
+buckets AS (
+  SELECT cfg, p_milli, band_id, band_key, count(*)::BIGINT AS n
+  FROM allbands GROUP BY 1, 2, 3, 4)
+SELECT cfg,
+       max(p_milli)::BIGINT AS p_at_s80_milli,
+       count(*)::BIGINT AS n_buckets,
+       sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_multi_buckets,
+       sum(n * (n - 1) // 2)::BIGINT AS candidate_pairs,
+       max(n)::BIGINT AS max_bucket
+FROM buckets GROUP BY cfg ORDER BY cfg
+""",
+    tags=("dedup", "lsh", "tuning"),
+)
+def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-configuration tuner — before a 100 TB near-dedup run,
+    the question is which (bands, rows-per-band) split of the minhash
+    signature to use. For every split of the 8 hashes (8×1, 4×2, 2×4,
+    1×8) this measures, on the actual corpus: bucket count,
+    multi-occupancy buckets, the candidate-pair MASS the config would
+    emit (Σ C(n,2) — computed as a count over bucket sizes, never by
+    materializing pairs), and the largest bucket, next to the
+    theoretical s-curve collision probability at Jaccard 0.8
+    (1-(1-0.8^r)^b, a Python-precomputed literal identical in both
+    engines). Read: b8r1 recalls everything but floods candidates;
+    b1r8 is precise but misses; the measured mass quantifies the
+    trade on THIS corpus.
+
+    Scale shape: ONE signature pass (the shared minhash chain), each
+    doc fans out to exactly Σb = 15 (cfg, band, key) rows, one
+    uniform-key count, and a 4-row rollup. The expensive thing a naive
+    tuner does — emitting candidate pairs per config — never happens."""
+    sigs = minhash_signatures(fan_out(_docs(spark, sf_dir), "doc_id"))
+    entries = []
+    for b, r, p in _LSH_CONFIGS:
+        for j in range(b):
+            key = F.concat_ws(
+                ":", *[F.col(f"mh{j * r + k}").cast("string") for k in range(r)]
+            )
+            entries.append(
+                F.struct(
+                    F.lit(f"b{b}r{r}").alias("cfg"),
+                    F.lit(p).alias("p_milli"),
+                    F.lit(j).alias("band_id"),
+                    key.alias("band_key"),
+                )
+            )
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*entries)).alias("e")
+    ).select("doc_id", "e.cfg", "e.p_milli", "e.band_id", "e.band_key")
+    buckets = bands.groupBy("cfg", "p_milli", "band_id", "band_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return (
+        buckets.groupBy("cfg")
+        .agg(
+            F.max("p_milli").cast("bigint").alias("p_at_s80_milli"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum(F.when(F.col("n") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_multi_buckets"),
+            F.sum(F.expr("n * (n - 1) div 2"))
+            .cast("bigint")
+            .alias("candidate_pairs"),
+            F.max("n").cast("bigint").alias("max_bucket"),
+        )
+        .orderBy("cfg")
+    )
+
+
+# --- duplicate-cluster size histogram (r9) ------------------------------------
+@register(
+    "dedup_cluster_size_hist",
+    oracle=f"""
+WITH RECURSIVE shingled AS ({_SHINGLES_SQL}),
+exploded AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+),
+{_CAND_SQL},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b, doc_a FROM cand
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+lab AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster
+  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+  GROUP BY d.doc_id),
+cs AS (SELECT cluster, count(*)::BIGINT AS sz FROM lab GROUP BY 1),
+t AS (SELECT sum(sz)::BIGINT AS total FROM cs)
+SELECT sz AS cluster_size,
+       count(*)::BIGINT AS n_clusters,
+       (sz * count(*))::BIGINT AS n_docs,
+       ((10000 * sz * count(*)) // max(total))::BIGINT AS docs_share_bp
+FROM cs, t GROUP BY sz ORDER BY sz
+""",
+    tags=("dedup", "clusters", "report"),
+)
+def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram — the curation KPI behind
+    dedup_clusters: how much of the corpus sits in singletons vs
+    2-clusters vs mass-dup groups (size, cluster count, doc mass,
+    corpus share bp). The shape every dedup paper reports (C4,
+    RefinedWeb, Gopher dedup sections) and the number that decides
+    whether near-dedup is worth a 100 TB pass at all.
+
+    Scale shape: rides the dedup_clusters component labels (min-label
+    propagation, O(diameter) rounds), then two bounded aggregates —
+    cluster → size (uniform key), size → histogram (|distinct sizes|
+    rows). The scalar total is a 1-row broadcast."""
+    comp = dedup_clusters(spark, sf_dir)
+    cs = comp.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    t = cs.agg(F.sum("sz").cast("bigint").alias("total"))
+    return (
+        cs.groupBy("sz")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .crossJoin(F.broadcast(t))
+        .selectExpr(
+            "sz AS cluster_size",
+            "n_clusters",
+            "CAST(sz * n_clusters AS BIGINT) AS n_docs",
+            "CAST((10000 * sz * n_clusters) div total AS BIGINT)"
+            " AS docs_share_bp",
+        )
+        .orderBy("cluster_size")
+    )

@@ -918,3 +918,182 @@ def mm_png_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     payloads = docs.select("doc_id", F.unhex(hdr).alias("payload"))
     return png_chunk_stats(payloads).orderBy("doc_id")
+
+
+# --- JPEG marker-segment audit (r9) ------------------------------------------
+@register(
+    "mm_jpeg_segments",
+    oracle="""
+SELECT doc_id, 'jpeg' AS fmt,
+       (7 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::INT AS n_segments,
+       (16 + (doc_id * 7) % 240)::INT AS width,
+       (16 + doc_id % 240)::INT AS height,
+       (1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::INT AS n_app,
+       (4 + doc_id % 7)::INT AS com_payload,
+       (doc_id % 9)::INT AS scan_bytes,
+       true AS has_eoi,
+       (122 + doc_id % 7 + doc_id % 9
+        + CASE WHEN doc_id % 3 = 0 THEN 10 ELSE 0 END)::INT AS n_bytes
+FROM documents ORDER BY doc_id
+""",
+    tags=("multimodal", "image"),
+)
+def mm_jpeg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG container audit through the REAL marker-segment walker
+    (operators/multimodal.parse_jpeg_segments): each doc gets a VALID
+    multi-segment JPEG — SOI, JFIF APP0, an optional Exif APP1, a COM
+    comment of doc-derived length, a DQT, an SOF0 carrying doc-derived
+    dimensions, an SOS followed by doc-derived entropy bytes, EOI —
+    and the walker recovers the segment census, dimensions, APPn
+    count, comment mass, scan byte count, and trailer presence from
+    raw bytes, honoring 0xFF00 stuffing / RST semantics in the scan.
+    mm_image_header reads only SOF dims; this is the full structural
+    audit (truncated scan = no EOI) for the dominant web image format.
+
+    Scale shape: payload synthesis is pure hex codegen in the scan;
+    the walk is Arrow-batched mapInPandas (payloads never leave
+    executors); one fixed-width feature row out per doc. The oracle
+    predicts every feature arithmetically from doc_id, so walker bugs
+    (length-field misread, scan overrun) surface as hash mismatches."""
+    from wally_spark.operators.multimodal import jpeg_segment_stats
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    com_n = (F.col("doc_id") % 7).cast("int")
+    scan_n = (F.col("doc_id") % 9).cast("int")
+    h = (F.lit(16) + F.col("doc_id") % 240).cast("int")
+    w = (F.lit(16) + (F.col("doc_id") * 7) % 240).cast("int")
+
+    def be16(col):
+        return F.format_string("%04x", col.cast("int"))
+
+    hdr = F.concat(
+        F.lit("ffd8"),                                   # SOI
+        F.lit("ffe0" + "0010" + "4a46494600"             # APP0 JFIF\0
+              + "0101" + "00" + "0001" + "0001" + "0000"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("ffe1" + "0008" + "457869660000"),     # APP1 Exif\0\0
+        ).otherwise(F.lit("")),
+        F.lit("fffe"),                                   # COM
+        be16(F.lit(6) + com_n),
+        F.lit("636f6d6d"),                               # 'comm'
+        F.repeat(F.lit("78"), com_n),
+        F.lit("ffdb" + "0043" + "00"),                   # DQT
+        F.repeat(F.lit("10"), F.lit(64)),
+        F.lit("ffc0" + "000b" + "08"),                   # SOF0
+        be16(h),
+        be16(w),
+        F.lit("01" + "01" + "11" + "00"),
+        F.lit("ffda" + "0008" + "01" + "01" + "00" + "003f00"),  # SOS
+        F.repeat(F.lit("55"), scan_n),                   # entropy bytes
+        F.lit("ffd9"),                                   # EOI
+    )
+    payloads = docs.select("doc_id", F.unhex(hdr).alias("payload"))
+    return jpeg_segment_stats(payloads).orderBy("doc_id")
+
+
+# --- PCM silence / clipping audit (r9) ---------------------------------------
+@register(
+    "mm_pcm_silence",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, (12 + doc_id % 8)::BIGINT AS n,
+         (doc_id % 5)::BIGINT AS lead0, (doc_id % 3)::BIGINT AS trail0
+  FROM documents),
+v AS (
+  SELECT doc_id, n, i,
+         CASE WHEN i < lead0 OR i >= n - trail0 THEN 0
+              WHEN (doc_id * 7 + i) % 6 = 0 THEN 0
+              WHEN ((doc_id * 13 + i * 31) % 4096) - 2048 = 0 THEN 7
+              ELSE ((doc_id * 13 + i * 31) % 4096) - 2048 END AS val
+  FROM (SELECT doc_id, n, lead0, trail0, unnest(range(0, n)) AS i FROM s)),
+z AS (
+  SELECT doc_id, n, i, val,
+         CASE WHEN val = 0 THEN 1 ELSE 0 END AS isz,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i)
+         - row_number() OVER (PARTITION BY doc_id, (val = 0) ORDER BY i)
+           AS grp
+  FROM v),
+runs AS (
+  SELECT doc_id, count(*)::BIGINT AS runlen
+  FROM z WHERE isz = 1 GROUP BY doc_id, grp),
+lzr AS (SELECT doc_id, max(runlen)::BIGINT AS longest FROM runs GROUP BY 1),
+agg AS (
+  SELECT doc_id, max(n)::BIGINT AS n_samples,
+         sum(isz)::BIGINT AS n_silent,
+         min(CASE WHEN isz = 0 THEN i END) AS first_nz,
+         max(CASE WHEN isz = 0 THEN i END) AS last_nz,
+         sum(CASE WHEN abs(val) >= 2000 THEN 1 ELSE 0 END)::BIGINT
+           AS n_clipped
+  FROM z GROUP BY doc_id)
+SELECT a.doc_id, a.n_samples, a.n_silent,
+       coalesce(l.longest, 0)::BIGINT AS longest_zero_run,
+       (CASE WHEN a.first_nz IS NULL THEN a.n_samples
+             ELSE a.first_nz END)::BIGINT AS lead_silence,
+       (CASE WHEN a.last_nz IS NULL THEN a.n_samples
+             ELSE a.n_samples - 1 - a.last_nz END)::BIGINT AS trail_silence,
+       a.n_clipped
+FROM agg a LEFT JOIN lzr l USING (doc_id)
+ORDER BY a.doc_id
+""",
+    tags=("multimodal", "audio", "quality"),
+)
+def mm_pcm_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence / clipping audit through the REAL sample decoder
+    (operators/multimodal.pcm_silence_stats): each doc gets a valid
+    mono 16-bit WAV whose samples encode doc-derived leading silence,
+    trailing silence, periodic mid-stream dropouts, and near-full-scale
+    peaks; the decoder chunk-walks to the data block, reinterprets
+    little-endian int16 with numpy, and emits the trim-and-filter
+    features (zero census, longest dead-air run, lead/trail silence,
+    clip count at |v| >= 2000). mm_pcm_stats measures energy; this is
+    the run-length structure — the features that decide trimming and
+    reject dead-air/clipped uploads.
+
+    The oracle rebuilds the sample stream arithmetically from doc_id
+    and derives the run lengths with gaps-and-islands windows — a
+    hash-exact check on a numpy run-length decoder.
+
+    Scale shape: map-only (synthesis codegen, decode one vectorized
+    numpy pass per Arrow batch, no shuffle)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    n = (12 + F.col("doc_id") % 8).cast("int")
+    lead0 = F.col("doc_id") % 5
+    trail0 = F.col("doc_id") % 3
+    sr = F.lit(8000)
+    ds = (n * 2).cast("int")
+    hdr = F.concat(
+        F.lit("52494646"),
+        _le32(ds + 36),
+        F.lit("57415645"),
+        F.lit("666d7420"),
+        _le32(F.lit(16)),
+        _le16(F.lit(1)),
+        _le16(F.lit(1)),
+        _le32(sr),
+        _le32(sr * 2),
+        _le16(F.lit(2)),
+        _le16(F.lit(16)),
+        F.lit("64617461"),
+        _le32(ds),
+    )
+    m = lambda i: (F.col("doc_id") * 13 + i * 31) % 4096 - 2048  # noqa: E731
+    val = lambda i: (  # noqa: E731
+        F.when((i < lead0) | (i >= n - trail0), 0)
+        .when((F.col("doc_id") * 7 + i) % 6 == 0, 0)
+        .when(m(i) == 0, 7)
+        .otherwise(m(i))
+    )
+    data_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: _le16(F.pmod(val(i), F.lit(65536))),
+        ),
+        "",
+    )
+    payloads = docs.select(
+        "doc_id", F.unhex(F.concat(hdr, data_hex)).alias("payload")
+    )
+    from wally_spark.operators.multimodal import pcm_silence_stats
+
+    return pcm_silence_stats(payloads).orderBy("doc_id")

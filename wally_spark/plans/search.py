@@ -20,7 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from wally_spark.plans.registry import register
-from wally_spark.tables import load_tables
+from wally_spark.tables import fan_out, load_tables
 
 BM25_QUERY = ("spark", "window", "merge")
 BM25_K1 = 1.2
@@ -458,3 +458,104 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "covered_tokens",
         "CAST((10000 * covered_tokens) div total AS BIGINT) AS coverage_bp",
     ).orderBy("min_count")
+
+
+# --- Kneser-Ney smoothed bigram LM (r9) --------------------------------------
+# Interpolated KN with absolute discount D = 3/4 kept RATIONAL so both
+# engines agree bit-for-bit:
+#   P_KN(w2|w1) = max(c-D,0)/c(w1.) + D*N1+(w1.)/c(w1.) * N1+(.w2)/T
+# with c >= 1 in the emitted rows, max(c-D,0) = c - 3/4, so
+#   P_KN * 1000 = 1000*((4c-3)*T + 3*nfol*nprec) / (4*cw1*T)
+# — one exact integer floor-division. int64 bound: (4c-3)*T*1000 with
+# c <= 10^6 and T <= 10^7 needs 4*10^16 < 2^63 (safe through ~sf100;
+# past that, divide by T first at the cost of 1 milli ulp).
+KN_TOPK = 40
+
+
+@register(
+    "text_lm_kneser_ney",
+    oracle=f"""
+WITH w AS (
+  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+  FROM documents),
+big AS (
+  SELECT b[1] AS w1, b[2] AS w2, count(*)::BIGINT AS c_xy
+  FROM (SELECT unnest(list_transform(range(1, len(words)),
+                                     i -> [words[i], words[i + 1]])) AS b
+        FROM w WHERE len(words) >= 2)
+  GROUP BY w1, w2),
+pre AS (
+  SELECT w1, sum(c_xy)::BIGINT AS c_w1, count(*)::BIGINT AS nfol
+  FROM big GROUP BY 1),
+fol AS (SELECT w2, count(*)::BIGINT AS nprec FROM big GROUP BY 1),
+t AS (SELECT count(*)::BIGINT AS bt FROM big)
+SELECT w1, w2, c_xy, c_w1, nfol, nprec,
+       ((1000 * ((4 * c_xy - 3) * bt + 3 * nfol * nprec))
+        // (4 * c_w1 * bt))::BIGINT AS pkn_milli,
+       ((3000 * nfol) // (4 * c_w1))::BIGINT AS lambda_milli,
+       ((1000 * nprec) // bt)::BIGINT AS pcont_milli
+FROM big JOIN pre USING (w1) JOIN fol USING (w2), t
+ORDER BY c_xy DESC, w1, w2
+LIMIT {KN_TOPK}
+""",
+    tags=("text", "lm", "ngram"),
+)
+def text_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (the modified-counts smoothing
+    behind KenLM and every production n-gram LM) over the corpus, kept
+    EXACT: with discount D = 3/4 rational, P_KN(w2|w1), the backoff
+    weight lambda(w1) = D*N1+(w1.)/c(w1.), and the continuation
+    probability N1+(.w2)/|bigram types| are all single integer
+    floor-divisions in millis — no floats, no libm, engine-identical.
+    Emits the top-{KN_TOPK} bigrams by count with their counts,
+    prefix mass, follower/preceder fan-outs, and all three
+    probabilities. text_lm_bigram is MLE-shaped; this is the smoothed
+    estimator a real LM deploys (unseen-bigram mass redistributed by
+    continuation counts).
+
+    Scale shape: the bigram stream is codegen (posexplode + lead);
+    counts aggregate on the uniform (w1,w2) key; the prefix/follower
+    tables ride w1- and w2-keyed joins (uniform); the 1-row type total
+    broadcasts; the readout is TakeOrdered top-{KN_TOPK}, never a
+    global sort."""
+    from pyspark.sql import Window as W
+
+    docs = fan_out(_docs(spark, sf_dir), "doc_id")
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    d = docs.select("doc_id", words.alias("words")).where(F.size("words") >= 2)
+    toks = d.select("doc_id", F.posexplode("words").alias("p0", "w"))
+    win = W.partitionBy("doc_id").orderBy("p0")
+    nxt = F.lead("w", 1).over(win)
+    big = (
+        toks.select(F.col("w").alias("w1"), nxt.alias("w2"))
+        .where(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_xy"))
+    )
+    pre = big.groupBy("w1").agg(
+        F.sum("c_xy").cast("bigint").alias("c_w1"),
+        F.count(F.lit(1)).cast("bigint").alias("nfol"),
+    )
+    fol = big.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nprec")
+    )
+    t = big.agg(F.count(F.lit(1)).cast("bigint").alias("bt"))
+    return (
+        big.join(pre, "w1")
+        .join(fol, "w2")
+        .crossJoin(F.broadcast(t))
+        .selectExpr(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_w1",
+            "nfol",
+            "nprec",
+            "CAST((1000 * ((4 * c_xy - 3) * bt + 3 * nfol * nprec))"
+            " div (4 * c_w1 * bt) AS BIGINT) AS pkn_milli",
+            "CAST((3000 * nfol) div (4 * c_w1) AS BIGINT) AS lambda_milli",
+            "CAST((1000 * nprec) div bt AS BIGINT) AS pcont_milli",
+        )
+        .orderBy(F.desc("c_xy"), "w1", "w2")
+        .limit(KN_TOPK)
+    )

@@ -797,3 +797,69 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000 * sum(n_words)) div nullif(sum(n_sent), 0) AS BIGINT)"
         ).alias("words_per_sent_milli"),
     )
+
+
+# --- OOV rate under a frequency-capped vocab, per (lang, source) (r9) --------
+OOV_MIN_FREQ = 5
+
+
+@register(
+    "oov_rate_by_source",
+    oracle=f"""
+WITH w AS (
+  SELECT lang, source,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+           AS term
+  FROM documents),
+f AS (SELECT term, count(*)::BIGINT AS c FROM w GROUP BY 1)
+SELECT lang, source,
+       count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN c < {OOV_MIN_FREQ} THEN 1 ELSE 0 END)::BIGINT
+         AS oov_tokens,
+       ((10000 * sum(CASE WHEN c < {OOV_MIN_FREQ} THEN 1 ELSE 0 END))
+        // count(*))::BIGINT AS oov_bp,
+       count(DISTINCT CASE WHEN c < {OOV_MIN_FREQ} THEN term END)::BIGINT
+         AS oov_types
+FROM w JOIN f USING (term)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    tags=("text", "tokenizer", "vocab"),
+)
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per (lang, source) under a
+    frequency-capped vocabulary (corpus frequency >= {OOV_MIN_FREQ}
+    keeps a term in-vocab) — the "which slices will the tokenizer
+    serve badly" report that vocab_coverage_curve's global curve
+    can't answer: token mass, OOV token mass, OOV rate in basis
+    points, and distinct OOV types per slice.
+
+    Scale shape: one token explode (fan_out first), a term-keyed
+    frequency aggregate, then a term-keyed equi-join back onto the
+    stream — both uniform-key shuffles (hot terms are by definition
+    in-vocab, so the join skew ceiling is the OOV tail, which is flat);
+    the rollup is |lang×source|-bounded. The vocab is corpus-sized so
+    it is NEVER broadcast; AQE may still pick broadcast at small SF."""
+    docs = fan_out(_docs(spark, sf_dir), "doc_id")
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    w = docs.select(
+        "lang", "source", F.explode(words).alias("term")
+    )
+    f = w.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    oov = F.when(F.col("c") < OOV_MIN_FREQ, 1).otherwise(0)
+    return (
+        w.join(f, "term")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(oov).cast("bigint").alias("oov_tokens"),
+            F.floor((10000 * F.sum(oov)) / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("oov_bp"),
+            F.countDistinct(
+                F.when(F.col("c") < OOV_MIN_FREQ, F.col("term"))
+            )
+            .cast("bigint")
+            .alias("oov_types"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -929,3 +929,208 @@ def event_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((1000 * (n * sxy - sx * sy))"
         " div nullif(n * sxx - sx * sx, 0) AS BIGINT) AS slope_milli",
     ).orderBy("event_type")
+
+
+# --- exact per-day percentiles (r9) ------------------------------------------
+@register(
+    "daily_value_percentiles",
+    oracle="""
+WITH v AS (
+  SELECT ts::DATE AS day, event_type,
+         CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vm, event_id
+  FROM events),
+r AS (
+  SELECT day, event_type, vm,
+         row_number() OVER (PARTITION BY day, event_type
+                            ORDER BY vm, event_id) AS rk,
+         count(*) OVER (PARTITION BY day, event_type) AS n
+  FROM v)
+SELECT day, event_type, max(n)::BIGINT AS n_events,
+       max(CASE WHEN rk = (50 * n + 99) // 100 THEN vm END)::BIGINT
+         AS p50_milli,
+       max(CASE WHEN rk = (90 * n + 99) // 100 THEN vm END)::BIGINT
+         AS p90_milli,
+       max(CASE WHEN rk = (99 * n + 99) // 100 THEN vm END)::BIGINT
+         AS p99_milli
+FROM r GROUP BY day, event_type
+ORDER BY day, event_type
+""",
+    tags=("events", "timeseries", "percentiles"),
+)
+def daily_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank daily percentiles — the latency-dashboard
+    shape (p50/p90/p99 per day per type) computed EXACTLY in integer
+    millis: rank r_q = ceil(q·n) within each (day, type) group picks
+    the percentile value, deterministic under the (value, event_id)
+    tiebreak. The quantiles_by_type lane is global; this is the
+    time-bucketed operational face.
+
+    Scale shape: ONE shuffle on the composite (day, type) key carries
+    both windows and the final rollup (partitioning reused across the
+    rank, count, and groupBy stages — Catalyst plans a single
+    Exchange); groups are day-sized so no partition exceeds one day's
+    type slice. At 10⁹-row days swap the row_number for the
+    distributed ntile (operators/prefix.py) — same rank semantics."""
+    e = _events(spark, sf_dir).select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.floor(F.col("value") * 1000.0 + 0.5).cast("bigint").alias("vm"),
+        "event_id",
+    )
+    wr = Window.partitionBy("day", "event_type").orderBy("vm", "event_id")
+    wn = Window.partitionBy("day", "event_type")
+    r = e.select(
+        "day",
+        "event_type",
+        "vm",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(q: int, name: str):
+        idx = F.expr(f"({q} * n + 99) div 100")
+        return (
+            F.max(F.when(F.col("rk") == idx, F.col("vm")))
+            .cast("bigint")
+            .alias(name)
+        )
+
+    return (
+        r.groupBy("day", "event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            pick(50, "p50_milli"),
+            pick(90, "p90_milli"),
+            pick(99, "p99_milli"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+# --- multivariate OLS: value ~ hour + dow (r9) -------------------------------
+@register(
+    "events_ols_multi",
+    oracle="""
+WITH f AS (
+  SELECT event_type,
+         hour(ts)::BIGINT AS x1,
+         (dayofweek(ts) + 1)::BIGINT AS x2,
+         CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS y
+  FROM events),
+m AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n,
+         sum(x1)::BIGINT AS s1, sum(x2)::BIGINT AS s2,
+         sum(y)::BIGINT AS sy,
+         sum(x1 * x1)::BIGINT AS s11, sum(x2 * x2)::BIGINT AS s22,
+         sum(x1 * x2)::BIGINT AS s12,
+         sum(x1 * y)::BIGINT AS s1y, sum(x2 * y)::BIGINT AS s2y,
+         sum(y * y)::BIGINT AS syy
+  FROM f GROUP BY 1),
+d AS (
+  SELECT event_type, n, sy, s1y, s2y, syy,
+         (n::DOUBLE * ((s11::DOUBLE * s22::DOUBLE) - (s12::DOUBLE * s12::DOUBLE))
+          - s1::DOUBLE * ((s1::DOUBLE * s22::DOUBLE) - (s12::DOUBLE * s2::DOUBLE))
+          + s2::DOUBLE * ((s1::DOUBLE * s12::DOUBLE) - (s11::DOUBLE * s2::DOUBLE)))
+           AS det,
+         (sy::DOUBLE * ((s11::DOUBLE * s22::DOUBLE) - (s12::DOUBLE * s12::DOUBLE))
+          - s1::DOUBLE * ((s1y::DOUBLE * s22::DOUBLE) - (s12::DOUBLE * s2y::DOUBLE))
+          + s2::DOUBLE * ((s1y::DOUBLE * s12::DOUBLE) - (s11::DOUBLE * s2y::DOUBLE)))
+           AS det0,
+         (n::DOUBLE * ((s1y::DOUBLE * s22::DOUBLE) - (s12::DOUBLE * s2y::DOUBLE))
+          - sy::DOUBLE * ((s1::DOUBLE * s22::DOUBLE) - (s12::DOUBLE * s2::DOUBLE))
+          + s2::DOUBLE * ((s1::DOUBLE * s2y::DOUBLE) - (s1y::DOUBLE * s2::DOUBLE)))
+           AS det1,
+         (n::DOUBLE * ((s11::DOUBLE * s2y::DOUBLE) - (s1y::DOUBLE * s12::DOUBLE))
+          - s1::DOUBLE * ((s1::DOUBLE * s2y::DOUBLE) - (s1y::DOUBLE * s2::DOUBLE))
+          + sy::DOUBLE * ((s1::DOUBLE * s12::DOUBLE) - (s11::DOUBLE * s2::DOUBLE)))
+           AS det2
+  FROM m)
+SELECT event_type, n AS n_events,
+       round(det0 / det, 4) AS beta0_milli,
+       round(det1 / det, 4) AS beta1_milli,
+       round(det2 / det, 4) AS beta2_milli,
+       CAST(floor(10000.0
+         * (((det0 / det) * sy::DOUBLE + (det1 / det) * s1y::DOUBLE
+             + (det2 / det) * s2y::DOUBLE)
+            - (sy::DOUBLE * sy::DOUBLE) / n::DOUBLE)
+         / nullif(syy::DOUBLE - (sy::DOUBLE * sy::DOUBLE) / n::DOUBLE, 0.0))
+         AS BIGINT) AS r2_bp
+FROM d ORDER BY event_type
+""",
+    tags=("events", "timeseries", "regression"),
+)
+def events_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate OLS — value_milli ~ hour-of-day + day-of-week per
+    event type, solved in closed form (3×3 normal equations, Cramer's
+    rule): the capacity/pricing model event_volume_trend's univariate
+    slope can't fit. Emits betas (milli units, 4 dp) and R² in basis
+    points.
+
+    Float discipline: all ten moments are EXACT int64 (Σx₁y ≤
+    23·10⁶·|rows| keeps sf1000 under 2⁶³ per type-day… the binding
+    term Σy² ≈ |rows|·10¹² caps |rows| at ~9·10⁶ per type before the
+    moment itself needs splitting — documented); every double enters
+    by an exact BIGINT→DOUBLE cast (< 2⁵³) and the Cramer determinants
+    are ONE fixed-parenthesization expression evaluated identically in
+    both engines on the types-bounded 1-row-per-type relation — IEEE
+    multiply/divide are exactly rounded, so the results are
+    bit-identical and hash-exact.
+
+    Scale shape: one codegen scan → types-bounded moment aggregate
+    (map-side combined); the solve runs on |types| rows."""
+    f = _events(spark, sf_dir).select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("x1"),
+        F.dayofweek("ts").cast("bigint").alias("x2"),
+        F.floor(F.col("value") * 1000.0 + 0.5).cast("bigint").alias("y"),
+    )
+    m = f.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).cast("bigint").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("bigint").alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+
+    def D(c):
+        return f"CAST({c} AS DOUBLE)"
+
+    det = (
+        f"({D('n')} * (({D('s11')} * {D('s22')}) - ({D('s12')} * {D('s12')}))"
+        f" - {D('s1')} * (({D('s1')} * {D('s22')}) - ({D('s12')} * {D('s2')}))"
+        f" + {D('s2')} * (({D('s1')} * {D('s12')}) - ({D('s11')} * {D('s2')})))"
+    )
+    det0 = (
+        f"({D('sy')} * (({D('s11')} * {D('s22')}) - ({D('s12')} * {D('s12')}))"
+        f" - {D('s1')} * (({D('s1y')} * {D('s22')}) - ({D('s12')} * {D('s2y')}))"
+        f" + {D('s2')} * (({D('s1y')} * {D('s12')}) - ({D('s11')} * {D('s2y')})))"
+    )
+    det1 = (
+        f"({D('n')} * (({D('s1y')} * {D('s22')}) - ({D('s12')} * {D('s2y')}))"
+        f" - {D('sy')} * (({D('s1')} * {D('s22')}) - ({D('s12')} * {D('s2')}))"
+        f" + {D('s2')} * (({D('s1')} * {D('s2y')}) - ({D('s1y')} * {D('s2')})))"
+    )
+    det2 = (
+        f"({D('n')} * (({D('s11')} * {D('s2y')}) - ({D('s1y')} * {D('s12')}))"
+        f" - {D('s1')} * (({D('s1')} * {D('s2y')}) - ({D('s1y')} * {D('s2')}))"
+        f" + {D('sy')} * (({D('s1')} * {D('s12')}) - ({D('s11')} * {D('s2')})))"
+    )
+    return m.selectExpr(
+        "event_type",
+        "n AS n_events",
+        f"round({det0} / {det}, 4) AS beta0_milli",
+        f"round({det1} / {det}, 4) AS beta1_milli",
+        f"round({det2} / {det}, 4) AS beta2_milli",
+        f"CAST(floor(10000.0"
+        f" * ((({det0} / {det}) * {D('sy')} + ({det1} / {det}) * {D('s1y')}"
+        f"     + ({det2} / {det}) * {D('s2y')})"
+        f"    - ({D('sy')} * {D('sy')}) / {D('n')})"
+        f" / nullif({D('syy')} - ({D('sy')} * {D('sy')}) / {D('n')}, 0.0D))"
+        f" AS BIGINT) AS r2_bp",
+    ).orderBy("event_type")
