@@ -437,3 +437,91 @@ def test_mm_phash_dup_finds_planted_near_pair(spark, tmp_path):
     near = [p for p in pairs if p[0] == 1 and p[1] == 2]
     assert len(near) == 1 and 1 <= near[2 - 2][2] <= 2, pairs
     assert not any(3 in (p[0], p[1]) for p in pairs), pairs
+
+
+# --- r9: JPEG segment walker --------------------------------------------------
+def _mk_jpeg(app1=False, com_n=3, h=100, w=200, scan_n=5, eoi=True):
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(
+        [1, 1, 0, 0, 1, 0, 1, 0, 0]
+    )
+    if app1:
+        out += b"\xff\xe1" + (8).to_bytes(2, "big") + b"Exif\x00\x00"
+    out += b"\xff\xfe" + (6 + com_n).to_bytes(2, "big") + b"comm" + b"x" * com_n
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + b"\x10" * 64
+    out += (
+        b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x01\x01\x11\x00"
+    )
+    out += b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01\x01\x00\x00\x3f\x00"
+    out += b"\x55" * scan_n
+    if eoi:
+        out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_parse_jpeg_segments_structures():
+    from wally_spark.operators.multimodal import parse_jpeg_segments
+
+    ns, w, h, na, cp, sb, eoi = parse_jpeg_segments(_mk_jpeg())
+    assert (ns, w, h, na, cp, sb, eoi) == (7, 200, 100, 1, 7, 5, True)
+    ns2, _, _, na2, *_ = parse_jpeg_segments(_mk_jpeg(app1=True))
+    assert (ns2, na2) == (8, 2)
+    # stuffed 0xFF00 inside the scan is NOT a marker
+    j = _mk_jpeg(scan_n=0)
+    stuffed = j[:-2] + b"\x55\xff\x00\x55" + j[-2:]
+    assert parse_jpeg_segments(stuffed)[5] == 4  # scan_bytes
+    # truncated scan (no EOI) is REPORTED, not rejected; garbage is
+    # rejected, never raises
+    trunc = parse_jpeg_segments(_mk_jpeg(eoi=False))
+    assert trunc[6] is False and trunc[5] == 5  # has_eoi, scan_bytes
+    assert parse_jpeg_segments(b"\x89PNG\r\n\x1a\n") is None
+    assert parse_jpeg_segments(b"\xff\xd8\x00\x01") is None
+
+
+def test_pcm_silence_stats_exact(spark):
+    """Handcrafted sample stream: [0,0,5,0,0,0,-2500,7,0] => 9 samples,
+    6 silent, longest zero run 3, lead 2, trail 1, one clip."""
+    import struct
+
+    samples = [0, 0, 5, 0, 0, 0, -2500, 7, 0]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    from wally_spark.operators.multimodal import pcm_silence_stats
+
+    df = spark.createDataFrame([(1, wav)], "doc_id long, payload binary")
+    row = pcm_silence_stats(df).collect()[0]
+    assert (
+        row.n_samples, row.n_silent, row.longest_zero_run,
+        row.lead_silence, row.trail_silence, row.n_clipped,
+    ) == (9, 6, 3, 2, 1, 1)
+
+
+def test_dedup_winnowing_planted_pair(spark, tmp_path):
+    """Two docs sharing a 30-word run must share winnowing fingerprints
+    (the (k+w-1)-word-run guarantee, k=w=4); an unrelated doc must not
+    pair with either."""
+    shared = " ".join(f"run{i}" for i in range(30))
+    rows = [
+        (1, "alpha beta " + shared + " gamma", "en", "s0", 0),
+        (2, "delta " + shared + " epsilon zeta", "en", "s0", 0),
+        (3, " ".join(f"unrel{i}" for i in range(40)), "en", "s0", 0),
+    ]
+    out = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{out}/documents.parquet")
+
+    from wally_spark.plans import REGISTRY
+
+    pairs = [
+        tuple(r)
+        for r in REGISTRY["dedup_winnowing"].spark_fn(spark, out).collect()
+    ]
+    ab = [p for p in pairs if (p[0], p[1]) == (1, 2)]
+    assert len(ab) == 1 and ab[0][2] >= 2, pairs
+    assert not any(3 in (p[0], p[1]) for p in pairs), pairs

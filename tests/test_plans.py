@@ -177,6 +177,9 @@ def test_no_cartesian_anywhere(spark):
         "session_conversion_lag",  # 1-row histogram-total side
         "sample_kfold_assign",  # 1-row fold-total side for dev_bp
         "embedding_cluster_balance",  # 1-row corpus-total side onto K rows
+        "join_skew_audit",  # 1-row (total, n_keys) side for the shares
+        "dedup_cluster_size_hist",  # 1-row corpus-total side for share_bp
+        "text_lm_kneser_ney",  # 1-row bigram-type-total side
     }
     offenders = []
     for name in sorted(REGISTRY):

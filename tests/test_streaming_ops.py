@@ -1886,3 +1886,120 @@ def test_phashdedup_against_corpus(spark, tmp_path):
     b3 = {r["doc_id"]: r["is_dup"]
           for r in spark.read.parquet(f"{out}/b3").collect()}
     assert b3[30] and not b3[31]
+
+
+def test_winnowdedup_against_corpus(spark, tmp_path):
+    """Streaming winnowing dedup: a lightly-edited copy arriving in a
+    LATER batch must flag as near-dup of the stored original (sharing
+    >= WINNOW_MIN_SHARED selected fingerprints), fresh docs must not;
+    the union of verdicts equals the batch lane's pair rule over the
+    concatenated corpus; replay is idempotent; the store keeps
+    matching after a fp-bucketed compact_corpus."""
+    import os
+
+    from wally_spark.plans import REGISTRY
+    from wally_spark.streaming.ops import (
+        compact_corpus,
+        winnowdedup_against_corpus_foreach_batch,
+    )
+
+    text_a = " ".join(f"alpha{i}" for i in range(40))
+    edited = text_a.replace("alpha20", "edited20")
+    fresh1 = " ".join(f"beta{i}" for i in range(40))
+    fresh2 = " ".join(f"gamma{i}" for i in range(40))
+    docs = {1: text_a, 2: fresh1, 10: edited, 11: fresh2, 20: text_a}
+    batches = [[1, 2], [10, 11], [20]]
+    schema = "doc_id long, text string"
+
+    fps, out = str(tmp_path / "fps"), str(tmp_path / "out")
+    fn = winnowdedup_against_corpus_foreach_batch(spark, fps, out)
+    for i, ids in enumerate(batches):
+        fn(spark.createDataFrame([(d, docs[d]) for d in ids], schema), i)
+    assert os.path.exists(f"{fps}/_WALLY_STORE_FORMAT")
+
+    got = {
+        r["doc_id"]: (r["is_neardup"], r["match_doc"])
+        for r in spark.read.parquet(f"{out}/b*").collect()
+    }
+    assert got[1] == (False, None) and got[2] == (False, None)
+    assert got[11] == (False, None)
+    assert got[10] == (True, 1)
+    assert got[20] == (True, 1)  # identical: max shared fps with doc 1
+
+    # equivalence with the batch lane over the concatenated corpus
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(d, t, "en", "s0", len(t)) for d, t in docs.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{corpus}/documents.parquet")
+    pairs = REGISTRY["dedup_winnowing"].spark_fn(spark, corpus).collect()
+    want_dup = {d: any(p["doc_b"] == d for p in pairs) for d in docs}
+    assert {d: got[d][0] for d in docs} == want_dup, (got, pairs)
+
+    # replay idempotence
+    before = sorted(tuple(r) for r in spark.read.parquet(f"{out}/b1").collect())
+    fn(spark.createDataFrame([(d, docs[d]) for d in batches[1]], schema), 1)
+    after = sorted(tuple(r) for r in spark.read.parquet(f"{out}/b1").collect())
+    assert before == after
+
+    # compaction keeps probes equivalent
+    compact_corpus(spark, fps, upto=2, bucket_key="fp")
+    fn(
+        spark.createDataFrame(
+            [(30, text_a), (31, " ".join(f"delta{i}" for i in range(40)))],
+            schema,
+        ),
+        3,
+    )
+    b3 = {
+        r["doc_id"]: r["is_neardup"]
+        for r in spark.read.parquet(f"{out}/b3").collect()
+    }
+    assert b3[30] and not b3[31]
+
+
+def test_reservoir_incremental_matches_batch(spark, tmp_path):
+    """Incremental reservoir: after every batch the published sample
+    equals the batch sample_reservoir lane over the concatenated
+    corpus (min-K by md5 rank is a semigroup); replay is idempotent;
+    a folded compaction leaves later folds identical."""
+    from wally_spark.plans import REGISTRY
+    from wally_spark.streaming.ops import (
+        compact_corpus,
+        reservoir_fold,
+        reservoir_foreach_batch,
+    )
+
+    rows = [(i, f"text {i}", ["en", "de", "fr"][i % 3], "s0", 7)
+            for i in range(90)]
+    batches = [rows[:30], rows[30:60], rows[60:]]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    store, out = str(tmp_path / "sample"), str(tmp_path / "out")
+    fn = reservoir_foreach_batch(spark, store, out)
+    seen = []
+    for i, b in enumerate(batches):
+        seen.extend(b)
+        fn(spark.createDataFrame(b, schema), i)
+        corpus = str(tmp_path / f"corpus{i}")
+        spark.createDataFrame(seen, schema).write.parquet(
+            f"{corpus}/documents.parquet"
+        )
+        want = sorted(
+            tuple(r)
+            for r in REGISTRY["sample_reservoir"].spark_fn(spark, corpus).collect()
+        )
+        got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        assert got == want, (i, got, want)
+
+    # replay idempotence
+    fn(spark.createDataFrame(batches[2], schema), 2)
+    got2 = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got2 == want
+
+    # folded compaction (one behind the committed offset, per the
+    # compact_corpus contract) preserves the published sample
+    compact_corpus(spark, store, upto=1, fold=reservoir_fold)
+    fn(spark.createDataFrame(batches[2], schema), 2)
+    got3 = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got3 == want

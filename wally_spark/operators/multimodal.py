@@ -838,6 +838,10 @@ def parse_jpeg_segments(b: bytes):
                 if b[pos] == 0xFF and b[pos + 1] not in (0x00, *range(0xD0, 0xD8)):
                     return None  # unexpected marker inside scan
                 pos += 1
+            if not has_eoi:
+                # truncated download: REPORT it (has_eoi=False) — the
+                # audit lane's whole point — rather than rejecting
+                scan_bytes = len(b) - scan_start
             break
     if width is None:
         return None

@@ -1300,6 +1300,54 @@ fps_k AS (
 )"""
 
 
+def winnow_fingerprints(docs):
+    """(doc_id, fp) DISTINCT winnowing-selected fingerprints for any
+    (doc_id, text) DataFrame — the shared selector of the batch
+    ``dedup_winnowing`` lane and the streaming
+    winnowdedup_against_corpus face: 4-word-gram md5 hashes, min over
+    each 4-gram window (codegen posexplode + lead + window min; two
+    doc-keyed window passes on one Exchange)."""
+    from pyspark.sql import Window as W
+
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    d = docs.select("doc_id", words.alias("words")).where(
+        F.size("words") >= WINNOW_K
+    )
+    toks = d.select("doc_id", F.posexplode("words").alias("p0", "w0"))
+    win = W.partitionBy("doc_id").orderBy("p0")
+    lead_cols = [F.col("w0")] + [
+        F.lead("w0", k).over(win) for k in range(1, WINNOW_K)
+    ]
+    last = F.lead("w0", WINNOW_K - 1).over(win)
+    grams = (
+        toks.select(
+            "doc_id",
+            F.col("p0").alias("pos"),
+            F.concat_ws(" ", *lead_cols).alias("gram"),
+            last.alias("wlast"),
+        )
+        .where(F.col("wlast").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5(F.col("gram").cast("binary")), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    w4 = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    return (
+        grams.select(
+            "doc_id",
+            F.min("h").over(w4).alias("fp"),
+            F.count(F.lit(1)).over(w4).alias("wn"),
+        )
+        .where(F.col("wn") == WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
 @register(
     "dedup_winnowing",
     oracle=f"""
@@ -1336,47 +1384,9 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: stateful dedup-window computations
     (machida/lib/wallaroo state_computation; ref dedup examples) as a
     published-fingerprint batch lane."""
-    from pyspark.sql import Window as W
-
-    docs = fan_out(_docs(spark, sf_dir), "doc_id")
-    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
-    d = docs.select("doc_id", words.alias("words")).where(
-        F.size("words") >= WINNOW_K
-    )
-    toks = d.select("doc_id", F.posexplode("words").alias("p0", "w0"))
-    win = W.partitionBy("doc_id").orderBy("p0")
-    lead_cols = [F.col("w0")] + [
-        F.lead("w0", k).over(win) for k in range(1, WINNOW_K)
-    ]
-    last = F.lead("w0", WINNOW_K - 1).over(win)
-    grams = (
-        toks.select(
-            "doc_id",
-            F.col("p0").alias("pos"),
-            F.concat_ws(" ", *lead_cols).alias("gram"),
-            last.alias("wlast"),
-        )
-        .where(F.col("wlast").isNotNull())
-        .select(
-            "doc_id",
-            "pos",
-            F.conv(F.substring(F.md5(F.col("gram").cast("binary")), 1, 8), 16, 10)
-            .cast("bigint")
-            .alias("h"),
-        )
-    )
-    w4 = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
-    fps = (
-        grams.select(
-            "doc_id",
-            F.min("h").over(w4).alias("fp"),
-            F.count(F.lit(1)).over(w4).alias("wn"),
-        )
-        .where(F.col("wn") == WINNOW_W)
-        .select("doc_id", "fp")
-        .distinct()
-    )
+    fps = winnow_fingerprints(fan_out(_docs(spark, sf_dir), "doc_id"))
     nfp = fps.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    from pyspark.sql import Window as W
     bucketed = fps.withColumn(
         "bsz", F.count(F.lit(1)).over(W.partitionBy("fp"))
     ).where(F.col("bsz") <= PAIR_EMIT_BUCKET)

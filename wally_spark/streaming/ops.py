@@ -2240,3 +2240,160 @@ def heavy_hitters_foreach_batch(
         free_blocks(part)
 
     return proc
+
+
+def winnowdedup_against_corpus_foreach_batch(spark, fps_path: str, out_path: str):
+    """Incremental WINNOWING near-dedup — the streaming face of the
+    batch ``dedup_winnowing`` lane (MOSS fingerprinting): every
+    arriving document's winnowing-selected fingerprint set
+    (plans/dedup.winnow_fingerprints — the shared selector) probes the
+    PERSISTENT (doc_id, fp) store; the doc is a near-dup if it shares
+    >= WINNOW_MIN_SHARED fingerprints with any single earlier document
+    (store or lower-id in-batch). Reports
+    (doc_id, n_fp, n_shared_max, match_doc, is_neardup) land in
+    ``out_path/b<batch_id>``; the batch's fingerprint rows register in
+    ``fps_path/b<batch_id>``.
+
+    Hot-fingerprint discipline mirrors the batch lane: fingerprints
+    held by more than PAIR_EMIT_BUCKET docs within a probed corpus
+    part (or within the batch) are excluded from pairing — they are
+    mass-dup boilerplate, exact-dedup territory — so a boilerplate fp
+    can never emit B² match rows. Store format-stamped; per-batch
+    overwrite dirs + own-batch exclusion give replay idempotence;
+    compact_corpus(bucket_key="fp") keeps probes Exchange-free."""
+    from wally_spark.operators.checkpoint import free_blocks, pin
+    from wally_spark.plans.dedup import (
+        PAIR_EMIT_BUCKET,
+        WINNOW_MIN_SHARED,
+        winnow_fingerprints,
+    )
+
+    ensure_store_format(
+        spark, fps_path, "winnowdedup-fps-v1", required_cols=("doc_id", "fp")
+    )
+
+    def _capped(fdf):
+        from pyspark.sql import Window as W
+
+        return fdf.withColumn(
+            "bsz", F.count(F.lit(1)).over(W.partitionBy("fp"))
+        ).where(F.col("bsz") <= PAIR_EMIT_BUCKET).drop("bsz")
+
+    def proc(batch_df, batch_id):
+        fps = pin(winnow_fingerprints(batch_df))
+        nfp = fps.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fp")
+        )
+        capped = _capped(fps)
+        older = capped.select(
+            F.col("doc_id").alias("match_doc"), "fp"
+        )
+        matches = (
+            capped.join(older, "fp")
+            .where(F.col("match_doc") < F.col("doc_id"))
+            .groupBy("doc_id", "match_doc")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        )
+        for part in corpus_probe_parts(spark, fps_path, exclude_batch=batch_id):
+            p = _capped(part.select("doc_id", "fp")).select(
+                F.col("doc_id").alias("match_doc"), "fp"
+            )
+            hit = (
+                capped.join(p, "fp")
+                .groupBy("doc_id", "match_doc")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+            )
+            matches = matches.unionByName(hit)
+        best = (
+            matches.where(F.col("n_shared") >= WINNOW_MIN_SHARED)
+            .groupBy("doc_id")
+            .agg(
+                F.max(F.struct("n_shared", (-F.col("match_doc")).alias("nm")))
+                .alias("b")
+            )
+            .select(
+                "doc_id",
+                F.col("b.n_shared").alias("n_shared_max"),
+                (-F.col("b.nm")).cast("bigint").alias("match_doc"),
+            )
+        )
+        nfp.join(best, "doc_id", "left").select(
+            "doc_id",
+            "n_fp",
+            F.coalesce("n_shared_max", F.lit(0)).cast("bigint").alias(
+                "n_shared_max"
+            ),
+            "match_doc",
+            F.col("n_shared_max").isNotNull().alias("is_neardup"),
+        ).write.mode("overwrite").parquet(f"{out_path}/b{batch_id}")
+        fps.write.mode("overwrite").parquet(f"{fps_path}/b{batch_id}")
+        free_blocks(fps)
+
+    return proc
+
+
+def reservoir_fold(df: DataFrame, k: int | None = None) -> DataFrame:
+    """Associative merge of reservoir partials — rank the union of
+    per-batch top-K rows by the SAME (md5(doc_id), doc_id) permutation
+    and keep K per stratum. min-K by a fixed hash is a semigroup, so
+    fold(fold(a,b),c) == fold(a,b,c); also the ``fold=`` argument that
+    lets compact_corpus collapse the sample store."""
+    from pyspark.sql import Window as W
+
+    from wally_spark.plans.sampling import RESERVOIR_K
+
+    k = k or RESERVOIR_K
+    w = W.partitionBy("lang").orderBy("hkey", "doc_id")
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("lang", "doc_id", "hkey")
+    )
+
+
+def reservoir_foreach_batch(spark, sample_path: str, out_path: str):
+    """Incremental deterministic reservoir sample — the streaming face
+    of the batch ``sample_reservoir`` lane: K docs per language
+    stratum under the SAME seed-free md5(doc_id) permutation, folded
+    incrementally. Each batch writes only its OWN per-stratum top-K
+    partial into ``sample_path/b<batch_id>`` (bounded: K rows per
+    stratum per batch, never event volume), and the published sample
+    is the read-time fold over all partials — identical to the batch
+    lane over the concatenated corpus because min-K by a fixed hash is
+    a semigroup (the equivalence test pins it, rk spelling and all).
+
+    Idempotence: replaying a batch rewrites the same ``b<batch_id>``
+    partial and republishes an identical sample. The store supports
+    compact_corpus(fold=reservoir_fold) to collapse history to one
+    top-K per stratum."""
+    from wally_spark.operators.checkpoint import free_blocks
+
+    ensure_store_format(
+        spark, sample_path, "reservoir-sample-v1",
+        required_cols=("lang", "doc_id", "hkey"),
+    )
+
+    def proc(batch_df, batch_id):
+        d = batch_df.select(
+            "lang",
+            "doc_id",
+            F.md5(F.col("doc_id").cast("string")).alias("hkey"),
+        )
+        part = reservoir_fold(d).localCheckpoint()
+        part.write.mode("overwrite").parquet(f"{sample_path}/b{batch_id}")
+        merged = part
+        for p in corpus_probe_parts(spark, sample_path, exclude_batch=batch_id):
+            merged = merged.unionByName(p.select("lang", "doc_id", "hkey"))
+        from pyspark.sql import Window as W
+
+        from wally_spark.plans.sampling import RESERVOIR_K
+
+        w = W.partitionBy("lang").orderBy("hkey", "doc_id")
+        (
+            merged.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= RESERVOIR_K)
+            .select("lang", F.col("rk").cast("bigint").alias("rk"), "doc_id")
+        ).write.mode("overwrite").parquet(out_path)
+        free_blocks(part)
+
+    return proc
