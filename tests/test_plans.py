@@ -180,6 +180,7 @@ def test_no_cartesian_anywhere(spark):
         "join_skew_audit",  # 1-row (total, n_keys) side for the shares
         "dedup_cluster_size_hist",  # 1-row corpus-total side for share_bp
         "text_lm_kneser_ney",  # 1-row bigram-type-total side
+        "dq_referential_audit",  # five 1-row (orphans × total) combines
     }
     offenders = []
     for name in sorted(REGISTRY):

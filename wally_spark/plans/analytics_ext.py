@@ -2044,3 +2044,231 @@ def supplier_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# --- discount-band effectiveness (r9) ----------------------------------------
+@register(
+    "discount_band_report",
+    oracle="""
+WITH l AS (
+  SELECT CAST(round(l_discount * 100) AS BIGINT) AS band,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS net_cents,
+         CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)
+           AS given_cents,
+         l_quantity
+  FROM lineitem),
+b AS (
+  SELECT band, count(*)::BIGINT AS n_lines,
+         sum(net_cents)::BIGINT AS revenue_cents,
+         sum(given_cents)::BIGINT AS discount_cents,
+         CAST(sum(l_quantity) AS BIGINT) AS total_qty
+  FROM l GROUP BY 1)
+SELECT band, n_lines, revenue_cents, discount_cents, total_qty,
+       ((10000 * revenue_cents) // sum(revenue_cents) OVER ())::BIGINT
+         AS revenue_share_bp,
+       (revenue_cents // n_lines)::BIGINT AS rev_per_line_cents,
+       (((revenue_cents // n_lines) - first_value(revenue_cents // n_lines)
+           OVER (ORDER BY band)) * 10000
+        // first_value(revenue_cents // n_lines) OVER (ORDER BY band))::BIGINT
+         AS lift_vs_zero_bp
+FROM b ORDER BY band
+""",
+    tags=("analytics", "pricing"),
+)
+def discount_band_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-effectiveness report — the pricing team's question "do
+    discounts buy volume?": per whole-percent discount band, line
+    count, exact-cent net revenue, discount dollars given away, unit
+    volume, revenue share (bp), revenue per line, and the
+    revenue-per-line lift vs the undiscounted band (signed bp; both
+    engines truncate toward zero).
+
+    Scale shape: ONE codegen scan → an 11-bounded band aggregate
+    (map-side combined); the share/lift windows run over that bounded
+    relation. Division after the sums throughout."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    l = li.select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("band"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("net_cents"),
+        F.round(F.col("l_extendedprice") * F.col("l_discount") * 100)
+        .cast("bigint")
+        .alias("given_cents"),
+        "l_quantity",
+    )
+    b = l.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("net_cents").cast("bigint").alias("revenue_cents"),
+        F.sum("given_cents").cast("bigint").alias("discount_cents"),
+        F.round(F.sum("l_quantity")).cast("bigint").alias("total_qty"),
+    )
+    return b.selectExpr(
+        "band",
+        "n_lines",
+        "revenue_cents",
+        "discount_cents",
+        "total_qty",
+        "CAST((10000 * revenue_cents) div sum(revenue_cents) OVER ()"
+        " AS BIGINT) AS revenue_share_bp",
+        "CAST(revenue_cents div n_lines AS BIGINT) AS rev_per_line_cents",
+        "CAST(((revenue_cents div n_lines)"
+        " - first_value(revenue_cents div n_lines) OVER (ORDER BY band))"
+        " * 10000 div first_value(revenue_cents div n_lines)"
+        " OVER (ORDER BY band) AS BIGINT) AS lift_vs_zero_bp",
+    ).orderBy("band")
+
+
+# --- referential-integrity audit (r9) ----------------------------------------
+@register(
+    "dq_referential_audit",
+    oracle="""
+SELECT 'lineitem->orders' AS check_name,
+       (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+          ON l.l_orderkey = o.o_orderkey
+         WHERE o.o_orderkey IS NULL)::BIGINT AS n_orphans,
+       (SELECT count(*) FROM lineitem)::BIGINT AS n_rows
+UNION ALL
+SELECT 'lineitem->part',
+       (SELECT count(*) FROM lineitem l LEFT JOIN part p
+          ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL)::BIGINT,
+       (SELECT count(*) FROM lineitem)::BIGINT
+UNION ALL
+SELECT 'lineitem->supplier',
+       (SELECT count(*) FROM lineitem l LEFT JOIN supplier s
+          ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL)::BIGINT,
+       (SELECT count(*) FROM lineitem)::BIGINT
+UNION ALL
+SELECT 'orders->customer',
+       (SELECT count(*) FROM orders o LEFT JOIN customer c
+          ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)::BIGINT,
+       (SELECT count(*) FROM orders)::BIGINT
+UNION ALL
+SELECT 'customer->nation',
+       (SELECT count(*) FROM customer c LEFT JOIN nation n
+          ON c.c_nationkey = n.n_nationkey
+         WHERE n.n_nationkey IS NULL)::BIGINT,
+       (SELECT count(*) FROM customer)::BIGINT
+ORDER BY check_name
+""",
+    tags=("analytics", "quality", "dq"),
+)
+def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the warehouse's foreign-key sweep
+    (no FK enforcement exists at 100 TB; this query IS the check):
+    orphan counts for every fact→dim edge (lineitem→orders/part/
+    supplier, orders→customer, customer→nation) with the scanned row
+    count per check. Zero orphans on a consistent corpus; any nonzero
+    cell names the broken ingest.
+
+    Scale shape: each check is a LEFT ANTI join counted — the two big
+    checks join on uniform keys (orderkey, custkey); part/supplier/
+    nation sides broadcast. Each branch scans ONLY its join key
+    (column pruning reaches the parquet scan); the union is 5 rows."""
+    t = load_tables(spark, sf_dir)
+
+    def check(name, fact, fk, dim, pk, broadcast_dim):
+        d = t[dim].select(pk)
+        if broadcast_dim:
+            d = F.broadcast(d)
+        orphans = (
+            t[fact]
+            .select(fk)
+            .join(d, F.col(fk) == F.col(pk), "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        )
+        total = t[fact].agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        return (
+            orphans.crossJoin(F.broadcast(total))
+            .select(
+                F.lit(name).alias("check_name"), "n_orphans", "n_rows"
+            )
+        )
+
+    checks = [
+        check("lineitem->orders", "lineitem", "l_orderkey", "orders",
+              "o_orderkey", False),
+        check("lineitem->part", "lineitem", "l_partkey", "part",
+              "p_partkey", True),
+        check("lineitem->supplier", "lineitem", "l_suppkey", "supplier",
+              "s_suppkey", True),
+        check("orders->customer", "orders", "o_custkey", "customer",
+              "c_custkey", False),
+        check("customer->nation", "customer", "c_nationkey", "nation",
+              "n_nationkey", True),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")
+
+
+# --- order-priority shipping SLA (r9) ----------------------------------------
+@register(
+    "priority_sla_report",
+    oracle="""
+WITH fs AS (
+  SELECT l_orderkey, min(l_shipdate) AS first_ship FROM lineitem GROUP BY 1),
+j AS (
+  SELECT o_orderpriority,
+         date_diff('day', o_orderdate::DATE, first_ship::DATE)::BIGINT AS days
+  FROM orders JOIN fs ON o_orderkey = l_orderkey)
+SELECT o_orderpriority AS priority,
+       count(*)::BIGINT AS n_orders,
+       sum(CASE WHEN days <= 7 THEN 1 ELSE 0 END)::BIGINT AS within_7d,
+       ((10000 * sum(CASE WHEN days <= 7 THEN 1 ELSE 0 END))
+        // count(*))::BIGINT AS within_7d_bp,
+       sum(CASE WHEN days <= 30 THEN 1 ELSE 0 END)::BIGINT AS within_30d,
+       ((10000 * sum(CASE WHEN days <= 30 THEN 1 ELSE 0 END))
+        // count(*))::BIGINT AS within_30d_bp,
+       (sum(days) // count(*))::BIGINT AS avg_days_floor
+FROM j GROUP BY 1 ORDER BY 1
+""",
+    tags=("analytics", "tpch", "sla"),
+)
+def priority_sla_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-SLA report per order priority — the ops question q4
+    gestures at, answered operationally: for each priority class, how
+    many orders had their FIRST line shipped within 7 / 30 days of
+    order placement (counts + bp), plus the floored mean days to first
+    shipment. An URGENT class missing its 7-day bp is the pager alert.
+
+    Scale shape: one orderkey-keyed min aggregate over lineitem
+    (map-side combined), an orderkey equi-join (uniform), and a
+    |priorities|-bounded rollup. date_diff on DATE-truncated
+    timestamps is exact integer days in both engines."""
+    t = load_tables(spark, sf_dir)
+    fs = t["lineitem"].groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    j = (
+        t["orders"]
+        .join(fs, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_orderpriority",
+            F.datediff(F.to_date("first_ship"), F.to_date("o_orderdate"))
+            .cast("bigint")
+            .alias("days"),
+        )
+    )
+    w7 = F.when(F.col("days") <= 7, 1).otherwise(0)
+    w30 = F.when(F.col("days") <= 30, 1).otherwise(0)
+    return (
+        j.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(w7).cast("bigint").alias("within_7d"),
+            F.floor((10000 * F.sum(w7)) / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("within_7d_bp"),
+            F.sum(w30).cast("bigint").alias("within_30d"),
+            F.floor((10000 * F.sum(w30)) / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("within_30d_bp"),
+            F.expr("CAST(sum(days) div count(*) AS BIGINT)").alias(
+                "avg_days_floor"
+            ),
+        )
+        .orderBy("priority")
+    )

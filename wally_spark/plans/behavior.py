@@ -1014,3 +1014,97 @@ def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- bot / automation detector (r9) ------------------------------------------
+@register(
+    "user_bot_score",
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_type,
+         floor(epoch(ts))::BIGINT AS es,
+         floor(epoch(ts))::BIGINT
+           - lag(floor(epoch(ts))::BIGINT)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events),
+u AS (
+  SELECT user_id,
+         count(*)::BIGINT AS n_events,
+         (max(es) - min(es))::BIGINT AS span_s,
+         count(DISTINCT event_type)::BIGINT AS n_types,
+         max(gap_s)::BIGINT AS max_gap_s,
+         min(gap_s)::BIGINT AS min_gap_s
+  FROM g GROUP BY 1
+  HAVING count(*) >= 10),
+f AS (
+  SELECT user_id, n_events, span_s, n_types,
+         ((60000 * n_events) // greatest(span_s, 1))::BIGINT
+           AS rate_per_min_milli,
+         max_gap_s, min_gap_s,
+         CASE WHEN (60000 * n_events) // greatest(span_s, 1) >= 10000
+                   AND n_events >= 20 THEN 1 ELSE 0 END AS high_rate,
+         CASE WHEN n_types <= 2 AND n_events >= 20 THEN 1 ELSE 0 END
+           AS low_diversity,
+         CASE WHEN max_gap_s - min_gap_s <= 2 THEN 1 ELSE 0 END
+           AS metronomic
+  FROM u)
+SELECT user_id, n_events, span_s, n_types, rate_per_min_milli,
+       max_gap_s, min_gap_s, high_rate::BIGINT AS high_rate,
+       low_diversity::BIGINT AS low_diversity,
+       metronomic::BIGINT AS metronomic,
+       (high_rate + low_diversity + metronomic)::BIGINT AS bot_score
+FROM f ORDER BY user_id
+""",
+    tags=("events", "behavior", "quality"),
+)
+def user_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation detector — the traffic-quality gate a training
+    pipeline runs before trusting behavioral data: per user (>= 10
+    events), sustained event rate (milli-events/min over the activity
+    span), type diversity, and inter-event-gap regularity (max-min gap
+    spread in whole seconds — metronomic clients are scripts), folded
+    into three integer rule flags and a 0-3 bot score. All integer
+    (floor-epoch seconds, milli rates), engine-exact.
+
+    Scale shape: ONE user-keyed Exchange carries the lag window and
+    the per-user aggregate (same-partitioning reuse); output is
+    user-bounded. The rate flag divides AFTER the multiplication."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    es = F.floor(F.expr("unix_timestamp(ts)")).cast("bigint")
+    g = e.select(
+        "user_id",
+        "event_type",
+        es.alias("es"),
+        (es - F.lag(es).over(w)).alias("gap_s"),
+    )
+    u = (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (F.max("es") - F.min("es")).cast("bigint").alias("span_s"),
+            F.countDistinct("event_type").cast("bigint").alias("n_types"),
+            F.max("gap_s").cast("bigint").alias("max_gap_s"),
+            F.min("gap_s").cast("bigint").alias("min_gap_s"),
+        )
+        .where(F.col("n_events") >= 10)
+    )
+    return u.selectExpr(
+        "user_id",
+        "n_events",
+        "span_s",
+        "n_types",
+        "CAST((60000 * n_events) div greatest(span_s, 1) AS BIGINT)"
+        " AS rate_per_min_milli",
+        "max_gap_s",
+        "min_gap_s",
+        "CAST(CASE WHEN (60000 * n_events) div greatest(span_s, 1) >= 10000"
+        " AND n_events >= 20 THEN 1 ELSE 0 END AS BIGINT) AS high_rate",
+        "CAST(CASE WHEN n_types <= 2 AND n_events >= 20 THEN 1 ELSE 0 END"
+        " AS BIGINT) AS low_diversity",
+        "CAST(CASE WHEN max_gap_s - min_gap_s <= 2 THEN 1 ELSE 0 END"
+        " AS BIGINT) AS metronomic",
+    ).selectExpr(
+        "*",
+        "CAST(high_rate + low_diversity + metronomic AS BIGINT) AS bot_score",
+    ).orderBy("user_id")

@@ -1584,3 +1584,129 @@ def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# --- measured LSH recall vs exact-Jaccard ground truth (r9) -------------------
+LSH_TRUTH_BP = 3000  # "true near-dup" = exact Jaccard >= 0.30
+
+
+@register(
+    "lsh_recall_measured",
+    oracle=f"""
+WITH shingled AS ({_SHINGLES_SQL}),
+exploded AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+),
+{_CAND_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM exploded GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN exploded a ON a.doc_id = c.doc_a
+  JOIN exploded b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+t AS (
+  SELECT doc_a, doc_b FROM shared
+  JOIN sizes za ON za.doc_id = doc_a
+  JOIN sizes zb ON zb.doc_id = doc_b
+  WHERE 10000.0 * inter / (za.n + zb.n - inter) >= {LSH_TRUTH_BP}.0)
+
+SELECT 'b8r1' AS cfg,
+       count(*)::BIGINT AS n_true,
+       sum(CASE WHEN ((sa.mh0 = sb.mh0) OR (sa.mh1 = sb.mh1) OR (sa.mh2 = sb.mh2) OR (sa.mh3 = sb.mh3) OR (sa.mh4 = sb.mh4) OR (sa.mh5 = sb.mh5) OR (sa.mh6 = sb.mh6) OR (sa.mh7 = sb.mh7)) THEN 1 ELSE 0 END)::BIGINT AS caught,
+       ((10000 * sum(CASE WHEN ((sa.mh0 = sb.mh0) OR (sa.mh1 = sb.mh1) OR (sa.mh2 = sb.mh2) OR (sa.mh3 = sb.mh3) OR (sa.mh4 = sb.mh4) OR (sa.mh5 = sb.mh5) OR (sa.mh6 = sb.mh6) OR (sa.mh7 = sb.mh7)) THEN 1 ELSE 0 END))
+        // nullif(count(*), 0))::BIGINT AS recall_bp
+FROM t JOIN sigs sa ON sa.doc_id = t.doc_a
+       JOIN sigs sb ON sb.doc_id = t.doc_b
+UNION ALL
+SELECT 'b4r2' AS cfg,
+       count(*)::BIGINT AS n_true,
+       sum(CASE WHEN ((sa.mh0 = sb.mh0 AND sa.mh1 = sb.mh1) OR (sa.mh2 = sb.mh2 AND sa.mh3 = sb.mh3) OR (sa.mh4 = sb.mh4 AND sa.mh5 = sb.mh5) OR (sa.mh6 = sb.mh6 AND sa.mh7 = sb.mh7)) THEN 1 ELSE 0 END)::BIGINT AS caught,
+       ((10000 * sum(CASE WHEN ((sa.mh0 = sb.mh0 AND sa.mh1 = sb.mh1) OR (sa.mh2 = sb.mh2 AND sa.mh3 = sb.mh3) OR (sa.mh4 = sb.mh4 AND sa.mh5 = sb.mh5) OR (sa.mh6 = sb.mh6 AND sa.mh7 = sb.mh7)) THEN 1 ELSE 0 END))
+        // nullif(count(*), 0))::BIGINT AS recall_bp
+FROM t JOIN sigs sa ON sa.doc_id = t.doc_a
+       JOIN sigs sb ON sb.doc_id = t.doc_b
+UNION ALL
+SELECT 'b2r4' AS cfg,
+       count(*)::BIGINT AS n_true,
+       sum(CASE WHEN ((sa.mh0 = sb.mh0 AND sa.mh1 = sb.mh1 AND sa.mh2 = sb.mh2 AND sa.mh3 = sb.mh3) OR (sa.mh4 = sb.mh4 AND sa.mh5 = sb.mh5 AND sa.mh6 = sb.mh6 AND sa.mh7 = sb.mh7)) THEN 1 ELSE 0 END)::BIGINT AS caught,
+       ((10000 * sum(CASE WHEN ((sa.mh0 = sb.mh0 AND sa.mh1 = sb.mh1 AND sa.mh2 = sb.mh2 AND sa.mh3 = sb.mh3) OR (sa.mh4 = sb.mh4 AND sa.mh5 = sb.mh5 AND sa.mh6 = sb.mh6 AND sa.mh7 = sb.mh7)) THEN 1 ELSE 0 END))
+        // nullif(count(*), 0))::BIGINT AS recall_bp
+FROM t JOIN sigs sa ON sa.doc_id = t.doc_a
+       JOIN sigs sb ON sb.doc_id = t.doc_b
+UNION ALL
+SELECT 'b1r8' AS cfg,
+       count(*)::BIGINT AS n_true,
+       sum(CASE WHEN ((sa.mh0 = sb.mh0 AND sa.mh1 = sb.mh1 AND sa.mh2 = sb.mh2 AND sa.mh3 = sb.mh3 AND sa.mh4 = sb.mh4 AND sa.mh5 = sb.mh5 AND sa.mh6 = sb.mh6 AND sa.mh7 = sb.mh7)) THEN 1 ELSE 0 END)::BIGINT AS caught,
+       ((10000 * sum(CASE WHEN ((sa.mh0 = sb.mh0 AND sa.mh1 = sb.mh1 AND sa.mh2 = sb.mh2 AND sa.mh3 = sb.mh3 AND sa.mh4 = sb.mh4 AND sa.mh5 = sb.mh5 AND sa.mh6 = sb.mh6 AND sa.mh7 = sb.mh7)) THEN 1 ELSE 0 END))
+        // nullif(count(*), 0))::BIGINT AS recall_bp
+FROM t JOIN sigs sa ON sa.doc_id = t.doc_a
+       JOIN sigs sb ON sb.doc_id = t.doc_b
+ORDER BY cfg
+""",
+    tags=("dedup", "lsh", "tuning"),
+)
+def lsh_recall_measured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH recall per band configuration — the empirical
+    complement of lsh_tuning_curve's theoretical s-curve: ground truth
+    is the exact-Jaccard >= 0.30 pairs (verified on the production
+    config's candidate set, the dedup_ngram_jaccard composition), and
+    each (b, r) split of the 8 minhashes is CAUGHT on a pair iff some
+    band's hashes all agree — a pure expression over the pair's two
+    signatures, no per-config re-bucketing, no extra pair joins. Reads
+    as: b8r1 catches all (any single-hash agreement is implied by the
+    candidate definition), b1r8 only the near-identical tail.
+
+    Caveat documented: truth is relative to the default config's
+    candidates (a recall-of-candidates measure); the theoretical curve
+    covers what no candidate generator saw.
+
+    Scale shape: the truth set is candidate-bounded; two uniform
+    doc-keyed signature joins attach (mh0..mh7) per side; ONE
+    aggregate computes all four configs' conditional sums; a 4-row
+    stack unpivots. Int64-safe throughout."""
+    jac = _candidate_jaccard(spark, sf_dir)
+    t = jac.where(_jac_bp() >= float(LSH_TRUTH_BP)).select("doc_a", "doc_b")
+    sigs = minhash_signatures(fan_out(_docs(spark, sf_dir), "doc_id"))
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{h}").alias(f"amh{h}") for h in range(N_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{h}").alias(f"bmh{h}") for h in range(N_HASHES)],
+    )
+    j = t.join(sa, "doc_a").join(sb, "doc_b")
+
+    def caught(b, r):
+        bands = []
+        for jj in range(b):
+            conj = " AND ".join(
+                f"amh{jj * r + k} = bmh{jj * r + k}" for k in range(r)
+            )
+            bands.append(f"({conj})")
+        return "(" + " OR ".join(bands) + ")"
+
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_true")]
+    for b, r in ((8, 1), (4, 2), (2, 4), (1, 8)):
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN {caught(b, r)} THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias(f"c_b{b}r{r}")
+        )
+    one = j.agg(*aggs)
+    stacked = one.selectExpr(
+        "stack(4, "
+        + ", ".join(
+            f"'b{b}r{r}', c_b{b}r{r}" for b, r in ((8, 1), (4, 2), (2, 4), (1, 8))
+        )
+        + ") AS (cfg, caught)",
+        "n_true",
+    )
+    return stacked.selectExpr(
+        "cfg",
+        "n_true",
+        "caught",
+        "CAST((10000 * caught) div nullif(n_true, 0) AS BIGINT) AS recall_bp",
+    ).orderBy("cfg")

@@ -1048,3 +1048,245 @@ def embedding_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((10000 * n_vecs) div total AS BIGINT) AS share_bp",
         "mean_dist_bp", "max_dist_bp",
     )
+
+
+# --- greedy k-center coreset selection (r9) ----------------------------------
+@register(
+    "embedding_kcenter",
+    oracle=f"""
+WITH comps AS (
+  SELECT vec_id, u.i - 1 AS j,
+         CAST(floor(u.x::DOUBLE * {GRID}.0 + 0.5) AS BIGINT) AS x
+  FROM (SELECT vec_id, unnest(list_transform(embedding, (x, i) -> {{'x': x, 'i': i}})) AS u
+        FROM embeddings)
+),
+s1 AS (SELECT min(vec_id) AS c FROM embeddings),
+cc1 AS (SELECT 1 AS cid, j, x AS m FROM comps JOIN s1 ON vec_id = c),
+dm2 AS (
+  SELECT vec_id, min(sd) AS dmin FROM (
+    SELECT c.vec_id, k.cid, sum((c.x - k.m) * (c.x - k.m)) AS sd
+    FROM comps c JOIN cc1 k USING (j)
+    GROUP BY c.vec_id, k.cid)
+  GROUP BY vec_id),
+p2 AS (SELECT vec_id, dmin FROM dm2 ORDER BY dmin DESC, vec_id LIMIT 1),
+cc2 AS (
+  SELECT * FROM cc1
+  UNION ALL
+  SELECT 2 AS cid, c.j, c.x FROM comps c JOIN p2 USING (vec_id)),
+dm3 AS (
+  SELECT vec_id, min(sd) AS dmin FROM (
+    SELECT c.vec_id, k.cid, sum((c.x - k.m) * (c.x - k.m)) AS sd
+    FROM comps c JOIN cc2 k USING (j)
+    GROUP BY c.vec_id, k.cid)
+  GROUP BY vec_id),
+p3 AS (SELECT vec_id, dmin FROM dm3 ORDER BY dmin DESC, vec_id LIMIT 1),
+cc3 AS (
+  SELECT * FROM cc2
+  UNION ALL
+  SELECT 3 AS cid, c.j, c.x FROM comps c JOIN p3 USING (vec_id)),
+dm4 AS (
+  SELECT vec_id, min(sd) AS dmin FROM (
+    SELECT c.vec_id, k.cid, sum((c.x - k.m) * (c.x - k.m)) AS sd
+    FROM comps c JOIN cc3 k USING (j)
+    GROUP BY c.vec_id, k.cid)
+  GROUP BY vec_id),
+p4 AS (SELECT vec_id, dmin FROM dm4 ORDER BY dmin DESC, vec_id LIMIT 1),
+cc4 AS (
+  SELECT * FROM cc3
+  UNION ALL
+  SELECT 4 AS cid, c.j, c.x FROM comps c JOIN p4 USING (vec_id)),
+dm5 AS (
+  SELECT vec_id, min(sd) AS dmin FROM (
+    SELECT c.vec_id, k.cid, sum((c.x - k.m) * (c.x - k.m)) AS sd
+    FROM comps c JOIN cc4 k USING (j)
+    GROUP BY c.vec_id, k.cid)
+  GROUP BY vec_id),
+p5 AS (SELECT vec_id, dmin FROM dm5 ORDER BY dmin DESC, vec_id LIMIT 1)
+SELECT 1::BIGINT AS round, c::BIGINT AS center_vec, 0::BIGINT AS sel_d2 FROM s1
+UNION ALL
+SELECT 2::BIGINT, vec_id::BIGINT, dmin::BIGINT FROM p2
+UNION ALL
+SELECT 3::BIGINT, vec_id::BIGINT, dmin::BIGINT FROM p3
+UNION ALL
+SELECT 4::BIGINT, vec_id::BIGINT, dmin::BIGINT FROM p4
+UNION ALL
+SELECT 5::BIGINT, vec_id::BIGINT, dmin::BIGINT FROM p5
+ORDER BY round""",
+    tags=("embeddings", "coreset", "iterative"),
+)
+def embedding_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 2-approximation —
+    the farthest-point sampler behind coreset/active-learning data
+    curation): seed with the min vec_id, then 3 rounds of "select the
+    vector farthest from the chosen set"; the 5th row probes the
+    NEXT farthest point, i.e. the coverage radius of the selected
+    4-set. Emits (round, center_vec, sel_d2).
+
+    Exactness: the kmeans discipline — components quantize to the
+    2^20 grid (exact for float32 in [-1,1]), distances are exact int64
+    sums (16 dims x (2*2^20)^2 = 7*10^13 < 2^63 headroom through
+    512 dims), argmax is (d2 DESC, vec_id) — no floats anywhere, so
+    the unrolled-CTE oracle agrees by construction.
+
+    Scale shape per round: comps joins the <= 4x|dims|-row center
+    relation BROADCAST, one vec-keyed min aggregate (map-side
+    combined), one TakeOrdered 1-row argmax — never a global sort,
+    never a driver collect; the plan is one lazy DAG."""
+    emb = _emb(spark, sf_dir)
+    comps = emb.select(
+        "vec_id", F.posexplode("embedding").alias("j", "xf")
+    ).select(
+        "vec_id",
+        "j",
+        F.floor(F.col("xf").cast("double") * float(GRID) + 0.5)
+        .cast("bigint")
+        .alias("x"),
+    )
+    seed = emb.agg(F.min("vec_id").alias("c"))
+    cc = comps.join(
+        F.broadcast(seed), F.col("vec_id") == F.col("c")
+    ).select(F.lit(1).alias("cid"), "j", F.col("x").alias("m"))
+    rows = [
+        seed.select(
+            F.lit(1).cast("bigint").alias("round"),
+            F.col("c").cast("bigint").alias("center_vec"),
+            F.lit(0).cast("bigint").alias("sel_d2"),
+        )
+    ]
+    for r in range(2, 6):
+        sd = (
+            comps.join(F.broadcast(cc), "j")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum((F.col("x") - F.col("m")) * (F.col("x") - F.col("m"))).alias("sd"))
+        )
+        dm = sd.groupBy("vec_id").agg(F.min("sd").alias("dmin"))
+        pick = dm.orderBy(F.desc("dmin"), "vec_id").limit(1)
+        rows.append(
+            pick.select(
+                F.lit(r).cast("bigint").alias("round"),
+                F.col("vec_id").cast("bigint").alias("center_vec"),
+                F.col("dmin").cast("bigint").alias("sel_d2"),
+            )
+        )
+        if r < 5:
+            cc = cc.unionByName(
+                comps.join(
+                    F.broadcast(pick.select("vec_id")), "vec_id", "left_semi"
+                ).select(F.lit(r).alias("cid"), "j", F.col("x").alias("m"))
+            )
+    out = rows[0]
+    for d in rows[1:]:
+        out = out.unionByName(d)
+    return out.orderBy("round")
+
+
+# --- simplified silhouette of the labeled clustering (r9) --------------------
+@register(
+    "embedding_silhouette",
+    oracle=f"""
+WITH comps AS (
+  SELECT vec_id, u.i - 1 AS j,
+         CAST(floor(u.x::DOUBLE * {GRID}.0 + 0.5) AS BIGINT) AS x
+  FROM (SELECT vec_id, unnest(list_transform(embedding, (x, i) -> {{'x': x, 'i': i}})) AS u
+        FROM embeddings)
+),
+lab AS (SELECT vec_id, label FROM embeddings),
+cent AS (
+  SELECT l.label, c.j,
+         ((sum(c.x) - ((sum(c.x) % count(*)) + count(*)) % count(*))
+          / count(*))::BIGINT AS m
+  FROM comps c JOIN lab l USING (vec_id)
+  GROUP BY l.label, c.j),
+dv AS (
+  SELECT c.vec_id, k.label AS clabel, sum((c.x - k.m) * (c.x - k.m)) AS d2
+  FROM comps c JOIN cent k USING (j)
+  GROUP BY c.vec_id, k.label),
+ab AS (
+  SELECT d.vec_id, l.label,
+         max(CASE WHEN d.clabel = l.label THEN d.d2 END) AS a2,
+         min(CASE WHEN d.clabel <> l.label THEN d.d2 END) AS b2
+  FROM dv d JOIN lab l USING (vec_id)
+  GROUP BY d.vec_id, l.label),
+sil AS (
+  SELECT label, vec_id,
+         ((1000 * (b2 - a2)) // greatest(a2, b2, 1))::BIGINT AS s_milli
+  FROM ab)
+SELECT label,
+       count(*)::BIGINT AS n_vecs,
+       (sum(s_milli) // count(*))::BIGINT AS avg_sil_milli,
+       sum(CASE WHEN s_milli < 0 THEN 1 ELSE 0 END)::BIGINT AS n_negative
+FROM sil GROUP BY label ORDER BY label
+""",
+    tags=("embeddings", "clustering", "quality"),
+)
+def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette of the LABELED clustering — the
+    label-quality audit before trusting `label` for stratification or
+    semantic dedup cells: per vector, a = squared distance to its own
+    label centroid, b = min squared distance to any other centroid,
+    s = (b-a)/max(a,b) in millis; per label, the mean silhouette and
+    the count of negative-silhouette vectors (closer to a foreign
+    centroid than their own — candidate mislabels).
+
+    Exactness: kmeans-lane discipline — grid-quantized components,
+    centroid means by the nonnegative-remainder exact-division
+    identity, distances exact int64, one truncating division per
+    vector (both engines truncate toward zero).
+
+    Scale shape: one label-keyed centroid aggregate (|labels|×|dims|
+    rows, BROADCAST back), one vec-keyed distance aggregate, a
+    |labels|-bounded rollup. No pairwise anything — the simplified
+    (centroid-based) silhouette IS the 100 TB variant of the O(n²)
+    classic."""
+    emb = _emb(spark, sf_dir)
+    comps = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("j", "xf")
+    ).select(
+        "vec_id",
+        "label",
+        "j",
+        F.floor(F.col("xf").cast("double") * float(GRID) + 0.5)
+        .cast("bigint")
+        .alias("x"),
+    )
+    cent = comps.groupBy(F.col("label").alias("clabel"), "j").agg(
+        F.expr(
+            "CAST((sum(x) - ((sum(x) % count(*)) + count(*)) % count(*))"
+            " / count(*) AS BIGINT)"
+        ).alias("m")
+    )
+    dv = (
+        comps.join(F.broadcast(cent), "j")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum((F.col("x") - F.col("m")) * (F.col("x") - F.col("m"))).alias(
+                "d2"
+            )
+        )
+    )
+    ab = dv.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("d2"))).alias(
+            "a2"
+        ),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d2"))).alias(
+            "b2"
+        ),
+    )
+    sil = ab.selectExpr(
+        "label",
+        "CAST((1000 * (b2 - a2)) div greatest(a2, b2, 1) AS BIGINT)"
+        " AS s_milli",
+    )
+    return (
+        sil.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.expr("CAST(sum(s_milli) div count(*) AS BIGINT)").alias(
+                "avg_sil_milli"
+            ),
+            F.sum(F.when(F.col("s_milli") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_negative"),
+        )
+        .orderBy("label")
+    )
