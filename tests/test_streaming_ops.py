@@ -2003,3 +2003,59 @@ def test_reservoir_incremental_matches_batch(spark, tmp_path):
     fn(spark.createDataFrame(batches[2], schema), 2)
     got3 = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     assert got3 == want
+
+
+def test_oov_incremental_matches_batch(spark, tmp_path):
+    """Incremental OOV: after every batch the published report equals
+    the batch oov_rate_by_source lane over the concatenated corpus —
+    including re-scoring docs whose terms crossed the vocab threshold
+    in a LATER batch; replay idempotent; folded compaction preserves
+    the report."""
+    from wally_spark.plans import REGISTRY
+    from wally_spark.streaming.ops import (
+        compact_corpus,
+        oov_counts_fold,
+        oov_report_foreach_batch,
+    )
+
+    # 'common' crosses OOV_MIN_FREQ=5 only once batch 1 lands, so doc 1
+    # must be re-scored by the republish — the associativity point
+    rows = [
+        (1, "common rare1 rare2", "en", "web", 0),
+        (2, "common common word word word word", "en", "books", 0),
+        (10, "common common common rare3", "de", "web", 0),
+        (11, "word word common rare4", "en", "web", 0),
+        (20, "word common rare5 rare6", "fr", "web", 0),
+    ]
+    batches = [rows[:2], rows[2:4], rows[4:]]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    store, out = str(tmp_path / "counts"), str(tmp_path / "out")
+    fn = oov_report_foreach_batch(spark, store, out)
+    seen = []
+    for i, b in enumerate(batches):
+        seen.extend(b)
+        fn(spark.createDataFrame(b, schema), i)
+        corpus = str(tmp_path / f"corpus{i}")
+        spark.createDataFrame(seen, schema).write.parquet(
+            f"{corpus}/documents.parquet"
+        )
+        want = sorted(
+            tuple(r)
+            for r in REGISTRY["oov_rate_by_source"]
+            .spark_fn(spark, corpus)
+            .collect()
+        )
+        got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        assert got == want, (i, got, want)
+
+    # replay idempotence
+    fn(spark.createDataFrame(batches[2], schema), 2)
+    got2 = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got2 == want
+
+    # folded compaction (one behind the frontier) preserves the report
+    compact_corpus(spark, store, upto=1, fold=oov_counts_fold)
+    fn(spark.createDataFrame(batches[2], schema), 2)
+    got3 = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got3 == want

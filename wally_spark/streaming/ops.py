@@ -2397,3 +2397,80 @@ def reservoir_foreach_batch(spark, sample_path: str, out_path: str):
         free_blocks(part)
 
     return proc
+
+
+def oov_counts_fold(df: DataFrame) -> DataFrame:
+    """Associative merge of the per-slice term-count partials — the
+    read-time fold of oov_report_foreach_batch and the ``fold=`` that
+    lets compact_corpus collapse the store to one row per
+    (lang, source, term)."""
+    return df.groupBy("lang", "source", "term").agg(
+        F.sum("c").cast("bigint").alias("c")
+    )
+
+
+def oov_report_foreach_batch(spark, counts_path: str, out_path: str):
+    """Incremental OOV tracking — the streaming face of the batch
+    ``oov_rate_by_source`` lane: each batch writes its OWN
+    (lang, source, term, count) partial aggregate (bounded by the
+    batch vocabulary, never token volume), and every micro-batch
+    republishes the FULL per-(lang, source) OOV report by folding the
+    count corpus: global term frequency = sum over slices, a term is
+    in-vocab iff its corpus-wide frequency >= OOV_MIN_FREQ, and each
+    slice's token/OOV masses are conditional sums over its own counts.
+
+    Because the report is a pure function of the associative count
+    corpus, batch and stream answers are IDENTICAL over the same
+    documents at every point — docs ingested before a term crossed the
+    vocab threshold are re-scored correctly on every republish (the
+    property a per-batch-report design cannot have). The store
+    supports compact_corpus(fold=oov_counts_fold).
+
+    Scale: partials are vocab-bounded; the fold is one uniform
+    term-keyed aggregate; the slice rollup is |lang×source|-bounded."""
+    from wally_spark.operators.checkpoint import free_blocks
+    from wally_spark.plans.text import OOV_MIN_FREQ
+
+    ensure_store_format(
+        spark, counts_path, "oov-counts-v1",
+        required_cols=("lang", "source", "term", "c"),
+    )
+
+    def proc(batch_df, batch_id):
+        words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+        part = (
+            batch_df.select(
+                "lang", "source", F.explode(words).alias("term")
+            )
+            .groupBy("lang", "source", "term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .localCheckpoint()
+        )
+        part.write.mode("overwrite").parquet(f"{counts_path}/b{batch_id}")
+        merged = part
+        for p in corpus_probe_parts(spark, counts_path, exclude_batch=batch_id):
+            merged = merged.unionByName(p.select("lang", "source", "term", "c"))
+        counts = oov_counts_fold(merged)
+        freq = counts.groupBy("term").agg(
+            F.sum("c").cast("bigint").alias("gf")
+        )
+        j = counts.join(freq, "term")
+        oov_c = F.when(F.col("gf") < OOV_MIN_FREQ, F.col("c")).otherwise(F.lit(0))
+        (
+            j.groupBy("lang", "source")
+            .agg(
+                F.sum("c").cast("bigint").alias("n_tokens"),
+                F.sum(oov_c).cast("bigint").alias("oov_tokens"),
+                F.floor((10000 * F.sum(oov_c)) / F.sum("c"))
+                .cast("bigint")
+                .alias("oov_bp"),
+                F.countDistinct(
+                    F.when(F.col("gf") < OOV_MIN_FREQ, F.col("term"))
+                )
+                .cast("bigint")
+                .alias("oov_types"),
+            )
+        ).write.mode("overwrite").parquet(out_path)
+        free_blocks(part)
+
+    return proc
