@@ -2059,3 +2059,54 @@ def test_oov_incremental_matches_batch(spark, tmp_path):
     fn(spark.createDataFrame(batches[2], schema), 2)
     got3 = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     assert got3 == want
+
+
+def test_joinskew_incremental_matches_batch(spark, tmp_path):
+    """Incremental join-skew monitor: after every batch the published
+    top-10 equals the batch join_skew_audit lane over the concatenated
+    events; replay idempotent; folded compaction preserves it."""
+    import datetime as dt
+
+    from wally_spark.plans import REGISTRY
+    from wally_spark.streaming.ops import (
+        compact_corpus,
+        joinskew_counts_fold,
+        joinskew_foreach_batch,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=i), (i * i) % 13, "view", 1.0, "{}")
+        for i in range(120)
+    ]
+    batches = [rows[:40], rows[40:80], rows[80:]]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+    store, out = str(tmp_path / "counts"), str(tmp_path / "out")
+    fn = joinskew_foreach_batch(spark, store, out)
+    seen = []
+    for i, b in enumerate(batches):
+        seen.extend(b)
+        fn(spark.createDataFrame(b, schema), i)
+        corpus = str(tmp_path / f"corpus{i}")
+        spark.createDataFrame(seen, schema).write.parquet(
+            f"{corpus}/events.parquet"
+        )
+        want = sorted(
+            tuple(r)
+            for r in REGISTRY["join_skew_audit"].spark_fn(spark, corpus).collect()
+        )
+        got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        assert got == want, (i, got, want)
+
+    # replay idempotence
+    fn(spark.createDataFrame(batches[2], schema), 2)
+    got2 = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got2 == want
+
+    # folded compaction (one behind the frontier)
+    compact_corpus(spark, store, upto=1, fold=joinskew_counts_fold)
+    fn(spark.createDataFrame(batches[2], schema), 2)
+    got3 = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got3 == want

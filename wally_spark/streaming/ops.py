@@ -2474,3 +2474,69 @@ def oov_report_foreach_batch(spark, counts_path: str, out_path: str):
         free_blocks(part)
 
     return proc
+
+
+def joinskew_foreach_batch(spark, counts_path: str, out_path: str):
+    """Incremental join-skew monitor — the streaming face of the
+    registered `join_skew_audit` batch lane: per-user event counts are
+    associative, so each batch writes only its own (user_id, n_rows)
+    increments (overwrite → replay-idempotent), the corpus folds by
+    sum at read time, and every micro-batch republishes the full
+    top-10 skew report — share bp, multiple-of-average bp, and the
+    32-way salt factor — exactly the numbers a long-running ingest
+    consults before repartitioning a user-keyed join. Batch and stream
+    answers are identical over the same events by construction (the
+    report is a pure function of the folded counts; the equivalence
+    test pins it, TakeOrdered spelling and all). Store is
+    format-stamped, bounded by active users per batch, and compacts
+    with bucket_key='user_id' or fold=joinskew_counts_fold."""
+
+    ensure_store_format(
+        spark, counts_path, "joinskew-counts-v1",
+        required_cols=("user_id", "n_rows"),
+    )
+
+    def proc(batch_df, batch_id):
+        part = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows")
+        )
+        part = part.localCheckpoint()
+        part.write.mode("overwrite").parquet(f"{counts_path}/b{batch_id}")
+        merged = part
+        for p in corpus_probe_parts(spark, counts_path, exclude_batch=batch_id):
+            merged = merged.unionByName(p.select("user_id", "n_rows"))
+        k = merged.groupBy("user_id").agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows")
+        )
+        t = k.agg(
+            F.sum("n_rows").cast("bigint").alias("total"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        )
+        (
+            k.crossJoin(F.broadcast(t))
+            .selectExpr(
+                "user_id",
+                "n_rows",
+                "CAST((10000 * n_rows) div total AS BIGINT) AS share_bp",
+                "CAST((10000 * n_rows * n_keys) div total AS BIGINT)"
+                " AS x_avg_bp",
+                "CAST((n_rows * 32 + total - 1) div total AS BIGINT)"
+                " AS salt_factor",
+            )
+            .orderBy(F.col("n_rows").desc(), "user_id")
+            .limit(10)
+        ).write.mode("overwrite").parquet(out_path)
+        from wally_spark.operators.checkpoint import free_blocks
+
+        free_blocks(part)
+
+    return proc
+
+
+def joinskew_counts_fold(df: DataFrame) -> DataFrame:
+    """Associative merge of the per-user count partials — the
+    ``fold=`` that lets compact_corpus collapse the skew-monitor store
+    to one row per user."""
+    return df.groupBy("user_id").agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows")
+    )
