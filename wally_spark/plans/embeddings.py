@@ -1131,7 +1131,12 @@ def embedding_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape per round: comps joins the <= 4x|dims|-row center
     relation BROADCAST, one vec-keyed min aggregate (map-side
     combined), one TakeOrdered 1-row argmax — never a global sort,
-    never a driver collect; the plan is one lazy DAG."""
+    never a driver collect; the plan is one lazy DAG. Deliberately NOT
+    pinned: eight consumers re-derive the posexplode across rounds,
+    but an A/B measured pin(comps) SLOWER at sf0.1 (4.19 vs 3.87 s
+    min-of-3 — materialization cost exceeds the codegen recompute; the
+    r8 graph-lane lesson). At cluster scale with a fat embedding
+    table, pin(comps) is the one-line flip."""
     emb = _emb(spark, sf_dir)
     comps = emb.select(
         "vec_id", F.posexplode("embedding").alias("j", "xf")
