@@ -1383,8 +1383,16 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: stateful dedup-window computations
     (machida/lib/wallaroo state_computation; ref dedup examples) as a
-    published-fingerprint batch lane."""
-    fps = winnow_fingerprints(fan_out(_docs(spark, sf_dir), "doc_id"))
+    published-fingerprint batch lane.
+
+    The selected-fingerprint relation is PINNED: it is small (distinct
+    minima) but expensive to derive (posexplode + two window passes),
+    and three consumers read it (sizes, bucket cap, pair join) — the
+    A/B measured 1.85 s lazy vs 1.28 s pinned at sf0.1 (contrast
+    embedding_kcenter, where pinning the CHEAP-to-derive comps lost)."""
+    from wally_spark.operators.checkpoint import pin
+
+    fps = pin(winnow_fingerprints(fan_out(_docs(spark, sf_dir), "doc_id")))
     nfp = fps.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     from pyspark.sql import Window as W
     bucketed = fps.withColumn(
