@@ -52,53 +52,64 @@ from wally_spark.plans import behavior  # noqa: F401,E402
 
 _DRIVER_GREEN = frozenset(
     {
-        "ann_bruteforce", "ann_index_probe", "ann_ivf", "ann_lsh", "ann_pq",
-        "ann_quantized", "ann_recall_report", "app_alerts_local_agg",
-        "app_alerts_stateful", "app_alerts_stateless", "app_alerts_windowed",
-        "app_alphabet", "app_alphabet_partitioned", "app_celsius",
-        "app_celsius_connectors", "app_market_spread",
-        "app_multi_worker_forwarding", "app_passthrough", "app_word_count",
-        "app_word_count_collect", "asof_next_view", "asof_purchase_view",
+        "ab_test_report", "ann_bruteforce", "ann_index_probe", "ann_ivf",
+        "ann_lsh", "ann_pq", "ann_quantized", "ann_recall_report",
+        "app_alerts_local_agg", "app_alerts_stateful",
+        "app_alerts_stateless", "app_alerts_windowed", "app_alphabet",
+        "app_alphabet_partitioned", "app_celsius", "app_celsius_connectors",
+        "app_market_spread", "app_multi_worker_forwarding",
+        "app_passthrough", "app_word_count", "app_word_count_collect",
+        "asof_next_view", "asof_purchase_view", "asof_purchase_view_1h",
         "attribution_last_touch", "basket_rules", "blocklist_terms_filter",
-        "bm25_rank", "bpe_merge_pairs", "bpe_merges_r4", "chunk_overlap",
+        "bm25_rank", "bpe_encode", "bpe_merge_pairs", "bpe_merges_r4",
+        "brand_price_dispersion", "brand_return_rate", "chunk_overlap",
         "cohort_revenue_ltv", "corpus_mix_report", "corpus_shard_manifest",
         "cross_source_dup_report", "cube_pricing",
         "cumulative_revenue_share", "curation_pipeline",
-        "decontaminate_holdout", "dedup_clusters", "dedup_embedding",
+        "daily_value_percentiles", "decontaminate_holdout",
+        "dedup_cluster_size_hist", "dedup_clusters", "dedup_embedding",
         "dedup_embedding_lsh", "dedup_exact", "dedup_keep_best",
         "dedup_lines", "dedup_minhash", "dedup_ngram_jaccard",
         "dedup_normalized", "dedup_simhash", "dedup_simhash_pairs",
-        "dedup_substring", "distinct_users_exact", "doc_nb_classifier",
-        "docs_length_band", "docs_token_histogram", "docs_vocab_simpson",
-        "dsir_importance", "dup_embedding_consistency", "dup_rate_report",
+        "dedup_substring", "dedup_winnowing", "discount_band_report",
+        "distinct_users_exact", "doc_nb_classifier", "docs_length_band",
+        "docs_token_histogram", "docs_vocab_simpson", "dq_null_profile",
+        "dq_referential_audit", "dsir_importance",
+        "dup_embedding_consistency", "dup_rate_report",
         "embedding_centroids", "embedding_cluster_balance",
-        "embedding_dim_stats", "embedding_kmeans", "embedding_norm_report",
-        "embedding_outliers", "embedding_pair_hist", "embedding_pca_power",
-        "embedding_random_projection", "event_path_trigrams",
-        "event_sessionize_stats", "event_transitions",
-        "event_value_hour_corr", "events_anomaly_mad", "events_autocorr",
-        "events_benford", "events_cohort_retention",
+        "embedding_dim_stats", "embedding_kcenter", "embedding_kmeans",
+        "embedding_knn_graph", "embedding_norm_report", "embedding_outliers",
+        "embedding_pair_hist", "embedding_pca_power",
+        "embedding_random_projection", "embedding_silhouette",
+        "event_path_trigrams", "event_sessionize_stats", "event_transitions",
+        "event_value_hour_corr", "event_volume_trend", "events_anomaly_mad",
+        "events_autocorr", "events_benford", "events_cohort_retention",
         "events_cusum_changepoint", "events_decode_audit",
         "events_dedup_hourly", "events_ewma", "events_funnel",
         "events_json_extract", "events_markov_stationary", "events_ohlc",
-        "events_peak_concurrency", "events_rate_limit", "events_seasonality",
-        "events_value_ranks", "events_window_funnel", "fact_dq_audit",
-        "gap_fill_locf", "gopher_rules", "graph_degree_assortativity",
-        "graph_kcore", "graph_label_prop", "graph_pagerank",
-        "graph_triangle_count", "heavy_hitters_report",
+        "events_ols_multi", "events_peak_concurrency", "events_rate_limit",
+        "events_seasonality", "events_value_ranks", "events_window_funnel",
+        "fact_dq_audit", "gap_fill_locf", "gopher_rules",
+        "graph_clustering_coeff", "graph_degree_assortativity",
+        "graph_kcore", "graph_label_prop", "graph_link_prediction",
+        "graph_pagerank", "graph_triangle_count", "heavy_hitters_report",
         "host_curation_report", "hypertable_rollup", "interarrival_stats",
-        "knn_label_vote", "lang_source_quota", "langid_agreement",
-        "langid_confusion", "late_arrival_report", "line_dup_catalog",
+        "join_skew_audit", "knn_label_vote", "lang_source_quota",
+        "langid_agreement", "langid_confusion", "late_arrival_report",
+        "line_dup_catalog", "lsh_recall_measured", "lsh_tuning_curve",
         "minhash_containment", "minhash_estimate_audit", "mm_binary_dup",
         "mm_byte_stats", "mm_frame_sample", "mm_gif_anim_stats",
-        "mm_image_header", "mm_image_meta", "mm_mp4_boxes", "mm_pcm_stats",
-        "mm_thumbnail", "mm_wav_header", "nb_calibration", "ngram_coverage",
-        "ntile_order_quartiles", "open_order_lines_daily",
-        "orders_aging_bands", "orders_grouping_sets", "pack_chunks",
+        "mm_image_header", "mm_image_meta", "mm_jpeg_segments",
+        "mm_mp4_boxes", "mm_pcm_silence", "mm_pcm_stats", "mm_phash_dup",
+        "mm_png_chunks", "mm_thumbnail", "mm_wav_header",
+        "nation_trade_matrix", "nb_calibration", "ngram_coverage",
+        "ntile_order_quartiles", "oov_rate_by_source",
+        "open_order_lines_daily", "orders_aging_bands",
+        "orders_grouping_sets", "orders_yoy_growth", "pack_chunks",
         "part_affinity_jaccard", "part_cooccurrence", "pipeline_merge",
         "pivot_user_event_totals", "price_index_laspeyres",
-        "price_quantity_elasticity", "q10_returned_items",
-        "q11_important_parts", "q12_priority_class",
+        "price_quantity_elasticity", "priority_sla_report",
+        "q10_returned_items", "q11_important_parts", "q12_priority_class",
         "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
         "q16_parts_supplier", "q17_small_quantity", "q18_bucketed",
         "q18_large_customers", "q19_discounted_revenue",
@@ -112,37 +123,34 @@ _DRIVER_GREEN = frozenset(
         "resample_1h", "revenue_decile_gains", "revenue_dod_delta",
         "rolling_7d_revenue", "rollup_orders", "running_total",
         "salted_event_totals", "sample_kfold_assign", "sample_pps",
-        "sample_stratified", "sample_temperature", "semantic_dedup",
-        "session_conversion_lag", "setops_viewer_purchasers",
-        "sliding_distinct_users", "split_train_holdout",
-        "supplier_concentration_hhi", "supplier_latency_report",
-        "text_boilerplate", "text_fingerprint", "text_langid",
-        "text_langid_margin", "text_langid_ngram", "text_lm_bigram",
+        "sample_reservoir", "sample_stratified", "sample_temperature",
+        "schema_drift_report", "semantic_dedup", "session_conversion_lag",
+        "session_entry_exit", "setops_viewer_purchasers",
+        "sliding_distinct_users", "source_length_gini",
+        "split_train_holdout", "supplier_concentration_hhi",
+        "supplier_latency_report", "supplier_redundancy", "text_boilerplate",
+        "text_fingerprint", "text_langid", "text_langid_margin",
+        "text_langid_ngram", "text_lm_bigram", "text_lm_kneser_ney",
         "text_lm_perplexity", "text_ngram_novelty", "text_pii_scrub",
         "text_quality", "text_readability", "text_repetition",
         "text_script_mix", "text_sentence_stats", "text_tokens",
         "text_word_entropy", "tfidf_top_terms", "time_weighted_avg",
         "token_budget_allocation", "token_pmi", "tokenizer_fertility",
         "topk_per_key", "url_blocklist", "url_canonical_dedup",
-        "user_activity_gaps", "user_burst_minutes", "user_churn_features",
-        "user_event_entropy", "user_purchase_intervals", "user_rfm_segments",
+        "user_activity_gaps", "user_activity_gini", "user_bot_score",
+        "user_burst_minutes", "user_churn_features", "user_event_entropy",
+        "user_purchase_intervals", "user_rfm_segments",
         "user_survival_curve", "value_histogram", "value_outliers",
-        "value_winsorized", "vocab_bigrams", "win_count", "win_session",
-        "win_sliding", "win_tumbling", "zipf_slope",
+        "value_winsorized", "vocab_bigrams", "vocab_coverage_curve",
+        "win_count", "win_session", "win_sliding", "win_tumbling",
+        "zipf_slope",
     }
 )
 
 # Queries whose implementation (or a shared operator they call) changed
 # in the CURRENT round: their green rows describe the old plan, so they
 # re-enter the driver window. Refresh this set each round.
-_CHANGED_THIS_ROUND = frozenset(
-    {
-        # r9: canonicalization + keeper tail factored into shared
-        # helpers (canonical_url_col / url_keeper_report) for the
-        # streaming face — expressions identical, re-verify anyway.
-        "url_canonical_dedup",
-    }
-)
+_CHANGED_THIS_ROUND = frozenset()
 
 # Approximate operators with bounded local gates instead of oracle SQL
 # (the driver records them as ``err: no_oracle`` forever) — park them
