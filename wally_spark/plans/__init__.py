@@ -150,7 +150,18 @@ _DRIVER_GREEN = frozenset(
 # Queries whose implementation (or a shared operator they call) changed
 # in the CURRENT round: their green rows describe the old plan, so they
 # re-enter the driver window. Refresh this set each round.
-_CHANGED_THIS_ROUND = frozenset()
+_CHANGED_THIS_ROUND = frozenset(
+    {
+        # r10 advice fixes: bp shares respelled as exact bigint div
+        # (F.expr div) instead of floor(a/b) double division, and
+        # graph_link_prediction re-based on symmetrized adjacency so
+        # cn counts ALL common neighbors (oracle updated in lockstep).
+        "ab_test_report", "dq_null_profile", "graph_clustering_coeff",
+        "graph_link_prediction", "nation_trade_matrix",
+        "oov_rate_by_source", "priority_sla_report",
+        "schema_drift_report", "supplier_redundancy",
+    }
+)
 
 # Approximate operators with bounded local gates instead of oracle SQL
 # (the driver records them as ``err: no_oracle`` forever) — park them

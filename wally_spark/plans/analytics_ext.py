@@ -1333,10 +1333,9 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node",
             "deg",
             F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_tri"),
-            F.floor(
-                (10000 * 2 * F.coalesce("n_tri", F.lit(0)))
-                / (F.col("deg") * (F.col("deg") - 1))
-            )
+            # exact bigint div (not floor(a/b) double division): keeps
+            # hash parity with the oracle's // past the 2^53 mantissa
+            F.expr("(20000 * coalesce(n_tri, 0)) div (deg * (deg - 1))")
             .cast("bigint")
             .alias("cc_bp"),
         )
@@ -1390,10 +1389,7 @@ def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).cast("bigint").alias("n_rows"),
                 (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias("n_nulls"),
                 F.countDistinct(c).cast("bigint").alias("n_distinct"),
-                F.floor(
-                    (10000 * (F.count(F.lit(1)) - F.count(c)))
-                    / F.count(F.lit(1))
-                )
+                F.expr(f"(10000 * (count(1) - count({c}))) div count(1)")
                 .cast("bigint")
                 .alias("null_bp"),
             )
@@ -1450,12 +1446,11 @@ def schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_null_value"),
     )
-    w = Window.partitionBy()
-    share_e = F.floor((10000 * F.col("n_early")) / F.sum("n_early").over(w)).cast(
+    share_e = F.expr("(10000 * n_early) div (sum(n_early) over ())").cast(
         "bigint"
     )
-    share_l = F.floor(
-        (10000 * F.col("n_late")) / F.nullif(F.sum("n_late").over(w), F.lit(0))
+    share_l = F.expr(
+        "(10000 * n_late) div nullif(sum(n_late) over (), 0)"
     ).cast("bigint")
     return c.select(
         "event_type",
@@ -1493,11 +1488,14 @@ deg AS (
   SELECT node, count(*)::BIGINT AS deg FROM (
     SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
   GROUP BY node),
+adj AS (
+  SELECT pa AS ctr, pb AS leaf FROM e
+  UNION ALL SELECT pb AS ctr, pa AS leaf FROM e),
 w AS (
-  SELECT e1.pa AS a, e2.pb AS c, count(*)::BIGINT AS cn
-  FROM e e1
-  JOIN deg dk ON dk.node = e1.pb AND dk.deg <= {LINKPRED_HUB_CAP}
-  JOIN e e2 ON e2.pa = e1.pb
+  SELECT l1.leaf AS a, l2.leaf AS c, count(*)::BIGINT AS cn
+  FROM adj l1
+  JOIN deg dk ON dk.node = l1.ctr AND dk.deg <= {LINKPRED_HUB_CAP}
+  JOIN adj l2 ON l2.ctr = l1.ctr AND l1.leaf < l2.leaf
   GROUP BY 1, 2),
 nonedge AS (
   SELECT w.a, w.c, w.cn FROM w
@@ -1517,8 +1515,12 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     for every NON-edge pair joined by at least one wedge, the common
     neighbor count and neighborhood Jaccard (cn / (deg_a + deg_c −
     cn)) in basis points; top-{LINKPRED_TOP} by score with
-    deterministic tie-break. (A wedge a−b−c with a<b<c orients both
-    endpoints, so each candidate pair forms once.)
+    deterministic tie-break. Wedges enumerate from the SYMMETRIZED
+    adjacency, so cn counts every common neighbor regardless of its id
+    relative to the endpoints (the r9 spelling oriented both edges
+    pa<pb and missed neighbors outside the (a, c) id interval — r10
+    advice fix); the leaf_a < leaf_c canonical filter forms each
+    unordered candidate pair once per center.
 
     Scale shape: same support-pruned edge set and salted wedge join as
     graph_triangle_count (hubs scatter across 8 reducers); candidate
@@ -1547,19 +1549,26 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     )
+    # symmetrized adjacency (ctr, leaf): every common neighbor is a
+    # wedge center whatever its id — both edge orientations fan out
+    adj = edges.select(
+        F.col("pa").alias("ctr"), F.col("pb").alias("leaf")
+    ).unionAll(
+        edges.select(F.col("pb").alias("ctr"), F.col("pa").alias("leaf"))
+    )
     # hub-center cap (see LINKPRED_HUB_CAP): only non-hub wedge
     # centers enumerate pairs — a left-semi join on the center key
     # before the wedge join, so hub wedges are never materialized
     ok_centers = deg.where(F.col("deg") <= LINKPRED_HUB_CAP).select("node")
-    left = edges.select(F.col("pa").alias("wa"), F.col("pb").alias("k")).join(
+    left = adj.select(F.col("leaf").alias("wa"), F.col("ctr").alias("k")).join(
         ok_centers.withColumnRenamed("node", "k"), "k", "left_semi"
     )
     wedges = salted_join(
         left,
-        edges.select(F.col("pa").alias("k"), F.col("pb").alias("wc")),
+        adj.select(F.col("ctr").alias("k"), F.col("leaf").alias("wc")),
         on="k",
         n_salts=8,
-    )
+    ).where(F.col("wa") < F.col("wc"))
     cand = wedges.groupBy(
         F.col("wa").alias("a"), F.col("wc").alias("c")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
@@ -1576,10 +1585,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a",
             "c",
             "cn",
-            F.floor(
-                (10000 * F.col("cn"))
-                / (F.col("da.deg") + F.col("dc.deg") - F.col("cn"))
-            )
+            F.expr("(10000 * cn) div (da.deg + dc.deg - cn)")
             .cast("bigint")
             .alias("jaccard_bp"),
         )
@@ -1730,7 +1736,6 @@ def nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("net_cents"),
         )
     )
-    w = Window.partitionBy()
     return (
         j.groupBy("supp_nation", "cust_nation")
         .agg(
@@ -1742,10 +1747,7 @@ def nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             "n_lines",
             "revenue_cents",
-            F.floor(
-                (10000 * F.col("revenue_cents"))
-                / F.sum("revenue_cents").over(w)
-            )
+            F.expr("(10000 * revenue_cents) div (sum(revenue_cents) over ())")
             .cast("bigint")
             .alias("share_bp"),
         )
@@ -2037,7 +2039,10 @@ def supplier_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("n_suppliers") >= 3, 1).otherwise(0))
             .cast("bigint")
             .alias("multi_source"),
-            F.floor((10000 * F.sum(one)) / F.count(F.lit(1)))
+            F.expr(
+                "(10000 * sum(case when n_suppliers = 1 then 1 else 0 end))"
+                " div count(1)"
+            )
             .cast("bigint")
             .alias("single_source_bp"),
             F.max("n_suppliers").cast("bigint").alias("max_suppliers"),
@@ -2259,11 +2264,17 @@ def priority_sla_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
             F.sum(w7).cast("bigint").alias("within_7d"),
-            F.floor((10000 * F.sum(w7)) / F.count(F.lit(1)))
+            F.expr(
+                "(10000 * sum(case when days <= 7 then 1 else 0 end))"
+                " div count(1)"
+            )
             .cast("bigint")
             .alias("within_7d_bp"),
             F.sum(w30).cast("bigint").alias("within_30d"),
-            F.floor((10000 * F.sum(w30)) / F.count(F.lit(1)))
+            F.expr(
+                "(10000 * sum(case when days <= 30 then 1 else 0 end))"
+                " div count(1)"
+            )
             .cast("bigint")
             .alias("within_30d_bp"),
             F.expr("CAST(sum(days) div count(*) AS BIGINT)").alias(

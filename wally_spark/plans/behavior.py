@@ -820,9 +820,9 @@ def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("revenue_cents").cast("bigint").alias("revenue_cents"),
         )
     )
-    conv_bp = F.floor((10000 * F.col("n_converters")) / F.col("n_users")).cast(
-        "bigint"
-    )
+    # exact bigint div (not floor(a/b) double division): keeps hash
+    # parity with the oracle's // past the 2^53 mantissa
+    conv_bp = F.expr("(10000 * n_converters) div n_users").cast("bigint")
     w = Window.partitionBy()
     out = v.select(
         "variant",
@@ -830,7 +830,7 @@ def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_converters",
         conv_bp.alias("conv_bp"),
         "revenue_cents",
-        F.floor(F.col("revenue_cents") / F.col("n_users"))
+        F.expr("revenue_cents div n_users")
         .cast("bigint")
         .alias("arpu_cents"),
     )

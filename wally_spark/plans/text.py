@@ -852,7 +852,10 @@ def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
             F.sum(oov).cast("bigint").alias("oov_tokens"),
-            F.floor((10000 * F.sum(oov)) / F.count(F.lit(1)))
+            F.expr(
+                f"(10000 * sum(case when c < {OOV_MIN_FREQ} then 1 else 0"
+                " end)) div count(1)"
+            )
             .cast("bigint")
             .alias("oov_bp"),
             F.countDistinct(

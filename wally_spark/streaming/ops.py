@@ -2461,7 +2461,10 @@ def oov_report_foreach_batch(spark, counts_path: str, out_path: str):
             .agg(
                 F.sum("c").cast("bigint").alias("n_tokens"),
                 F.sum(oov_c).cast("bigint").alias("oov_tokens"),
-                F.floor((10000 * F.sum(oov_c)) / F.sum("c"))
+                F.expr(
+                    f"(10000 * sum(case when gf < {OOV_MIN_FREQ} then c"
+                    " else 0 end)) div sum(c)"
+                )
                 .cast("bigint")
                 .alias("oov_bp"),
                 F.countDistinct(
