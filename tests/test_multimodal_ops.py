@@ -479,6 +479,43 @@ def test_parse_jpeg_segments_structures():
     assert parse_jpeg_segments(b"\xff\xd8\x00\x01") is None
 
 
+def test_parse_jpeg_progressive_and_standalone_markers():
+    """Real-world JPEG shapes the r9 walker misreported as invalid
+    (r10 advice): progressive/multi-scan streams (DHT + a second SOS
+    after the first scan), TEM/RST standalone markers without length
+    fields, and 0xFF fill bytes before markers."""
+    from wally_spark.operators.multimodal import parse_jpeg_segments
+
+    base = _mk_jpeg(scan_n=5, eoi=False)  # ends inside the first scan
+    # progressive tail: DHT then a second SOS with its own scan + EOI
+    dht = b"\xff\xc4" + (5).to_bytes(2, "big") + b"\x00\x01\x02"
+    sos2 = b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01\x01\x00\x00\x3f\x00"
+    prog = base + dht + sos2 + b"\x66" * 7 + b"\xff\xd9"
+    parsed = parse_jpeg_segments(prog)
+    assert parsed is not None
+    ns, w, h, na, cp, sb, eoi = parsed
+    assert (w, h, eoi) == (200, 100, True)
+    assert sb == 5 + 7  # scan bytes accumulate across scans
+    assert ns == 6 + 3  # SOI..SOS base segs + DHT + SOS2 + EOI
+
+    # standalone TEM between header segments; fill bytes before SOF
+    tem = b"\xff\x01"
+    fill = b"\xff\xff\xff"
+    j2 = _mk_jpeg()
+    # splice TEM + fill right before the SOS marker
+    sos_at = j2.index(b"\xff\xda")
+    spliced = j2[:sos_at] + tem + fill + j2[sos_at:]
+    p2 = parse_jpeg_segments(spliced)
+    assert p2 is not None and p2[6] is True and p2[1] == 200
+    assert p2[0] == 8  # TEM counted as a segment
+
+    # in-scan RST markers stay inside the scan byte count
+    j3 = _mk_jpeg(scan_n=0, eoi=False)
+    rst_scan = j3 + b"\x11\x22\xff\xd0\x33\x44" + b"\xff\xd9"
+    p3 = parse_jpeg_segments(rst_scan)
+    assert p3 is not None and p3[6] is True and p3[5] == 6
+
+
 def test_pcm_silence_stats_exact(spark):
     """Handcrafted sample stream: [0,0,5,0,0,0,-2500,7,0] => 9 samples,
     6 silent, longest zero run 3, lead 2, trail 1, one clip."""

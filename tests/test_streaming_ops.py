@@ -1958,6 +1958,49 @@ def test_winnowdedup_against_corpus(spark, tmp_path):
     assert b3[30] and not b3[31]
 
 
+def test_winnowdedup_cap_is_global_across_store_parts(spark, tmp_path):
+    """PAIR_EMIT_BUCKET must bind on the GLOBAL holder count like the
+    batch lane, not per store part / per batch (r10 advice): identical
+    boilerplate docs split across batches so the shared fingerprints
+    are under-cap in every slice but over-cap globally — pairing must
+    exclude them everywhere; a legitimate near-dup pair in the same
+    stream keeps matching."""
+    from wally_spark.streaming.ops import (
+        winnowdedup_against_corpus_foreach_batch,
+    )
+
+    boiler = " ".join(f"boiler{i}" for i in range(40))
+    uniq = " ".join(f"uniq{i}" for i in range(40))
+    uniq_edit = uniq.replace("uniq20", "edited20")
+    schema = "doc_id long, text string"
+    fps, out = str(tmp_path / "fps"), str(tmp_path / "out")
+    # cap=3: boilerplate fp holders per slice = 2 (under-cap), global = 4
+    fn = winnowdedup_against_corpus_foreach_batch(
+        spark, fps, out, pair_emit_bucket=3
+    )
+    fn(spark.createDataFrame([(1, boiler), (2, boiler), (3, uniq)], schema), 0)
+    fn(
+        spark.createDataFrame(
+            [(10, boiler), (11, boiler), (12, uniq_edit)], schema
+        ),
+        1,
+    )
+    got = {
+        r["doc_id"]: (r["is_neardup"], r["match_doc"])
+        for r in spark.read.parquet(f"{out}/b*").collect()
+    }
+    # at batch 1 the fold sees 4 holders (2 in-batch + 2 in the b0
+    # store part) — over-cap GLOBALLY though under-cap in every slice,
+    # exactly the split the per-part r9 cap missed → no pairing, not
+    # even between the two in-batch copies 10 and 11
+    assert got[10] == (False, None) and got[11] == (False, None)
+    # batch 0's verdict is arrival-time: global holders then = 2,
+    # under cap, so the in-batch pair still formed
+    assert got[1] == (False, None) and got[2] == (True, 1)
+    # legitimate near-dup (fps held by 2 docs, under cap) still matches
+    assert got[12] == (True, 3)
+
+
 def test_reservoir_incremental_matches_batch(spark, tmp_path):
     """Incremental reservoir: after every batch the published sample
     equals the batch sample_reservoir lane over the concatenated

@@ -797,9 +797,15 @@ def parse_jpeg_segments(b: bytes):
     SOS, EOI — without entropy-decoding a single MCU: returns
     (n_segments, width, height, n_app, com_payload_bytes, scan_bytes,
     has_eoi) or None if the stream is not a structurally valid JPEG
-    prefix. After SOS the walker skips entropy-coded bytes (honoring
-    0xFF00 stuffing and RST markers) to the EOI — the structural
-    truncation check a 100 TB curation pass needs, at header cost."""
+    prefix. After an SOS the walker skips entropy-coded bytes (honoring
+    0xFF00 stuffing and in-scan RST markers) until the next real
+    marker, then RESUMES header-mode parsing — so progressive and
+    multi-scan streams (DHT/SOS after the first scan) parse instead of
+    being misreported as invalid, and scan_bytes accumulates across
+    scans (r10 advice fix). Spec-legal 0xFF fill bytes before a marker
+    are skipped; TEM (0x01) and RST outside a scan are standalone
+    markers with no length field. The structural truncation check a
+    100 TB curation pass needs, at header cost."""
     if b is None or len(b) < 4 or b[0:2] != b"\xff\xd8":
         return None
     n_segments = 1  # SOI
@@ -809,10 +815,27 @@ def parse_jpeg_segments(b: bytes):
     scan_bytes = 0
     has_eoi = False
     pos = 2
-    while pos + 4 <= len(b):
+    while pos + 1 < len(b):
         if b[pos] != 0xFF:
             return None
+        # spec-legal fill: any run of 0xFF bytes precedes the marker id
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(b):
+            break
         marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            has_eoi = True
+            n_segments += 1
+            pos += 2
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / standalone RST between segments: no length field
+            n_segments += 1
+            pos += 2
+            continue
+        if pos + 4 > len(b):
+            return None
         ln = int.from_bytes(b[pos + 2:pos + 4], "big")
         if pos + 2 + ln > len(b) or ln < 2:
             return None
@@ -826,22 +849,25 @@ def parse_jpeg_segments(b: bytes):
                 width = int.from_bytes(b[pos + 7:pos + 9], "big")
         n_segments += 1
         pos += 2 + ln
-        if marker == 0xDA:  # SOS: skip entropy-coded data to EOI
+        if marker == 0xDA:  # SOS: skip entropy-coded data to next marker
             scan_start = pos
+            ended_at_marker = False
             while pos + 1 < len(b):
-                if b[pos] == 0xFF and b[pos + 1] == 0xD9:
-                    scan_bytes = pos - scan_start
-                    has_eoi = True
-                    n_segments += 1  # EOI
-                    pos += 2
+                if (
+                    b[pos] == 0xFF
+                    and b[pos + 1] != 0x00
+                    and b[pos + 1] != 0xFF
+                    and not 0xD0 <= b[pos + 1] <= 0xD7
+                ):
+                    ended_at_marker = True
                     break
-                if b[pos] == 0xFF and b[pos + 1] not in (0x00, *range(0xD0, 0xD8)):
-                    return None  # unexpected marker inside scan
                 pos += 1
-            if not has_eoi:
-                # truncated download: REPORT it (has_eoi=False) — the
-                # audit lane's whole point — rather than rejecting
-                scan_bytes = len(b) - scan_start
+            if ended_at_marker:
+                scan_bytes += pos - scan_start
+                continue  # resume header mode: EOI, DHT, next SOS, ...
+            # truncated download: REPORT it (has_eoi=False) — the
+            # audit lane's whole point — rather than rejecting
+            scan_bytes += len(b) - scan_start
             break
     if width is None:
         return None

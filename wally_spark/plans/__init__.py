@@ -160,6 +160,9 @@ _CHANGED_THIS_ROUND = frozenset(
         "graph_link_prediction", "nation_trade_matrix",
         "oov_rate_by_source", "priority_sla_report",
         "schema_drift_report", "supplier_redundancy",
+        # r10 advice fix: parse_jpeg_segments learned progressive /
+        # multi-scan resume, standalone TEM/RST, fill bytes
+        "mm_jpeg_segments",
     }
 )
 

@@ -2242,7 +2242,9 @@ def heavy_hitters_foreach_batch(
     return proc
 
 
-def winnowdedup_against_corpus_foreach_batch(spark, fps_path: str, out_path: str):
+def winnowdedup_against_corpus_foreach_batch(
+    spark, fps_path: str, out_path: str, pair_emit_bucket: int | None = None
+):
     """Incremental WINNOWING near-dedup — the streaming face of the
     batch ``dedup_winnowing`` lane (MOSS fingerprinting): every
     arriving document's winnowing-selected fingerprint set
@@ -2254,13 +2256,20 @@ def winnowdedup_against_corpus_foreach_batch(spark, fps_path: str, out_path: str
     ``out_path/b<batch_id>``; the batch's fingerprint rows register in
     ``fps_path/b<batch_id>``.
 
-    Hot-fingerprint discipline mirrors the batch lane: fingerprints
-    held by more than PAIR_EMIT_BUCKET docs within a probed corpus
-    part (or within the batch) are excluded from pairing — they are
-    mass-dup boilerplate, exact-dedup territory — so a boilerplate fp
-    can never emit B² match rows. Store format-stamped; per-batch
+    Hot-fingerprint discipline matches the batch lane GLOBALLY (r10
+    advice fix — the r9 spelling capped per corpus part and per
+    batch, so a fp split across slices could be under-cap everywhere
+    yet over-cap globally): holder counts fold across the batch AND
+    every probed corpus part first, and fingerprints held by more
+    than the cap across the whole corpus are excluded from pairing
+    everywhere — they are mass-dup boilerplate, exact-dedup
+    territory — so a boilerplate fp can never emit B² match rows.
+    The fold is one uniform fp-keyed aggregate over relations the
+    probe joins already scan. Store format-stamped; per-batch
     overwrite dirs + own-batch exclusion give replay idempotence;
-    compact_corpus(bucket_key="fp") keeps probes Exchange-free."""
+    compact_corpus(bucket_key="fp") keeps probes Exchange-free.
+    ``pair_emit_bucket`` overrides the cap (tests); default is the
+    batch lane's PAIR_EMIT_BUCKET."""
     from wally_spark.operators.checkpoint import free_blocks, pin
     from wally_spark.plans.dedup import (
         PAIR_EMIT_BUCKET,
@@ -2268,23 +2277,34 @@ def winnowdedup_against_corpus_foreach_batch(spark, fps_path: str, out_path: str
         winnow_fingerprints,
     )
 
+    cap = PAIR_EMIT_BUCKET if pair_emit_bucket is None else pair_emit_bucket
+
     ensure_store_format(
         spark, fps_path, "winnowdedup-fps-v1", required_cols=("doc_id", "fp")
     )
-
-    def _capped(fdf):
-        from pyspark.sql import Window as W
-
-        return fdf.withColumn(
-            "bsz", F.count(F.lit(1)).over(W.partitionBy("fp"))
-        ).where(F.col("bsz") <= PAIR_EMIT_BUCKET).drop("bsz")
 
     def proc(batch_df, batch_id):
         fps = pin(winnow_fingerprints(batch_df))
         nfp = fps.groupBy("doc_id").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_fp")
         )
-        capped = _capped(fps)
+        parts = [
+            p.select("doc_id", "fp")
+            for p in corpus_probe_parts(spark, fps_path, exclude_batch=batch_id)
+        ]
+        # GLOBAL holder count per fp (batch + every store part): the
+        # hot set is the over-cap tail — small by construction
+        allfps = fps.select("doc_id", "fp")
+        for p in parts:
+            allfps = allfps.unionByName(p)
+        hot = (
+            allfps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .where(F.col("bsz") > cap)
+            .select("fp")
+        )
+        hot = pin(hot)  # consumed by the batch self-join + every part probe
+        capped = fps.join(hot, "fp", "left_anti")
         older = capped.select(
             F.col("doc_id").alias("match_doc"), "fp"
         )
@@ -2294,8 +2314,8 @@ def winnowdedup_against_corpus_foreach_batch(spark, fps_path: str, out_path: str
             .groupBy("doc_id", "match_doc")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         )
-        for part in corpus_probe_parts(spark, fps_path, exclude_batch=batch_id):
-            p = _capped(part.select("doc_id", "fp")).select(
+        for part in parts:
+            p = part.join(hot, "fp", "left_anti").select(
                 F.col("doc_id").alias("match_doc"), "fp"
             )
             hit = (
@@ -2328,6 +2348,7 @@ def winnowdedup_against_corpus_foreach_batch(spark, fps_path: str, out_path: str
         ).write.mode("overwrite").parquet(f"{out_path}/b{batch_id}")
         fps.write.mode("overwrite").parquet(f"{fps_path}/b{batch_id}")
         free_blocks(fps)
+        free_blocks(hot)
 
     return proc
 
