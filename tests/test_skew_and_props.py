@@ -472,6 +472,118 @@ def test_bpe_encode_matches_sequential_encoder(spark, tmp_path):
         assert nw <= nt < n0, (k, got[k])
 
 
+def test_bpe_encode_ids_matches_sequential_encoder(spark, tmp_path):
+    """bpe_encode_ids must agree with a single-process pipeline: train
+    the 4 merges sequentially, encode every word, assign dense ids by
+    sorted symbol, concatenate docs in (md5(doc_id), doc_id) order,
+    cut IDS_CHUNK-token windows, and compute each chunk's manifest —
+    including the position-weighted checksum that pins the exact id
+    SEQUENCE. Also the reconciliation contracts from the r9 verdict:
+    chunk token totals == bpe_encode's ledger totals, and the chunk
+    boundary math is pack_chunks' rule over BPE-token mass (all
+    chunks full except the last, ids contiguous from 0)."""
+    import hashlib
+    from collections import Counter
+
+    from wally_spark.plans.curation import BPE_ROUNDS, IDS_CHUNK
+
+    base = ["abab abab abab cdcd", "abab cdcd cdcd xyz", "ababab cdc xyz xyz"]
+    docs = [
+        (i, (base[i % 3] + " ") * 30 + "tail" + str(i), "en", "web")
+        for i in range(1, 11)
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in docs],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    # sequential trainer + encoder (the bpe_encode test's reference)
+    wc = Counter()
+    for _, t, _, _ in docs:
+        for w in t.lower().split():
+            if w:
+                wc[w] += 1
+    vocab = {tuple(w): c for w, c in wc.items()}
+    words = {tuple(w): tuple(w) for w in wc}
+    for _ in range(BPE_ROUNDS):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        (a, b), _cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+
+        def merge(syms):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return tuple(out)
+
+        vocab = Counter()
+        for w, syms in words.items():
+            words[w] = merge(syms)
+            vocab[words[w]] = vocab.get(words[w], 0) + wc["".join(w)]
+    enc = {"".join(w): s for w, s in words.items()}
+
+    # dense ids over the sorted final symbol set
+    all_syms = sorted({s for syms in enc.values() for s in syms})
+    tid = {s: i for i, s in enumerate(all_syms)}
+
+    # global stream in (md5(doc_id), doc_id) order
+    order = sorted(
+        (hashlib.md5(str(i).encode()).hexdigest(), i) for i, *_ in docs
+    )
+    texts = {i: t for i, t, _, _ in docs}
+    stream = []  # (doc_id, token_id)
+    for _, i in order:
+        for w in texts[i].lower().split():
+            if w:
+                stream.extend((i, tid[s]) for s in enc[w])
+
+    expect = {}
+    for gpos, (doc_id, token_id) in enumerate(stream):
+        cid = gpos // IDS_CHUNK
+        st = expect.setdefault(cid, [0, set(), 0, None, None])
+        st[0] += 1
+        st[1].add(doc_id)
+        st[2] += token_id * ((gpos % IDS_CHUNK) + 1)
+        if st[3] is None:
+            st[3] = token_id
+        st[4] = token_id
+
+    from wally_spark.plans import REGISTRY
+
+    got = {
+        r["chunk_id"]: (
+            r["n_tokens"], r["n_docs"], r["ids_checksum"],
+            r["first_token_id"], r["last_token_id"],
+        )
+        for r in REGISTRY["bpe_encode_ids"].spark_fn(spark, sf_dir).collect()
+    }
+    assert got == {
+        cid: (n, len(ds), ck, ft, lt)
+        for cid, (n, ds, ck, ft, lt) in expect.items()
+    }
+
+    # reconciliation: ledger totals and packing boundary rule
+    total = sum(n for n, *_ in got.values())
+    ledger = sum(
+        r["n_tokens"]
+        for r in REGISTRY["bpe_encode"].spark_fn(spark, sf_dir).collect()
+    )
+    assert total == ledger and total == len(stream)
+    cids = sorted(got)
+    assert cids == list(range(len(cids)))  # contiguous from 0
+    assert len(cids) > 2  # fixture actually spans several chunks
+    assert all(got[c][0] == IDS_CHUNK for c in cids[:-1])  # full chunks
+    assert 0 < got[cids[-1]][0] <= IDS_CHUNK
+
+
 def test_global_ntile_matches_window_ntile(spark):
     """global_ntile (two-phase distributed) must equal F.ntile over a
     single global window bit-for-bit — including the uneven-bucket

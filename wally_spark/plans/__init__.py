@@ -163,6 +163,10 @@ _CHANGED_THIS_ROUND = frozenset(
         # r10 advice fix: parse_jpeg_segments learned progressive /
         # multi-scan resume, standalone TEM/RST, fill bytes
         "mm_jpeg_segments",
+        # r10: merge-loop factored into _bpe_encoded_vocab (shared
+        # with the new bpe_encode_ids lane) — same expressions,
+        # re-verify anyway
+        "bpe_encode",
     }
 )
 

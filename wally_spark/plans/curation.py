@@ -1135,12 +1135,12 @@ def bpe_merges_r4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- BPE tokenizer APPLY (r9) ------------------------------------------------
-def _bpe_encode_oracle() -> str:
-    """Unrolled-CTE oracle for ``bpe_encode``: replays the identical
-    4-round training (same CTE text as ``_bpe_oracle`` but with
-    ``word`` carried through the v-chain and the LAST winner also
-    applied, yielding v{R} — the fully-merged vocabulary), then joins
-    every document word against its encoded symbol count."""
+def _bpe_vchain_parts() -> list:
+    """The unrolled-CTE v-chain: replays the identical BPE_ROUNDS
+    training (same CTE text as ``_bpe_oracle`` but with ``word``
+    carried through and the LAST winner also applied, yielding v{R} —
+    the fully-merged vocabulary). Shared by the bpe_encode and
+    bpe_encode_ids oracles."""
     d, dd = "chr(1)", "chr(1)||chr(1)"
     parts = [
         """tok AS (
@@ -1172,6 +1172,14 @@ v{n} AS (
   FROM v{r} CROSS JOIN t{r}
 )""".format(r=r, n=r + 1, dd=dd, d=d)
         )
+    return parts
+
+
+def _bpe_encode_oracle() -> str:
+    """Oracle for ``bpe_encode``: the v-chain, then every document
+    word joined against its encoded symbol count."""
+    dd = "chr(1)||chr(1)"
+    parts = _bpe_vchain_parts()
     return (
         "WITH " + ",\n".join(parts) + f""",
 syms AS (
@@ -1207,35 +1215,14 @@ ORDER BY s.lang, s.source"""
     )
 
 
-@register(
-    "bpe_encode",
-    oracle=_bpe_encode_oracle(),
-    tags=("text", "curation", "tokenizer"),
-)
-def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer APPLICATION — the missing half of the tokenizer
-    story (``bpe_merges_r4`` trains the merge table; this lane encodes
-    the corpus with it): replays the identical 4-round training loop,
-    applies ALL four winning merges to the word vocabulary, then
-    charges every document word its post-merge symbol count. Output is
-    the per-(lang, source) token-budget ledger — words, pre-merge
-    symbols (= characters), post-merge BPE tokens, fertility
-    (tokens/word) and compression (tokens/char) in exact integer milli
-    — the number a pipeline actually bills against a token budget
-    after tokenizer training (ref surface: computation_multi over
-    decoded text, machida/lib/wallaroo/__init__.py:270).
-
-    Scale shape (the bpe_merges_r4 discipline, curation.py:1076): the
-    corpus collapses to the (word, count) vocabulary ONCE; all four
-    merge applications run on the vocab (O(vocab × word_len) each,
-    independent of corpus size) with 1-row broadcast winners and
-    per-round pin/free so lineage stays linear. ENCODING never touches
-    symbol strings corpus-side: documents explode to words, the join
-    against the encoded vocab is a uniform word-keyed equi-join (the
-    vocab is NOT broadcast — unbounded at 100 TB), and only integer
-    counts aggregate out, bounded by |langs| × |sources|. Fertility /
-    compression divide AFTER the sums with nullif'd divisors (empty
-    slices yield NULL in both engines)."""
+def _bpe_encoded_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the BPE_ROUNDS training loop (the bpe_merges_r4
+    discipline) and return the fully-merged ``(word, s, c)``
+    vocabulary, pinned — shared by ``bpe_encode`` (the token-budget
+    ledger) and ``bpe_encode_ids`` (the token-id export). All merge
+    work runs on the vocab only — O(vocab × word_len) per round,
+    corpus-size independent — with 1-row broadcast winners and
+    per-round pin/free."""
     from wally_spark.operators.checkpoint import free_blocks, pin
 
     d = _BPE_D
@@ -1276,6 +1263,41 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         free_blocks(vocab)
         vocab = new_vocab
+    return vocab
+
+
+@register(
+    "bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    tags=("text", "curation", "tokenizer"),
+)
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — the missing half of the tokenizer
+    story (``bpe_merges_r4`` trains the merge table; this lane encodes
+    the corpus with it): replays the identical 4-round training loop,
+    applies ALL four winning merges to the word vocabulary, then
+    charges every document word its post-merge symbol count. Output is
+    the per-(lang, source) token-budget ledger — words, pre-merge
+    symbols (= characters), post-merge BPE tokens, fertility
+    (tokens/word) and compression (tokens/char) in exact integer milli
+    — the number a pipeline actually bills against a token budget
+    after tokenizer training (ref surface: computation_multi over
+    decoded text, machida/lib/wallaroo/__init__.py:270).
+
+    Scale shape (the bpe_merges_r4 discipline, curation.py:1076): the
+    corpus collapses to the (word, count) vocabulary ONCE; all four
+    merge applications run on the vocab (O(vocab × word_len) each,
+    independent of corpus size) with 1-row broadcast winners and
+    per-round pin/free so lineage stays linear. ENCODING never touches
+    symbol strings corpus-side: documents explode to words, the join
+    against the encoded vocab is a uniform word-keyed equi-join (the
+    vocab is NOT broadcast — unbounded at 100 TB), and only integer
+    counts aggregate out, bounded by |langs| × |sources|. Fertility /
+    compression divide AFTER the sums with nullif'd divisors (empty
+    slices yield NULL in both engines)."""
+    d = _BPE_D
+    docs = _docs(spark, sf_dir)
+    vocab = _bpe_encoded_vocab(spark, sf_dir)
     per_word = vocab.select(
         "word",
         F.length("word").cast("bigint").alias("n_chars"),
@@ -1313,6 +1335,205 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("compression_milli"),
         )
         .orderBy("lang", "source")
+    )
+
+
+# --- BPE token-id export (r10) ------------------------------------------------
+IDS_CHUNK = 512  # tokens per exported context window (pack_chunks' CHUNK)
+
+
+def _bpe_ids_oracle() -> str:
+    """Oracle for ``bpe_encode_ids``: the v-chain, then dense token
+    ids (row_number over the sorted distinct symbol set), per-doc
+    token positions, the md5(doc_id)-ordered global prefix sum, and
+    the per-chunk manifest."""
+    dd = "chr(1)||chr(1)"
+    parts = _bpe_vchain_parts()
+    tail = """,
+wsyms AS (
+  SELECT word, string_split(substr(s, 2, len(s)-2), {dd}) AS sy
+  FROM v{R}
+),
+tokvocab AS (
+  SELECT sym, (row_number() OVER (ORDER BY sym) - 1)::BIGINT AS token_id
+  FROM (SELECT DISTINCT unnest(sy) AS sym FROM wsyms)
+),
+wdocs AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+  FROM documents
+),
+dw AS (
+  SELECT doc_id, u.p AS wpos, u.w AS word
+  FROM (SELECT doc_id, list_transform(range(1, len(words)+1),
+          i -> {{'p': i, 'w': words[i]}}) AS ps FROM wdocs),
+       unnest(ps) AS t(u)
+),
+dwoff AS (
+  SELECT doc_id, wpos, sy,
+         coalesce(sum(len(sy)) OVER (PARTITION BY doc_id ORDER BY wpos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS woff
+  FROM dw JOIN wsyms USING (word)
+),
+doctot AS (
+  SELECT doc_id, sum(len(sy))::BIGINT AS n_tokens,
+         md5(doc_id::VARCHAR) AS h
+  FROM dwoff GROUP BY doc_id
+),
+goff AS (
+  SELECT doc_id,
+         coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off0
+  FROM doctot
+),
+dtoks0 AS (
+  SELECT doc_id, woff + u.p - 1 AS tpos, u.s AS sym
+  FROM (SELECT doc_id, woff, list_transform(range(1, len(sy)+1),
+          i -> {{'p': i, 's': sy[i]}}) AS ps FROM dwoff),
+       unnest(ps) AS t(u)
+),
+dtoks AS (
+  SELECT d.doc_id, g.off0 + d.tpos AS gpos, d.sym
+  FROM dtoks0 d JOIN goff g USING (doc_id)
+)
+SELECT (gpos // {K})::BIGINT AS chunk_id,
+       count(*)::BIGINT AS n_tokens,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       sum(t.token_id * ((gpos % {K}) + 1))::BIGINT AS ids_checksum,
+       arg_min(t.token_id, gpos)::BIGINT AS first_token_id,
+       arg_max(t.token_id, gpos)::BIGINT AS last_token_id
+FROM dtoks JOIN tokvocab t USING (sym)
+GROUP BY 1 ORDER BY 1""".format(dd=dd, R=BPE_ROUNDS, K=IDS_CHUNK)
+    return "WITH " + ",\n".join(parts) + tail
+
+
+@register(
+    "bpe_encode_ids",
+    oracle=_bpe_ids_oracle(),
+    tags=("text", "curation", "tokenizer", "packing"),
+)
+def bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-ID export — the last link of the tokenizer→training-
+    reader chain (r9 verdict #4): ``bpe_merges_r4`` trains the merge
+    table, ``bpe_encode`` charges token budgets, and THIS lane emits
+    what a training reader actually consumes — the corpus as
+    IDS_CHUNK-token context windows over real token ids. Documents
+    concatenate in the same deterministic md5(doc_id) order
+    pack_chunks uses; every BPE symbol gets a dense token id (rank in
+    the sorted final symbol vocabulary); output is the per-chunk
+    manifest (token count, contributing docs, an exact position-
+    weighted id checksum that pins the full sequence, first/last id).
+    Reconciliation contracts (tested): Σ chunk n_tokens == Σ
+    bpe_encode n_tokens; every chunk except the last holds exactly
+    IDS_CHUNK tokens with contiguous ids from 0 (the pack_chunks
+    boundary rule applied to BPE-token mass); a sequential Python
+    BPE encoder reproduces the checksums byte-for-byte.
+
+    Scale shape: merges replay on the (word, count) vocab only
+    (_bpe_encoded_vocab — corpus-size independent); token ids come
+    from a symbol-vocab window BOUNDED by |alphabet| + merge rounds
+    (broadcast after); per-doc positions are an exclusive prefix sum
+    over the doc-keyed word window (per-doc bounded); the GLOBAL
+    offset is the distributed two-phase prefix sum pack_chunks uses
+    (operators/prefix.bucket_offsets — driver state is
+    N_PREFIX_BUCKETS longs, never a global single-task window); the
+    encode join is the uniform word-keyed equi-join (vocab never
+    broadcast); the manifest aggregate is chunk-keyed, uniform by
+    construction (every chunk holds exactly IDS_CHUNK tokens).
+    Ref surface: computation_multi emitting encoded records,
+    machida/lib/wallaroo/__init__.py:473."""
+    from wally_spark.operators.prefix import bucket_offsets
+    from wally_spark.plans.sampling import N_PREFIX_BUCKETS
+
+    d = _BPE_D
+    dd = d + d
+    docs = _docs(spark, sf_dir)
+    vocab = _bpe_encoded_vocab(spark, sf_dir)
+    wsyms = vocab.select(
+        "word",
+        F.split(F.expr("substring(s, 2, length(s)-2)"), dd).alias("sy"),
+    )
+    # dense ids over the FINAL symbol vocabulary: bounded by
+    # |alphabet| + BPE_ROUNDS, so the global window is a few hundred
+    # rows and the id table broadcasts
+    tokvocab = (
+        wsyms.select(F.explode("sy").alias("sym"))
+        .distinct()
+        .select(
+            "sym",
+            (F.row_number().over(Window.orderBy("sym")) - 1)
+            .cast("bigint")
+            .alias("token_id"),
+        )
+    )
+    dw = docs.select(
+        "doc_id", F.posexplode(_words_col()).alias("wpos", "word")
+    )
+    dwj = dw.join(wsyms, "word")
+    wdoc = (
+        Window.partitionBy("doc_id")
+        .orderBy("wpos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dwoff = dwj.select(
+        "doc_id",
+        "sy",
+        (F.sum(F.size("sy")).over(wdoc) - F.size("sy"))
+        .cast("bigint")
+        .alias("woff"),
+    )
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    doctot = (
+        dwj.groupBy("doc_id")
+        .agg(F.sum(F.size("sy")).cast("bigint").alias("n_tokens"))
+        .select("doc_id", "n_tokens", h.alias("h"))
+        .withColumn(
+            "bucket", F.conv(F.substring("h", 1, 2), 16, 10).cast("int")
+        )
+    )
+    boff = bucket_offsets(spark, doctot, "bucket", "n_tokens", N_PREFIX_BUCKETS)
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    goff = (
+        doctot.join(F.broadcast(boff), "bucket")
+        .select(
+            "doc_id",
+            (
+                F.col("bucket_off")
+                + F.sum("n_tokens").over(wb)
+                - F.col("n_tokens")
+            )
+            .cast("bigint")
+            .alias("off0"),
+        )
+    )
+    toks = (
+        dwoff.select("doc_id", "woff", F.posexplode("sy").alias("spos", "sym"))
+        .join(goff, "doc_id")
+        .select(
+            "doc_id",
+            "sym",
+            (F.col("off0") + F.col("woff") + F.col("spos")).alias("gpos"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(tokvocab), "sym")
+        .groupBy(
+            F.expr(f"gpos div {IDS_CHUNK}").cast("bigint").alias("chunk_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.sum(F.col("token_id") * (F.col("gpos") % IDS_CHUNK + 1))
+            .cast("bigint")
+            .alias("ids_checksum"),
+            F.min_by("token_id", "gpos").cast("bigint").alias("first_token_id"),
+            F.max_by("token_id", "gpos").cast("bigint").alias("last_token_id"),
+        )
+        .orderBy("chunk_id")
     )
 
 
