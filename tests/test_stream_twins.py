@@ -528,3 +528,59 @@ def test_conversion_lag_stream_matches_batch(spark, tmp_path):
     )
     batch_rows = REGISTRY["session_conversion_lag"].spark_fn(spark, SF_SMALL)
     assert _rows(stream_rows) == _rows(batch_rows)
+
+
+def test_session_entry_exit_stream_equivalence(spark, tmp_path):
+    """The per-user open-session entry/exit state lane folds to exactly
+    the batch session_entry_exit matrix: every 10-minute-gap session is
+    emitted once (gap-close inside batches, EventTimeTimeout for idle
+    tails), and the (entry_type, exit_type) rollup of the emitted rows
+    matches the batch lane's counts, event mass, bounces, and
+    bounce_bp. A far-future sentinel event (filtered from the compare)
+    advances the watermark so tail sessions close via timeout."""
+    import datetime
+    import os
+
+    from wally_spark.plans import REGISTRY
+    from wally_spark.streaming.ops import session_entry_exit_stream
+
+    sdf, ev = _ordered_stream(spark, tmp_path)
+    # sentinel flush file, mtime-ordered after every real batch
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    flush = spark.createDataFrame(
+        [(10**9, mx + datetime.timedelta(days=2), -1, "view", 0.0)],
+        ev.schema,
+    )
+    stage = os.path.join(str(tmp_path), "_stage_flush")
+    flush.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    src = os.path.join(str(tmp_path), "events_ordered")
+    dst = os.path.join(src, "batch_zzz_flush.parquet")
+    os.rename(os.path.join(stage, part), dst)
+    os.utime(dst, (1_000_000 + 9_999, 1_000_000 + 9_999))
+
+    out = _run_append(
+        session_entry_exit_stream(sdf.withWatermark("ts", "1 second")), spark
+    )
+    sess = out.where(F.col("user_id") != -1)
+    stream_rows = sess.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("total_events"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bounce"),
+        F.expr(
+            "CAST((10000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END))"
+            " div count(1) AS BIGINT)"
+        ).alias("bounce_bp"),
+    )
+    batch_rows = REGISTRY["session_entry_exit"].spark_fn(spark, SF_SMALL)
+    assert _rows(stream_rows) == _rows(batch_rows)
+
+    # replay a batch file's worth of duplicate input: append-mode state
+    # emission already happened; a fresh run over the SAME corpus gives
+    # the same matrix (determinism of the gap/timeout close rule)
+    out2 = _run_append(
+        session_entry_exit_stream(sdf.withWatermark("ts", "1 second")), spark
+    )
+    assert _rows(out2.where(F.col("user_id") != -1)) == _rows(sess)

@@ -94,6 +94,102 @@ def inactivity_sessions_classic(df: DataFrame, gap_s: int) -> DataFrame:
     )
 
 
+def session_entry_exit_stream(df: DataFrame, gap_s: int = 600) -> DataFrame:
+    """Streaming face of the registered ``session_entry_exit`` batch
+    lane — the reference shape (per-key session state,
+    ephemeral_window.pony) at its most literal: per-user state holds
+    the one OPEN session (entry event, last-seen event, count); an
+    arriving event more than ``gap_s`` past the last one CLOSES the
+    open session (emitting its entry/exit row) and opens a new one,
+    and EventTimeTimeout closes idle sessions once the watermark
+    passes last+gap — so every session is emitted exactly once.
+    Downstream the (entry_type, exit_type) matrix is a plain rollup
+    of the emitted rows (read-time fold; equivalence tested in
+    tests/test_stream_twins.py).
+
+    Expects (ts timestamp, event_id, user_id, event_type) with a
+    watermark on ts and per-key in-order batch files (the reference's
+    key_by routing guarantee); within a batch, rows sort by
+    (ts, event_id) — the batch lane's deterministic rank. State is
+    one tuple per ACTIVE user: O(active keys), independent of history.
+
+    Emits (user_id, entry_type, exit_type, n_events) per closed
+    session."""
+    import pandas as pd
+
+    from pyspark import cloudpickle
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id long, entry_type string, exit_type string, n_events long"
+    )
+    gap_ns = int(gap_s) * 1_000_000_000
+
+    def runner(key, pdfs, state):
+        user = key[0]
+
+        def row(sess):
+            entry_type, exit_type, n = sess[2], sess[5], sess[6]
+            return {
+                "user_id": [user],
+                "entry_type": [entry_type],
+                "exit_type": [exit_type],
+                "n_events": [n],
+            }
+
+        if state.hasTimedOut:
+            if state.exists:
+                (blob,) = state.get
+                sess = cloudpickle.loads(bytes(blob))
+                state.remove()
+                yield pd.DataFrame(row(sess))
+            return
+
+        if state.exists:
+            (blob,) = state.get
+            sess = list(cloudpickle.loads(bytes(blob)))
+        else:
+            sess = None
+        events = []
+        for pdf in pdfs:
+            for ts, eid, etype in zip(
+                pdf["ts"], pdf["event_id"], pdf["event_type"]
+            ):
+                events.append((int(pd.Timestamp(ts).value), int(eid), etype))
+        events.sort()
+        closed = []
+        for ts_ns, eid, etype in events:
+            if sess is None:
+                sess = [ts_ns, eid, etype, ts_ns, eid, etype, 1]
+            elif ts_ns - sess[3] > gap_ns:
+                closed.append(sess)
+                sess = [ts_ns, eid, etype, ts_ns, eid, etype, 1]
+            else:
+                sess[3], sess[4], sess[5] = ts_ns, eid, etype
+                sess[6] += 1
+        if sess is None:  # no prior state and an empty batch slice
+            return
+        state.update((cloudpickle.dumps(tuple(sess)),))
+        state.setTimeoutTimestamp(sess[3] // 1_000_000 + gap_s * 1000)
+        if closed:
+            out = {
+                "user_id": [], "entry_type": [], "exit_type": [],
+                "n_events": [],
+            }
+            for s in closed:
+                for k, v in row(s).items():
+                    out[k].extend(v)
+            yield pd.DataFrame(out)
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        runner,
+        outputStructType=out_schema,
+        stateStructType="blob binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def count_windows_stream(df: DataFrame, n: int = 20) -> DataFrame:
     """Streaming twin of the registered `win_count` batch query: per-key
     count windows that fire exactly when the n-th event arrives
