@@ -156,6 +156,7 @@ def test_no_cartesian_anywhere(spark):
         "text_lm_perplexity",  # two 1-row (T, V) stats combines
         "doc_nb_classifier",  # 1-row class-stats and prior combines
         "nb_calibration",  # composes doc_nb_classifier's 1-row combines
+        "pool_filter_report",  # composes NB + perplexity 1-row combines
         "sample_temperature",  # 1-row temperature-normalizer side
         "dsir_importance",  # 1-row (rt, tt) totals side for the LM divisors
         "gap_fill_locf",  # 1-row (h0, h1) bounds side for the hour grid

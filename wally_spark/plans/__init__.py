@@ -167,6 +167,10 @@ _CHANGED_THIS_ROUND = frozenset(
         # with the new bpe_encode_ids lane) — same expressions,
         # re-verify anyway
         "bpe_encode",
+        # r10: scored-candidate core factored into _knn_scored
+        # (shared with the new contrastive_pairs lane) — same
+        # expressions, re-verify anyway
+        "embedding_knn_graph",
     }
 )
 

@@ -205,6 +205,157 @@ def decontaminate_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- minhash-band decontamination twin (r10) ----------------------------------
+# The Gopher appendix (Rae et al. 2021 §A2) decontaminates by n-gram
+# MinHash overlap against the eval suites rather than exact shingle
+# intersection — the band-candidate variant catches near-verbatim
+# contamination (light edits, whitespace drift) the exact 5-gram join
+# (decontaminate_holdout) misses, at candidate cost instead of
+# all-shingles cost.
+DECON_T_BP = 5000  # >= 4/8 matching minhashes flags contamination
+
+
+def _decon_minhash_oracle() -> str:
+    from wally_spark.plans.dedup import (
+        _MH_SIG_SQL,
+        _SHINGLES_SQL,
+        BAND_ROWS,
+        MAX_BUCKET,
+        N_HASHES,
+    )
+
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id,"
+        f" mh{2 * b}::VARCHAR || ':' || mh{2 * b + 1}::VARCHAR AS band_key"
+        " FROM sigs"
+        for b in range(N_HASHES // BAND_ROWS)
+    )
+    return f"""
+WITH shingled AS ({_SHINGLES_SQL}),
+exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+sigs AS (SELECT doc_id, {_MH_SIG_SQL} FROM exploded GROUP BY doc_id),
+bands AS ({bands_union}),
+bands_k AS (
+  SELECT doc_id, band_id, band_key FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bsz
+    FROM bands) WHERE bsz <= {MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT t.doc_id AS doc_id, h.doc_id AS h_doc
+  FROM bands_k t JOIN bands_k h
+    ON t.band_key = h.band_key AND t.band_id = h.band_id
+  WHERE t.doc_id % {HOLDOUT_MOD} <> 7 AND h.doc_id % {HOLDOUT_MOD} = 7
+),
+m AS (
+  SELECT c.doc_id, c.h_doc,
+         ({" + ".join(
+             f"CASE WHEN st.mh{h} = sh.mh{h} THEN 1 ELSE 0 END"
+             for h in range(N_HASHES)
+         )})::BIGINT AS matches
+  FROM cand c JOIN sigs st ON st.doc_id = c.doc_id
+              JOIN sigs sh ON sh.doc_id = c.h_doc
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_holdout_cands,
+       max(matches)::BIGINT AS best_matches,
+       ((10000 * max(matches)) // {N_HASHES})::BIGINT AS best_est_bp,
+       (max(matches) * 10000 >= {DECON_T_BP} * {N_HASHES}) AS contaminated
+FROM m GROUP BY doc_id
+"""
+
+
+@register(
+    "decontaminate_minhash",
+    oracle=_decon_minhash_oracle(),
+    tags=("text", "curation", "contamination", "lsh"),
+)
+def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-band decontamination — decontaminate_holdout's
+    near-verbatim twin: training docs that collide with any holdout
+    doc (doc_id ≡ 7 mod {HOLDOUT_MOD}) in a minhash band bucket are
+    candidates; each reports its holdout-candidate count, its best
+    matching-minhash count / estimated Jaccard (exact integer bp), and
+    the contaminated flag at DECON_T_BP. Exact 5-gram overlap misses a
+    holdout doc pasted with light edits; the signature estimate
+    doesn't.
+
+    Scale shape: dedup_minhash's banding discipline verbatim (band_key
+    shuffle uniform, MAX_BUCKET cap mirrored in the oracle), except
+    the join is train × holdout instead of a self-join — the holdout
+    side is eval-suite-sized, so at 100 TB the candidate check costs
+    O(collisions), and the signature re-join is two uniform doc-keyed
+    probes. No shingle-level join at all (that is the exact lane's
+    cost)."""
+    from wally_spark.operators.checkpoint import pin
+    from wally_spark.plans.dedup import (
+        BAND_ROWS,
+        MAX_BUCKET,
+        N_HASHES,
+        _docs as _ddocs,
+        minhash_signatures,
+    )
+
+    sigs = pin(
+        minhash_signatures(fan_out(_ddocs(spark, sf_dir), "doc_id"))
+    )  # consumed by the band explode + both signature re-joins
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    ":", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
+                ).alias("band_key"),
+            )
+            for b in range(N_HASHES // BAND_ROWS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band_id", "b.band_key"
+    )
+    sizes = bands.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("bsz")
+    )
+    bands_k = bands.join(
+        sizes.where(F.col("bsz") <= MAX_BUCKET), ["band_id", "band_key"]
+    ).select("doc_id", "band_id", "band_key")
+    tr = bands_k.where(F.col("doc_id") % HOLDOUT_MOD != 7)
+    ho = bands_k.where(F.col("doc_id") % HOLDOUT_MOD == 7).select(
+        F.col("doc_id").alias("h_doc"), "band_id", "band_key"
+    )
+    cand = (
+        tr.join(ho, ["band_id", "band_key"])
+        .select("doc_id", "h_doc")
+        .distinct()
+    )
+    st = sigs.select(
+        "doc_id", *[F.col(f"mh{h}").alias(f"t{h}") for h in range(N_HASHES)]
+    )
+    sh = sigs.select(
+        F.col("doc_id").alias("h_doc"),
+        *[F.col(f"mh{h}").alias(f"h{h}") for h in range(N_HASHES)],
+    )
+    matches = sum(
+        (
+            F.when(F.col(f"t{h}") == F.col(f"h{h}"), 1).otherwise(0)
+            for h in range(N_HASHES)
+        ),
+        F.lit(0),
+    ).cast("bigint")
+    m = cand.join(st, "doc_id").join(sh, "h_doc").select(
+        "doc_id", matches.alias("matches")
+    )
+    return m.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_holdout_cands"),
+        F.max("matches").cast("bigint").alias("best_matches"),
+        F.expr(f"(10000 * max(matches)) div {N_HASHES}")
+        .cast("bigint")
+        .alias("best_est_bp"),
+        (F.max("matches") * 10000 >= DECON_T_BP * N_HASHES).alias(
+            "contaminated"
+        ),
+    )
+
+
 @register(
     "chunk_overlap",
     oracle=f"""
@@ -1881,4 +2032,209 @@ def nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_en",
             "en_rate_bp",
         )
+    )
+
+
+# --- DataComp-style pool filter with per-rule ablation (r10) -------------------
+# Composes the four standing per-doc gates — Gopher rule bundle, NB
+# quality classifier, unigram-LM perplexity, near-dup verdict — into
+# the one report a pool designer reads: per source, how many docs
+# survive ALL gates, how many each gate kills, and how many each gate
+# kills ALONE (the ablation column: what relaxing that one gate would
+# recover). DataComp (Gadre et al. 2023) and FineWeb publish exactly
+# this table per filter candidate.
+PPL_MAX_MNAT = 2300  # keep docs at or below this unigram NLL/token
+
+from wally_spark.plans.quality import (  # noqa: E402
+    _G_VERDICT_SQL,
+    _gopher_feat_sql,
+)
+from wally_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+
+def _pool_filter_oracle() -> str:
+    from wally_spark.plans.dedup import _CAND_SQL
+    from wally_spark.plans.dedup import _SHINGLES_SQL as _SH3_SQL
+
+    ppl_oracle = _REG["text_lm_perplexity"].oracle
+    keep = "g_ok AND nb_ok AND ppl_ok AND dup_ok"
+    only = {
+        "gopher": "NOT g_ok AND nb_ok AND ppl_ok AND dup_ok",
+        "nb": "g_ok AND NOT nb_ok AND ppl_ok AND dup_ok",
+        "ppl": "g_ok AND nb_ok AND NOT ppl_ok AND dup_ok",
+        "dup": "g_ok AND nb_ok AND ppl_ok AND NOT dup_ok",
+    }
+    return f"""
+WITH g AS (
+  SELECT doc_id, v AS ok FROM (
+    {_gopher_feat_sql()}
+    SELECT doc_id, {_G_VERDICT_SQL} AS v FROM feat)
+),
+nb AS (SELECT doc_id, (pred_en = 1) AS ok FROM ({_NB_ORACLE})),
+ppl AS (
+  SELECT doc_id, (mnat_per_token <= {PPL_MAX_MNAT}) AS ok
+  FROM ({ppl_oracle})
+),
+dupl AS (
+  SELECT DISTINCT doc_b AS doc_id FROM (
+    WITH shingled AS ({_SH3_SQL}),
+    exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+    {_CAND_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM exploded GROUP BY doc_id),
+    dup_pairs AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS inter
+      FROM cand c
+      JOIN exploded a ON a.doc_id = c.doc_a
+      JOIN exploded b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT dp.doc_b
+    FROM dup_pairs dp JOIN sizes sa ON sa.doc_id = dp.doc_a
+                      JOIN sizes sb ON sb.doc_id = dp.doc_b
+    WHERE 10000.0 * inter / (sa.n + sb.n - inter) >= 8000.0)
+),
+v AS (
+  SELECT d.doc_id, d.source,
+         coalesce(g.ok, FALSE) AS g_ok,
+         coalesce(nb.ok, FALSE) AS nb_ok,
+         coalesce(ppl.ok, FALSE) AS ppl_ok,
+         (dupl.doc_id IS NULL) AS dup_ok
+  FROM documents d
+  LEFT JOIN g ON g.doc_id = d.doc_id
+  LEFT JOIN nb ON nb.doc_id = d.doc_id
+  LEFT JOIN ppl ON ppl.doc_id = d.doc_id
+  LEFT JOIN dupl ON dupl.doc_id = d.doc_id
+)
+SELECT source,
+  count(*)::BIGINT AS n_pool,
+  sum(CASE WHEN {keep} THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+  ((10000 * sum(CASE WHEN {keep} THEN 1 ELSE 0 END)) // count(*))::BIGINT
+    AS keep_bp,
+  sum(CASE WHEN NOT g_ok THEN 1 ELSE 0 END)::BIGINT AS n_fail_gopher,
+  sum(CASE WHEN NOT nb_ok THEN 1 ELSE 0 END)::BIGINT AS n_fail_nb,
+  sum(CASE WHEN NOT ppl_ok THEN 1 ELSE 0 END)::BIGINT AS n_fail_ppl,
+  sum(CASE WHEN NOT dup_ok THEN 1 ELSE 0 END)::BIGINT AS n_fail_dup,
+  sum(CASE WHEN {only["gopher"]} THEN 1 ELSE 0 END)::BIGINT AS n_only_gopher,
+  sum(CASE WHEN {only["nb"]} THEN 1 ELSE 0 END)::BIGINT AS n_only_nb,
+  sum(CASE WHEN {only["ppl"]} THEN 1 ELSE 0 END)::BIGINT AS n_only_ppl,
+  sum(CASE WHEN {only["dup"]} THEN 1 ELSE 0 END)::BIGINT AS n_only_dup
+FROM v GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "pool_filter_report",
+    oracle=_pool_filter_oracle(),
+    tags=("text", "curation", "pipeline", "quality"),
+)
+def pool_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataComp-style pool-filter ablation report: every document is
+    judged by the four standing gates — gopher_rules' conjunction, the
+    NB quality classifier (pred_en), the unigram-LM perplexity cut
+    (<= PPL_MAX_MNAT mnat/token), and the near-dup verdict
+    (curation_pipeline's >= 0.8-Jaccard loser rule) — then rolled up
+    per source: pool size, survivors of ALL gates (+ keep_bp), kills
+    per gate, and kills attributable to EACH GATE ALONE (the ablation
+    signal: what dropping that gate would recover). Docs with no
+    tokens fail the token-based gates (NULL → FALSE) in both engines.
+
+    Scale shape: pure composition — each gate is the registered
+    lane's own plan (gopher: one codegen scan; NB + perplexity:
+    explode + bounded-broadcast model join + doc-keyed aggregate;
+    dup: minhash-banded candidates only), stitched by four uniform
+    doc-keyed left joins and collapsed to a |sources|-bounded rollup.
+    No new shuffle class beyond the gates themselves; the report adds
+    exactly one doc-keyed join per gate."""
+    from wally_spark.plans.dedup import _candidate_jaccard, _jac_bp
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    g = (
+        _REG["gopher_rules"]
+        .spark_fn(spark, sf_dir)
+        .select("doc_id", F.col("verdict").alias("g_raw"))
+    )
+    nb = (
+        _REG["doc_nb_classifier"]
+        .spark_fn(spark, sf_dir)
+        .select("doc_id", (F.col("pred_en") == 1).alias("nb_raw"))
+    )
+    ppl = (
+        _REG["text_lm_perplexity"]
+        .spark_fn(spark, sf_dir)
+        .select(
+            "doc_id",
+            (F.col("mnat_per_token") <= PPL_MAX_MNAT).alias("ppl_raw"),
+        )
+    )
+    dups = (
+        _candidate_jaccard(spark, sf_dir)
+        .where(_jac_bp() >= 8000.0)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    v = (
+        docs.join(g, "doc_id", "left")
+        .join(nb, "doc_id", "left")
+        .join(ppl, "doc_id", "left")
+        .join(dups, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce("g_raw", F.lit(False)).alias("g_ok"),
+            F.coalesce("nb_raw", F.lit(False)).alias("nb_ok"),
+            F.coalesce("ppl_raw", F.lit(False)).alias("ppl_ok"),
+            F.col("is_dup").isNull().alias("dup_ok"),
+        )
+    )
+    keep = "g_ok AND nb_ok AND ppl_ok AND dup_ok"
+    return (
+        v.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pool"),
+            F.expr(f"sum(CASE WHEN {keep} THEN 1 ELSE 0 END)")
+            .cast("bigint")
+            .alias("n_keep"),
+            F.expr(
+                f"(10000 * sum(CASE WHEN {keep} THEN 1 ELSE 0 END))"
+                " div count(1)"
+            )
+            .cast("bigint")
+            .alias("keep_bp"),
+            F.expr("sum(CASE WHEN NOT g_ok THEN 1 ELSE 0 END)")
+            .cast("bigint")
+            .alias("n_fail_gopher"),
+            F.expr("sum(CASE WHEN NOT nb_ok THEN 1 ELSE 0 END)")
+            .cast("bigint")
+            .alias("n_fail_nb"),
+            F.expr("sum(CASE WHEN NOT ppl_ok THEN 1 ELSE 0 END)")
+            .cast("bigint")
+            .alias("n_fail_ppl"),
+            F.expr("sum(CASE WHEN NOT dup_ok THEN 1 ELSE 0 END)")
+            .cast("bigint")
+            .alias("n_fail_dup"),
+            F.expr(
+                "sum(CASE WHEN NOT g_ok AND nb_ok AND ppl_ok AND dup_ok"
+                " THEN 1 ELSE 0 END)"
+            )
+            .cast("bigint")
+            .alias("n_only_gopher"),
+            F.expr(
+                "sum(CASE WHEN g_ok AND NOT nb_ok AND ppl_ok AND dup_ok"
+                " THEN 1 ELSE 0 END)"
+            )
+            .cast("bigint")
+            .alias("n_only_nb"),
+            F.expr(
+                "sum(CASE WHEN g_ok AND nb_ok AND NOT ppl_ok AND dup_ok"
+                " THEN 1 ELSE 0 END)"
+            )
+            .cast("bigint")
+            .alias("n_only_ppl"),
+            F.expr(
+                "sum(CASE WHEN g_ok AND nb_ok AND ppl_ok AND NOT dup_ok"
+                " THEN 1 ELSE 0 END)"
+            )
+            .cast("bigint")
+            .alias("n_only_dup"),
+        )
+        .orderBy("source")
     )

@@ -938,6 +938,28 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolution with dst tie-break so engine float noise cannot flip a
     rank; the per-vector top-K window is candidate-bounded, never
     corpus-sized."""
+    both = _knn_scored(spark, sf_dir)
+    w = Window.partitionBy("src").orderBy(F.desc("cos_bp"), "dst")
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_GRAPH_K)
+        .select(
+            "src",
+            F.col("rank").cast("bigint").alias("rank"),
+            "dst",
+            "cos_bp",
+        )
+        .orderBy("src", "rank")
+    )
+
+
+def _knn_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed (src, dst, cos_bp) scored banded-LSH candidate pairs —
+    the shared core of embedding_knn_graph and contrastive_pairs (the
+    r10 hard-negative miner). See embedding_knn_graph's docstring for
+    the scale discipline (narrow-row self-join, PAIR_EMIT_BUCKET
+    pre-join cap, arrays attach after pair dedup, one Arrow einsum,
+    bp-resolution scores)."""
     from wally_spark.plans.dedup import PAIR_EMIT_BUCKET
 
     emb = _emb(spark, sf_dir)
@@ -986,20 +1008,104 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOT pinned: measured — materializing 800k scored rows costs more
     # than the second branch's recompute (exchange reuse shares the
     # candidate join; only the cheap mirror projection differs)
-    both = scored.unionByName(
+    return scored.unionByName(
         scored.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "cos_bp"
         )
     )
+
+
+# --- contrastive-pair mining (r10) --------------------------------------------
+CP_MARGIN_BP = 500  # negatives must sit this far below the positive
+CP_HARD_K = 2  # hardest negatives kept per anchor
+
+
+def _contrastive_oracle() -> str:
+    from wally_spark.plans.dedup import PAIR_EMIT_BUCKET
+
+    return f"""
+WITH {_SIGS_CTE},
+bk AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_id, band_sig) AS bsz
+    FROM sigs)
+  WHERE bsz <= {PAIR_EMIT_BUCKET}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS src, c.vec_id AS dst
+  FROM bk a JOIN bk c
+    ON a.band_id = c.band_id AND a.band_sig = c.band_sig
+   AND a.vec_id <> c.vec_id),
+scored AS (
+  SELECT cand.src, cand.dst,
+         floor(10000.0 * list_cosine_similarity(
+                 s.embedding::DOUBLE[], d.embedding::DOUBLE[]) + 1e-9)
+           ::BIGINT AS cos_bp
+  FROM cand JOIN embeddings s ON s.vec_id = cand.src
+            JOIN embeddings d ON d.vec_id = cand.dst),
+pos AS (
+  SELECT src, dst AS pos_dst, cos_bp AS pos_cos_bp FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY src ORDER BY cos_bp DESC, dst) AS rk
+    FROM scored) WHERE rk = 1),
+negs AS (
+  SELECT s.src, p.pos_dst, p.pos_cos_bp, s.dst, s.cos_bp,
+         row_number() OVER (
+           PARTITION BY s.src ORDER BY s.cos_bp DESC, s.dst) AS neg_rank
+  FROM scored s JOIN pos p USING (src)
+  WHERE s.cos_bp <= p.pos_cos_bp - {CP_MARGIN_BP})
+SELECT src AS anchor, pos_dst, pos_cos_bp,
+       neg_rank::BIGINT AS neg_rank, dst AS neg_dst, cos_bp AS neg_cos_bp
+FROM negs WHERE neg_rank <= {CP_HARD_K}
+ORDER BY anchor, neg_rank
+"""
+
+
+@register(
+    "contrastive_pairs",
+    oracle=_contrastive_oracle(),
+    tags=("similarity", "ann", "training"),
+)
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for embedding training (the SimCSE /
+    sentence-transformers hard-negative recipe): per anchor, the
+    POSITIVE is its nearest banded-LSH neighbor (rank-1 by exact
+    cosine, dst tie-break) and the HARD NEGATIVES are the closest
+    candidates at least CP_MARGIN_BP below the positive — near enough
+    to be informative, separated enough to not be false negatives
+    (the margin guard is what separates this from naive top-K).
+    Emits up to CP_HARD_K (anchor, positive, negative) triplet rows —
+    the literal training-batch input.
+
+    Scale shape: composes _knn_scored (embedding_knn_graph's shared
+    core — banded-LSH candidates, PAIR_EMIT_BUCKET pre-join cap, one
+    Arrow einsum, bp-resolution scores); on top of it only two
+    candidate-bounded per-anchor windows (positive pick + negative
+    rank) and one uniform src-keyed join — no new corpus-sized
+    shuffle, no new pair enumeration."""
+    both = _knn_scored(spark, sf_dir)
     w = Window.partitionBy("src").orderBy(F.desc("cos_bp"), "dst")
-    return (
-        both.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= KNN_GRAPH_K)
+    pos = (
+        both.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
         .select(
             "src",
-            F.col("rank").cast("bigint").alias("rank"),
-            "dst",
-            "cos_bp",
+            F.col("dst").alias("pos_dst"),
+            F.col("cos_bp").alias("pos_cos_bp"),
         )
-        .orderBy("src", "rank")
+    )
+    negs = both.join(pos, "src").where(
+        F.col("cos_bp") <= F.col("pos_cos_bp") - CP_MARGIN_BP
+    )
+    return (
+        negs.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= CP_HARD_K)
+        .select(
+            F.col("src").alias("anchor"),
+            "pos_dst",
+            "pos_cos_bp",
+            F.col("neg_rank").cast("bigint").alias("neg_rank"),
+            F.col("dst").alias("neg_dst"),
+            F.col("cos_bp").alias("neg_cos_bp"),
+        )
+        .orderBy("anchor", "neg_rank")
     )
