@@ -1620,7 +1620,13 @@ def bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     dw = docs.select(
         "doc_id", F.posexplode(_words_col()).alias("wpos", "word")
     )
-    dwj = dw.join(wsyms, "word")
+    from wally_spark.operators.checkpoint import pin as _pin
+
+    # pin: word-level (doc_id, wpos, sy) feeds BOTH the offset window
+    # chain and the per-doc total aggregate — expensive derivation
+    # (explode + vocab equi-join), two consumers (the dedup_winnowing
+    # pin rule; A/B-measured r10)
+    dwj = _pin(dw.join(wsyms, "word"))
     wdoc = (
         Window.partitionBy("doc_id")
         .orderBy("wpos")

@@ -1082,7 +1082,7 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-bounded per-anchor windows (positive pick + negative
     rank) and one uniform src-keyed join — no new corpus-sized
     shuffle, no new pair enumeration."""
-    both = _knn_scored(spark, sf_dir)
+    both = pin(_knn_scored(spark, sf_dir))
     w = Window.partitionBy("src").orderBy(F.desc("cos_bp"), "dst")
     pos = (
         both.withColumn("rk", F.row_number().over(w))
