@@ -584,3 +584,27 @@ def test_session_entry_exit_stream_equivalence(spark, tmp_path):
         session_entry_exit_stream(sdf.withWatermark("ts", "1 second")), spark
     )
     assert _rows(out2.where(F.col("user_id") != -1)) == _rows(sess)
+
+
+def test_funnel_stage_stream_equivalence(spark, tmp_path):
+    """The per-user funnel state machine (view -> later click ->
+    later purchase, every step within the horizon of the first view —
+    the reference's literal state_computation shape) folds to exactly
+    the batch events_window_funnel histogram: latest-ver stage per
+    user, counted over the 0..3 spine."""
+    from wally_spark.plans import REGISTRY
+    from wally_spark.plans.sequence import FUNNEL_HORIZON_S
+    from wally_spark.streaming.ops import funnel_stage_stream
+
+    sdf, _ = _ordered_stream(spark, tmp_path)
+    out = _run_append(funnel_stage_stream(sdf, FUNNEL_HORIZON_S), spark)
+    final = _latest_per_key(out, "user_id")
+    spine = spark.range(4).select(F.col("id").cast("bigint").alias("stage"))
+    counts = final.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    stream_rows = spine.join(counts, "stage", "left").select(
+        "stage", F.coalesce("n_users", F.lit(0)).cast("bigint").alias("n_users")
+    )
+    batch_rows = REGISTRY["events_window_funnel"].spark_fn(spark, SF_SMALL)
+    assert _rows(stream_rows) == _rows(batch_rows)

@@ -190,6 +190,86 @@ def session_entry_exit_stream(df: DataFrame, gap_s: int = 600) -> DataFrame:
     )
 
 
+def funnel_stage_stream(df: DataFrame, horizon_s: int = 3600) -> DataFrame:
+    """Streaming face of the registered ``events_window_funnel`` batch
+    lane — the reference's literal funnel shape (a per-key state
+    machine over the keyed stream holding last-stage + deadline): per
+    user, the first 'view' sets t0 (stage 1), the first 'click' in
+    (t0, t0+horizon] sets t1 (stage 2), the first 'purchase' in
+    (t1, t0+horizon] completes (stage 3); any other activity leaves
+    the user at stage 0. Pure event-time arithmetic — no timeout
+    needed, a stage only advances on an arriving event.
+
+    Emits a VERSIONED (user_id, stage, ver) row whenever the user's
+    stage changes (first event emits the initial stage, so every
+    active user appears); the funnel histogram is the latest-ver fold,
+    asserted equal to the batch lane in tests/test_stream_twins.py.
+    State is one 4-tuple per user — O(active keys).
+
+    Expects (ts timestamp, event_id, user_id, event_type) with
+    per-key in-order batch files; within a batch, rows sort by
+    (ts, event_id) — the batch lane's min()-based tie rule."""
+    import pandas as pd
+
+    from pyspark import cloudpickle
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, stage long, ver long"
+    horizon_ns = int(horizon_s) * 1_000_000_000
+
+    def runner(key, pdfs, state):
+        user = key[0]
+        if state.exists:
+            (blob,) = state.get
+            stage, t0, t1, ver, emitted = cloudpickle.loads(bytes(blob))
+        else:
+            stage, t0, t1, ver, emitted = 0, None, None, 0, -1
+        events = []
+        for pdf in pdfs:
+            for ts, eid, etype in zip(
+                pdf["ts"], pdf["event_id"], pdf["event_type"]
+            ):
+                events.append((int(pd.Timestamp(ts).value), int(eid), etype))
+        events.sort()
+        out_rows = []
+        for ts_ns, _eid, etype in events:
+            if stage == 0 and etype == "view":
+                stage, t0 = 1, ts_ns
+            elif (
+                stage == 1
+                and etype == "click"
+                and t0 < ts_ns <= t0 + horizon_ns
+            ):
+                stage, t1 = 2, ts_ns
+            elif (
+                stage == 2
+                and etype == "purchase"
+                and ts_ns > t1
+                and ts_ns <= t0 + horizon_ns
+            ):
+                stage = 3
+            if stage != emitted:
+                ver += 1
+                emitted = stage
+                out_rows.append((user, stage, ver))
+        if events:
+            state.update(
+                (cloudpickle.dumps((stage, t0, t1, ver, emitted)),)
+            )
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows, columns=["user_id", "stage", "ver"]
+            )
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        runner,
+        outputStructType=out_schema,
+        stateStructType="blob binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def count_windows_stream(df: DataFrame, n: int = 20) -> DataFrame:
     """Streaming twin of the registered `win_count` batch query: per-key
     count windows that fire exactly when the n-th event arrives
