@@ -435,3 +435,47 @@ def test_postgres_notify_source_fake_connection(spark, tmp_path):
         cfg.stop()
     got = {r["value"] for r in cfg.read_batch(spark).collect()}
     assert got == {"row-1", "row-2"}
+
+
+# --- pipeline API integration: a relay source drives a full application -------
+def test_udp_source_through_pipeline_api(spark, tmp_path):
+    """The reference wires connector scripts into apps via
+    wallaroo.source(config) — the same must hold here: a UDP relay
+    source plugged into api.source() → computation → sink runs as a
+    normal batch application over the spooled datagrams (the
+    connector's read_batch face)."""
+    import pyspark.sql.functions as F
+
+    from wally_spark import api
+    from wally_spark.sinks import ReturnSink
+    from wally_spark.sources.relay import UDPSourceConfig
+
+    spool = str(tmp_path / "spool")
+    cfg = UDPSourceConfig(
+        name="udp", spool_dir=spool, host="127.0.0.1", port=0
+    ).start()
+    try:
+        out = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for p in (b"21.5", b"-3.0", b"10.0"):
+            out.sendto(p, ("127.0.0.1", cfg.bound_port))
+        out.close()
+        assert _wait_for(lambda: len(cfg.read_batch(spark).collect()) >= 3)
+    finally:
+        cfg.stop()
+
+    to_fahrenheit = api.computation(
+        "to_fahrenheit",
+        exprs={
+            "celsius": F.col("value").cast("string").cast("double"),
+            "fahrenheit": F.col("value").cast("string").cast("double")
+            * 1.8
+            + 32.0,
+        },
+    )
+    pipe = api.source("udp", cfg).to(to_fahrenheit).to_sink(ReturnSink())
+    app = api.build_application("udp_celsius", pipe)
+    rows = sorted(
+        (r["celsius"], round(r["fahrenheit"], 1))
+        for r in app.run_batch(spark).collect()
+    )
+    assert rows == [(-3.0, 26.6), (10.0, 50.0), (21.5, 70.7)]
