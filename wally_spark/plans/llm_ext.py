@@ -1,0 +1,686 @@
+"""LLM training-data lanes, round 10 — mixture diagnostics, feature
+selection, curriculum ordering, featurizer audit, edit-distance dedup
+verification, and span-corruption manifests.
+
+The reference engine has no text surface (machida computations are
+generic — machida/lib/wallaroo/__init__.py:270 `computation_multi`);
+these extend SURVEY §2.6 with the steps a pretraining-data pipeline
+runs between curation and the training reader:
+
+  token_source_mi       — token↔source mutual information (the
+                          feature-selection table behind NB / DSIR
+                          style quality classifiers)
+  source_token_kl       — per-source unigram KL vs the corpus mix
+                          (distribution-shift report for mixture
+                          reweighting)
+  curriculum_schedule   — quality-ordered curriculum phases cut by
+                          CUMULATIVE TOKEN MASS (not doc count), via
+                          the distributed two-phase prefix sum
+  feature_hash_audit    — hashing-trick featurizer collision audit
+                          (vocab → 2^b buckets, per-bucket collision
+                          and mass profile)
+  dedup_edit_verified   — SimHash-banded candidates VERIFIED by exact
+                          Levenshtein on normalized prefixes (the
+                          edit-distance dedup modality; minhash/
+                          simhash/winnowing lanes stop at hamming or
+                          Jaccard)
+  span_corruption_manifest — deterministic T5-style span-masking
+                          manifest (per-doc mask counts a denoising
+                          reader consumes)
+
+Float protocol: every log-family statistic is computed from INTEGER
+counts with an identical double expression tree on both engines, then
+QUANTIZED PER TERM (floor to micro/millibits) BEFORE any summation —
+integer sums are order-independent, so the hash is exact under any
+partitioning (the per-term variant of the exact-log protocol in
+user_event_entropy / text_word_entropy). Everything else is bigint.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from wally_spark.operators.checkpoint import pin
+from wally_spark.plans.registry import register
+from wally_spark.tables import fan_out, load_tables
+
+MI_TOP_K = 15  # discriminative tokens reported per source
+MI_MIN_JOINT = 5  # joint-count floor: kills one-off noise rows
+CURRICULUM_PHASES = 4
+FEATURE_BUCKETS = 1024  # 2^10 hashing-trick feature space
+EDIT_CAND_HAMMING = 12  # candidate net (looser than dedup_simhash_pairs)
+EDIT_PREFIX_CHARS = 200  # Levenshtein cost guard: O(200²) per pair, fixed
+EDIT_KEEP_BP = 2500  # keep pairs with ≤ 25% prefix edit distance
+SPAN_BLOCK = 3  # T5 mean-span analogue: fixed 3-token blocks
+SPAN_MASK_PCT = 15  # per-block mask probability (deterministic hash)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["documents"]
+
+
+# --- shared token joint-count core --------------------------------------------
+# (source, token, c) whitespace-token joint counts; marginals derive
+# from it so every consumer sees the SAME integer base relation.
+_JOINT_SQL = """
+  SELECT source, tok AS token, count(*)::BIGINT AS c
+  FROM (SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+                                          w -> w <> '')) AS tok
+        FROM documents)
+  GROUP BY source, tok
+"""
+
+
+def token_joint(docs: DataFrame) -> DataFrame:
+    """(source, token, c): the unigram joint-count table. One exploded
+    scan, one map-side-combining aggregate keyed (source, token) —
+    shuffle moves counts, not tokens. fan_out spreads the pre-explode
+    scan at local scale only (no-op at 100 TB)."""
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    return (
+        fan_out(docs.select("doc_id", "source", "text"), "doc_id")
+        .select("source", F.explode(words).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+# identical double expression on both engines: ratio first, then log2.
+# c is cast to double BEFORE multiplying so the bigint product can
+# never overflow at corpus scale (N ~ 1e13 tokens × c would pass 2^63).
+def _lift_log2(c, num_n, den_a, den_b):
+    return F.log2(
+        (c.cast("double") * num_n) / (den_a.cast("double") * den_b)
+    )
+
+
+@register(
+    "token_source_mi",
+    oracle=f"""
+WITH joint AS ({_JOINT_SQL}),
+ct AS (SELECT token, sum(c)::BIGINT AS ct FROM joint GROUP BY token),
+cs AS (SELECT source, sum(c)::BIGINT AS cs FROM joint GROUP BY source),
+n AS (SELECT sum(c)::BIGINT AS n FROM joint),
+contrib AS (
+  SELECT j.source, j.token, j.c,
+         floor(1000000.0 * (j.c::DOUBLE / n.n)
+               * log2((j.c::DOUBLE * n.n) / (ct.ct::DOUBLE * cs.cs))
+               )::BIGINT AS mi_ub
+  FROM joint j JOIN ct USING (token) JOIN cs USING (source), n
+  WHERE j.c >= {MI_MIN_JOINT}
+),
+r AS (
+  SELECT source, token, c, mi_ub,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY mi_ub DESC, token) AS rk
+  FROM contrib
+)
+SELECT source, rk::BIGINT AS rk, token, c, mi_ub
+FROM r WHERE rk <= {MI_TOP_K}
+""",
+    tags=("text", "llm", "feature-selection"),
+)
+def token_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} most source-discriminative tokens per source by
+    pointwise mutual-information CONTRIBUTION (c/N · log2 lift) — the
+    feature-selection table a quality/NB classifier (doc_nb_classifier,
+    dsir_importance) is built from: tokens whose presence most
+    identifies a source.
+
+    Contributions are floored to micro-bits per (source, token) row —
+    a pure per-row function of four integer counts, so ranking and
+    hash are engine-exact (ties break on token). Shape: the joint
+    aggregate, a token-keyed marginal join (shuffle on token — the
+    uniform key; no skew exposure), a broadcast of the |sources|-row
+    and 1-row marginals, then a per-source top-K window over rows
+    already filtered to c ≥ {M} — the window input is vocab-bounded,
+    never corpus-bounded.""".format(K=MI_TOP_K, M=MI_MIN_JOINT)
+    # marginals must come from the UNfiltered joint for the terms to
+    # be true MI contributions (c ≥ MIN only shrinks the REPORT);
+    # pin: 4 consumers (ct, cs, n, report rows) of one exploded scan.
+    full = pin(token_joint(_docs(spark, sf_dir)))
+    ct = full.groupBy("token").agg(F.sum("c").cast("bigint").alias("ct"))
+    cs = full.groupBy("source").agg(F.sum("c").cast("bigint").alias("cs"))
+    n = full.agg(F.sum("c").cast("bigint").alias("n"))
+    joint = full.where(F.col("c") >= MI_MIN_JOINT)
+    contrib = (
+        joint.join(ct, "token")
+        .join(F.broadcast(cs), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "token",
+            "c",
+            F.floor(
+                1000000.0
+                * (F.col("c").cast("double") / F.col("n"))
+                * _lift_log2(F.col("c"), F.col("n"), F.col("ct"), F.col("cs"))
+            )
+            .cast("bigint")
+            .alias("mi_ub"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("mi_ub").desc(), F.col("token")
+    )
+    return (
+        contrib.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= MI_TOP_K)
+        .select("source", "rk", "token", "c", "mi_ub")
+    )
+
+
+@register(
+    "source_token_kl",
+    oracle=f"""
+WITH joint AS ({_JOINT_SQL}),
+ct AS (SELECT token, sum(c)::BIGINT AS ct FROM joint GROUP BY token),
+cs AS (SELECT source, sum(c)::BIGINT AS cs FROM joint GROUP BY source),
+n AS (SELECT sum(c)::BIGINT AS n FROM joint),
+terms AS (
+  SELECT j.source, j.token,
+         floor(1000000.0 * (j.c::DOUBLE / cs.cs)
+               * log2((j.c::DOUBLE * n.n) / (cs.cs::DOUBLE * ct.ct))
+               )::BIGINT AS term_ub
+  FROM joint j JOIN ct USING (token) JOIN cs USING (source), n
+),
+tops AS (
+  SELECT source, token AS top_token, term_ub AS top_ub,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY term_ub DESC, token) AS rk
+  FROM terms
+)
+SELECT s.source, cs.cs AS n_tokens, s.vocab, s.kl_ub, t.top_token, t.top_ub
+FROM (SELECT source, count(*)::BIGINT AS vocab,
+             sum(term_ub)::BIGINT AS kl_ub
+      FROM terms GROUP BY source) s
+JOIN cs USING (source)
+JOIN tops t ON t.source = s.source AND t.rk = 1
+""",
+    tags=("text", "llm", "mixture"),
+)
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram distribution shift: KL(source ‖ corpus) in
+    quantized micro-bits, plus the single most over-represented token
+    — the mixture-reweighting diagnostic (DoReMi / DSIR family) that
+    says WHICH slice of the mix drifted and WHAT drives it.
+
+    KL = Σ_t (c/N_s)·log2((c·N)/(N_s·c_t)). Each term is floored to
+    micro-bits BEFORE the per-source sum, so the sum is an integer
+    reduction — order-independent, hash-exact — rather than a float
+    accumulation whose value depends on partitioning (quantization
+    error ≤ 1e-6 bits per vocab term, documented). Same joint-count
+    core and token-keyed marginal join as token_source_mi; the
+    per-source rollup is |sources|-bounded."""
+    full = pin(token_joint(_docs(spark, sf_dir)))
+    ct = full.groupBy("token").agg(F.sum("c").cast("bigint").alias("ct"))
+    cs = full.groupBy("source").agg(F.sum("c").cast("bigint").alias("cs"))
+    n = full.agg(F.sum("c").cast("bigint").alias("n"))
+    terms = (
+        full.join(ct, "token")
+        .join(F.broadcast(cs), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "token",
+            F.floor(
+                1000000.0
+                * (F.col("c").cast("double") / F.col("cs"))
+                * _lift_log2(F.col("c"), F.col("n"), F.col("cs"), F.col("ct"))
+            )
+            .cast("bigint")
+            .alias("term_ub"),
+        )
+    )
+    terms = pin(terms)  # 2 consumers: rollup + argmax
+    roll = terms.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum("term_ub").cast("bigint").alias("kl_ub"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("term_ub").desc(), F.col("token")
+    )
+    top = (
+        terms.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "source",
+            F.col("token").alias("top_token"),
+            F.col("term_ub").alias("top_ub"),
+        )
+    )
+    return (
+        roll.join(F.broadcast(cs), "source")
+        .join(F.broadcast(top), "source")
+        .select(
+            "source",
+            F.col("cs").alias("n_tokens"),
+            "vocab",
+            "kl_ub",
+            "top_token",
+            "top_ub",
+        )
+    )
+
+
+@register(
+    "curriculum_schedule",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(words)::BIGINT AS n_tok,
+         (10000 * len(list_distinct(words)) // len(words))::BIGINT
+           AS score_bp
+  FROM (SELECT doc_id, source,
+               list_filter(string_split(lower(text), ' '), w -> w <> '')
+                 AS words
+        FROM documents)
+  WHERE len(words) >= 1
+),
+c AS (
+  SELECT *,
+         coalesce(sum(n_tok) OVER (ORDER BY score_bp DESC, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS cum_excl,
+         sum(n_tok) OVER () AS total
+  FROM d
+)
+SELECT doc_id, source, n_tok, score_bp,
+       (1 + ({CURRICULUM_PHASES} * cum_excl) // total)::BIGINT AS phase
+FROM c
+""",
+    tags=("llm", "sampling", "curriculum"),
+)
+def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum assignment: order the corpus by a quality score
+    (lexical diversity in basis points — distinct/total tokens, the
+    cheap integer-exact proxy; swap in any integer score) and cut it
+    into {P} phases of EQUAL TOKEN MASS, so phase 1 is the
+    highest-quality quarter of the TOKENS, not of the docs — the form
+    a curriculum dataloader actually consumes.
+
+    The cumulative token sum over a global order is the classic
+    single-task window trap; this runs the two-phase distributed
+    prefix sum instead (operators/prefix.bucket_offsets): score_bp has
+    a bounded integer domain (0..10000), so bucket = 10000 − score_bp
+    IS the global order, per-bucket token totals prefix-sum on the
+    driver (10001 longs), and a per-bucket window (orderBy doc_id)
+    finishes exactly — fully partition-parallel, no global sort.
+    Phase = 1 + (P·cum_excl) div total: pure bigint, engine-exact.""".format(
+        P=CURRICULUM_PHASES
+    )
+    from wally_spark.operators.prefix import bucket_offsets
+
+    docs = _docs(spark, sf_dir)
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    d = (
+        docs.select("doc_id", "source", words.alias("words"))
+        .where(F.size("words") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.size("words").cast("bigint").alias("n_tok"),
+            F.expr(
+                "cast(10000 * size(array_distinct(words)) div size(words)"
+                " as bigint)"
+            ).alias("score_bp"),
+        )
+        .withColumn(
+            "bucket", (10000 - F.col("score_bp")).cast("int")
+        )
+    )
+    d = pin(d)  # 2 actions: bucket census + output (determinism pin)
+    offs = bucket_offsets(spark, d, "bucket", "n_tok", 10001)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        d.withColumn("cum_in", F.sum("n_tok").over(w))
+        .join(F.broadcast(offs), "bucket")
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            "score_bp",
+            (
+                1
+                + F.expr(
+                    f"({CURRICULUM_PHASES} * (bucket_off + cum_in - n_tok))"
+                    " div total"
+                )
+            )
+            .cast("bigint")
+            .alias("phase"),
+        )
+    )
+    return out
+
+
+# DuckDB-side parse of the first 8 hex chars of an md5 as a uint32 —
+# the same nibble arithmetic as dedup_simhash's oracle.
+def _hex8_sql(expr: str) -> str:
+    return (
+        "list_sum(list_transform(range(1, 9), k ->"
+        f" (strpos('0123456789abcdef', substr({expr}, k, 1)) - 1)::BIGINT"
+        " * (1::BIGINT << (4 * (8 - k)))))"
+    )
+
+
+@register(
+    "feature_hash_audit",
+    oracle=f"""
+WITH joint AS ({_JOINT_SQL}),
+vocab AS (SELECT token, sum(c)::BIGINT AS ct FROM joint GROUP BY token),
+h AS (
+  SELECT token, ct,
+         ({_hex8_sql("md5(token)")} % {FEATURE_BUCKETS})::BIGINT
+           AS feature_id
+  FROM vocab
+),
+r AS (
+  SELECT feature_id, token, ct,
+         row_number() OVER (PARTITION BY feature_id
+                            ORDER BY ct DESC, token) AS rk
+  FROM h
+)
+SELECT feature_id,
+       count(*)::BIGINT AS n_tokens,
+       sum(ct)::BIGINT AS total_count,
+       max(CASE WHEN rk = 1 THEN token END) AS top_token,
+       max(CASE WHEN rk = 1 THEN ct END)::BIGINT AS top_count,
+       (10000 * max(CASE WHEN rk = 1 THEN ct END) // sum(ct))::BIGINT
+         AS top_share_bp
+FROM r GROUP BY feature_id
+""",
+    tags=("text", "llm", "featurizer"),
+)
+def feature_hash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer audit: project the corpus vocabulary
+    into {B} hash buckets (feature id = md5(token) mod {B} — the
+    standard trick behind linear quality classifiers at vocabulary
+    scale) and report each bucket's collision profile: distinct tokens
+    sharing it, total mass, and the dominant token with its share.
+    High-mass buckets whose top share is low are the collisions that
+    blur the classifier — the audit says whether 2^b is big enough
+    BEFORE training.
+
+    Shape: the joint aggregate folds to a vocab table (token-keyed,
+    map-side combined), one md5 per DISTINCT token (never per
+    occurrence), then a {B}-bounded aggregate with an argmax window
+    over vocab-bounded rows. Output is exactly ≤ {B} rows regardless
+    of corpus size.""".format(B=FEATURE_BUCKETS)
+    vocab = (
+        token_joint(_docs(spark, sf_dir))
+        .groupBy("token")
+        .agg(F.sum("c").cast("bigint").alias("ct"))
+    )
+    h = vocab.select(
+        "token",
+        "ct",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("token").cast("binary")), 1, 8),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(FEATURE_BUCKETS),
+        ).alias("feature_id"),
+    )
+    w = Window.partitionBy("feature_id").orderBy(
+        F.col("ct").desc(), F.col("token")
+    )
+    r = h.withColumn("rk", F.row_number().over(w))
+    return r.groupBy("feature_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("ct").cast("bigint").alias("total_count"),
+        F.max(F.when(F.col("rk") == 1, F.col("token"))).alias("top_token"),
+        F.max(F.when(F.col("rk") == 1, F.col("ct")))
+        .cast("bigint")
+        .alias("top_count"),
+        F.expr(
+            "cast(10000 * max(CASE WHEN rk = 1 THEN ct END)"
+            " div sum(ct) as bigint)"
+        ).alias("top_share_bp"),
+    )
+
+
+@register(
+    "span_corruption_manifest",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         len(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+           ::BIGINT AS n_tok
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tok,
+         list_filter(range(0, ((n_tok + {SPAN_BLOCK} - 1)
+                               // {SPAN_BLOCK})::BIGINT),
+           blk -> ({_hex8_sql("md5(doc_id::VARCHAR || ':' || blk::VARCHAR)")}
+                   % 100) < {SPAN_MASK_PCT}) AS masked
+  FROM d WHERE n_tok >= 1
+)
+SELECT doc_id, n_tok,
+       len(masked)::BIGINT AS n_spans,
+       coalesce(list_sum(list_transform(masked,
+         blk -> least({SPAN_BLOCK}::BIGINT, n_tok - blk * {SPAN_BLOCK}))),
+         0)::BIGINT AS n_masked,
+       (10000 * coalesce(list_sum(list_transform(masked,
+          blk -> least({SPAN_BLOCK}::BIGINT, n_tok - blk * {SPAN_BLOCK}))),
+          0) // n_tok)::BIGINT AS mask_bp
+FROM b
+""",
+    tags=("llm", "training", "masking"),
+)
+def span_corruption_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic T5-style span-corruption manifest: tokens group
+    into fixed {L}-token blocks and each block masks independently
+    with probability {P}% — decided by md5(doc_id, block), so every
+    engine, every rerun, and every shard of a distributed read
+    reconstructs the SAME mask without storing it. Per doc: token
+    count, masked-span count (= sentinel count the denoising reader
+    emits), masked-token count, and the mask rate in basis points.
+    (Real T5 samples span lengths ~Geometric(1/3); the fixed-block
+    form keeps the mask a pure per-position function — the property
+    that makes it free to recompute anywhere — and is documented as
+    the deliberate difference.)
+
+    Shape: one scan; the block list is a per-row higher-order
+    transform over ceil(n/{L}) elements (bounded md5s per doc — never
+    an explode, so no shuffle grows with mask density), then pure
+    integer arithmetic. Fully partition-parallel at any scale.""".format(
+        L=SPAN_BLOCK, P=SPAN_MASK_PCT
+    )
+    docs = _docs(spark, sf_dir)
+    n_tok = F.size(
+        F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    ).cast("bigint")
+    d = docs.select("doc_id", n_tok.alias("n_tok")).where(
+        F.col("n_tok") >= 1
+    )
+    blk_hash = lambda blk: F.pmod(  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        blk.cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(100),
+    )
+    masked = F.filter(
+        F.sequence(
+            F.lit(0).cast("bigint"),
+            F.expr(f"cast((n_tok + {SPAN_BLOCK - 1}) div {SPAN_BLOCK} as bigint) - 1"),
+        ),
+        lambda blk: blk_hash(blk) < SPAN_MASK_PCT,
+    )
+    b = d.select("doc_id", "n_tok", masked.alias("masked"))
+    span_tokens = F.aggregate(
+        "masked",
+        F.lit(0).cast("bigint"),
+        lambda acc, blk: acc
+        + F.least(
+            F.lit(SPAN_BLOCK).cast("bigint"),
+            F.col("n_tok") - blk * SPAN_BLOCK,
+        ),
+    )
+    counted = b.select(
+        "doc_id",
+        "n_tok",
+        F.size("masked").cast("bigint").alias("n_spans"),
+        span_tokens.alias("n_masked"),
+    )
+    return counted.withColumn(
+        "mask_bp",
+        F.expr("cast((10000 * n_masked) div n_tok as bigint)"),
+    )
+
+
+@register(
+    "dedup_edit_verified",
+    oracle=f"""
+WITH {{SIMHASH_CTES}},
+sim_k AS (
+  SELECT doc_id, simhash, bucket FROM (
+    SELECT *, count(*) OVER (PARTITION BY bucket) AS bsz FROM sim)
+  WHERE bsz <= {{MAX_BUCKET}}
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+  FROM sim_k a JOIN sim_k b
+    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {EDIT_CAND_HAMMING}
+),
+v AS (
+  SELECT c.doc_a, c.doc_b, c.hamming,
+         levenshtein(substr(lower(da.text), 1, {EDIT_PREFIX_CHARS}),
+                     substr(lower(db.text), 1, {EDIT_PREFIX_CHARS}))
+           ::BIGINT AS edit,
+         greatest(length(substr(lower(da.text), 1, {EDIT_PREFIX_CHARS})),
+                  length(substr(lower(db.text), 1, {EDIT_PREFIX_CHARS})))
+           ::BIGINT AS max_len
+  FROM cand c
+  JOIN documents da ON da.doc_id = c.doc_a
+  JOIN documents db ON db.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, hamming, edit,
+       ((10000 * edit) // max_len)::BIGINT AS edit_bp
+FROM v WHERE (10000 * edit) // max_len <= {EDIT_KEEP_BP}
+""",
+    tags=("dedup", "llm", "edit-distance"),
+)
+def dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-verified near-dup pairs — the dedup modality the
+    minhash/simhash/winnowing lanes stop short of: SimHash banding
+    proposes candidates (hamming ≤ {H}, looser than
+    dedup_simhash_pairs' {T} so near-dups the random-hump boundary
+    would clip still reach the verifier), then EXACT Levenshtein over
+    normalized {C}-char prefixes confirms them (keep ≤ {B} bp of the
+    longer prefix). Banding bounds the candidate count; the prefix cap
+    bounds each verification at O({C}²) — the two dials that keep an
+    O(n²) metric runnable at 100 TB.
+
+    Shape: the pinned fingerprint relation self-joins on the 16-bit
+    bucket key (MAX_BUCKET-capped, as every pair generator in
+    plans/dedup.py), candidates then join `documents` TWICE on doc_id
+    to fetch prefixes — uniform keys, and only candidate rows pay the
+    text transfer. Levenshtein runs JVM-side (codegen'd), never in
+    Python.""".format(
+        H=EDIT_CAND_HAMMING,
+        T=6,
+        C=EDIT_PREFIX_CHARS,
+        B=EDIT_KEEP_BP,
+    )
+    from wally_spark.plans.dedup import MAX_BUCKET, dedup_simhash
+
+    d = pin(dedup_simhash(spark, sf_dir))
+    sizes = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
+    d = d.join(sizes.where(F.col("bsz") <= MAX_BUCKET), "bucket").select(
+        "doc_id", "simhash", "bucket"
+    )
+    a, b = d.alias("a"), d.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(ham <= EDIT_CAND_HAMMING)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("bigint").alias("hamming"),
+        )
+    )
+    prefix = F.substring(F.lower("text"), 1, EDIT_PREFIX_CHARS)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", prefix.alias("prefix")
+    )
+    v = (
+        cand.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa")
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "hamming",
+            F.levenshtein("pa", "pb").cast("bigint").alias("edit"),
+            F.greatest(F.length("pa"), F.length("pb"))
+            .cast("bigint")
+            .alias("max_len"),
+        )
+    )
+    return (
+        v.where(F.expr("(10000 * edit) div max_len") <= EDIT_KEEP_BP)
+        .select(
+            "doc_a",
+            "doc_b",
+            "hamming",
+            "edit",
+            F.expr("cast((10000 * edit) div max_len as bigint)").alias(
+                "edit_bp"
+            ),
+        )
+    )
+
+
+# late-bind the shared simhash CTE chain into the oracle (avoids a
+# circular import at module load; dedup.py registers first)
+def _finalize_edit_oracle() -> None:
+    from wally_spark.plans.dedup import MAX_BUCKET, _SIMHASH_CTES
+    from wally_spark.plans.registry import REGISTRY, QueryDef
+
+    qd = REGISTRY["dedup_edit_verified"]
+    REGISTRY["dedup_edit_verified"] = QueryDef(
+        qd.name,
+        qd.spark_fn,
+        qd.oracle.format(SIMHASH_CTES=_SIMHASH_CTES, MAX_BUCKET=MAX_BUCKET),
+        qd.tags,
+    )
+
+
+_finalize_edit_oracle()
