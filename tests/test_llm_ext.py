@@ -214,3 +214,30 @@ def test_feature_hash_audit_python_reference(spark):
         assert r["total_count"] == sum(c for _, c in toks)
         top = sorted(toks, key=lambda x: (-x[1], x[0]))[0]
         assert (r["top_token"], r["top_count"]) == top
+
+
+def test_unpivot_and_frame_lane_plan_shapes(spark):
+    """lineitem_charges_unpivot: Generate in the scan stage feeding a
+    partial aggregate — exactly ONE Exchange. customer_first_last_orders:
+    one customer-keyed window — one Exchange, no SinglePartition."""
+    from wally_spark.plans import REGISTRY
+
+    p = (
+        REGISTRY["lineitem_charges_unpivot"]
+        .spark_fn(spark, SF_MED)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p.count("Exchange") == 1 and "Generate" in p, p
+    assert "SinglePartition" not in p
+
+    p = (
+        REGISTRY["customer_first_last_orders"]
+        .spark_fn(spark, SF_MED)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p.count("Exchange") == 1 and "Window" in p, p
+    assert "SinglePartition" not in p

@@ -2283,3 +2283,139 @@ def priority_sla_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# --- round 10: UNPIVOT / melt surface ------------------------------------------
+@register(
+    "lineitem_charges_unpivot",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag, l_linestatus, charge, amount_c FROM (
+    SELECT l_returnflag, l_linestatus, 'gross' AS charge,
+           floor(100 * l_extendedprice)::BIGINT AS amount_c
+    FROM lineitem
+    UNION ALL
+    SELECT l_returnflag, l_linestatus, 'discount',
+           floor(100 * (l_extendedprice * l_discount))::BIGINT
+    FROM lineitem
+    UNION ALL
+    SELECT l_returnflag, l_linestatus, 'tax',
+           floor(100 * (l_extendedprice * (1 - l_discount) * l_tax))::BIGINT
+    FROM lineitem)
+)
+SELECT l_returnflag, l_linestatus, charge,
+       count(*)::BIGINT AS n_lines,
+       sum(amount_c)::BIGINT AS total_c,
+       (sum(amount_c) // count(*))::BIGINT AS avg_c,
+       max(amount_c)::BIGINT AS max_c
+FROM c GROUP BY l_returnflag, l_linestatus, charge
+""",
+    tags=("analytics", "unpivot", "relational"),
+)
+def lineitem_charges_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt of the lineitem charge components (gross /
+    discount / tax, floored cents per row) via ``stack`` — the UNPIVOT
+    surface, the inverse of pivot_user_event_totals' PIVOT. One scan;
+    stack expands rows 3× INSIDE the scan stage (no shuffle added —
+    Generate feeds the partial aggregate directly), then one map-side
+    combined aggregate bounded by flags × statuses × 3. The oracle
+    spells the same melt as UNION ALL so both engines see identical
+    per-row cent arithmetic."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    melted = li.selectExpr(
+        "l_returnflag",
+        "l_linestatus",
+        """stack(3,
+            'gross',    cast(floor(100 * l_extendedprice) as bigint),
+            'discount', cast(floor(100 * (l_extendedprice * l_discount))
+                             as bigint),
+            'tax',      cast(floor(100 * (l_extendedprice * (1 - l_discount)
+                                          * l_tax)) as bigint)
+          ) as (charge, amount_c)""",
+    )
+    return melted.groupBy("l_returnflag", "l_linestatus", "charge").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("amount_c").cast("bigint").alias("total_c"),
+        F.expr("cast(sum(amount_c) div count(1) as bigint)").alias("avg_c"),
+        F.max("amount_c").cast("bigint").alias("max_c"),
+    )
+
+
+# --- round 10: first/last/nth value window surface -----------------------------
+@register(
+    "customer_first_last_orders",
+    oracle="""
+WITH w AS (
+  SELECT o_custkey,
+         count(*) OVER (PARTITION BY o_custkey) AS n_orders,
+         min(o_orderdate) OVER (PARTITION BY o_custkey) AS first_date,
+         max(o_orderdate) OVER (PARTITION BY o_custkey) AS last_date,
+         first_value(o_totalprice) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS first_price,
+         last_value(o_totalprice) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS last_price,
+         nth_value(o_totalprice, 2) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS second_price,
+         row_number() OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders)
+SELECT o_custkey, n_orders::BIGINT AS n_orders, first_date,
+       floor(100 * first_price)::BIGINT AS first_price_c,
+       floor(100 * last_price)::BIGINT AS last_price_c,
+       floor(100 * second_price)::BIGINT AS second_price_c,
+       date_diff('day', first_date, last_date)::BIGINT AS span_days
+FROM w WHERE rn = 1
+""",
+    tags=("analytics", "windows", "relational"),
+)
+def customer_first_last_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-lifecycle frame: first / last / second order
+    value over the full partition frame — the first_value / last_value
+    / nth_value window surface (user_rfm_segments scores recency;
+    this exposes the raw frame functions a lifecycle model reads).
+    second_price_c is NULL for single-order customers (nth_value
+    semantics, kept nullable on both engines).
+
+    One customer-keyed window pass (uniform key: customers, no skew) +
+    a rn=1 cut — shuffle count 1; the frame is ROWS UNBOUNDED both
+    directions so first/last/nth are frame-exact, not
+    running-frame defaults. Money floors to cents per row; span_days
+    is exact date arithmetic."""
+    o = load_tables(spark, sf_dir)["orders"]
+    wd = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = wd.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = o.select(
+        "o_custkey",
+        F.count(F.lit(1)).over(frame).cast("bigint").alias("n_orders"),
+        F.min("o_orderdate").over(frame).alias("first_date"),
+        F.max("o_orderdate").over(frame).alias("last_date"),
+        F.first("o_totalprice").over(frame).alias("first_price"),
+        F.last("o_totalprice").over(frame).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(frame).alias("second_price"),
+        F.row_number().over(wd).alias("rn"),
+    )
+    return w.where(F.col("rn") == 1).select(
+        "o_custkey",
+        "n_orders",
+        "first_date",
+        F.floor(100 * F.col("first_price")).cast("bigint").alias(
+            "first_price_c"
+        ),
+        F.floor(100 * F.col("last_price")).cast("bigint").alias(
+            "last_price_c"
+        ),
+        F.floor(100 * F.col("second_price")).cast("bigint").alias(
+            "second_price_c"
+        ),
+        F.datediff("last_date", "first_date").cast("bigint").alias(
+            "span_days"
+        ),
+    )
