@@ -2153,3 +2153,129 @@ def test_joinskew_incremental_matches_batch(spark, tmp_path):
     fn(spark.createDataFrame(batches[2], schema), 2)
     got3 = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     assert got3 == want
+
+
+def test_kl_incremental_matches_batch(spark, tmp_path):
+    """Incremental KL mixture-drift: after every batch the published
+    per-source report equals the batch source_token_kl lane over the
+    concatenated corpus — including re-scoring sources whose KL moved
+    because OTHER sources shifted the corpus mix; replay idempotent;
+    folded compaction preserves the report."""
+    from wally_spark.plans import REGISTRY
+    from wally_spark.streaming.ops import (
+        compact_corpus,
+        kl_counts_fold,
+        kl_report_foreach_batch,
+    )
+
+    rows = [
+        (1, "aa bb cc dd aa bb cc dd", "en", "mix", 0),
+        (2, "aa aa aa aa aa aa aa bb", "en", "skew", 0),
+        (10, "cc dd cc dd aa bb aa bb", "en", "mix", 0),
+        (11, "ee ee ee ff ff gg hh ii", "en", "fresh", 0),
+        (20, "aa bb cc dd ee ff gg hh", "en", "mix", 0),
+    ]
+    batches = [rows[:2], rows[2:4], rows[4:]]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    store, out = str(tmp_path / "counts"), str(tmp_path / "out")
+    fn = kl_report_foreach_batch(spark, store, out)
+    seen = []
+    for i, b in enumerate(batches):
+        seen.extend(b)
+        fn(spark.createDataFrame(b, schema), i)
+        corpus = str(tmp_path / f"corpus{i}")
+        spark.createDataFrame(seen, schema).write.parquet(
+            f"{corpus}/documents.parquet"
+        )
+        want = sorted(
+            tuple(r)
+            for r in REGISTRY["source_token_kl"].spark_fn(spark, corpus).collect()
+        )
+        got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        assert got == want, (i, got, want)
+
+    # replay idempotence
+    fn(spark.createDataFrame(batches[2], schema), 2)
+    got2 = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got2 == want
+
+    # folded compaction (one behind the frontier) preserves the report
+    compact_corpus(spark, store, upto=1, fold=kl_counts_fold)
+    fn(spark.createDataFrame(batches[2], schema), 2)
+    got3 = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got3 == want
+
+
+def test_editdedup_incremental_matches_batch(spark, tmp_path):
+    """Incremental edit-verified dedup: with ascending doc_id batches
+    the union of dup verdicts equals {doc_b of dedup_edit_verified
+    pairs} over the concatenated corpus at every step; replay
+    idempotent; bucket-compacted store preserves verdicts."""
+    from wally_spark.plans import REGISTRY
+    from wally_spark.streaming.ops import (
+        compact_corpus,
+        editdedup_against_corpus_foreach_batch,
+    )
+
+    # simhash-stable fixture (see test_llm_ext): odd vocab, margins 20
+    base = " ".join(f"tok{i % 11}" for i in range(220))
+    w1 = base.split(); w1[7] = "tokX"
+    near = " ".join(w1)
+    w2 = base.split(); w2[7] = "tokY"; w2[19] = "tokZ"
+    near2 = " ".join(w2)
+    far = " ".join(f"zzz{i % 10} qqq{i % 10}" for i in range(100))
+    other = " ".join(f"mmm{i % 7} nnn{i % 7}" for i in range(80))
+    rows = [
+        (1, base), (3, far),       # batch 0
+        (4, near),                 # batch 1: dup of 1
+        (7, near2), (8, other),    # batch 2: 7 dup of 1/4
+    ]
+    batches = [rows[:2], rows[2:3], rows[3:]]
+    schema = "doc_id long, text string"
+
+    store, out = str(tmp_path / "sigs"), str(tmp_path / "out")
+    fn = editdedup_against_corpus_foreach_batch(spark, store, out)
+    seen = []
+    for i, b in enumerate(batches):
+        seen.extend(b)
+        fn(spark.createDataFrame(b, schema), i)
+        corpus = str(tmp_path / f"corpus{i}")
+        spark.createDataFrame(
+            [(d, t, "en", "s", len(t)) for d, t in seen],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.parquet(f"{corpus}/documents.parquet")
+        want_dups = {
+            r["doc_b"]
+            for r in REGISTRY["dedup_edit_verified"]
+            .spark_fn(spark, corpus)
+            .collect()
+        }
+        got = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{out}/b{i}").collect()
+            if r["is_dup"]
+        }
+        batch_ids = {d for d, _ in b}
+        assert got == (want_dups & batch_ids), (i, got, want_dups)
+    assert want_dups == {4, 7}  # the fixture's point
+
+    # replay idempotence
+    fn(spark.createDataFrame(batches[2], schema), 2)
+    got2 = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/b2").collect()
+        if r["is_dup"]
+    }
+    assert got2 == {7}
+
+    # bucket-compacted store preserves verdicts
+    compact_corpus(spark, store, upto=1, bucket_key="bucket")
+    fn(spark.createDataFrame(batches[2], schema), 2)
+    got3 = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/b2").collect()
+        if r["is_dup"]
+    }
+    assert got3 == {7}

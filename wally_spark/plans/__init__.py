@@ -172,6 +172,10 @@ _CHANGED_THIS_ROUND = frozenset(
         # (shared with the new contrastive_pairs lane) — same
         # expressions, re-verify anyway
         "embedding_knn_graph",
+        # r10: fingerprint body factored into simhash_of (shared with
+        # the new editdedup streaming face) — same expressions,
+        # re-verify anyway
+        "dedup_simhash", "dedup_simhash_pairs",
     }
 )
 

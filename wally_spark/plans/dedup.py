@@ -492,7 +492,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: one scan, map-side combine, doc-keyed shuffle of fixed
     width. Majority vote for bit j = [2 * ones_j > n_tokens]; docs with
     no tokens keep all-zero bits via explode_outer + coalesce."""
-    docs = fan_out(_docs(spark, sf_dir).select("doc_id", "text"), "doc_id")
+    return simhash_of(
+        fan_out(_docs(spark, sf_dir).select("doc_id", "text"), "doc_id")
+    )
+
+
+def simhash_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash, bucket) for any (doc_id, text) relation — the
+    dedup_simhash body, parameterized so the streaming edit-dedup face
+    fingerprints arriving batches with the IDENTICAL expressions (same
+    rationale as segment_docs / bmp_dhash)."""
     words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
     toks = docs.select(
         "doc_id", F.explode_outer(words).alias("tok")

@@ -213,12 +213,19 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     error ≤ 1e-6 bits per vocab term, documented). Same joint-count
     core and token-keyed marginal join as token_source_mi; the
     per-source rollup is |sources|-bounded."""
-    full = pin(token_joint(_docs(spark, sf_dir)))
-    ct = full.groupBy("token").agg(F.sum("c").cast("bigint").alias("ct"))
-    cs = full.groupBy("source").agg(F.sum("c").cast("bigint").alias("cs"))
-    n = full.agg(F.sum("c").cast("bigint").alias("n"))
-    terms = (
-        full.join(ct, "token")
+    return kl_report_from_joint(pin(token_joint(_docs(spark, sf_dir))))
+
+
+def kl_terms_from_joint(joint: DataFrame) -> DataFrame:
+    """(source, token, term_ub): micro-bit-quantized KL terms from any
+    (source, token, c) joint-count relation — shared verbatim by the
+    batch lane and the incremental streaming face so their float
+    expression trees are literally identical."""
+    ct = joint.groupBy("token").agg(F.sum("c").cast("bigint").alias("ct"))
+    cs = joint.groupBy("source").agg(F.sum("c").cast("bigint").alias("cs"))
+    n = joint.agg(F.sum("c").cast("bigint").alias("n"))
+    return (
+        joint.join(ct, "token")
         .join(F.broadcast(cs), "source")
         .crossJoin(F.broadcast(n))
         .select(
@@ -233,7 +240,15 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("term_ub"),
         )
     )
-    terms = pin(terms)  # 2 consumers: rollup + argmax
+
+
+def kl_report_from_joint(joint: DataFrame) -> DataFrame:
+    """The full source_token_kl report from a (source, token, c)
+    relation. Callers pass a pinned/materialized joint when it is
+    expensive to derive (the batch lane's exploded scan) — the plan
+    reads it for marginals, terms, rollup, and argmax."""
+    cs = joint.groupBy("source").agg(F.sum("c").cast("bigint").alias("cs"))
+    terms = pin(kl_terms_from_joint(joint))  # 2 consumers: rollup+argmax
     roll = terms.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("vocab"),
         F.sum("term_ub").cast("bigint").alias("kl_ub"),

@@ -2740,3 +2740,153 @@ def joinskew_counts_fold(df: DataFrame) -> DataFrame:
     return df.groupBy("user_id").agg(
         F.sum("n_rows").cast("bigint").alias("n_rows")
     )
+
+
+def kl_counts_fold(df: DataFrame) -> DataFrame:
+    """Associative merge of the per-slice (source, token) count
+    partials — the read-time fold of kl_report_foreach_batch and the
+    ``fold=`` that lets compact_corpus collapse the store to one row
+    per (source, token)."""
+    return df.groupBy("source", "token").agg(
+        F.sum("c").cast("bigint").alias("c")
+    )
+
+
+def kl_report_foreach_batch(spark, counts_path: str, out_path: str):
+    """Incremental mixture-drift monitor — the streaming face of the
+    batch ``source_token_kl`` lane: each batch writes its OWN
+    (source, token, count) partial aggregate (bounded by the batch
+    vocabulary, never token volume), and every micro-batch republishes
+    the FULL per-source KL report by folding the count corpus and
+    running plans.llm_ext.kl_report_from_joint — the SAME plan the
+    batch lane runs, so their micro-bit-quantized float expression
+    trees are literally identical and batch/stream answers match
+    bit-for-bit over the same documents at every point. Corpus-relative
+    by construction: a source's KL moves when OTHER sources shift the
+    corpus mix, and every republish re-scores all of them (the property
+    a per-batch-report design cannot have).
+
+    Scale: partials are vocab-bounded; the fold is one uniform
+    (source, token)-keyed aggregate; the report is |sources|-bounded.
+    Store is format-stamped and compacts with fold=kl_counts_fold."""
+    from wally_spark.operators.checkpoint import free_blocks
+    from wally_spark.plans.llm_ext import kl_report_from_joint, token_joint
+
+    ensure_store_format(
+        spark, counts_path, "klcounts-v1",
+        required_cols=("source", "token", "c"),
+    )
+
+    def proc(batch_df, batch_id):
+        part = token_joint(batch_df).localCheckpoint()
+        part.write.mode("overwrite").parquet(f"{counts_path}/b{batch_id}")
+        merged = part
+        for p in corpus_probe_parts(spark, counts_path, exclude_batch=batch_id):
+            merged = merged.unionByName(p.select("source", "token", "c"))
+        joint = kl_counts_fold(merged).localCheckpoint()
+        kl_report_from_joint(joint).write.mode("overwrite").parquet(out_path)
+        free_blocks(part, joint)
+
+    return proc
+
+
+def editdedup_against_corpus_foreach_batch(spark, sigs_path: str, out_path: str):
+    """Incremental edit-distance-verified dedup — the streaming face
+    of the batch ``dedup_edit_verified`` lane: every arriving doc
+    fingerprints with plans.dedup.simhash_of (identical expressions),
+    and a doc is a dup iff some LOWER-doc_id doc — in the persistent
+    signature store (everything ever ingested) or earlier in the same
+    batch — shares its 16-bit bucket within EDIT_CAND_HAMMING bits AND
+    its normalized EDIT_PREFIX_CHARS-char prefix verifies at
+    ≤ EDIT_KEEP_BP Levenshtein. Both predicates sit inside LEFT-SEMI
+    joins, so a hot bucket never materializes pair rows — the
+    verdict-only shape a crawl-ingest gate needs. Verdicts
+    (doc_id, is_dup) land in ``out_path/b<batch_id>``; the batch's
+    (doc_id, simhash, bucket, prefix) rows register in
+    ``sigs_path/b<batch_id>``.
+
+    Equivalence contract (tested): with ascending doc_id batches, the
+    dup set equals {doc_b of dedup_edit_verified pairs} over the
+    concatenated corpus — same bucket cap regime caveat as the batch
+    lane (the face probes the full store; the batch lane's MAX_BUCKET
+    applies to pathological hot buckets both sides never hit in the
+    tested regime). Store is format-stamped; per-batch overwrite dirs
+    + own-batch exclusion give replay idempotence;
+    compact_corpus(bucket_key='bucket') keeps probes pruned."""
+    from wally_spark.operators.checkpoint import free_blocks, pin
+    from wally_spark.plans.dedup import simhash_of
+    from wally_spark.plans.llm_ext import (
+        EDIT_CAND_HAMMING,
+        EDIT_KEEP_BP,
+        EDIT_PREFIX_CHARS,
+    )
+
+    ensure_store_format(
+        spark, sigs_path, "editdedup-sigs-v1",
+        required_cols=("doc_id", "simhash", "bucket", "prefix"),
+    )
+
+    def _verify(l_pre, r_pre):
+        edit = F.levenshtein(l_pre, r_pre)
+        mx = F.greatest(F.length(l_pre), F.length(r_pre))
+        return (10000 * edit) <= EDIT_KEEP_BP * mx
+
+    def proc(batch_df, batch_id):
+        prefix = F.substring(F.lower("text"), 1, EDIT_PREFIX_CHARS)
+        d = pin(
+            simhash_of(batch_df.select("doc_id", "text")).join(
+                batch_df.select("doc_id", prefix.alias("prefix")), "doc_id"
+            )
+        )
+        a, x = d.alias("a"), d.alias("x")
+        ham_ax = F.bit_count(
+            F.col("a.simhash").bitwiseXOR(F.col("x.simhash"))
+        )
+        intra = (
+            a.join(
+                x,
+                (F.col("a.bucket") == F.col("x.bucket"))
+                & (F.col("x.doc_id") < F.col("a.doc_id"))
+                & (ham_ax <= EDIT_CAND_HAMMING)
+                & _verify(F.col("a.prefix"), F.col("x.prefix")),
+                "left_semi",
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        dup = intra
+        for part in corpus_probe_parts(spark, sigs_path, exclude_batch=batch_id):
+            p = part.select(
+                F.col("doc_id").alias("p_doc"),
+                F.col("simhash").alias("p_simhash"),
+                F.col("bucket").alias("p_bucket"),
+                F.col("prefix").alias("p_prefix"),
+            )
+            hit = (
+                d.join(
+                    p,
+                    (F.col("bucket") == F.col("p_bucket"))
+                    & (F.col("p_doc") < F.col("doc_id"))
+                    & (
+                        F.bit_count(
+                            F.col("simhash").bitwiseXOR(F.col("p_simhash"))
+                        )
+                        <= EDIT_CAND_HAMMING
+                    )
+                    & _verify(F.col("prefix"), F.col("p_prefix")),
+                    "left_semi",
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            dup = dup.unionByName(hit).distinct()
+        d.join(dup.withColumn("_d", F.lit(True)), "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("_d", F.lit(False)).alias("is_dup"),
+        ).write.mode("overwrite").parquet(f"{out_path}/b{batch_id}")
+        d.select("doc_id", "simhash", "bucket", "prefix").write.mode(
+            "overwrite"
+        ).parquet(f"{sigs_path}/b{batch_id}")
+        free_blocks(d)
+
+    return proc
