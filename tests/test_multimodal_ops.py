@@ -562,3 +562,49 @@ def test_dedup_winnowing_planted_pair(spark, tmp_path):
     ab = [p for p in pairs if (p[0], p[1]) == (1, 2)]
     assert len(ab) == 1 and ab[0][2] >= 2, pairs
     assert not any(3 in (p[0], p[1]) for p in pairs), pairs
+
+
+def test_parse_zip_entries_agrees_with_stdlib_zipfile():
+    """The walker must agree with archives Python's own zipfile
+    writes (entry census, uncompressed mass, name mass), including
+    deflated entries, and report None for a truncated EOCD."""
+    import io
+    import zipfile
+
+    from wally_spark.operators.multimodal import parse_zip_entries
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        z.writestr("a.txt", b"hello world")
+        z.writestr("dir/b.bin", b"\x00" * 100)
+        z.writestr("c", b"x")
+    b = buf.getvalue()
+    ne, nok, usize, names, cds, eocd = parse_zip_entries(b)
+    assert (ne, nok, usize, names, eocd) == (3, 3, 112, 15, True)
+    assert parse_zip_entries(b[:-3]) is None  # truncated EOCD
+    assert parse_zip_entries(b"PK\x03\x04 not an archive") is None
+
+    buf2 = io.BytesIO()
+    with zipfile.ZipFile(buf2, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("big.txt", b"ab" * 500)
+    ne, nok, usize, _, _, _ = parse_zip_entries(buf2.getvalue())
+    assert (ne, nok, usize) == (1, 1, 1000)
+
+
+def test_parse_zip_entries_flags_spliced_offsets():
+    """An archive whose central directory points at a wrong local
+    offset must show n_local_ok < n_entries — the spliced-archive
+    cross-check."""
+    import io
+    import zipfile
+
+    from wally_spark.operators.multimodal import parse_zip_entries
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        z.writestr("a", b"12345")
+    b = bytearray(buf.getvalue())
+    # corrupt the local header signature the CD points at (offset 0)
+    b[0] = 0x00
+    ne, nok, usize, _, _, _ = parse_zip_entries(bytes(b))
+    assert ne == 1 and nok == 0 and usize == 5

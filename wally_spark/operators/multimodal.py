@@ -967,3 +967,84 @@ def pcm_silence_stats(
             yield pd.DataFrame({"doc_id": pdf["doc_id"], **out})
 
     return df.mapInPandas(extract, PCM_SILENCE_SCHEMA)
+
+
+ZIP_ENTRIES_SCHEMA = (
+    "doc_id bigint, fmt string, n_entries int, n_local_ok int, "
+    "total_usize bigint, name_bytes int, cd_size int, has_eocd boolean, "
+    "n_bytes int"
+)
+
+
+def parse_zip_entries(b: bytes):
+    """Walk a ZIP archive's END-OF-CENTRAL-DIRECTORY + central
+    directory — the index a reader trusts — without inflating a single
+    entry: returns (n_entries, n_local_ok, total_usize, name_bytes,
+    cd_size, has_eocd) or None if the stream has no EOCD record (the
+    structural signature of a truncated bundle download). n_local_ok
+    counts entries whose recorded local-header offset really points at
+    a PK\\x03\\x04 signature — the cross-check that catches spliced or
+    offset-shifted archives. Walks strictly by recorded lengths
+    (fnlen/extralen/commentlen), stops cleanly at the first
+    out-of-bounds or non-PK\\x01\\x02 position, never allocates entry
+    data."""
+    import struct
+
+    if b is None or len(b) < 22:
+        return None
+    eocd = b.rfind(b"PK\x05\x06")
+    if eocd < 0 or eocd + 22 > len(b):
+        return None
+    _sig, _dsk, _cdsk, _ndsk, _ntot, cd_size, cd_off, _clen = struct.unpack(
+        "<IHHHHIIH", b[eocd : eocd + 22]
+    )
+    n_entries = n_local_ok = 0
+    total_usize = 0
+    name_bytes = 0
+    pos = cd_off
+    while pos + 46 <= len(b) and b[pos : pos + 4] == b"PK\x01\x02":
+        (
+            _vm, _vn, _flags, _method, _t, _d, _crc, _csize, usize,
+            fnlen, extralen, cmtlen, _edsk, _iattr, _eattr, lofs,
+        ) = struct.unpack("<HHHHHHIIIHHHHHII", b[pos + 4 : pos + 46])
+        n_entries += 1
+        total_usize += usize
+        name_bytes += fnlen
+        if lofs + 4 <= len(b) and b[lofs : lofs + 4] == b"PK\x03\x04":
+            n_local_ok += 1
+        pos += 46 + fnlen + extralen + cmtlen
+    return (n_entries, n_local_ok, total_usize, name_bytes, cd_size, True)
+
+
+def zip_entry_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Archive-bundle audit over an opaque binary column: entry census,
+    local-header cross-check, uncompressed mass, name mass, central
+    directory size, EOCD presence — the features a curation pass needs
+    before deciding whether a crawled bundle is worth extracting.
+    Arrow-batched mapInPandas; payloads stay on executors."""
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
+                parsed = None if b is None else parse_zip_entries(bytes(b))
+                if parsed is None:
+                    rows.append(
+                        (doc_id, None, None, None, None, None, None, None,
+                         0 if b is None else len(b))
+                    )
+                else:
+                    ne, nok, us, nb_, cds, eocd = parsed
+                    rows.append(
+                        (doc_id, "zip", ne, nok, us, nb_, cds, eocd, len(b))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "n_entries", "n_local_ok",
+                    "total_usize", "name_bytes", "cd_size", "has_eocd",
+                    "n_bytes",
+                ],
+            )
+
+    return df.mapInPandas(walk, ZIP_ENTRIES_SCHEMA)

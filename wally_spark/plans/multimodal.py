@@ -1097,3 +1097,89 @@ def mm_pcm_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wally_spark.operators.multimodal import pcm_silence_stats
 
     return pcm_silence_stats(payloads).orderBy("doc_id")
+
+
+# --- ZIP bundle audit (r10) ----------------------------------------------------
+@register(
+    "mm_zip_entries",
+    oracle="""
+SELECT doc_id, 'zip' AS fmt,
+       (1 + doc_id % 3)::INT AS n_entries,
+       (1 + doc_id % 3)::INT AS n_local_ok,
+       ((1 + doc_id % 3) * (4 + doc_id % 11))::BIGINT AS total_usize,
+       (4 * (1 + doc_id % 3))::INT AS name_bytes,
+       (50 * (1 + doc_id % 3))::INT AS cd_size,
+       true AS has_eocd,
+       ((1 + doc_id % 3) * (38 + doc_id % 11)
+        + 50 * (1 + doc_id % 3) + 22)::INT AS n_bytes
+FROM documents ORDER BY doc_id
+""",
+    tags=("multimodal", "container", "archive"),
+)
+def mm_zip_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP bundle audit through the REAL central-directory walker
+    (operators/multimodal.parse_zip_entries): each doc gets a VALID
+    stored-method ZIP — 1-3 local-file entries of doc-derived size, a
+    central directory whose offsets genuinely point at the local
+    headers, and an EOCD record — and the walker recovers the entry
+    census, the local-header offset cross-check, uncompressed/name
+    mass, and EOCD presence from raw bytes. Crawled corpora arrive as
+    bundles (ZIP/tarballs); no-EOCD = truncated download and
+    n_local_ok < n_entries = spliced archive are the two gate
+    signals, both surfaced without extracting an entry.
+
+    Scale shape: payload synthesis is pure hex codegen in the scan
+    (little-endian fields kept single-byte by construction so the hex
+    spelling is trivially exact); the walk is Arrow-batched
+    mapInPandas (payloads never leave executors); one fixed-width
+    feature row out per doc. The oracle predicts every feature
+    arithmetically from doc_id, so walker bugs (46-byte stride
+    misread, offset check off-by-one) surface as hash mismatches."""
+    from wally_spark.operators.multimodal import zip_entry_stats
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    k_m = F.col("doc_id") % 3            # entries = 1 + k_m
+    d = (F.lit(4) + F.col("doc_id") % 11).cast("int")  # entry data bytes
+
+    def le16(col):
+        return F.concat(F.format_string("%02x", col.cast("int")), F.lit("00"))
+
+    def le32(col):
+        return F.concat(
+            F.format_string("%02x", col.cast("int")), F.lit("000000")
+        )
+
+    # local file header (30B) + name "data" (4B) + stored data (d B)
+    local = F.concat(
+        F.lit("504b0304" + "1400" + "0000" + "0000" + "0000" + "0000"
+              + "00000000"),
+        le32(d), le32(d),
+        F.lit("0400" + "0000" + "64617461"),
+        F.repeat(F.lit("aa"), d),
+    )
+
+    def cd_entry(i):
+        off = (F.lit(i) * (F.lit(34) + d)).cast("int")
+        return F.concat(
+            F.lit("504b0102" + "1400" + "1400" + "0000" + "0000" + "0000"
+                  + "0000" + "00000000"),
+            le32(d), le32(d),
+            F.lit("0400" + "0000" + "0000" + "0000" + "0000" + "00000000"),
+            le32(off),
+            F.lit("64617461"),
+        )
+
+    k = (F.lit(1) + k_m).cast("int")
+    hdr = F.concat(
+        F.repeat(local, k),
+        cd_entry(0),
+        F.when(k_m >= 1, cd_entry(1)).otherwise(F.lit("")),
+        F.when(k_m >= 2, cd_entry(2)).otherwise(F.lit("")),
+        F.lit("504b0506" + "0000" + "0000"),
+        le16(k), le16(k),
+        le32(F.lit(50) * k),
+        le32(k * (F.lit(34) + d)),
+        F.lit("0000"),
+    )
+    payloads = docs.select("doc_id", F.unhex(hdr).alias("payload"))
+    return zip_entry_stats(payloads).orderBy("doc_id")
