@@ -608,3 +608,35 @@ def test_parse_zip_entries_flags_spliced_offsets():
     b[0] = 0x00
     ne, nok, usize, _, _, _ = parse_zip_entries(bytes(b))
     assert ne == 1 and nok == 0 and usize == 5
+
+
+def test_parse_tar_members_agrees_with_stdlib_tarfile():
+    """The walker must agree with archives Python's own tarfile
+    writes (member census, checksum verification, size/name mass,
+    terminator), flag truncation, and reject non-tar bytes."""
+    import io
+    import tarfile
+
+    from wally_spark.operators.multimodal import parse_tar_members
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as t:
+        for name, data in [
+            ("a.txt", b"hello"),
+            ("dir/b.bin", b"\x01" * 700),
+            ("c", b""),
+        ]:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(data)
+            t.addfile(ti, io.BytesIO(data))
+    b = buf.getvalue()
+    assert parse_tar_members(b) == (3, 3, 705, 15, True)
+    # cut after the first member: census continues, terminator absent
+    assert parse_tar_members(b[:1024]) == (1, 1, 5, 5, False)
+    assert parse_tar_members(b"\x01" + b"\x00" * 600) is None
+
+    # corrupt one checksum digit: member still walks, cksum_ok drops
+    bad = bytearray(b)
+    bad[148] = ord("7") if bad[148] != ord("7") else ord("1")
+    nm, nok, ts, _, term = parse_tar_members(bytes(bad))
+    assert (nm, ts, term) == (3, 705, True) and nok == 2

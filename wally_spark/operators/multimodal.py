@@ -1048,3 +1048,100 @@ def zip_entry_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return df.mapInPandas(walk, ZIP_ENTRIES_SCHEMA)
+
+
+TAR_MEMBERS_SCHEMA = (
+    "doc_id bigint, fmt string, n_members int, n_cksum_ok int, "
+    "total_size bigint, name_bytes int, has_terminator boolean, n_bytes int"
+)
+
+
+def parse_tar_members(b: bytes):
+    """Walk a (us)tar archive's 512-byte header blocks — the
+    WebDataset bundle shape — without reading member data: returns
+    (n_members, n_cksum_ok, total_size, name_bytes, has_terminator)
+    or None if the first block is not a plausible tar header.
+    n_cksum_ok counts members whose recorded header checksum matches
+    the spec sum (header bytes with the checksum field read as eight
+    spaces) — the corruption signal tar readers trust; member data is
+    skipped by the recorded octal size, so cost is headers-only.
+    has_terminator = the two zero blocks a complete archive ends
+    with (absent = truncated bundle)."""
+    if b is None or len(b) < 512:
+        return None
+
+    def _octal(field: bytes) -> int | None:
+        s = field.split(b"\x00")[0].strip(b" ")
+        if not s:
+            return 0
+        try:
+            return int(s, 8)
+        except ValueError:
+            return None
+
+    n_members = n_cksum_ok = 0
+    total_size = 0
+    name_bytes = 0
+    pos = 0
+    has_terminator = False
+    while pos + 512 <= len(b):
+        block = b[pos : pos + 512]
+        if block == b"\x00" * 512:
+            has_terminator = (
+                pos + 1024 <= len(b)
+                and b[pos + 512 : pos + 1024] == b"\x00" * 512
+            )
+            break
+        if block[257:262] != b"ustar":
+            return None if n_members == 0 else (
+                n_members, n_cksum_ok, total_size, name_bytes, False
+            )
+        size = _octal(block[124:136])
+        if size is None:
+            return None
+        recorded = _octal(block[148:156])
+        actual = (
+            sum(block[:148]) + 8 * 0x20 + sum(block[156:])
+        )
+        n_members += 1
+        if recorded == actual:
+            n_cksum_ok += 1
+        total_size += size
+        name_bytes += len(block[:100].split(b"\x00")[0])
+        pos += 512 + ((size + 511) // 512) * 512
+    if n_members == 0:
+        return None
+    return (n_members, n_cksum_ok, total_size, name_bytes, has_terminator)
+
+
+def tar_member_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Tar-bundle audit over an opaque binary column: member census,
+    spec-checksum verification count, payload/name mass, terminator
+    presence — the WebDataset-ingest gate (no terminator = truncated
+    shard; n_cksum_ok < n_members = corrupted headers). Arrow-batched
+    mapInPandas; payloads stay on executors."""
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
+                parsed = None if b is None else parse_tar_members(bytes(b))
+                if parsed is None:
+                    rows.append(
+                        (doc_id, None, None, None, None, None, None,
+                         0 if b is None else len(b))
+                    )
+                else:
+                    nm, nok, ts, nb_, term = parsed
+                    rows.append(
+                        (doc_id, "tar", nm, nok, ts, nb_, term, len(b))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "n_members", "n_cksum_ok",
+                    "total_size", "name_bytes", "has_terminator", "n_bytes",
+                ],
+            )
+
+    return df.mapInPandas(walk, TAR_MEMBERS_SCHEMA)

@@ -1183,3 +1183,69 @@ def mm_zip_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     payloads = docs.select("doc_id", F.unhex(hdr).alias("payload"))
     return zip_entry_stats(payloads).orderBy("doc_id")
+
+
+# --- tar / WebDataset bundle audit (r10) ----------------------------------------
+@register(
+    "mm_tar_members",
+    oracle="""
+SELECT doc_id, 'tar' AS fmt,
+       (1 + doc_id % 2)::INT AS n_members,
+       (1 + doc_id % 2)::INT AS n_cksum_ok,
+       ((1 + doc_id % 2) * (1 + doc_id % 9))::BIGINT AS total_size,
+       (1 + doc_id % 2)::INT AS name_bytes,
+       true AS has_terminator,
+       ((1 + doc_id % 2) * 1024 + 1024)::INT AS n_bytes
+FROM documents ORDER BY doc_id
+""",
+    tags=("multimodal", "container", "archive"),
+)
+def mm_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tar bundle audit through the REAL ustar header walker
+    (operators/multimodal.parse_tar_members) — the WebDataset shard
+    shape a training reader streams: each doc gets a VALID ustar
+    archive (1-2 members of doc-derived size with SPEC-CORRECT header
+    checksums, data blocks, and the two-zero-block terminator), and
+    the walker recovers the member census, the checksum verification
+    count, payload/name mass, and terminator presence from raw bytes,
+    skipping member data by the recorded octal size — headers-only
+    cost. No terminator = truncated shard, n_cksum_ok < n_members =
+    corrupted headers: the two WebDataset-ingest gate signals.
+
+    Scale shape: payload synthesis is pure codegen (text fields hex'd
+    via F.hex of format_string — including the %011o octal size and
+    the %06o checksum, whose value folds to a literal-plus-branch on
+    the data length); Arrow-batched mapInPandas walk; one fixed-width
+    feature row per doc. The oracle predicts every feature
+    arithmetically from doc_id, so walker bugs (512-stride misread,
+    checksum-field spacing) surface as hash mismatches."""
+    from wally_spark.operators.multimodal import tar_member_stats
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    k = (F.lit(1) + F.col("doc_id") % 2).cast("int")
+    d = (F.lit(1) + F.col("doc_id") % 9).cast("int")
+    # spec checksum: constant header mass 2618 (name 'm', mode/uid/gid,
+    # mtime, magic, version, typeflag, checksum-as-spaces) + the octal
+    # size field's digit mass (11 digits + NUL)
+    cksum = F.lit(2618) + F.when(d < 8, 528 + d).otherwise(521 + d)
+    header = F.concat(
+        F.lit("6d" + "00" * 99),                       # name[100] = "m"
+        F.hex(F.lit("0000644")), F.lit("00"),          # mode[8]
+        F.hex(F.lit("0000000")), F.lit("00"),          # uid[8]
+        F.hex(F.lit("0000000")), F.lit("00"),          # gid[8]
+        F.hex(F.format_string("%011o", d)), F.lit("00"),   # size[12]
+        F.hex(F.lit("00000000000")), F.lit("00"),      # mtime[12]
+        F.hex(F.format_string("%06o", cksum.cast("int"))),
+        F.lit("0020"),                                 # chksum[8]
+        F.lit("30"),                                   # typeflag '0'
+        F.lit("00" * 100),                             # linkname[100]
+        F.lit("757374617200"),                         # magic "ustar\\0"
+        F.lit("3030"),                                 # version "00"
+        F.lit("00" * 247),                             # uname..prefix+pad
+    )
+    member = F.concat(
+        header, F.repeat(F.lit("bb"), d), F.repeat(F.lit("00"), 512 - d)
+    )
+    hdr = F.concat(F.repeat(member, k), F.repeat(F.lit("00"), 1024))
+    payloads = docs.select("doc_id", F.unhex(hdr).alias("payload"))
+    return tar_member_stats(payloads).orderBy("doc_id")
