@@ -241,3 +241,38 @@ def test_unpivot_and_frame_lane_plan_shapes(spark):
     )
     assert p.count("Exchange") == 1 and "Window" in p, p
     assert "SinglePartition" not in p
+
+
+def test_decontaminate_embedding_planted_leak(spark, tmp_path):
+    """A train vector that IS a holdout vector (paraphrase-free leak)
+    must flag contaminated with best_cos_bp ~10000 and point at the
+    right holdout id; an orthogonal vector must not flag."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    hold_vec = rng.standard_normal(dim)
+    orth = rng.standard_normal(dim)
+    orth -= orth.dot(hold_vec) / hold_vec.dot(hold_vec) * hold_vec
+    rows = [
+        (7, [float(x) for x in hold_vec], 0),     # holdout (7 % 10 == 7)
+        (3, [float(x) for x in hold_vec], 0),     # train leak of 7
+        (4, [float(x) for x in orth], 0),         # train, orthogonal
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+
+    from wally_spark.plans import REGISTRY
+
+    got = {
+        r["vec_id"]: r
+        for r in REGISTRY["decontaminate_embedding"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(got) == {3, 4}
+    assert got[3]["best_h_vec"] == 7 and got[3]["contaminated"]
+    assert got[3]["best_cos_bp"] >= 9999
+    assert not got[4]["contaminated"] and abs(got[4]["best_cos_bp"]) < 200

@@ -699,3 +699,93 @@ def _finalize_edit_oracle() -> None:
 
 
 _finalize_edit_oracle()
+
+
+DECON_COS_BP = 4000  # flag threshold (basis points of cosine)
+DECON_HOLD_MOD = 10  # vec_id % 10 == 7 -> designated holdout vector
+DECON_HOLD_REM = 7   # (mirrors decontaminate_holdout's doc split)
+
+
+@register(
+    "decontaminate_embedding",
+    oracle=f"""
+WITH hold AS (
+  SELECT vec_id AS h_vec, embedding AS he FROM embeddings
+  WHERE vec_id % {DECON_HOLD_MOD} = {DECON_HOLD_REM}),
+train AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % {DECON_HOLD_MOD} <> {DECON_HOLD_REM}),
+dots AS (
+  SELECT t.vec_id, h.h_vec,
+         list_sum(list_transform(range(1, len(t.embedding) + 1),
+           i -> t.embedding[i]::DOUBLE * h.he[i]::DOUBLE)) AS dot,
+         sqrt(list_sum(list_transform(t.embedding,
+           x -> x::DOUBLE * x::DOUBLE))) AS na,
+         sqrt(list_sum(list_transform(h.he,
+           x -> x::DOUBLE * x::DOUBLE))) AS nb
+  FROM train t CROSS JOIN hold h),
+scored AS (
+  SELECT vec_id, h_vec,
+         floor(10000.0 * (dot / (na * nb)))::BIGINT AS cos_bp,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY floor(10000.0 * (dot / (na * nb))) DESC, h_vec) AS rk
+  FROM dots)
+SELECT vec_id, h_vec AS best_h_vec, cos_bp AS best_cos_bp,
+       cos_bp >= {DECON_COS_BP} AS contaminated
+FROM scored WHERE rk = 1
+""",
+    tags=("llm", "embedding", "decontamination"),
+)
+def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic twin
+    of decontaminate_holdout (5-gram exact) and decontaminate_minhash
+    (near-verbatim): every TRAIN vector reports its best cosine
+    against the designated HOLDOUT set and a contaminated flag at
+    {T} bp — the screen that catches paraphrased eval leakage the
+    n-gram lanes cannot see (SemDeDup/Phi-style decontamination).
+
+    Scale shape: holdout sets are eval-suite-sized (bounded), so the
+    holdout side BROADCASTS and the train side never shuffles — one
+    linear scan regardless of corpus size, the same join geometry as
+    ann_bruteforce. The cosine is spelled as an explicitly
+    DOUBLE-cast sequential fold on BOTH engines (DuckDB's
+    list_cosine_similarity accumulates in float32 — one bp-floor
+    collision per ~500 rows at this corpus's value spread), and the
+    ranking is by FLOORED basis points with h_vec tiebreak, so the
+    argmax row is engine-exact.""".format(T=DECON_COS_BP)
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    is_hold = F.col("vec_id") % DECON_HOLD_MOD == DECON_HOLD_REM
+    hold = emb.where(is_hold).select(
+        F.col("vec_id").alias("h_vec"),
+        F.col("embedding").cast("array<double>").alias("he"),
+    )
+    train = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("te")
+    ).where(~is_hold)
+    dot = F.aggregate(
+        F.zip_with("te", "he", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda a, v: a + v * v)
+    )
+    cos_bp = F.floor(
+        10000.0 * (dot / (norm(F.col("te")) * norm(F.col("he"))))
+    ).cast("bigint")
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_bp").desc(), F.col("h_vec")
+    )
+    return (
+        train.join(F.broadcast(hold))
+        .select("vec_id", "h_vec", cos_bp.alias("cos_bp"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            F.col("h_vec").alias("best_h_vec"),
+            F.col("cos_bp").alias("best_cos_bp"),
+            (F.col("cos_bp") >= DECON_COS_BP).alias("contaminated"),
+        )
+    )
