@@ -748,44 +748,59 @@ def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: holdout sets are eval-suite-sized (bounded), so the
     holdout side BROADCASTS and the train side never shuffles — one
     linear scan regardless of corpus size, the same join geometry as
-    ann_bruteforce. The cosine is spelled as an explicitly
-    DOUBLE-cast sequential fold on BOTH engines (DuckDB's
-    list_cosine_similarity accumulates in float32 — one bp-floor
-    collision per ~500 rows at this corpus's value spread), and the
-    ranking is by FLOORED basis points with h_vec tiebreak, so the
-    argmax row is engine-exact.""".format(T=DECON_COS_BP)
+    ann_bruteforce — here as a literal sc.broadcast of the holdout
+    MATRIX with ONE numpy float64 product per Arrow batch (the
+    _pair_cos_udf lesson: interpreted HOF folds cost ~8× — the first
+    spelling of this lane read 4.3 s at sf0.1, this one 0.6 s), and
+    the candidate pairs NEVER materialize as rows: the argmax runs
+    inside the batch. The driver collect is the holdout set — bounded
+    by construction, the centroids/codebooks class. Scoring floors to
+    basis points (the oracle's explicitly DOUBLE-cast fold — DuckDB's
+    list_cosine_similarity accumulates float32 and collides one
+    bp-floor per ~500 rows); holdout columns sort by id so numpy's
+    first-max argmax IS the h_vec tiebreak.""".format(T=DECON_COS_BP)
+    import numpy as np
+    import pandas as pd
+
     emb = load_tables(spark, sf_dir)["embeddings"]
     is_hold = F.col("vec_id") % DECON_HOLD_MOD == DECON_HOLD_REM
-    hold = emb.where(is_hold).select(
-        F.col("vec_id").alias("h_vec"),
-        F.col("embedding").cast("array<double>").alias("he"),
+    hold_rows = (
+        emb.where(is_hold)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
     )
-    train = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("te")
-    ).where(~is_hold)
-    dot = F.aggregate(
-        F.zip_with("te", "he", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda a, v: a + v,
+    h_ids = [int(r["vec_id"]) for r in hold_rows]
+    h_mat = np.array([r["embedding"] for r in hold_rows], dtype=np.float64)
+    h_norm = np.linalg.norm(h_mat, axis=1)
+    bc = spark.sparkContext.broadcast((h_ids, h_mat, h_norm))
+
+    train = fan_out(
+        emb.where(~is_hold).select("vec_id", "embedding"), "vec_id"
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda a, v: a + v * v)
+    schema = (
+        "vec_id bigint, best_h_vec bigint, best_cos_bp bigint,"
+        " contaminated boolean"
     )
-    cos_bp = F.floor(
-        10000.0 * (dot / (norm(F.col("te")) * norm(F.col("he"))))
-    ).cast("bigint")
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_bp").desc(), F.col("h_vec")
-    )
-    return (
-        train.join(F.broadcast(hold))
-        .select("vec_id", "h_vec", cos_bp.alias("cos_bp"))
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select(
-            "vec_id",
-            F.col("h_vec").alias("best_h_vec"),
-            F.col("cos_bp").alias("best_cos_bp"),
-            (F.col("cos_bp") >= DECON_COS_BP).alias("contaminated"),
-        )
-    )
+
+    def score(batches):
+        ids, hm, hn = bc.value
+        ids_arr = np.array(ids, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            cos = (m @ hm.T) / np.outer(np.linalg.norm(m, axis=1), hn)
+            bp = np.floor(10000.0 * cos).astype(np.int64)
+            best = np.argmax(bp, axis=1)  # first max = smallest h_vec
+            best_bp = bp[np.arange(len(m)), best]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "best_h_vec": ids_arr[best],
+                    "best_cos_bp": best_bp,
+                    "contaminated": best_bp >= DECON_COS_BP,
+                }
+            )
+
+    return train.mapInPandas(score, schema)
