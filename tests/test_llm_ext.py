@@ -276,3 +276,37 @@ def test_decontaminate_embedding_planted_leak(spark, tmp_path):
     assert got[3]["best_h_vec"] == 7 and got[3]["contaminated"]
     assert got[3]["best_cos_bp"] >= 9999
     assert not got[4]["contaminated"] and abs(got[4]["best_cos_bp"]) < 200
+
+
+def test_matryoshka_recall_detects_truncation_flip(spark, tmp_path):
+    """A corpus where the full-dim top-1 differs from the 8-dim top-1
+    must show agree_full=False at dim 8 and True at dim 64."""
+    import numpy as np
+
+    dim = 64
+    q = np.zeros(dim); q[0] = 1.0; q[32] = 1.0
+    # a: off-query mass INSIDE the first 8 dims hurts its truncated
+    # cosine (0.894 vs b's 0.995) but the dim-32 component wins the
+    # full comparison (0.936 vs 0.703)
+    a = np.zeros(dim); a[0] = 1.0; a[1] = 0.5; a[32] = 0.9
+    b = np.zeros(dim); b[0] = 1.0; b[1] = 0.1       # 8-dim winner
+    noise = np.full(dim, 0.01)
+    rows = [
+        (0, q), (100, a), (101, b), (102, noise),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in rows],
+        "vec_id bigint, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+
+    from wally_spark.plans import REGISTRY
+
+    got = {
+        (r["query_id"], r["dim"]): r
+        for r in REGISTRY["embedding_matryoshka_recall"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert got[(0, 64)]["top1_id"] == 100 and got[(0, 64)]["agree_full"]
+    assert got[(0, 8)]["top1_id"] == 101 and not got[(0, 8)]["agree_full"]
