@@ -182,6 +182,8 @@ def test_no_cartesian_anywhere(spark):
         "dedup_cluster_size_hist",  # 1-row corpus-total side for share_bp
         "text_lm_kneser_ney",  # 1-row bigram-type-total side
         "dq_referential_audit",  # five 1-row (orphans × total) combines
+        "token_source_mi",  # 1-row corpus-token-total (n) side
+        "source_token_kl",  # same 1-row n side via kl_terms_from_joint
     }
     offenders = []
     for name in sorted(REGISTRY):

@@ -762,16 +762,15 @@ def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from wally_spark.operators.matrix import collect_id_matrix
+
     emb = load_tables(spark, sf_dir)["embeddings"]
     is_hold = F.col("vec_id") % DECON_HOLD_MOD == DECON_HOLD_REM
-    hold_rows = (
-        emb.where(is_hold)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .collect()
+    # bounded by construction: the holdout is an eval suite, not a
+    # corpus slice, in production (here the synthetic %10 split)
+    h_ids, h_mat = collect_id_matrix(
+        emb.where(is_hold), "vec_id", "embedding"
     )
-    h_ids = [int(r["vec_id"]) for r in hold_rows]
-    h_mat = np.array([r["embedding"] for r in hold_rows], dtype=np.float64)
     h_norm = np.linalg.norm(h_mat, axis=1)
     bc = spark.sparkContext.broadcast((h_ids, h_mat, h_norm))
 
@@ -870,15 +869,13 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from wally_spark.operators.matrix import collect_id_matrix
+
     emb = load_tables(spark, sf_dir)["embeddings"]
-    q_rows = (
-        emb.where(F.col("vec_id") < MRL_N_QUERIES)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .collect()
+    # bounded by construction: a fixed probe panel of MRL_N_QUERIES
+    q_ids, q_mat = collect_id_matrix(
+        emb.where(F.col("vec_id") < MRL_N_QUERIES), "vec_id", "embedding"
     )
-    q_ids = [int(r["vec_id"]) for r in q_rows]
-    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     bc = spark.sparkContext.broadcast((q_ids, q_mat))
 
     corpus = fan_out(emb.select("vec_id", "embedding"), "vec_id")
