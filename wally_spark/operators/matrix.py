@@ -26,5 +26,9 @@ def collect_id_matrix(df: DataFrame, id_col: str, vec_col: str):
 
     rows = df.select(id_col, vec_col).orderBy(id_col).collect()
     ids = [int(r[id_col]) for r in rows]
+    if not rows:
+        # keep the matrix 2-D so axis-1 norms/products at plan
+        # construction survive an empty relation (empty-corpus sweep)
+        return ids, np.zeros((0, 0), dtype=np.float64)
     mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
     return ids, mat

@@ -750,8 +750,8 @@ def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear scan regardless of corpus size, the same join geometry as
     ann_bruteforce — here as a literal sc.broadcast of the holdout
     MATRIX with ONE numpy float64 product per Arrow batch (the
-    _pair_cos_udf lesson: interpreted HOF folds cost ~8× — the first
-    spelling of this lane read 4.3 s at sf0.1, this one 0.6 s), and
+    _pair_cos_udf lesson: interpreted HOF folds cost ~4× — the first
+    spelling of this lane read 4.29 s at sf0.1, this one 1.06 s), and
     the candidate pairs NEVER materialize as rows: the argmax runs
     inside the batch. The driver collect is the holdout set — bounded
     by construction, the centroids/codebooks class. Scoring floors to
