@@ -3,9 +3,15 @@ surface end to end over the `documents` / `embeddings` tables:
 
   1. corpus health     dup_rate_report, corpus_mix_report
   2. dedup             exact → minhash near-dup clusters → keep-best
-  3. quality gates     NB classifier, LM perplexity, boilerplate
-  4. tokenizer prep    bpe_merge_pairs
-  5. packing           pack_chunks
+                       → edit-distance-verified pairs
+  3. quality gates     NB classifier, LM perplexity, boilerplate,
+                       composed pool-filter ablation
+  4. decontamination   5-gram exact / minhash near-verbatim /
+                       embedding-space (paraphrase) screens
+  5. mixture + order   per-source KL drift, discriminative tokens,
+                       token-mass curriculum phases
+  6. tokenizer prep    bpe_merge_pairs → token-id export
+  7. packing/export    pack_chunks, span-corruption manifest
 
 Run: python examples/curation.py [--sf-dir /root/testdata/sf0.01]
 Each step prints a small head() — the point is the composition, not
@@ -38,11 +44,21 @@ def main() -> None:
         ("exact dedup keepers", "dedup_exact"),
         ("near-dup clusters", "dedup_clusters"),
         ("canonical doc per cluster", "dedup_keep_best"),
+        ("edit-verified near-dup pairs", "dedup_edit_verified"),
         ("NB quality classifier", "doc_nb_classifier"),
         ("LM perplexity filter", "text_lm_perplexity"),
         ("boilerplate fraction", "text_boilerplate"),
+        ("pool-filter ablation", "pool_filter_report"),
+        ("5-gram decontamination", "decontaminate_holdout"),
+        ("near-verbatim decontamination", "decontaminate_minhash"),
+        ("embedding-space decontamination", "decontaminate_embedding"),
+        ("per-source KL mixture drift", "source_token_kl"),
+        ("source-discriminative tokens", "token_source_mi"),
+        ("token-mass curriculum phases", "curriculum_schedule"),
         ("BPE merge candidates", "bpe_merge_pairs"),
+        ("token-id export manifest", "bpe_encode_ids"),
         ("packed training chunks", "pack_chunks"),
+        ("span-corruption manifest", "span_corruption_manifest"),
     ]
     for label, name in steps:
         df = REGISTRY[name].spark_fn(spark, args.sf_dir)
