@@ -640,3 +640,60 @@ def test_parse_tar_members_agrees_with_stdlib_tarfile():
     bad[148] = ord("7") if bad[148] != ord("7") else ord("1")
     nm, nok, ts, _, term = parse_tar_members(bytes(bad))
     assert (nm, ts, term) == (3, 705, True) and nok == 2
+
+
+def test_archive_walkers_never_crash_on_arbitrary_bytes():
+    """Fuzz: the ZIP/tar walkers must return a tuple or None on ANY
+    byte stream — crawled bundles are hostile input; a walker that
+    raises kills the whole Arrow batch. Random bytes, truncations of
+    valid archives, bit-flips inside valid archives, and
+    signature-bearing garbage."""
+    import io
+    import random
+    import tarfile
+    import zipfile
+
+    from wally_spark.operators.multimodal import (
+        parse_tar_members,
+        parse_zip_entries,
+    )
+
+    rng = random.Random(20260816)
+
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w", zipfile.ZIP_STORED) as z:
+        for i in range(4):
+            z.writestr(f"m{i}", bytes(rng.randrange(256) for _ in range(50)))
+    zb = zbuf.getvalue()
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w", format=tarfile.USTAR_FORMAT) as t:
+        for i in range(3):
+            ti = tarfile.TarInfo(f"m{i}")
+            ti.size = 40
+            t.addfile(ti, io.BytesIO(b"\x07" * 40))
+    tb = tbuf.getvalue()
+
+    cases = []
+    for _ in range(200):
+        cases.append(bytes(rng.randrange(256) for _ in range(rng.randrange(0, 300))))
+    for base in (zb, tb):
+        for _ in range(100):
+            cases.append(base[: rng.randrange(0, len(base) + 1)])
+        for _ in range(100):
+            m = bytearray(base)
+            for _ in range(rng.randrange(1, 8)):
+                m[rng.randrange(len(m))] ^= 1 << rng.randrange(8)
+            cases.append(bytes(m))
+    cases += [
+        b"PK\x05\x06" + b"\x00" * 3,          # EOCD sig, short record
+        b"PK\x05\x06" + b"\xff" * 18,         # EOCD with absurd offsets
+        b"PK\x01\x02" * 30,                    # CD sigs, no EOCD
+        b"ustar" * 200,                        # magic soup, no header
+        b"\x00" * 1536,                        # all-terminator tar
+    ]
+    for b in cases:
+        for fn in (parse_zip_entries, parse_tar_members):
+            out = fn(b)
+            assert out is None or (
+                isinstance(out, tuple) and len(out) in (5, 6)
+            ), (fn.__name__, out, b[:40])
