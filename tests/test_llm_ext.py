@@ -310,3 +310,39 @@ def test_matryoshka_recall_detects_truncation_flip(spark, tmp_path):
     }
     assert got[(0, 64)]["top1_id"] == 100 and got[(0, 64)]["agree_full"]
     assert got[(0, 8)]["top1_id"] == 101 and not got[(0, 8)]["agree_full"]
+
+
+def test_kl_and_curriculum_partitioning_invariance(spark, tmp_path):
+    """The quantize-before-sum contract: source_token_kl and
+    curriculum_schedule must return IDENTICAL rows regardless of
+    input partitioning (1 vs 16 shuffled partitions) — the property
+    the per-term micro-bit floor and the two-phase prefix sum exist
+    to guarantee."""
+    import duckdb
+
+    from tests.conftest import SF_SMALL
+    from wally_spark.plans import REGISTRY
+
+    # same table content, radically different physical layout
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    one = str(tmp_path / "one")
+    many = str(tmp_path / "many")
+    docs.coalesce(1).write.parquet(f"{one}/documents.parquet")
+    docs.repartition(16).write.parquet(f"{many}/documents.parquet")
+    con = duckdb.connect()
+    for t in ("embeddings",):
+        for d in (one, many):
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{SF_SMALL}/{t}.parquet'))"
+                f" TO '{d}/{t}.parquet' (FORMAT parquet)"
+            )
+    con.close()
+
+    for name in ("source_token_kl", "curriculum_schedule", "token_source_mi"):
+        a = sorted(
+            tuple(r) for r in REGISTRY[name].spark_fn(spark, one).collect()
+        )
+        b = sorted(
+            tuple(r) for r in REGISTRY[name].spark_fn(spark, many).collect()
+        )
+        assert a == b, (name, a[:3], b[:3])

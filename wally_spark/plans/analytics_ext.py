@@ -2419,3 +2419,46 @@ def customer_first_last_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "span_days"
         ),
     )
+
+
+# --- round 10: percent_rank / cume_dist window surface -------------------------
+@register(
+    "orders_value_percentile_bands",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       date_part('month', o_orderdate)::BIGINT AS mon,
+       floor(100 * o_totalprice)::BIGINT AS price_c,
+       floor(10000 * percent_rank() OVER w)::BIGINT AS pr_bp,
+       floor(10000 * cume_dist() OVER w)::BIGINT AS cume_bp
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority, date_part('month', o_orderdate)
+             ORDER BY o_totalprice, o_orderkey)
+""",
+    tags=("analytics", "windows", "relational"),
+)
+def orders_value_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order value percentile within its (priority, month) cell —
+    the percent_rank / cume_dist window surface (rank/ntile/row_number
+    are covered elsewhere; these are the two remaining rank-family
+    functions a migrating user reaches for). The deterministic
+    (o_totalprice, o_orderkey) order makes both functions exact:
+    percent_rank = (rank−1)/(n−1) and cume_dist = peers≤/n are pure
+    integer ratios through one double division, floored to bp
+    identically on both engines.
+
+    Scale: the window partitions by (priority, month) — bounded cells
+    that shrink as the date range grows, never the 5-priority hot
+    window a bare PARTITION BY priority would plan. One shuffle."""
+    o = load_tables(spark, sf_dir)["orders"]
+    mon = F.month("o_orderdate").cast("bigint")
+    w = Window.partitionBy("o_orderpriority", mon).orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        mon.alias("mon"),
+        F.floor(100 * F.col("o_totalprice")).cast("bigint").alias("price_c"),
+        F.floor(10000 * F.percent_rank().over(w)).cast("bigint").alias("pr_bp"),
+        F.floor(10000 * F.cume_dist().over(w)).cast("bigint").alias("cume_bp"),
+    )
