@@ -62,27 +62,31 @@ _DRIVER_GREEN = frozenset(
         "app_passthrough", "app_word_count", "app_word_count_collect",
         "asof_next_view", "asof_purchase_view", "asof_purchase_view_1h",
         "attribution_last_touch", "basket_rules", "blocklist_terms_filter",
-        "bm25_rank", "bpe_encode", "bpe_merge_pairs", "bpe_merges_r4",
-        "brand_price_dispersion", "brand_return_rate", "chunk_overlap",
-        "cohort_revenue_ltv", "corpus_mix_report", "corpus_shard_manifest",
+        "bm25_rank", "bpe_encode", "bpe_encode_ids", "bpe_merge_pairs",
+        "bpe_merges_r4", "brand_price_dispersion", "brand_return_rate",
+        "chunk_overlap", "cohort_revenue_ltv", "contrastive_pairs",
+        "corpus_mix_report", "corpus_shard_manifest",
         "cross_source_dup_report", "cube_pricing",
         "cumulative_revenue_share", "curation_pipeline",
-        "daily_value_percentiles", "decontaminate_holdout",
-        "dedup_cluster_size_hist", "dedup_clusters", "dedup_embedding",
-        "dedup_embedding_lsh", "dedup_exact", "dedup_keep_best",
-        "dedup_lines", "dedup_minhash", "dedup_ngram_jaccard",
-        "dedup_normalized", "dedup_simhash", "dedup_simhash_pairs",
-        "dedup_substring", "dedup_winnowing", "discount_band_report",
-        "distinct_users_exact", "doc_nb_classifier", "docs_length_band",
-        "docs_token_histogram", "docs_vocab_simpson", "dq_null_profile",
-        "dq_referential_audit", "dsir_importance",
+        "curriculum_schedule", "customer_first_last_orders",
+        "daily_value_percentiles", "decontaminate_embedding",
+        "decontaminate_holdout", "decontaminate_minhash",
+        "dedup_cluster_size_hist", "dedup_clusters", "dedup_edit_verified",
+        "dedup_embedding", "dedup_embedding_lsh", "dedup_exact",
+        "dedup_keep_best", "dedup_lines", "dedup_minhash",
+        "dedup_ngram_jaccard", "dedup_normalized", "dedup_simhash",
+        "dedup_simhash_pairs", "dedup_substring", "dedup_winnowing",
+        "discount_band_report", "distinct_users_exact", "doc_nb_classifier",
+        "docs_length_band", "docs_token_histogram", "docs_vocab_simpson",
+        "dq_null_profile", "dq_referential_audit", "dsir_importance",
         "dup_embedding_consistency", "dup_rate_report",
         "embedding_centroids", "embedding_cluster_balance",
         "embedding_dim_stats", "embedding_kcenter", "embedding_kmeans",
-        "embedding_knn_graph", "embedding_norm_report", "embedding_outliers",
-        "embedding_pair_hist", "embedding_pca_power",
-        "embedding_random_projection", "embedding_silhouette",
-        "event_path_trigrams", "event_sessionize_stats", "event_transitions",
+        "embedding_knn_graph", "embedding_matryoshka_recall",
+        "embedding_norm_report", "embedding_outliers", "embedding_pair_hist",
+        "embedding_pca_power", "embedding_random_projection",
+        "embedding_silhouette", "event_path_trigrams",
+        "event_sessionize_stats", "event_transitions",
         "event_value_hour_corr", "event_volume_trend", "events_anomaly_mad",
         "events_autocorr", "events_benford", "events_cohort_retention",
         "events_cusum_changepoint", "events_decode_audit",
@@ -90,25 +94,27 @@ _DRIVER_GREEN = frozenset(
         "events_json_extract", "events_markov_stationary", "events_ohlc",
         "events_ols_multi", "events_peak_concurrency", "events_rate_limit",
         "events_seasonality", "events_value_ranks", "events_window_funnel",
-        "fact_dq_audit", "gap_fill_locf", "gopher_rules",
-        "graph_clustering_coeff", "graph_degree_assortativity",
-        "graph_kcore", "graph_label_prop", "graph_link_prediction",
-        "graph_pagerank", "graph_triangle_count", "heavy_hitters_report",
-        "host_curation_report", "hypertable_rollup", "interarrival_stats",
-        "join_skew_audit", "knn_label_vote", "lang_source_quota",
-        "langid_agreement", "langid_confusion", "late_arrival_report",
-        "line_dup_catalog", "lsh_recall_measured", "lsh_tuning_curve",
-        "minhash_containment", "minhash_estimate_audit", "mm_binary_dup",
-        "mm_byte_stats", "mm_frame_sample", "mm_gif_anim_stats",
-        "mm_image_header", "mm_image_meta", "mm_jpeg_segments",
-        "mm_mp4_boxes", "mm_pcm_silence", "mm_pcm_stats", "mm_phash_dup",
-        "mm_png_chunks", "mm_thumbnail", "mm_wav_header",
-        "nation_trade_matrix", "nb_calibration", "ngram_coverage",
-        "ntile_order_quartiles", "oov_rate_by_source",
-        "open_order_lines_daily", "orders_aging_bands",
-        "orders_grouping_sets", "orders_yoy_growth", "pack_chunks",
-        "part_affinity_jaccard", "part_cooccurrence", "pipeline_merge",
-        "pivot_user_event_totals", "price_index_laspeyres",
+        "fact_dq_audit", "feature_hash_audit", "gap_fill_locf",
+        "gopher_rules", "graph_clustering_coeff",
+        "graph_degree_assortativity", "graph_kcore", "graph_label_prop",
+        "graph_link_prediction", "graph_pagerank", "graph_triangle_count",
+        "heavy_hitters_report", "host_curation_report", "hypertable_rollup",
+        "interarrival_stats", "join_skew_audit", "knn_label_vote",
+        "lang_source_quota", "langid_agreement", "langid_confusion",
+        "late_arrival_report", "line_dup_catalog",
+        "lineitem_charges_unpivot", "lsh_recall_measured",
+        "lsh_tuning_curve", "minhash_containment", "minhash_estimate_audit",
+        "mm_binary_dup", "mm_byte_stats", "mm_frame_sample",
+        "mm_gif_anim_stats", "mm_image_header", "mm_image_meta",
+        "mm_jpeg_segments", "mm_mp4_boxes", "mm_pcm_silence", "mm_pcm_stats",
+        "mm_phash_dup", "mm_png_chunks", "mm_tar_members", "mm_thumbnail",
+        "mm_wav_header", "mm_zip_entries", "nation_trade_matrix",
+        "nb_calibration", "ngram_coverage", "ntile_order_quartiles",
+        "oov_rate_by_source", "open_order_lines_daily", "orders_aging_bands",
+        "orders_grouping_sets", "orders_value_percentile_bands",
+        "orders_yoy_growth", "pack_chunks", "part_affinity_jaccard",
+        "part_cooccurrence", "pipeline_merge", "pivot_user_event_totals",
+        "pool_filter_report", "price_index_laspeyres",
         "price_quantity_elasticity", "priority_sla_report",
         "q10_returned_items", "q11_important_parts", "q12_priority_class",
         "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
@@ -127,16 +133,17 @@ _DRIVER_GREEN = frozenset(
         "sample_reservoir", "sample_stratified", "sample_temperature",
         "schema_drift_report", "semantic_dedup", "session_conversion_lag",
         "session_entry_exit", "setops_viewer_purchasers",
-        "sliding_distinct_users", "source_length_gini",
-        "split_train_holdout", "supplier_concentration_hhi",
-        "supplier_latency_report", "supplier_redundancy", "text_boilerplate",
-        "text_fingerprint", "text_langid", "text_langid_margin",
-        "text_langid_ngram", "text_lm_bigram", "text_lm_kneser_ney",
-        "text_lm_perplexity", "text_ngram_novelty", "text_pii_scrub",
-        "text_quality", "text_readability", "text_repetition",
-        "text_script_mix", "text_sentence_stats", "text_tokens",
-        "text_word_entropy", "tfidf_top_terms", "time_weighted_avg",
-        "token_budget_allocation", "token_pmi", "tokenizer_fertility",
+        "sliding_distinct_users", "source_length_gini", "source_token_kl",
+        "span_corruption_manifest", "split_train_holdout",
+        "supplier_concentration_hhi", "supplier_latency_report",
+        "supplier_redundancy", "text_boilerplate", "text_fingerprint",
+        "text_langid", "text_langid_margin", "text_langid_ngram",
+        "text_lm_bigram", "text_lm_kneser_ney", "text_lm_perplexity",
+        "text_ngram_novelty", "text_pii_scrub", "text_quality",
+        "text_readability", "text_repetition", "text_script_mix",
+        "text_sentence_stats", "text_tokens", "text_word_entropy",
+        "tfidf_top_terms", "time_weighted_avg", "token_budget_allocation",
+        "token_pmi", "token_source_mi", "tokenizer_fertility",
         "topk_per_key", "url_blocklist", "url_canonical_dedup",
         "user_activity_gaps", "user_activity_gini", "user_bot_score",
         "user_burst_minutes", "user_churn_features", "user_event_entropy",
@@ -153,29 +160,7 @@ _DRIVER_GREEN = frozenset(
 # re-enter the driver window. Refresh this set each round.
 _CHANGED_THIS_ROUND = frozenset(
     {
-        # r10 advice fixes: bp shares respelled as exact bigint div
-        # (F.expr div) instead of floor(a/b) double division, and
-        # graph_link_prediction re-based on symmetrized adjacency so
-        # cn counts ALL common neighbors (oracle updated in lockstep).
-        "ab_test_report", "dq_null_profile", "graph_clustering_coeff",
-        "graph_link_prediction", "nation_trade_matrix",
-        "oov_rate_by_source", "priority_sla_report",
-        "schema_drift_report", "supplier_redundancy",
-        # r10 advice fix: parse_jpeg_segments learned progressive /
-        # multi-scan resume, standalone TEM/RST, fill bytes
-        "mm_jpeg_segments",
-        # r10: merge-loop factored into _bpe_encoded_vocab (shared
-        # with the new bpe_encode_ids lane) — same expressions,
-        # re-verify anyway
-        "bpe_encode",
-        # r10: scored-candidate core factored into _knn_scored
-        # (shared with the new contrastive_pairs lane) — same
-        # expressions, re-verify anyway
-        "embedding_knn_graph",
-        # r10: fingerprint body factored into simhash_of (shared with
-        # the new editdedup streaming face) — same expressions,
-        # re-verify anyway
-        "dedup_simhash", "dedup_simhash_pairs",
+        # r11: advice fixes land here as modules change in-round.
     }
 )
 
