@@ -346,3 +346,79 @@ def test_kl_and_curriculum_partitioning_invariance(spark, tmp_path):
             tuple(r) for r in REGISTRY[name].spark_fn(spark, many).collect()
         )
         assert a == b, (name, a[:3], b[:3])
+
+
+def test_embedding_lanes_empty_holdout_and_zero_norm(spark, tmp_path):
+    """r10 advice / r11 item 4: a non-empty TRAIN with an EMPTY
+    holdout (or an empty probe panel) must short-circuit to an empty
+    result rather than an empty-axis numpy error; an all-zero vector
+    must score cos_bp 0 (not NaN / div-by-zero); and BOTH lanes must
+    still match their DuckDB oracles cell-for-cell on these shapes —
+    the oracle's cross join and CASE guard mirror the short-circuit."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF_SMALL
+    from tests.oracle import compare
+    from wally_spark.plans import REGISTRY
+    from wally_spark.tables import TABLES
+
+    sf_dir = str(tmp_path)
+    # single-FILE parquet (not Spark's directory layout) so the DuckDB
+    # oracle views resolve: empty mirrors of every other table
+    con = duckdb.connect()
+    for t in TABLES:
+        if t != "embeddings":
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{SF_SMALL}/{t}.parquet')"
+                f" LIMIT 0) TO '{sf_dir}/{t}.parquet' (FORMAT parquet)"
+            )
+    con.close()
+
+    dim = 64
+    rng = np.random.default_rng(11)
+
+    def write(rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([i for i, _ in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [[float(x) for x in v] for _, v in rows],
+                        pa.list_(pa.float32()),
+                    ),
+                    "label": pa.array([0] * len(rows), pa.int32()),
+                }
+            ),
+            f"{sf_dir}/embeddings.parquet",
+        )
+
+    # case 1: no vec_id % 10 == 7 (empty holdout) and no vec_id < 8
+    # (empty matryoshka probe panel) — both lanes must return 0 rows
+    write([(10, rng.standard_normal(dim)), (11, rng.standard_normal(dim)),
+           (12, np.zeros(dim))])
+    for name in ("decontaminate_embedding", "embedding_matryoshka_recall"):
+        assert REGISTRY[name].spark_fn(spark, sf_dir).count() == 0
+        compare(spark, name, sf_dir)
+
+    # case 2: zero-norm vectors on both sides of both lanes
+    hold = rng.standard_normal(dim)
+    write([
+        (7, hold),                      # holdout
+        (0, np.zeros(dim)),             # zero-norm probe (vec_id < 8)
+        (3, np.zeros(dim)),             # zero-norm train vector
+        (4, hold),                      # train leak
+        (100, rng.standard_normal(dim)),
+    ])
+    got = {
+        r["vec_id"]: r
+        for r in REGISTRY["decontaminate_embedding"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert got[3]["best_cos_bp"] == 0 and not got[3]["contaminated"]
+    assert got[4]["contaminated"] and got[4]["best_cos_bp"] >= 9999
+    for name in ("decontaminate_embedding", "embedding_matryoshka_recall"):
+        compare(spark, name, sf_dir)

@@ -642,6 +642,35 @@ def test_parse_tar_members_agrees_with_stdlib_tarfile():
     assert (nm, ts, term) == (3, 705, True) and nok == 2
 
 
+def test_parse_tar_members_rejects_negative_size_header():
+    """A crafted ustar header whose size field parses negative
+    (b"-1000" -> -512) used to make the member stride zero, so the
+    walk never advanced — an infinite loop that wedges the executor
+    task (r10 advice). Negative sizes are impossible by spec: the
+    walker must return None (first member) or stop the census."""
+    from wally_spark.operators.multimodal import parse_tar_members
+
+    block = bytearray(512)
+    block[0:4] = b"evil"                 # name
+    block[124:136] = b"-1000".ljust(12, b"\x00")   # size: negative octal
+    block[148:156] = b"        "         # checksum (mismatch is fine)
+    block[257:262] = b"ustar"
+    assert parse_tar_members(bytes(block) + b"\x00" * 1024) is None
+
+    # as a LATER member it must stop the walk, not loop on it
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as t:
+        ti = tarfile.TarInfo("ok.txt")
+        ti.size = 5
+        t.addfile(ti, io.BytesIO(b"hello"))
+    b = bytearray(buf.getvalue())
+    b[1024 : 1024 + 512] = block         # splice after the valid member
+    assert parse_tar_members(bytes(b)) == (1, 1, 5, 6, False)
+
+
 def test_archive_walkers_never_crash_on_arbitrary_bytes():
     """Fuzz: the ZIP/tar walkers must return a tuple or None on ANY
     byte stream — crawled bundles are hostile input; a walker that

@@ -1075,9 +1075,13 @@ def parse_tar_members(b: bytes):
         if not s:
             return 0
         try:
-            return int(s, 8)
+            v = int(s, 8)
         except ValueError:
             return None
+        # A signed field (b"-1000" -> -512) would make the member
+        # stride zero or negative and wedge the walk forever; sizes
+        # and checksums are non-negative by spec, so reject.
+        return None if v < 0 else v
 
     n_members = n_cksum_ok = 0
     total_size = 0
@@ -1098,7 +1102,12 @@ def parse_tar_members(b: bytes):
             )
         size = _octal(block[124:136])
         if size is None:
-            return None
+            # Unparseable or negative size: can't compute the member
+            # stride. First block -> not a tar; later -> report the
+            # census walked so far (same contract as a magic break).
+            return None if n_members == 0 else (
+                n_members, n_cksum_ok, total_size, name_bytes, False
+            )
         recorded = _octal(block[148:156])
         actual = (
             sum(block[:148]) + 8 * 0x20 + sum(block[156:])

@@ -160,7 +160,15 @@ _DRIVER_GREEN = frozenset(
 # re-enter the driver window. Refresh this set each round.
 _CHANGED_THIS_ROUND = frozenset(
     {
-        # r11: advice fixes land here as modules change in-round.
+        # r11 advice fixes: max_len floored at 1 on both engines
+        "dedup_edit_verified",
+        # r11 advice fixes: integer-micro quantization protocol
+        # replaces the BLAS-vs-fold float cosine; zero-norm and
+        # empty-holdout/probe guards
+        "decontaminate_embedding", "embedding_matryoshka_recall",
+        # r11 advice fix: tar walker rejects negative octal sizes
+        # (operators/multimodal changed under this lane)
+        "mm_tar_members",
     }
 )
 

@@ -586,7 +586,8 @@ v AS (
                      substr(lower(db.text), 1, {EDIT_PREFIX_CHARS}))
            ::BIGINT AS edit,
          greatest(length(substr(lower(da.text), 1, {EDIT_PREFIX_CHARS})),
-                  length(substr(lower(db.text), 1, {EDIT_PREFIX_CHARS})))
+                  length(substr(lower(db.text), 1, {EDIT_PREFIX_CHARS})),
+                  1)
            ::BIGINT AS max_len
   FROM cand c
   JOIN documents da ON da.doc_id = c.doc_a
@@ -664,7 +665,12 @@ def dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             "hamming",
             F.levenshtein("pa", "pb").cast("bigint").alias("edit"),
-            F.greatest(F.length("pa"), F.length("pb"))
+            # floor at 1: two empty prefixes (zero-token docs DO get
+            # all-zero simhashes and pair in bucket 0) have edit 0 /
+            # max_len 0 — without the floor the oracle's integer div
+            # raises while Spark's div yields NULL (r10 advice). An
+            # empty-vs-empty pair scores 0 bp, i.e. a dup, as it is.
+            F.greatest(F.length("pa"), F.length("pb"), F.lit(1))
             .cast("bigint")
             .alias("max_len"),
         )
@@ -710,27 +716,35 @@ DECON_HOLD_REM = 7   # (mirrors decontaminate_holdout's doc split)
     "decontaminate_embedding",
     oracle=f"""
 WITH hold AS (
-  SELECT vec_id AS h_vec, embedding AS he FROM embeddings
+  SELECT vec_id AS h_vec,
+         list_transform(embedding,
+           x -> floor(1000000.0 * x::DOUBLE)::BIGINT) AS he
+  FROM embeddings
   WHERE vec_id % {DECON_HOLD_MOD} = {DECON_HOLD_REM}),
 train AS (
-  SELECT vec_id, embedding FROM embeddings
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> floor(1000000.0 * x::DOUBLE)::BIGINT) AS e
+  FROM embeddings
   WHERE vec_id % {DECON_HOLD_MOD} <> {DECON_HOLD_REM}),
 dots AS (
   SELECT t.vec_id, h.h_vec,
-         list_sum(list_transform(range(1, len(t.embedding) + 1),
-           i -> t.embedding[i]::DOUBLE * h.he[i]::DOUBLE)) AS dot,
-         sqrt(list_sum(list_transform(t.embedding,
-           x -> x::DOUBLE * x::DOUBLE))) AS na,
-         sqrt(list_sum(list_transform(h.he,
-           x -> x::DOUBLE * x::DOUBLE))) AS nb
+         list_sum(list_transform(range(1, len(t.e) + 1),
+           i -> t.e[i] * h.he[i]))::BIGINT AS dot,
+         list_sum(list_transform(t.e, x -> x * x))::BIGINT AS ssa,
+         list_sum(list_transform(h.he, x -> x * x))::BIGINT AS ssb
   FROM train t CROSS JOIN hold h),
-scored AS (
+scored0 AS (
   SELECT vec_id, h_vec,
-         floor(10000.0 * (dot / (na * nb)))::BIGINT AS cos_bp,
+         CASE WHEN ssa = 0 OR ssb = 0 THEN 0
+              ELSE floor(10000.0 * (dot / (sqrt(ssa) * sqrt(ssb))))::BIGINT
+         END AS cos_bp
+  FROM dots),
+scored AS (
+  SELECT vec_id, h_vec, cos_bp,
          row_number() OVER (
-           PARTITION BY vec_id
-           ORDER BY floor(10000.0 * (dot / (na * nb))) DESC, h_vec) AS rk
-  FROM dots)
+           PARTITION BY vec_id ORDER BY cos_bp DESC, h_vec) AS rk
+  FROM scored0)
 SELECT vec_id, h_vec AS best_h_vec, cos_bp AS best_cos_bp,
        cos_bp >= {DECON_COS_BP} AS contaminated
 FROM scored WHERE rk = 1
@@ -754,11 +768,18 @@ def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     spelling of this lane read 4.29 s at sf0.1, this one 1.06 s), and
     the candidate pairs NEVER materialize as rows: the argmax runs
     inside the batch. The driver collect is the holdout set — bounded
-    by construction, the centroids/codebooks class. Scoring floors to
-    basis points (the oracle's explicitly DOUBLE-cast fold — DuckDB's
-    list_cosine_similarity accumulates float32 and collides one
-    bp-floor per ~500 rows); holdout columns sort by id so numpy's
-    first-max argmax IS the h_vec tiebreak.""".format(T=DECON_COS_BP)
+    by construction, the centroids/codebooks class.
+
+    Engine-exactness protocol (r10 advice): components quantize to
+    integer MICROS first (floor(1e6·x), exact in both engines), the
+    dot and sums-of-squares are then int64 arithmetic — associative,
+    so numpy's blocked matmul and DuckDB's sequential fold CANNOT
+    diverge — and the only float ops left are a fixed 4-op IEEE
+    sequence (sqrt, mul, div, floor over integers < 2^53), each
+    correctly rounded identically everywhere. Zero-norm vectors
+    (possible post-quantization) score cos_bp = 0 on both sides; an
+    EMPTY holdout short-circuits to an empty result (the oracle's
+    cross join is empty too).""".format(T=DECON_COS_BP)
     import numpy as np
     import pandas as pd
 
@@ -771,25 +792,35 @@ def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     h_ids, h_mat = collect_id_matrix(
         emb.where(is_hold), "vec_id", "embedding"
     )
-    h_norm = np.linalg.norm(h_mat, axis=1)
-    bc = spark.sparkContext.broadcast((h_ids, h_mat, h_norm))
-
-    train = fan_out(
-        emb.where(~is_hold).select("vec_id", "embedding"), "vec_id"
-    )
     schema = (
         "vec_id bigint, best_h_vec bigint, best_cos_bp bigint,"
         " contaminated boolean"
     )
+    if not h_ids:  # empty holdout: nothing to screen against
+        return spark.createDataFrame([], schema)
+    h_q = np.floor(1e6 * h_mat).astype(np.int64)
+    h_ss = (h_q * h_q).sum(axis=1)  # int64 sums of squares
+    bc = spark.sparkContext.broadcast((h_ids, h_q, h_ss))
+
+    train = fan_out(
+        emb.where(~is_hold).select("vec_id", "embedding"), "vec_id"
+    )
 
     def score(batches):
-        ids, hm, hn = bc.value
+        ids, hq, hss = bc.value
         ids_arr = np.array(ids, dtype=np.int64)
+        hn = np.sqrt(hss.astype(np.float64))
         for pdf in batches:
             if not len(pdf):
                 continue
-            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            cos = (m @ hm.T) / np.outer(np.linalg.norm(m, axis=1), hn)
+            m = np.floor(
+                1e6 * np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            ).astype(np.int64)
+            dot = m @ hq.T  # exact int64 matmul
+            ssa = (m * m).sum(axis=1)
+            denom = np.outer(np.sqrt(ssa.astype(np.float64)), hn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, dot.astype(np.float64) / denom, 0.0)
             bp = np.floor(10000.0 * cos).astype(np.int64)
             best = np.argmax(bp, axis=1)  # first max = smallest h_vec
             best_bp = bp[np.arange(len(m)), best]
@@ -809,32 +840,47 @@ MRL_DIMS = (8, 16, 32, 64)  # prefix dims audited (last = full)
 MRL_N_QUERIES = 8           # probe set (ann_bruteforce's convention)
 
 
-def _mrl_cos_sql(k: int) -> str:
-    """Double-cast sequential-fold cosine over the first k components
-    — the decontaminate_embedding float spelling, on slices."""
+def _mrl_cos_bp_sql(k: int) -> str:
+    """Floored-bp cosine over the first k QUANTIZED (integer-micro)
+    components — decontaminate_embedding's engine-exact spelling on
+    slices: int64 dot / sums-of-squares (associative), then the fixed
+    sqrt·mul·div·floor IEEE tail; zero-norm prefixes score 0."""
+    dot = (
+        f"list_sum(list_transform(range(1, {k} + 1),"
+        " i -> c.e[i] * q.e[i]))::BIGINT"
+    )
+    ssc = (
+        f"list_sum(list_transform(range(1, {k} + 1),"
+        " i -> c.e[i] * c.e[i]))::BIGINT"
+    )
+    ssq = (
+        f"list_sum(list_transform(range(1, {k} + 1),"
+        " i -> q.e[i] * q.e[i]))::BIGINT"
+    )
     return (
-        f"(list_sum(list_transform(range(1, {k} + 1),"
-        "   i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))"
-        f" / (sqrt(list_sum(list_transform(range(1, {k} + 1),"
-        "     i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))"
-        f"  * sqrt(list_sum(list_transform(range(1, {k} + 1),"
-        "     i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))))"
+        f"CASE WHEN {ssc} = 0 OR {ssq} = 0 THEN 0 "
+        f"ELSE floor(10000.0 * ({dot} / (sqrt({ssc}) * sqrt({ssq}))))"
+        "::BIGINT END"
     )
 
 
 @register(
     "embedding_matryoshka_recall",
-    oracle="WITH "
+    oracle="""WITH qe AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> floor(1000000.0 * x::DOUBLE)::BIGINT) AS e
+  FROM embeddings),
+"""
     + ",\n".join(
         f"""d{k} AS (
   SELECT query_id, {k} AS dim, neighbor_id, cos_bp FROM (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           floor(10000.0 * {_mrl_cos_sql(k)})::BIGINT AS cos_bp,
+           {_mrl_cos_bp_sql(k)} AS cos_bp,
            row_number() OVER (
              PARTITION BY q.vec_id
-             ORDER BY floor(10000.0 * {_mrl_cos_sql(k)}) DESC, c.vec_id)
+             ORDER BY {_mrl_cos_bp_sql(k)} DESC, c.vec_id)
              AS rk
-    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    FROM qe q JOIN qe c ON c.vec_id <> q.vec_id
     WHERE q.vec_id < {MRL_N_QUERIES})
   WHERE rk = 1)"""
         for k in MRL_DIMS
@@ -864,8 +910,13 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate picks the global winner — corpus rows never leave their
     batch. Floored-bp scoring with neighbor-id tiebreak (numpy
     first-max on id-sorted... batch rows, then max_by struct(bp, -id))
-    keeps the argmax engine-exact against the double-cast fold
-    oracle.""".format(D=list(MRL_DIMS), Q=MRL_N_QUERIES)
+    keeps the argmax engine-exact via decontaminate_embedding's
+    integer-micro quantization protocol: int64 dot/sums-of-squares
+    (associative, so blocked matmul ≡ sequential fold), then a fixed
+    correctly-rounded IEEE tail; zero-norm prefixes score 0 on both
+    engines, and an empty probe panel short-circuits.""".format(
+        D=list(MRL_DIMS), Q=MRL_N_QUERIES
+    )
     import numpy as np
     import pandas as pd
 
@@ -876,7 +927,15 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ids, q_mat = collect_id_matrix(
         emb.where(F.col("vec_id") < MRL_N_QUERIES), "vec_id", "embedding"
     )
-    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+    out_schema = (
+        "query_id bigint, dim bigint, top1_id bigint,"
+        " top1_cos_bp bigint, agree_full boolean"
+    )
+    if not q_ids:  # empty probe panel: nothing to audit
+        return spark.createDataFrame([], out_schema)
+    bc = spark.sparkContext.broadcast(
+        (q_ids, np.floor(1e6 * q_mat).astype(np.int64))
+    )
 
     corpus = fan_out(emb.select("vec_id", "embedding"), "vec_id")
     schema = "query_id bigint, dim bigint, neighbor_id bigint, cos_bp bigint"
@@ -889,14 +948,22 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             # sort by vec_id so numpy first-max argmax = id tiebreak
             pdf = pdf.sort_values("vec_id")
-            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            m = np.floor(
+                1e6 * np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            ).astype(np.int64)
             nid = pdf["vec_id"].to_numpy(dtype=np.int64)
             out = []
             for k in MRL_DIMS:
                 mk, qk = m[:, :k], qm[:, :k]
-                cos = (mk @ qk.T) / np.outer(
-                    np.linalg.norm(mk, axis=1), np.linalg.norm(qk, axis=1)
+                dot = mk @ qk.T  # exact int64 matmul
+                denom = np.outer(
+                    np.sqrt((mk * mk).sum(axis=1).astype(np.float64)),
+                    np.sqrt((qk * qk).sum(axis=1).astype(np.float64)),
                 )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(
+                        denom > 0, dot.astype(np.float64) / denom, 0.0
+                    )
                 bp = np.floor(10000.0 * cos).astype(np.int64)
                 bp[np.isin(nid, ids_arr)[:, None]
                    & (nid[:, None] == ids_arr[None, :])] = np.iinfo(
