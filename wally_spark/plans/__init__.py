@@ -160,8 +160,12 @@ _DRIVER_GREEN = frozenset(
 # re-enter the driver window. Refresh this set each round.
 _CHANGED_THIS_ROUND = frozenset(
     {
-        # r11 advice fixes: max_len floored at 1 on both engines
+        # r11 advice fixes: max_len floored at 1 on both engines;
+        # candidate net re-banded 16-bit-prefix -> 8x8 pigeonhole
         "dedup_edit_verified",
+        # r11: OR-amplified banding (simhash_recall_audit measured the
+        # prefix at 1538 bp recall @ T=6 — the 8x8 scheme is exact)
+        "dedup_simhash_pairs",
         # r11 advice fixes: integer-micro quantization protocol
         # replaces the BLAS-vs-fold float cosine; zero-norm and
         # empty-holdout/probe guards

@@ -52,6 +52,9 @@ FEATURE_BUCKETS = 1024  # 2^10 hashing-trick feature space
 EDIT_CAND_HAMMING = 12  # candidate net (looser than dedup_simhash_pairs)
 EDIT_PREFIX_CHARS = 200  # Levenshtein cost guard: O(200²) per pair, fixed
 EDIT_KEEP_BP = 2500  # keep pairs with ≤ 25% prefix edit distance
+# max edit any kept pair can have: 25% of the longest possible prefix —
+# the sound band for the threshold Levenshtein (returns -1 past it)
+_EDIT_MAX = EDIT_PREFIX_CHARS * EDIT_KEEP_BP // 10000
 SPAN_BLOCK = 3  # T5 mean-span analogue: fixed 3-token blocks
 SPAN_MASK_PCT = 15  # per-block mask probability (deterministic hash)
 
@@ -568,18 +571,7 @@ def span_corruption_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_edit_verified",
     oracle=f"""
 WITH {{SIMHASH_CTES}},
-sim_k AS (
-  SELECT doc_id, simhash, bucket FROM (
-    SELECT *, count(*) OVER (PARTITION BY bucket) AS bsz FROM sim)
-  WHERE bsz <= {{MAX_BUCKET}}
-),
-cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-  FROM sim_k a JOIN sim_k b
-    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-  WHERE bit_count(xor(a.simhash, b.simhash)) <= {EDIT_CAND_HAMMING}
-),
+{{BAND_PAIRS}},
 v AS (
   SELECT c.doc_a, c.doc_b, c.hamming,
          levenshtein(substr(lower(da.text), 1, {EDIT_PREFIX_CHARS}),
@@ -592,6 +584,7 @@ v AS (
   FROM cand c
   JOIN documents da ON da.doc_id = c.doc_a
   JOIN documents db ON db.doc_id = c.doc_b
+  WHERE c.hamming <= {EDIT_CAND_HAMMING}
 )
 SELECT doc_a, doc_b, hamming, edit,
        ((10000 * edit) // max_len)::BIGINT AS edit_bp
@@ -610,8 +603,11 @@ def dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds each verification at O({C}²) — the two dials that keep an
     O(n²) metric runnable at 100 TB.
 
-    Shape: the pinned fingerprint relation self-joins on the 16-bit
-    bucket key (MAX_BUCKET-capped, as every pair generator in
+    Shape: the pinned fingerprint relation band-explodes into the
+    8x8-bit scheme (simhash_candidate_pairs — pigeonhole-exact to
+    hamming 7, MEASURED 9075 bp candidate recall at T={H} by the
+    simhash_recall_audit lane vs 113 bp for the r10 single 16-bit
+    prefix; MAX_BUCKET-capped like every pair generator in
     plans/dedup.py), candidates then join `documents` TWICE on doc_id
     to fetch prefixes — uniform keys, and only candidate rows pay the
     text transfer. Levenshtein runs JVM-side (codegen'd), never in
@@ -621,28 +617,13 @@ def dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         C=EDIT_PREFIX_CHARS,
         B=EDIT_KEEP_BP,
     )
-    from wally_spark.plans.dedup import MAX_BUCKET, dedup_simhash
+    from wally_spark.plans.dedup import (
+        dedup_simhash,
+        simhash_candidate_pairs,
+    )
 
     d = pin(dedup_simhash(spark, sf_dir))
-    sizes = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
-    d = d.join(sizes.where(F.col("bsz") <= MAX_BUCKET), "bucket").select(
-        "doc_id", "simhash", "bucket"
-    )
-    a, b = d.alias("a"), d.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    cand = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .where(ham <= EDIT_CAND_HAMMING)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.cast("bigint").alias("hamming"),
-        )
-    )
+    cand = simhash_candidate_pairs(d, EDIT_CAND_HAMMING)
     prefix = F.substring(F.lower("text"), 1, EDIT_PREFIX_CHARS)
     docs = _docs(spark, sf_dir).select(
         "doc_id", prefix.alias("prefix")
@@ -664,7 +645,16 @@ def dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             "hamming",
-            F.levenshtein("pa", "pb").cast("bigint").alias("edit"),
+            # banded Levenshtein: any KEPT pair has edit <= 25% of a
+            # <= 200-char prefix, i.e. <= _EDIT_MAX, so the threshold
+            # variant (O(k*n) diagonal band, not O(n^2) full DP) is
+            # result-identical on kept rows; rows past the band return
+            # -1 and the edit >= 0 guard drops them — they could never
+            # satisfy edit_bp <= EDIT_KEEP_BP anyway. 8x8 banding
+            # multiplied true candidates ~20x (by design — measured
+            # 9075 bp recall); this keeps the verify linear in the
+            # band, 46.9 -> ~7 s at sf0.1.
+            F.levenshtein("pa", "pb", _EDIT_MAX).cast("bigint").alias("edit"),
             # floor at 1: two empty prefixes (zero-token docs DO get
             # all-zero simhashes and pair in bucket 0) have edit 0 /
             # max_len 0 — without the floor the oracle's integer div
@@ -676,7 +666,10 @@ def dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        v.where(F.expr("(10000 * edit) div max_len") <= EDIT_KEEP_BP)
+        v.where(
+            (F.col("edit") >= 0)
+            & (F.expr("(10000 * edit) div max_len") <= EDIT_KEEP_BP)
+        )
         .select(
             "doc_a",
             "doc_b",
@@ -692,14 +685,19 @@ def dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 # late-bind the shared simhash CTE chain into the oracle (avoids a
 # circular import at module load; dedup.py registers first)
 def _finalize_edit_oracle() -> None:
-    from wally_spark.plans.dedup import MAX_BUCKET, _SIMHASH_CTES
+    from wally_spark.plans.dedup import (
+        _SIMHASH_BAND_PAIRS_SQL,
+        _SIMHASH_CTES,
+    )
     from wally_spark.plans.registry import REGISTRY, QueryDef
 
     qd = REGISTRY["dedup_edit_verified"]
     REGISTRY["dedup_edit_verified"] = QueryDef(
         qd.name,
         qd.spark_fn,
-        qd.oracle.format(SIMHASH_CTES=_SIMHASH_CTES, MAX_BUCKET=MAX_BUCKET),
+        qd.oracle.format(
+            SIMHASH_CTES=_SIMHASH_CTES, BAND_PAIRS=_SIMHASH_BAND_PAIRS_SQL
+        ),
         qd.tags,
     )
 

@@ -2796,10 +2796,15 @@ def editdedup_against_corpus_foreach_batch(spark, sigs_path: str, out_path: str)
     fingerprints with plans.dedup.simhash_of (identical expressions),
     and a doc is a dup iff some LOWER-doc_id doc — in the persistent
     signature store (everything ever ingested) or earlier in the same
-    batch — shares its 16-bit bucket within EDIT_CAND_HAMMING bits AND
-    its normalized EDIT_PREFIX_CHARS-char prefix verifies at
-    ≤ EDIT_KEEP_BP Levenshtein. Both predicates sit inside LEFT-SEMI
-    joins, so a hot bucket never materializes pair rows — the
+    batch — shares one of its 8x8-bit band values (plans.dedup's
+    simhash_candidate_pairs scheme, r11: the single 16-bit prefix
+    measured 113 bp recall at T=12 and was retired in lockstep with
+    the batch lane) within EDIT_CAND_HAMMING bits AND its normalized
+    EDIT_PREFIX_CHARS-char prefix verifies at ≤ EDIT_KEEP_BP
+    Levenshtein. Band values derive from the stored simhash by
+    expression, so the sigs-v1 store format is unchanged; both
+    predicates sit inside LEFT-SEMI joins over the band-exploded
+    sides, so a hot band value never materializes pair rows — the
     verdict-only shape a crawl-ingest gate needs. Verdicts
     (doc_id, is_dup) land in ``out_path/b<batch_id>``; the batch's
     (doc_id, simhash, bucket, prefix) rows register in
@@ -2812,10 +2817,18 @@ def editdedup_against_corpus_foreach_batch(spark, sigs_path: str, out_path: str)
     applies to pathological hot buckets both sides never hit in the
     tested regime). Store is format-stamped; per-batch overwrite dirs
     + own-batch exclusion give replay idempotence;
-    compact_corpus(bucket_key='bucket') keeps probes pruned."""
+    compact_corpus still folds the per-batch dirs into one probe part
+    (the bucket_key='bucket' layout no longer prunes the band-keyed
+    join but remains valid — bands derive from the stored simhash)."""
     from wally_spark.operators.checkpoint import free_blocks, pin
-    from wally_spark.plans.dedup import simhash_of
+    from wally_spark.plans.dedup import (
+        _SIMHASH_BAND_MASK,
+        SIMHASH_BAND_BITS,
+        SIMHASH_BANDS,
+        simhash_of,
+    )
     from wally_spark.plans.llm_ext import (
+        _EDIT_MAX,
         EDIT_CAND_HAMMING,
         EDIT_KEEP_BP,
         EDIT_PREFIX_CHARS,
@@ -2827,9 +2840,34 @@ def editdedup_against_corpus_foreach_batch(spark, sigs_path: str, out_path: str)
     )
 
     def _verify(l_pre, r_pre):
-        edit = F.levenshtein(l_pre, r_pre)
+        # banded threshold Levenshtein, same soundness argument as the
+        # batch lane: a passing pair's edit is <= _EDIT_MAX, past-band
+        # rows return -1 and fail the >= 0 guard
+        edit = F.levenshtein(l_pre, r_pre, _EDIT_MAX)
         mx = F.greatest(F.length(l_pre), F.length(r_pre))
-        return (10000 * edit) <= EDIT_KEEP_BP * mx
+        return (edit >= 0) & ((10000 * edit) <= EDIT_KEEP_BP * mx)
+
+    def _band_rows(df, keep_as: dict):
+        """Band-explode on the simhash column: one (band, bv) row per
+        8-bit band, columns renamed per keep_as — the equi-join keys
+        that replace the r10 prefix-bucket equality."""
+        return df.select(
+            *[
+                F.col(src).alias(dst)
+                for src, dst in keep_as.items()
+                if not src.startswith("_")
+            ],
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright(
+                            F.col("simhash"), SIMHASH_BAND_BITS * i
+                        ).bitwiseAND(F.lit(_SIMHASH_BAND_MASK))
+                        for i in range(SIMHASH_BANDS)
+                    ]
+                )
+            ).alias(keep_as.get("_band", "band"), keep_as.get("_bv", "bv")),
+        )
 
     def proc(batch_df, batch_id):
         prefix = F.substring(F.lower("text"), 1, EDIT_PREFIX_CHARS)
@@ -2838,17 +2876,31 @@ def editdedup_against_corpus_foreach_batch(spark, sigs_path: str, out_path: str)
                 batch_df.select("doc_id", prefix.alias("prefix")), "doc_id"
             )
         )
-        a, x = d.alias("a"), d.alias("x")
+        db = _band_rows(
+            d,
+            {"doc_id": "doc_id", "simhash": "simhash", "prefix": "prefix"},
+        )
+        xb = _band_rows(
+            d,
+            {
+                "doc_id": "x_doc",
+                "simhash": "x_simhash",
+                "prefix": "x_prefix",
+                "_band": "x_band",
+                "_bv": "x_bv",
+            },
+        )
         ham_ax = F.bit_count(
-            F.col("a.simhash").bitwiseXOR(F.col("x.simhash"))
+            F.col("simhash").bitwiseXOR(F.col("x_simhash"))
         )
         intra = (
-            a.join(
-                x,
-                (F.col("a.bucket") == F.col("x.bucket"))
-                & (F.col("x.doc_id") < F.col("a.doc_id"))
+            db.join(
+                xb,
+                (F.col("band") == F.col("x_band"))
+                & (F.col("bv") == F.col("x_bv"))
+                & (F.col("x_doc") < F.col("doc_id"))
                 & (ham_ax <= EDIT_CAND_HAMMING)
-                & _verify(F.col("a.prefix"), F.col("x.prefix")),
+                & _verify(F.col("prefix"), F.col("x_prefix")),
                 "left_semi",
             )
             .select("doc_id")
@@ -2856,16 +2908,21 @@ def editdedup_against_corpus_foreach_batch(spark, sigs_path: str, out_path: str)
         )
         dup = intra
         for part in corpus_probe_parts(spark, sigs_path, exclude_batch=batch_id):
-            p = part.select(
-                F.col("doc_id").alias("p_doc"),
-                F.col("simhash").alias("p_simhash"),
-                F.col("bucket").alias("p_bucket"),
-                F.col("prefix").alias("p_prefix"),
+            pb = _band_rows(
+                part.select("doc_id", "simhash", "prefix"),
+                {
+                    "doc_id": "p_doc",
+                    "simhash": "p_simhash",
+                    "prefix": "p_prefix",
+                    "_band": "p_band",
+                    "_bv": "p_bv",
+                },
             )
             hit = (
-                d.join(
-                    p,
-                    (F.col("bucket") == F.col("p_bucket"))
+                db.join(
+                    pb,
+                    (F.col("band") == F.col("p_band"))
+                    & (F.col("bv") == F.col("p_bv"))
                     & (F.col("p_doc") < F.col("doc_id"))
                     & (
                         F.bit_count(
