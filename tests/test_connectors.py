@@ -479,3 +479,231 @@ def test_udp_source_through_pipeline_api(spark, tmp_path):
         for r in app.run_batch(spark).collect()
     )
     assert rows == [(-3.0, 26.6), (10.0, 50.0), (21.5, 70.7)]
+
+
+# --- ALO (at-least-once) connector wire protocol + Kafka face (r11) ---------
+
+
+def test_alo_wire_golden_frames():
+    """Byte-exact golden contract for the at-least-once connector wire
+    protocol (reference connector_wire_messages.py): every frame type
+    must encode to the pinned hex (generated from the reference
+    layouts) and decode back to an equal value. A single byte of drift
+    here breaks interop with every reference connector script."""
+    from wally_spark.sources.alo import (
+        Ack,
+        EosMessage,
+        Error,
+        Hello,
+        Message,
+        Notify,
+        NotifyAck,
+        Ok,
+        Restart,
+        decode_frame,
+        encode_frame,
+        frame_length,
+        stream_id_of,
+    )
+
+    golden = [
+        (
+            Hello("0.0.1", "cookie", "alo kafka", "worker-1"),
+            "00000025000005302e302e310006636f6f6b69650009616c6f206b61666b61"
+            "0008776f726b65722d31",
+        ),
+        (Ok(16), "000000050100000010"),
+        (Error("bad cookie"), "0000000d02000a62616420636f6f6b6965"),
+        (Notify(3, b"7", 42), "00000014030000000000000003000137000000000000002a"),
+        (NotifyAck(True, 3, 40), "00000012040100000000000000030000000000000028"),
+        (
+            Message(3, 41, 0, b"7", b"payload-bytes"),
+            "00000029050000000000000003000000000000002900000000000000000001"
+            "377061796c6f61642d6279746573",
+        ),
+        (
+            Ack(4, ((3, 42), (9, 7))),
+            "000000290600000004000000020000000000000003000000000000002a0000"
+            "0000000000090000000000000007",
+        ),
+        (Restart("127.0.0.1:5555"), "00000013070000000e3132372e302e302e313a35353535"),
+        (Restart(""), "000000050700000000"),
+        (EosMessage(3), "00000009080000000000000003"),
+    ]
+    for msg, hexpect in golden:
+        framed = encode_frame(msg)
+        assert framed.hex() == hexpect, type(msg).__name__
+        assert frame_length(framed[:4]) == len(framed) - 4
+        assert decode_frame(framed[4:]) == msg
+    # key-less / payload-less Message round-trips to None fields
+    m = Message(1, 2, -5, None, None)
+    assert decode_frame(encode_frame(m)[4:]) == m
+    # stream ids: truncated sha256, the reference get_id
+    assert stream_id_of(b"7") == 8719647946811673230
+
+
+class _FakePartitionReader:
+    """KafkaSourceReader stand-in (reference alo_kafka_source:11): an
+    offset-addressed record list with a seekable position."""
+
+    def __init__(self, partition, records, start=0):
+        self.partition = partition
+        self.records = records  # offset -> bytes
+        self.pos = start
+        self.name = str(partition).encode()
+        self.key = str(partition).encode()
+        self.resets = []
+        self.closed = False
+
+    def point_of_ref(self):
+        return self.pos
+
+    def reset(self, pos):
+        self.resets.append(pos)
+        self.pos = pos
+
+    def __next__(self):
+        if self.pos >= len(self.records):
+            raise StopIteration
+        off = self.pos
+        self.pos += 1
+        return self.records[off], off
+
+    def close(self):
+        self.closed = True
+
+
+def _run_alo_session(server, readers, port):
+    import socket
+    import threading
+
+    from wally_spark.sources.alo import ALOKafkaClient
+
+    lsock = socket.socket()
+    lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    lsock.bind(("127.0.0.1", port))
+    lsock.listen(1)
+    port = lsock.getsockname()[1]
+
+    def accept_one():
+        conn, _ = lsock.accept()
+        try:
+            server.serve_connection(conn)
+        finally:
+            conn.close()
+
+    t = threading.Thread(target=accept_one, daemon=True)
+    t.start()
+    csock = socket.create_connection(("127.0.0.1", port), timeout=10)
+    client = ALOKafkaClient("0.0.1", "cookie", "alo kafka", "worker-1", csock)
+    client.connect()
+    for r in readers:
+        client.add_source(r)
+    client.join()
+    csock.close()
+    t.join(timeout=10)
+    lsock.close()
+    return client
+
+
+def test_alo_kafka_handshake_ack_and_replay_dedupe(tmp_path):
+    """End-to-end ALO session over a REAL socket: Hello/Ok handshake,
+    per-partition Notify/NotifyAck, credit-governed Messages, EOS +
+    final Ack closing each stream — then a RESTART of the whole client
+    from position 0 (the at-least-once crash shape): the server's
+    NotifyAck must hand back its durable positions, the client must
+    seek the readers forward, and the landing zone must hold each
+    record exactly once."""
+    from wally_spark.sources.alo import ALOIngestServer, stream_id_of
+
+    landed = []
+    server = ALOIngestServer(
+        cookie="cookie",
+        land=lambda sid, mid, payload: landed.append((sid, mid, payload)),
+        initial_credits=16,
+    )
+
+    recs = {
+        0: [b"p0-%d" % i for i in range(6)],
+        1: [b"p1-%d" % i for i in range(5)],
+    }
+    readers = [_FakePartitionReader(p, recs[p]) for p in (0, 1)]
+    client = _run_alo_session(server, readers, 0)
+
+    sid0, sid1 = stream_id_of(b"0"), stream_id_of(b"1")
+    assert {sid for sid, _, _ in landed} == {sid0, sid1}
+    assert [m for s, m, _ in landed if s == sid0] == list(range(6))
+    assert [p for s, _, p in landed if s == sid1] == recs[1]
+    # final durable positions = next expected offset
+    assert server.acked == {sid0: 6, sid1: 5}
+    assert client.closed == {sid0, sid1}
+    assert all(r.closed for r in readers)
+
+    # --- crash/restart: a fresh client re-reads Kafka from offset 0 ---
+    n_before = len(landed)
+    replay = [_FakePartitionReader(p, recs[p], start=0) for p in (0, 1)]
+    client2 = _run_alo_session(server, replay, 0)
+    # the server's NotifyAck por must have sought both readers forward,
+    # so no record lands twice
+    assert replay[0].resets == [6] and replay[1].resets == [5]
+    assert len(landed) == n_before
+    assert client2.acked[sid0] == 6 and client2.acked[sid1] == 5
+
+
+def test_alo_server_rejects_bad_cookie():
+    """Cookie mismatch must answer Error and close, never Ok — the
+    only authentication the wire protocol has."""
+    import socket
+    import threading
+
+    from wally_spark.sources.alo import (
+        ALOIngestServer,
+        Error,
+        Hello,
+        recv_frame,
+        send_frame,
+    )
+
+    server = ALOIngestServer(cookie="right", land=lambda *a: None)
+    lsock = socket.socket()
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(1)
+    port = lsock.getsockname()[1]
+    t = threading.Thread(
+        target=lambda: server.serve_connection(lsock.accept()[0]), daemon=True
+    )
+    t.start()
+    csock = socket.create_connection(("127.0.0.1", port), timeout=10)
+    send_frame(csock, Hello("0.0.1", "wrong", "p", "i"))
+    reply = recv_frame(csock)
+    assert isinstance(reply, Error)
+    assert recv_frame(csock) is None  # server hung up
+    csock.close()
+    t.join(timeout=10)
+    lsock.close()
+
+
+def test_alo_lands_into_spool_for_spark(spark, tmp_path):
+    """The Spark landing path: ALOIngestServer.land -> SpoolRelay
+    (base64 mode, binary-safe) -> the spool parses back with the
+    standard batch reader, one row per acked record — the same landing
+    zone every other connector face uses."""
+    from wally_spark.sources.alo import ALOIngestServer
+    from wally_spark.sources.relay import SpoolRelay, _spool_batch
+
+    relay = SpoolRelay(str(tmp_path / "spool"), encoding="base64")
+    server = ALOIngestServer(
+        cookie="cookie",
+        land=lambda sid, mid, payload: relay.push(
+            b"%d\t%d\t" % (sid, mid) + (payload or b"")
+        ),
+    )
+    readers = [_FakePartitionReader(0, [b"a", b"b", b"c"])]
+    _run_alo_session(server, readers, 0)
+    relay.flush()
+
+    df = _spool_batch(spark, str(tmp_path / "spool"), encoding="base64")
+    rows = sorted(
+        bytes(r["value"]).split(b"\t", 2)[2] for r in df.collect()
+    )
+    assert rows == [b"a", b"b", b"c"]

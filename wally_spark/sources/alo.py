@@ -1,0 +1,513 @@
+"""At-least-once (ALO) connector wire protocol + the ALO Kafka source.
+
+The reference's experimental at-least-once connector family speaks a
+length-framed big-endian TCP protocol between an external connector
+process and the engine's source listener:
+
+- frame layouts / tags: reference
+  machida/lib/wallaroo/experimental/connector_wire_messages.py
+  (Hello :41, Ok :96, Error :133, Notify :177, NotifyAck :230,
+  Message :299, Ack :454, Restart :503, EosMessage :413, Frame :531)
+- client state machine: reference
+  machida/lib/wallaroo/experimental/connectors.py
+  (MultiSourceConnector :270 — notify/open/ack/eos lifecycle,
+  truncated-sha256 stream ids :388, round-robin sender :393)
+- the Kafka face: reference connectors/experimental/alo_kafka_source
+  (one stream per partition; stream name/key = str(partition);
+  point_of_ref = consumer position; reset = seek).
+
+Spark mapping: the engine side of the socket is `ALOIngestServer`,
+which lands exactly-once-deduplicated records into a SpoolRelay
+directory — the repo's standard connector landing zone — so
+Structured Streaming's file source (with its checkpointed exactly-once
+file tracking) consumes them downstream; the client side is
+`ALOKafkaClient`, the per-partition round-robin sender. Frames are
+re-implemented clean-room from the wire layout.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import socket
+import struct
+from dataclasses import dataclass, field
+
+
+# --------------------------------------------------------------------------
+# wire frames (tags 0-8; payloads big-endian, strings u16-length-prefixed)
+# --------------------------------------------------------------------------
+
+
+def _put_str(s: str | bytes) -> bytes:
+    b = s if isinstance(s, bytes) else s.encode()
+    return struct.pack(">H", len(b)) + b
+
+
+class _Cursor:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def take(self, n: int) -> bytes:
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def u16(self) -> int:
+        return struct.unpack(">H", self.take(2))[0]
+
+    def u32(self) -> int:
+        return struct.unpack(">I", self.take(4))[0]
+
+    def u64(self) -> int:
+        return struct.unpack(">Q", self.take(8))[0]
+
+    def i64(self) -> int:
+        return struct.unpack(">q", self.take(8))[0]
+
+    def lpstr(self) -> bytes:
+        return self.take(self.u16())
+
+    def rest(self) -> bytes:
+        return self.take(len(self.buf) - self.pos)
+
+
+@dataclass(frozen=True)
+class Hello:
+    """Handshake open: the connector identifies itself and proves the
+    shared-secret cookie (four u16-prefixed strings)."""
+
+    version: str
+    cookie: str
+    program_name: str
+    instance_name: str
+
+    TAG = 0
+
+    def payload(self) -> bytes:
+        return b"".join(
+            _put_str(s)
+            for s in (
+                self.version,
+                self.cookie,
+                self.program_name,
+                self.instance_name,
+            )
+        )
+
+    @classmethod
+    def parse(cls, b: bytes) -> "Hello":
+        c = _Cursor(b)
+        return cls(*(c.lpstr().decode() for _ in range(4)))
+
+
+@dataclass(frozen=True)
+class Ok:
+    """Handshake accept: grants the client its initial credit budget
+    (u32) — one credit is one in-flight Message."""
+
+    initial_credits: int
+
+    TAG = 1
+
+    def payload(self) -> bytes:
+        return struct.pack(">I", self.initial_credits)
+
+    @classmethod
+    def parse(cls, b: bytes) -> "Ok":
+        return cls(_Cursor(b).u32())
+
+
+@dataclass(frozen=True)
+class Error:
+    """Fatal protocol error (u16-prefixed message); sender closes."""
+
+    message: str
+
+    TAG = 2
+
+    def payload(self) -> bytes:
+        return _put_str(self.message)
+
+    @classmethod
+    def parse(cls, b: bytes) -> "Error":
+        return cls(_Cursor(b).lpstr().decode())
+
+
+@dataclass(frozen=True)
+class Notify:
+    """Stream announcement: u64 stream id, u16-prefixed name, u64
+    client point-of-reference (resume position)."""
+
+    stream_id: int
+    stream_name: bytes
+    point_of_ref: int
+
+    TAG = 3
+
+    def payload(self) -> bytes:
+        return (
+            struct.pack(">Q", self.stream_id)
+            + _put_str(self.stream_name)
+            + struct.pack(">Q", self.point_of_ref)
+        )
+
+    @classmethod
+    def parse(cls, b: bytes) -> "Notify":
+        c = _Cursor(b)
+        return cls(c.u64(), c.lpstr(), c.u64())
+
+
+@dataclass(frozen=True)
+class NotifyAck:
+    """Server's verdict on a Notify: bool success, u64 stream id, u64
+    point-of-ref — the SERVER's durable resume position, which wins
+    over the client's (the client must seek to it)."""
+
+    success: bool
+    stream_id: int
+    point_of_ref: int
+
+    TAG = 4
+
+    def payload(self) -> bytes:
+        return struct.pack(">?QQ", self.success, self.stream_id, self.point_of_ref)
+
+    @classmethod
+    def parse(cls, b: bytes) -> "NotifyAck":
+        s, sid, por = struct.unpack(">?QQ", b)
+        return cls(s, sid, por)
+
+
+@dataclass(frozen=True)
+class Message:
+    """One record: u64 stream id, u64 message id (the source position
+    of THIS record), i64 event time, u16-prefixed key (empty encodes
+    None), payload = remainder (empty decodes None)."""
+
+    stream_id: int
+    message_id: int
+    event_time: int = 0
+    key: bytes | None = None
+    message: bytes | None = None
+
+    TAG = 5
+
+    def payload(self) -> bytes:
+        return (
+            struct.pack(">QQq", self.stream_id, self.message_id, self.event_time)
+            + _put_str(self.key or b"")
+            + (self.message or b"")
+        )
+
+    @classmethod
+    def parse(cls, b: bytes) -> "Message":
+        c = _Cursor(b)
+        sid, mid, et = c.u64(), c.u64(), c.i64()
+        key = c.lpstr() or None
+        msg = c.rest() or None
+        return cls(sid, mid, et, key, msg)
+
+
+@dataclass(frozen=True)
+class Ack:
+    """Credit replenishment + per-stream durable positions: u32
+    credits, u32 count, then (u64 stream id, u64 point_of_ref) pairs."""
+
+    credits: int
+    acks: tuple = ()
+
+    TAG = 6
+
+    def payload(self) -> bytes:
+        return struct.pack(">II", self.credits, len(self.acks)) + b"".join(
+            struct.pack(">QQ", sid, por) for sid, por in self.acks
+        )
+
+    @classmethod
+    def parse(cls, b: bytes) -> "Ack":
+        c = _Cursor(b)
+        credits, n = c.u32(), c.u32()
+        return cls(credits, tuple((c.u64(), c.u64()) for _ in range(n)))
+
+
+@dataclass(frozen=True)
+class Restart:
+    """Server asks the client to reconnect (optionally elsewhere):
+    u32-prefixed address, zero length = same address."""
+
+    address: str = ""
+
+    TAG = 7
+
+    def payload(self) -> bytes:
+        b = self.address.encode()
+        return struct.pack(">I", len(b)) + b
+
+    @classmethod
+    def parse(cls, b: bytes) -> "Restart":
+        c = _Cursor(b)
+        return cls(c.take(c.u32()).decode())
+
+
+@dataclass(frozen=True)
+class EosMessage:
+    """End of stream (u64 stream id): the client finished the stream
+    and awaits the final Ack before closing it."""
+
+    stream_id: int
+
+    TAG = 8
+
+    def payload(self) -> bytes:
+        return struct.pack(">Q", self.stream_id)
+
+    @classmethod
+    def parse(cls, b: bytes) -> "EosMessage":
+        return cls(_Cursor(b).u64())
+
+
+_FRAMES = (Hello, Ok, Error, Notify, NotifyAck, Message, Ack, Restart, EosMessage)
+_BY_TAG = {f.TAG: f for f in _FRAMES}
+
+
+def encode_frame(msg) -> bytes:
+    """u32 length (payload + 1 tag byte), u8 tag, payload."""
+    data = msg.payload()
+    return struct.pack(">IB", len(data) + 1, msg.TAG) + data
+
+
+def decode_frame(body: bytes):
+    """Decode tag byte + payload (length header already stripped)."""
+    return _BY_TAG[body[0]].parse(body[1:])
+
+
+def frame_length(header: bytes) -> int:
+    return struct.unpack(">I", header[:4])[0]
+
+
+def stream_id_of(name: bytes) -> int:
+    """Repeatable stream id: first 16 hex chars of sha256(name) as an
+    unsigned 64-bit int (reference connectors.py get_id :388)."""
+    return int(hashlib.sha256(name).hexdigest()[:16], 16)
+
+
+def send_frame(sock: socket.socket, msg) -> None:
+    sock.sendall(encode_frame(msg))
+
+
+def recv_frame(sock: socket.socket):
+    """Blocking read of one length-framed message; None on EOF."""
+    header = _recv_exact(sock, 4)
+    if header is None:
+        return None
+    body = _recv_exact(sock, frame_length(header))
+    return None if body is None else decode_frame(body)
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes | None:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf += chunk
+    return buf
+
+
+# --------------------------------------------------------------------------
+# client: per-partition Kafka streams over the ALO protocol
+# --------------------------------------------------------------------------
+
+
+class ALOKafkaClient:
+    """The alo_kafka_source shape: one reader per Kafka partition,
+    round-robin Message sending under a credit budget, server-governed
+    resume positions. Readers are duck-typed (the real KafkaConsumer
+    wrapper and the test fake expose the same five members):
+
+      name: bytes           stream name (str(partition) for Kafka)
+      key: bytes            record key stamped on every Message
+      point_of_ref() -> int next position the reader would emit
+      reset(pos)            seek so the next record is at `pos`
+      __next__() -> (bytes value, int offset)   raises StopIteration
+
+    Lifecycle per stream: add_source -> Notify -> (NotifyAck success,
+    server por wins: reader.reset if it disagrees) -> open -> Messages
+    (message_id = record offset) -> EOS -> final Ack -> closed."""
+
+    def __init__(
+        self,
+        version: str,
+        cookie: str,
+        program_name: str,
+        instance_name: str,
+        sock: socket.socket,
+    ):
+        self.hello = Hello(version, cookie, program_name, instance_name)
+        self.sock = sock
+        self.credits = 0
+        self.sources: dict[int, object] = {}
+        self.order: list[int] = []
+        self.open: set[int] = set()
+        self.pending_eos: dict[int, int] = {}
+        self.closed: set[int] = set()
+        self.acked: dict[int, int] = {}
+        self._idx = -1
+
+    # -- lifecycle ----------------------------------------------------------
+    def connect(self) -> None:
+        send_frame(self.sock, self.hello)
+        reply = recv_frame(self.sock)
+        if not isinstance(reply, Ok):
+            raise ConnectionError(f"handshake rejected: {reply}")
+        self.credits = reply.initial_credits
+
+    def add_source(self, reader) -> int:
+        sid = stream_id_of(reader.name)
+        if sid in self.sources:
+            raise ValueError(f"duplicate stream id for {reader.name!r}")
+        self.sources[sid] = reader
+        self.order.append(sid)
+        send_frame(self.sock, Notify(sid, reader.name, reader.point_of_ref()))
+        return sid
+
+    # -- inbound ------------------------------------------------------------
+    def handle(self, msg) -> None:
+        if isinstance(msg, NotifyAck):
+            reader = self.sources.get(msg.stream_id)
+            if reader is None or not msg.success:
+                return
+            # the server's durable position wins: replay from there
+            if msg.point_of_ref != reader.point_of_ref():
+                reader.reset(msg.point_of_ref)
+            self.open.add(msg.stream_id)
+        elif isinstance(msg, Ack):
+            self.credits += msg.credits
+            for sid, por in msg.acks:
+                self.acked[sid] = por
+                eos_por = self.pending_eos.get(sid)
+                if eos_por is not None and por >= eos_por:
+                    del self.pending_eos[sid]
+                    self.closed.add(sid)
+                    reader = self.sources.pop(sid, None)
+                    idx = self.order.index(sid)
+                    self.order.pop(idx)
+                    if self._idx >= idx:  # keep the round-robin fair
+                        self._idx -= 1
+                    if reader is not None:
+                        reader.close()
+        elif isinstance(msg, Restart):
+            # all open streams fall back to joining; re-Notify on the
+            # new connection (the caller re-dials and re-connect()s)
+            self.open.clear()
+        elif isinstance(msg, Error):
+            raise ConnectionError(msg.message)
+
+    # -- outbound -----------------------------------------------------------
+    def pump_one(self) -> bool:
+        """Advance the protocol by one lock-step exchange: send the
+        next round-robin Message (or EOS) if a stream is open and
+        credits remain, then read and handle the server's reply; with
+        nothing sendable (joining streams, zero credits, pending EOS
+        acks) just block on the next inbound frame. Returns False when
+        every stream has closed.
+
+        The reference client multiplexes these over a select() loop
+        (connectors.py:270); the Spark-side face keeps the identical
+        frame sequence and resume semantics but runs lock-step —
+        ALOIngestServer answers every inbound frame with exactly one
+        frame, so the exchange is deterministic and testable."""
+        if not self.order:
+            return False
+        sent = False
+        if self.credits > 0:
+            self._idx = (self._idx + 1) % len(self.order)
+            sid = self.order[self._idx]
+            if sid in self.open:
+                reader = self.sources[sid]
+                try:
+                    value, offset = next(reader)
+                    send_frame(
+                        self.sock, Message(sid, offset, 0, reader.key, value)
+                    )
+                    self.credits -= 1
+                except StopIteration:
+                    self.open.discard(sid)
+                    self.pending_eos[sid] = reader.point_of_ref()
+                    send_frame(self.sock, EosMessage(sid))
+                sent = True
+        reply = recv_frame(self.sock)
+        if reply is None:
+            if sent:
+                raise ConnectionError("server closed mid-exchange")
+            return False
+        self.handle(reply)
+        return bool(self.order)
+
+    def join(self) -> None:
+        while self.pump_one():
+            pass
+
+
+# --------------------------------------------------------------------------
+# server: the engine-side listener landing into a spool directory
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class ALOIngestServer:
+    """Engine side of the ALO socket: validates the Hello cookie,
+    grants credits, answers Notify with ITS durable per-stream
+    position (at-least-once resume: the server's ack state wins),
+    dedupes replayed Messages by (stream_id, message_id), lands
+    accepted payloads via ``land`` (e.g. SpoolRelay.push), and
+    replenishes credits with per-stream Acks every ``ack_every``
+    accepted records. point-of-ref convention matches the Kafka face:
+    acked por = last accepted record offset + 1 = next expected."""
+
+    cookie: str
+    land: object  # callable(stream_id, message_id, payload)
+    initial_credits: int = 16
+    ack_every: int = 4
+    acked: dict = field(default_factory=dict)
+    _since_ack: int = 0
+
+    def serve_connection(self, sock: socket.socket) -> None:
+        hello = recv_frame(sock)
+        if not isinstance(hello, Hello) or hello.cookie != self.cookie:
+            send_frame(sock, Error("bad cookie"))
+            sock.close()
+            return
+        send_frame(sock, Ok(self.initial_credits))
+        while True:
+            msg = recv_frame(sock)
+            if msg is None:
+                return
+            out = self.handle(msg)
+            for frame in out:
+                send_frame(sock, frame)
+
+    def handle(self, msg) -> list:
+        if isinstance(msg, Notify):
+            por = self.acked.get(msg.stream_id, msg.point_of_ref)
+            return [NotifyAck(True, msg.stream_id, por)]
+        if isinstance(msg, Message):
+            resume = self.acked.get(msg.stream_id, 0)
+            if msg.message_id >= resume:  # not a replayed duplicate
+                self.land(msg.stream_id, msg.message_id, msg.message)
+                self.acked[msg.stream_id] = msg.message_id + 1
+            self._since_ack += 1
+            if self._since_ack >= self.ack_every:
+                self._since_ack = 0
+                return [
+                    Ack(
+                        self.ack_every,
+                        tuple(sorted(self.acked.items())),
+                    )
+                ]
+            return [Ack(1, ())]  # replenish the credit, positions later
+        if isinstance(msg, EosMessage):
+            por = self.acked.get(msg.stream_id, 0)
+            return [Ack(0, ((msg.stream_id, por),))]
+        return []
