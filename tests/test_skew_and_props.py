@@ -666,3 +666,118 @@ def test_global_ntile_empty_sample_and_col_collision(spark):
     for i in range(n):
         uid = f"u{i:04d}"
         assert res[uid] == (expect[uid], i % 5), uid
+
+
+def test_pack_attention_boundaries_reconciles(spark, tmp_path):
+    """pack_attention_boundaries must agree with boundaries derived
+    from the sequential packed stream (the bpe_encode_ids test's
+    reference pipeline) and satisfy its reconciliation contracts:
+    per-chunk n_docs equals bpe_encode_ids' n_docs, Σ n_boundaries
+    equals the tokenized doc count, and carry_out(c) == carry_in(c+1)
+    with the first chunk never carrying in and the last never out."""
+    import hashlib
+    from collections import Counter
+
+    from wally_spark.plans import REGISTRY
+    from wally_spark.plans.curation import BPE_ROUNDS, IDS_CHUNK
+
+    base = ["abab abab abab cdcd", "abab cdcd cdcd xyz", "ababab cdc xyz xyz"]
+    docs = [
+        (i, (base[i % 3] + " ") * 30 + "tail" + str(i), "en", "web")
+        for i in range(1, 11)
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in docs],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    # sequential trainer/encoder (as in the bpe_encode_ids test)
+    wc = Counter()
+    for _, t, _, _ in docs:
+        for w in t.lower().split():
+            if w:
+                wc[w] += 1
+    vocab = {tuple(w): c for w, c in wc.items()}
+    words = {tuple(w): tuple(w) for w in wc}
+    for _ in range(BPE_ROUNDS):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        (a, b), _cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+
+        def merge(syms):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return tuple(out)
+
+        vocab = Counter()
+        for w, syms in words.items():
+            words[w] = merge(syms)
+            vocab[words[w]] = vocab.get(words[w], 0) + wc["".join(w)]
+    enc = {"".join(w): s for w, s in words.items()}
+
+    order = sorted(
+        (hashlib.md5(str(i).encode()).hexdigest(), i) for i, *_ in docs
+    )
+    texts = {i: t for i, t, _, _ in docs}
+    stream = []  # doc_id per token, in packed order
+    for _, i in order:
+        for w in texts[i].lower().split():
+            if w:
+                stream.extend([i] * len(enc[w]))
+
+    # expected boundary manifest from the sequential stream
+    expect = {}
+    for gpos, doc_id in enumerate(stream):
+        cid = gpos // IDS_CHUNK
+        off = gpos % IDS_CHUNK
+        st = expect.setdefault(cid, {"docs": set(), "starts": []})
+        st["docs"].add(doc_id)
+        if gpos == 0 or stream[gpos - 1] != doc_id:
+            st["starts"].append(off)
+    rows = {}
+    for cid, st in expect.items():
+        starts = st["starts"]
+        rows[cid] = (
+            len(st["docs"]),
+            len(starts),
+            sum(o + 1 for o in starts),
+            min(starts) if starts else None,
+            max(starts) if starts else None,
+            0 if (starts and starts[0] == 0) else 1,
+        )
+
+    got = {
+        r["chunk_id"]: r
+        for r in REGISTRY["pack_attention_boundaries"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert {
+        cid: (
+            r["n_docs"], r["n_boundaries"], r["boundary_off_sum1"],
+            r["first_boundary_off"], r["last_boundary_off"], r["carry_in"],
+        )
+        for cid, r in got.items()
+    } == rows
+
+    # reconciliation vs bpe_encode_ids and the carry chain
+    ids = {
+        r["chunk_id"]: r["n_docs"]
+        for r in REGISTRY["bpe_encode_ids"].spark_fn(spark, sf_dir).collect()
+    }
+    assert {c: r["n_docs"] for c, r in got.items()} == ids
+    assert sum(r["n_boundaries"] for r in got.values()) == len(docs)
+    cids = sorted(got)
+    assert got[cids[0]]["carry_in"] == 0
+    assert got[cids[-1]]["carry_out"] == 0
+    for c_prev, c_next in zip(cids, cids[1:]):
+        assert got[c_prev]["carry_out"] == got[c_next]["carry_in"]

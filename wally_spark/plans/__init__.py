@@ -173,6 +173,10 @@ _CHANGED_THIS_ROUND = frozenset(
         # r11 advice fix: tar walker rejects negative octal sizes
         # (operators/multimodal changed under this lane)
         "mm_tar_members",
+        # r11: doc-layout factored into _bpe_token_layout (shared with
+        # the new pack_attention_boundaries lane) — same expressions,
+        # re-verify anyway (the bpe_encode r10 precedent)
+        "bpe_encode_ids",
     }
 )
 

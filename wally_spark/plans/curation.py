@@ -1493,21 +1493,16 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 IDS_CHUNK = 512  # tokens per exported context window (pack_chunks' CHUNK)
 
 
-def _bpe_ids_oracle() -> str:
-    """Oracle for ``bpe_encode_ids``: the v-chain, then dense token
-    ids (row_number over the sorted distinct symbol set), per-doc
-    token positions, the md5(doc_id)-ordered global prefix sum, and
-    the per-chunk manifest."""
+def _bpe_layout_sql() -> str:
+    """CTE chain for the packed-corpus COORDINATE SYSTEM (continues
+    the v-chain): per-word symbol lists, per-doc token totals, and the
+    md5(doc_id)-ordered global prefix sum — everything needed to place
+    any doc's tokens on the packed axis. Shared by the bpe_encode_ids
+    and pack_attention_boundaries oracles."""
     dd = "chr(1)||chr(1)"
-    parts = _bpe_vchain_parts()
-    tail = """,
-wsyms AS (
+    return """wsyms AS (
   SELECT word, string_split(substr(s, 2, len(s)-2), {dd}) AS sy
   FROM v{R}
-),
-tokvocab AS (
-  SELECT sym, (row_number() OVER (ORDER BY sym) - 1)::BIGINT AS token_id
-  FROM (SELECT DISTINCT unnest(sy) AS sym FROM wsyms)
 ),
 wdocs AS (
   SELECT doc_id,
@@ -1536,6 +1531,81 @@ goff AS (
          coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off0
   FROM doctot
+)""".format(dd=dd, R=BPE_ROUNDS)
+
+
+def _bpe_token_layout(spark: SparkSession, sf_dir: str):
+    """(wsyms, pinned word-level join, doc layout) — the packed-corpus
+    COORDINATE SYSTEM shared by bpe_encode_ids and
+    pack_attention_boundaries: per-word symbol lists from the replayed
+    merge table, the pinned (doc_id, wpos, sy) relation (explode +
+    vocab equi-join — expensive, two consumers: the dedup_winnowing
+    pin rule, A/B-measured r10), and the (doc_id, n_tokens, off0) doc
+    layout whose off0 is the distributed two-phase prefix sum in
+    md5(doc_id) order (operators/prefix.bucket_offsets — driver state
+    is N_PREFIX_BUCKETS longs, never a global single-task window).
+    Expressions are byte-identical to the ones bpe_encode_ids carried
+    since r10 (plan-identical factoring)."""
+    from wally_spark.operators.checkpoint import pin as _pin
+    from wally_spark.operators.prefix import bucket_offsets
+    from wally_spark.plans.sampling import N_PREFIX_BUCKETS
+
+    d = _BPE_D
+    dd = d + d
+    docs = _docs(spark, sf_dir)
+    vocab = _bpe_encoded_vocab(spark, sf_dir)
+    wsyms = vocab.select(
+        "word",
+        F.split(F.expr("substring(s, 2, length(s)-2)"), dd).alias("sy"),
+    )
+    dw = docs.select(
+        "doc_id", F.posexplode(_words_col()).alias("wpos", "word")
+    )
+    dwj = _pin(dw.join(wsyms, "word"))
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    doctot = (
+        dwj.groupBy("doc_id")
+        .agg(F.sum(F.size("sy")).cast("bigint").alias("n_tokens"))
+        .select("doc_id", "n_tokens", h.alias("h"))
+        .withColumn(
+            "bucket", F.conv(F.substring("h", 1, 2), 16, 10).cast("int")
+        )
+    )
+    boff = bucket_offsets(spark, doctot, "bucket", "n_tokens", N_PREFIX_BUCKETS)
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    layout = (
+        doctot.join(F.broadcast(boff), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("bucket_off")
+                + F.sum("n_tokens").over(wb)
+                - F.col("n_tokens")
+            )
+            .cast("bigint")
+            .alias("off0"),
+        )
+    )
+    return wsyms, dwj, layout
+
+
+def _bpe_ids_oracle() -> str:
+    """Oracle for ``bpe_encode_ids``: the v-chain, the shared layout
+    CTEs, then dense token ids (row_number over the sorted distinct
+    symbol set), per-token global positions, and the per-chunk
+    manifest."""
+    dd = "chr(1)||chr(1)"
+    parts = _bpe_vchain_parts()
+    tail = """,
+{LAYOUT},
+tokvocab AS (
+  SELECT sym, (row_number() OVER (ORDER BY sym) - 1)::BIGINT AS token_id
+  FROM (SELECT DISTINCT unnest(sy) AS sym FROM wsyms)
 ),
 dtoks0 AS (
   SELECT doc_id, woff + u.p - 1 AS tpos, u.s AS sym
@@ -1554,7 +1624,9 @@ SELECT (gpos // {K})::BIGINT AS chunk_id,
        arg_min(t.token_id, gpos)::BIGINT AS first_token_id,
        arg_max(t.token_id, gpos)::BIGINT AS last_token_id
 FROM dtoks JOIN tokvocab t USING (sym)
-GROUP BY 1 ORDER BY 1""".format(dd=dd, R=BPE_ROUNDS, K=IDS_CHUNK)
+GROUP BY 1 ORDER BY 1""".format(
+        dd=dd, R=BPE_ROUNDS, K=IDS_CHUNK, LAYOUT=_bpe_layout_sql()
+    )
     return "WITH " + ",\n".join(parts) + tail
 
 
@@ -1593,17 +1665,7 @@ def bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (every chunk holds exactly IDS_CHUNK tokens).
     Ref surface: computation_multi emitting encoded records,
     machida/lib/wallaroo/__init__.py:473."""
-    from wally_spark.operators.prefix import bucket_offsets
-    from wally_spark.plans.sampling import N_PREFIX_BUCKETS
-
-    d = _BPE_D
-    dd = d + d
-    docs = _docs(spark, sf_dir)
-    vocab = _bpe_encoded_vocab(spark, sf_dir)
-    wsyms = vocab.select(
-        "word",
-        F.split(F.expr("substring(s, 2, length(s)-2)"), dd).alias("sy"),
-    )
+    wsyms, dwj, layout = _bpe_token_layout(spark, sf_dir)
     # dense ids over the FINAL symbol vocabulary: bounded by
     # |alphabet| + BPE_ROUNDS, so the global window is a few hundred
     # rows and the id table broadcasts
@@ -1617,16 +1679,6 @@ def bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("token_id"),
         )
     )
-    dw = docs.select(
-        "doc_id", F.posexplode(_words_col()).alias("wpos", "word")
-    )
-    from wally_spark.operators.checkpoint import pin as _pin
-
-    # pin: word-level (doc_id, wpos, sy) feeds BOTH the offset window
-    # chain and the per-doc total aggregate — expensive derivation
-    # (explode + vocab equi-join), two consumers (the dedup_winnowing
-    # pin rule; A/B-measured r10)
-    dwj = _pin(dw.join(wsyms, "word"))
     wdoc = (
         Window.partitionBy("doc_id")
         .orderBy("wpos")
@@ -1639,34 +1691,7 @@ def bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("woff"),
     )
-    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
-    doctot = (
-        dwj.groupBy("doc_id")
-        .agg(F.sum(F.size("sy")).cast("bigint").alias("n_tokens"))
-        .select("doc_id", "n_tokens", h.alias("h"))
-        .withColumn(
-            "bucket", F.conv(F.substring("h", 1, 2), 16, 10).cast("int")
-        )
-    )
-    boff = bucket_offsets(spark, doctot, "bucket", "n_tokens", N_PREFIX_BUCKETS)
-    wb = (
-        Window.partitionBy("bucket")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    goff = (
-        doctot.join(F.broadcast(boff), "bucket")
-        .select(
-            "doc_id",
-            (
-                F.col("bucket_off")
-                + F.sum("n_tokens").over(wb)
-                - F.col("n_tokens")
-            )
-            .cast("bigint")
-            .alias("off0"),
-        )
-    )
+    goff = layout.select("doc_id", "off0")
     toks = (
         dwoff.select("doc_id", "woff", F.posexplode("sy").alias("spos", "sym"))
         .join(goff, "doc_id")
@@ -1689,6 +1714,122 @@ def bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ids_checksum"),
             F.min_by("token_id", "gpos").cast("bigint").alias("first_token_id"),
             F.max_by("token_id", "gpos").cast("bigint").alias("last_token_id"),
+        )
+        .orderBy("chunk_id")
+    )
+
+
+def _pack_attention_oracle() -> str:
+    """Oracle for ``pack_attention_boundaries``: the v-chain + layout
+    CTEs, then every doc's span exploded to the chunks it touches and
+    a per-chunk boundary rollup."""
+    parts = _bpe_vchain_parts()
+    tail = """,
+{LAYOUT},
+spans AS (
+  SELECT g.doc_id, g.off0, d.n_tokens,
+         (g.off0 // {K})::BIGINT AS c0,
+         ((g.off0 + d.n_tokens - 1) // {K})::BIGINT AS c1
+  FROM goff g JOIN doctot d USING (doc_id)
+  WHERE d.n_tokens > 0
+),
+dc AS (
+  SELECT doc_id, off0, n_tokens, c0, u AS chunk_id
+  FROM spans, unnest(range(c0, c1 + 1)) AS t(u)
+)
+SELECT chunk_id::BIGINT AS chunk_id,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN chunk_id = c0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_boundaries,
+       coalesce(sum(CASE WHEN chunk_id = c0
+                         THEN off0 - chunk_id * {K} + 1 END), 0)::BIGINT
+         AS boundary_off_sum1,
+       min(CASE WHEN chunk_id = c0 THEN off0 - chunk_id * {K} END)::BIGINT
+         AS first_boundary_off,
+       max(CASE WHEN chunk_id = c0 THEN off0 - chunk_id * {K} END)::BIGINT
+         AS last_boundary_off,
+       max(CASE WHEN off0 < chunk_id * {K} THEN 1 ELSE 0 END)::BIGINT
+         AS carry_in,
+       max(CASE WHEN off0 + n_tokens > (chunk_id + 1) * {K}
+                THEN 1 ELSE 0 END)::BIGINT AS carry_out
+FROM dc GROUP BY chunk_id ORDER BY chunk_id""".format(
+        K=IDS_CHUNK, LAYOUT=_bpe_layout_sql()
+    )
+    return "WITH " + ",\n".join(parts) + tail
+
+
+@register(
+    "pack_attention_boundaries",
+    oracle=_pack_attention_oracle(),
+    tags=("text", "curation", "packing", "attention"),
+)
+def pack_attention_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attention-boundary manifest — the EOD-token contract a training
+    reader needs when packed sequences cross documents (r10 verdict
+    item 6, the missing link after bpe_encode_ids): for every
+    IDS_CHUNK-token context window, WHERE inside the window new
+    documents start (the attention-reset offsets: n_boundaries, their
+    1-based offset sum pinning the set, first/last offset) and whether
+    the window starts/ends mid-document (carry_in / carry_out — a
+    carry_in window must NOT reset attention at position 0; a
+    carry_out window's tail tokens attend into the next window's
+    head under sliding-window packing).
+
+    Derivation shares bpe_encode_ids' coordinate system verbatim
+    (_bpe_token_layout: same merge replay, same md5(doc_id) packing
+    order, same two-phase prefix sum), so the two manifests reconcile
+    by construction: per-chunk n_docs here == bpe_encode_ids' n_docs,
+    Σ n_boundaries == the tokenized doc count, and carry_out(c) ==
+    carry_in(c+1) (tested).
+
+    Scale shape: docs never explode to tokens here — each doc emits
+    ONE row per chunk it touches (corpus tokens / IDS_CHUNK + n_docs
+    rows total), the rollup groups on chunk_id (uniform by
+    construction), and the layout's prefix sum is the bounded
+    two-phase bucket scheme. No new shuffle class."""
+    _, _, layout = _bpe_token_layout(spark, sf_dir)
+    K = IDS_CHUNK
+    spans = layout.where(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "off0",
+        "n_tokens",
+        F.expr(f"off0 div {K}").alias("c0"),
+        F.expr(f"(off0 + n_tokens - 1) div {K}").alias("c1"),
+    )
+    dc = spans.select(
+        "doc_id",
+        "off0",
+        "n_tokens",
+        "c0",
+        F.explode(F.sequence("c0", "c1")).alias("chunk_id"),
+    )
+    starts = F.col("chunk_id") == F.col("c0")
+    boff_in = F.col("off0") - F.col("chunk_id") * K
+    return (
+        dc.groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(starts.cast("int")).cast("bigint").alias("n_boundaries"),
+            F.coalesce(F.sum(F.when(starts, boff_in + 1)), F.lit(0))
+            .cast("bigint")
+            .alias("boundary_off_sum1"),
+            F.min(F.when(starts, boff_in))
+            .cast("bigint")
+            .alias("first_boundary_off"),
+            F.max(F.when(starts, boff_in))
+            .cast("bigint")
+            .alias("last_boundary_off"),
+            F.max((F.col("off0") < F.col("chunk_id") * K).cast("int"))
+            .cast("bigint")
+            .alias("carry_in"),
+            F.max(
+                (
+                    F.col("off0") + F.col("n_tokens")
+                    > (F.col("chunk_id") + 1) * K
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("carry_out"),
         )
         .orderBy("chunk_id")
     )
