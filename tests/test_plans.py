@@ -371,3 +371,34 @@ def test_ewma_single_user_shuffle(spark):
 
     plan = _plan(spark, "events_ewma")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_repetition_mixing_schedule_invariants(spark):
+    """Schedule sanity at SF_MED: the run never draws more than its
+    target or more than MAX_REPEAT epochs of unique supply; effective
+    tokens never exceed drawn tokens (epoch values are <= 1000 milli);
+    utility is <= 10000 bp and a slice that must repeat (epochs > 1)
+    is strictly discounted vs its draw."""
+    from tests.conftest import SF_MED
+    from wally_spark.plans import REGISTRY
+    from wally_spark.plans.sampling import MAX_REPEAT
+
+    rows = (
+        REGISTRY["repetition_mixing_schedule"]
+        .spark_fn(spark, SF_MED)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["unique_tokens"] <= r["tokens"]
+        assert 0 <= r["epochs_scheduled"] <= MAX_REPEAT
+        assert r["scheduled_tokens"] <= r["target_tokens"]
+        assert r["scheduled_tokens"] <= r["unique_tokens"] * max(
+            r["epochs_scheduled"], 1
+        )
+        assert r["effective_tokens"] <= r["scheduled_tokens"]
+        if r["target_tokens"] > 0:
+            assert r["utility_bp"] <= 10000
+        if r["epochs_scheduled"] > 1:
+            # at least one repeated epoch -> geometric discount bites
+            assert r["effective_tokens"] < r["scheduled_tokens"]

@@ -607,3 +607,222 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.col("rk").cast("bigint").alias("rk"), "doc_id")
         .orderBy("lang", "rk")
     )
+
+
+# --- repetition-aware mixing schedule (r11) -----------------------------------
+# Diminishing-returns discounting for repeated epochs (the
+# data-constrained-scaling shape: early repeats are nearly as good as
+# fresh data, value decays geometrically after): epoch e of a slice's
+# UNIQUE tokens is worth REPEAT_DECAY_MILLI/1000 of epoch e-1, and
+# scheduling stops at MAX_REPEAT epochs. Exact integer millis: the
+# per-epoch value/cumulative tables are precomputed with the same
+# multiply-then-floor recurrence both engines would use, then inlined
+# as array literals, so there is nothing to drift.
+REPEAT_DECAY_MILLI = 700
+MAX_REPEAT = 5
+_EPOCH_VALUE_MILLI = (1000, 700, 490, 343, 240)  # v[e] = v[e-1]*700//1000
+_EPOCH_CUM_MILLI = (0, 1000, 1700, 2190, 2533, 2773)  # prefix sums of v
+
+
+def _repetition_mixing_oracle() -> str:
+    from wally_spark.plans.dedup import _CAND_SQL, _SHINGLES_SQL
+
+    v_arr = "[" + ", ".join(str(x) for x in _EPOCH_VALUE_MILLI + (0,)) + "]"
+    cum_arr = "[" + ", ".join(str(x) for x in _EPOCH_CUM_MILLI) + "]"
+    return f"""
+WITH shingled AS ({_SHINGLES_SQL}),
+exploded AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+),
+{_CAND_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM exploded GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN exploded a ON a.doc_id = c.doc_a
+  JOIN exploded b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+verified AS (
+  SELECT doc_a, doc_b FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE 10000.0 * inter / (sa.n + sb.n - inter) >= 1000.0
+),
+dup_docs AS (
+  SELECT doc_a AS doc_id FROM verified
+  UNION
+  SELECT doc_b FROM verified
+),
+dup AS (
+  SELECT d.lang, d.source,
+         (10000 * count(dd.doc_id) // count(*))::BIGINT AS dup_bp
+  FROM documents d LEFT JOIN dup_docs dd USING (doc_id)
+  GROUP BY d.lang, d.source
+),
+t AS (
+  SELECT lang, source,
+         sum(len(list_filter(string_split(lower(text), ' '), w -> w <> '')))
+           ::BIGINT AS tokens
+  FROM documents GROUP BY lang, source
+),
+w AS (
+  SELECT lang, source, tokens,
+         floor(sqrt(tokens::DOUBLE))::BIGINT AS weight
+  FROM t
+),
+tot AS (SELECT sum(weight)::BIGINT AS total_w FROM w),
+alloc AS (
+  SELECT w.lang, w.source, w.tokens,
+         ({MIX_BUDGET} * w.weight // tot.total_w)::BIGINT AS target_tokens
+  FROM w, tot
+),
+base AS (
+  SELECT a.lang, a.source, a.tokens, a.target_tokens,
+         ((a.tokens * (10000 - d.dup_bp)) // 10000)::BIGINT AS unique_tokens
+  FROM alloc a JOIN dup d USING (lang, source)
+),
+sched AS (
+  SELECT *,
+         CASE WHEN unique_tokens = 0 THEN NULL
+              ELSE ((1000 * target_tokens) // unique_tokens)::BIGINT
+         END AS epochs_needed_milli,
+         CASE WHEN unique_tokens = 0 THEN 0
+              ELSE least((target_tokens + unique_tokens - 1)
+                           // unique_tokens, {MAX_REPEAT})
+         END::BIGINT AS epochs_scheduled
+  FROM base
+),
+drawn AS (
+  SELECT *,
+         least(target_tokens, unique_tokens * epochs_scheduled)::BIGINT
+           AS scheduled_tokens
+  FROM sched
+),
+split_ AS (
+  SELECT *,
+         CASE WHEN unique_tokens = 0 THEN 0
+              ELSE scheduled_tokens // unique_tokens END::BIGINT AS full_ep,
+         CASE WHEN unique_tokens = 0 THEN 0
+              ELSE scheduled_tokens % unique_tokens END::BIGINT AS rem
+  FROM drawn
+)
+SELECT lang, source, tokens, unique_tokens, target_tokens,
+       epochs_needed_milli, epochs_scheduled, scheduled_tokens,
+       ((unique_tokens * ({cum_arr}[full_ep + 1])
+         + rem * ({v_arr}[full_ep + 1])) // 1000)::BIGINT
+         AS effective_tokens,
+       CASE WHEN target_tokens = 0 THEN NULL
+            ELSE (10000 * ((unique_tokens * ({cum_arr}[full_ep + 1])
+                            + rem * ({v_arr}[full_ep + 1])) // 1000))
+                 // target_tokens
+       END::BIGINT AS utility_bp
+FROM split_
+"""
+
+
+@register(
+    "repetition_mixing_schedule",
+    oracle=_repetition_mixing_oracle(),
+    tags=("sampling", "curation", "mixing", "repetition"),
+)
+def repetition_mixing_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-aware mixing schedule — the decision report a
+    data-constrained 100 TB run emits (r10 verdict item 7, the
+    Muennighoff scaling shape): token_budget_allocation says how many
+    tokens each (lang, source) slice SHOULD contribute; dup_rate_report
+    says how much of the slice is near-duplicate mass; this lane turns
+    both into a per-slice repeat-factor schedule with
+    diminishing-returns discounting:
+
+      unique_tokens  = tokens discounted by the verified near-dup rate
+      epochs_needed  = target / unique (exact millis)
+      epochs_scheduled = ceil(target / unique) capped at MAX_REPEAT
+                       (={MR}: repeats past the cap are ~worthless)
+      scheduled_tokens = what the run will actually draw
+      effective_tokens = unique·Σv[1..full] + rem·v[full+1], where
+                       epoch e's value decays v[e]=v[e-1]·{RD}‰ —
+                       the integer-milli geometric discount
+      utility_bp     = effective/target — the column a mix designer
+                       sorts by to find slices whose budget should be
+                       REALLOCATED to fresher sources.
+
+    Engine-exactness: the decay tables are precomputed integers
+    inlined as array literals in BOTH plans; everything else is bigint
+    floor arithmetic over exact sums — hash-exact under any
+    partitioning. Scale shape: composes two already-bounded rollups
+    ((lang, source) cells) with one equi-join; the dup verification
+    chain is the capped minhash candidate plan (plans/dedup.py), and
+    nothing here adds a shuffle class beyond it.""".format(
+        MR=MAX_REPEAT, RD=REPEAT_DECAY_MILLI
+    )
+    from wally_spark.plans.dedup import dup_rate_report
+
+    alloc = token_budget_allocation(spark, sf_dir).select(
+        "lang", "source", "tokens", "target_tokens"
+    )
+    dup = dup_rate_report(spark, sf_dir).select("lang", "source", "dup_bp")
+    base = alloc.join(dup, ["lang", "source"]).withColumn(
+        "unique_tokens",
+        F.expr("(tokens * (10000 - dup_bp)) div 10000").cast("bigint"),
+    )
+    sched = base.select(
+        "*",
+        F.expr(
+            "CASE WHEN unique_tokens = 0 THEN NULL"
+            " ELSE (1000 * target_tokens) div unique_tokens END"
+        )
+        .cast("bigint")
+        .alias("epochs_needed_milli"),
+        F.expr(
+            "CASE WHEN unique_tokens = 0 THEN 0"
+            " ELSE least((target_tokens + unique_tokens - 1)"
+            f" div unique_tokens, {MAX_REPEAT}) END"
+        )
+        .cast("bigint")
+        .alias("epochs_scheduled"),
+    ).withColumn(
+        "scheduled_tokens",
+        F.expr("least(target_tokens, unique_tokens * epochs_scheduled)")
+        .cast("bigint"),
+    )
+    split = sched.select(
+        "*",
+        F.expr(
+            "CASE WHEN unique_tokens = 0 THEN 0"
+            " ELSE scheduled_tokens div unique_tokens END"
+        )
+        .cast("bigint")
+        .alias("full_ep"),
+        F.expr(
+            "CASE WHEN unique_tokens = 0 THEN 0"
+            " ELSE scheduled_tokens % unique_tokens END"
+        )
+        .cast("bigint")
+        .alias("rem"),
+    )
+    v_arr = "array(" + ", ".join(
+        str(x) for x in _EPOCH_VALUE_MILLI + (0,)
+    ) + ")"
+    cum_arr = "array(" + ", ".join(str(x) for x in _EPOCH_CUM_MILLI) + ")"
+    eff = (
+        f"(unique_tokens * element_at({cum_arr}, cast(full_ep + 1 as int))"
+        f" + rem * element_at({v_arr}, cast(full_ep + 1 as int))) div 1000"
+    )
+    return split.select(
+        "lang",
+        "source",
+        "tokens",
+        "unique_tokens",
+        "target_tokens",
+        "epochs_needed_milli",
+        "epochs_scheduled",
+        "scheduled_tokens",
+        F.expr(eff).cast("bigint").alias("effective_tokens"),
+        F.expr(
+            "CASE WHEN target_tokens = 0 THEN NULL"
+            f" ELSE (10000 * ({eff})) div target_tokens END"
+        )
+        .cast("bigint")
+        .alias("utility_bp"),
+    )
