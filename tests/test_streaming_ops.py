@@ -2279,3 +2279,114 @@ def test_editdedup_incremental_matches_batch(spark, tmp_path):
         if r["is_dup"]
     }
     assert got3 == {7}
+
+
+def test_poolgate_incremental_matches_batch(spark, tmp_path):
+    """Crawl-ingest admission gate: with ascending doc_id batches,
+    each batch's verdicts equal the batch _pool_doc_verdicts over the
+    concatenated corpus-so-far restricted to the batch's docs (same
+    folded NB/LM models, same global-cap dup candidates); a
+    single-batch ingest reproduces pool_filter_report cell-for-cell;
+    replay is idempotent; folded compaction of the count stores
+    preserves the report."""
+    import pyspark.sql.functions as F
+
+    from wally_spark.plans import REGISTRY
+    from wally_spark.plans.curation import _pool_doc_verdicts
+    from wally_spark.streaming.ops import (
+        compact_corpus,
+        poolgate_foreach_batch,
+    )
+
+    base = " ".join(f"word{i % 37} common{i % 11}" for i in range(60))
+    w = base.split(); w[5] = "CHANGED"
+    near = " ".join(w)  # >= 0.8 jaccard with base -> dup loser
+    other = " ".join(f"alpha{i % 13} beta{i % 7} gamma{i % 5}" for i in range(50))
+    short = "tiny doc fails gopher"
+    rows = [
+        (1, base, "en", "web", 0),
+        (2, other, "en", "wiki", 0),        # batch 0
+        (5, short, "de", "web", 0),
+        (6, near, "en", "web", 0),          # batch 1: dup of 1
+        (9, other + " tail9", "en", "wiki", 0),
+        (10, base + " tail10", "en", "web", 0),  # batch 2
+    ]
+    batches = [rows[:2], rows[2:4], rows[4:]]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    fn = poolgate_foreach_batch(spark, store, out)
+    seen = []
+    for i, b in enumerate(batches):
+        seen.extend(b)
+        fn(spark.createDataFrame(b, schema), i)
+        corpus = str(tmp_path / f"corpus{i}")
+        spark.createDataFrame(seen, schema).coalesce(1).write.parquet(
+            f"{corpus}/documents.parquet"
+        )
+        batch_ids = {r[0] for r in b}
+        want = sorted(
+            tuple(r)
+            for r in _pool_doc_verdicts(spark, corpus).collect()
+            if r["doc_id"] in batch_ids
+        )
+        got = sorted(
+            tuple(r) for r in spark.read.parquet(f"{out}/b{i}").collect()
+        )
+        assert got == want, (i, got, want)
+
+    # running report == rollup of the as-issued verdict ledger
+    from wally_spark.plans.curation import pool_rollup
+
+    ledger = spark.read.parquet(*[f"{store}/verdicts/b{i}" for i in range(3)])
+    want_rep = sorted(
+        tuple(r) for r in pool_rollup(ledger.drop("doc_id")).collect()
+    )
+    got_rep = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/report").collect()
+    )
+    assert got_rep == want_rep
+
+    # single-batch ingest == the batch lane exactly
+    store1, out1 = str(tmp_path / "store1"), str(tmp_path / "out1")
+    fn1 = poolgate_foreach_batch(spark, store1, out1)
+    fn1(spark.createDataFrame(rows, schema), 0)
+    corpus_all = str(tmp_path / "corpus_all")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        f"{corpus_all}/documents.parquet"
+    )
+    want_all = sorted(
+        tuple(r)
+        for r in REGISTRY["pool_filter_report"].spark_fn(spark, corpus_all).collect()
+    )
+    got_all = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out1}/report").collect()
+    )
+    assert got_all == want_all
+
+    # replay idempotence
+    fn(spark.createDataFrame(batches[2], schema), 2)
+    got_rep2 = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/report").collect()
+    )
+    assert got_rep2 == got_rep
+
+    # folded compaction of the count stores preserves the report
+    def nb_fold(df):
+        return df.groupBy("word").agg(
+            F.sum("c1").cast("bigint").alias("c1"),
+            F.sum("c0").cast("bigint").alias("c0"),
+        )
+
+    def lm_fold(df):
+        return df.groupBy("word").agg(F.sum("c").cast("bigint").alias("c"))
+
+    compact_corpus(spark, f"{store}/nbtok", upto=1, fold=nb_fold)
+    compact_corpus(spark, f"{store}/lm", upto=1, fold=lm_fold)
+    compact_corpus(spark, f"{store}/sigs", upto=1)
+    compact_corpus(spark, f"{store}/sh", upto=1)
+    fn(spark.createDataFrame(batches[2], schema), 2)
+    got_rep3 = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/report").collect()
+    )
+    assert got_rep3 == got_rep

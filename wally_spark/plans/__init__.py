@@ -177,6 +177,10 @@ _CHANGED_THIS_ROUND = frozenset(
         # the new pack_attention_boundaries lane) — same expressions,
         # re-verify anyway (the bpe_encode r10 precedent)
         "bpe_encode_ids",
+        # r11: verdict body factored into _pool_doc_verdicts +
+        # pool_rollup (shared with the new poolgate streaming face) —
+        # same expressions, re-verify anyway
+        "pool_filter_report",
     }
 )
 

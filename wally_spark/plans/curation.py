@@ -2291,6 +2291,17 @@ def pool_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-keyed left joins and collapsed to a |sources|-bounded rollup.
     No new shuffle class beyond the gates themselves; the report adds
     exactly one doc-keyed join per gate."""
+    return pool_rollup(_pool_doc_verdicts(spark, sf_dir))
+
+
+def _pool_doc_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id is implicit in construction; returns source + the four
+    per-doc gate booleans) — the pool_filter_report body before its
+    rollup, factored so the streaming poolgate face and the
+    equivalence tests judge documents with the IDENTICAL gate
+    expressions. Returns one row per document with g_ok/nb_ok/ppl_ok/
+    dup_ok (token-less docs coalesce to False on the token gates in
+    both engines)."""
     from wally_spark.plans.dedup import _candidate_jaccard, _jac_bp
 
     docs = _docs(spark, sf_dir).select("doc_id", "source")
@@ -2319,12 +2330,13 @@ def pool_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("is_dup", F.lit(True))
     )
-    v = (
+    return (
         docs.join(g, "doc_id", "left")
         .join(nb, "doc_id", "left")
         .join(ppl, "doc_id", "left")
         .join(dups, "doc_id", "left")
         .select(
+            "doc_id",
             "source",
             F.coalesce("g_raw", F.lit(False)).alias("g_ok"),
             F.coalesce("nb_raw", F.lit(False)).alias("nb_ok"),
@@ -2332,6 +2344,13 @@ def pool_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("is_dup").isNull().alias("dup_ok"),
         )
     )
+
+
+def pool_rollup(v: DataFrame) -> DataFrame:
+    """The per-source ablation rollup over a (source, g_ok, nb_ok,
+    ppl_ok, dup_ok) verdict relation — pool_filter_report's aggregate,
+    factored so the streaming poolgate face folds its verdict ledger
+    through the IDENTICAL expressions."""
     keep = "g_ok AND nb_ok AND ppl_ok AND dup_ok"
     return (
         v.groupBy("source")

@@ -2947,3 +2947,293 @@ def editdedup_against_corpus_foreach_batch(spark, sigs_path: str, out_path: str)
         free_blocks(d)
 
     return proc
+
+
+def poolgate_foreach_batch(spark, store_path: str, out_path: str):
+    """Crawl-ingest admission gate — the streaming face of the batch
+    ``pool_filter_report`` lane (r10 verdict item 8): every arriving
+    document is judged by the four standing gates AS OF ITS INGEST —
+
+      gopher   stateless rule bundle (one codegen scan of the batch)
+      NB       model folded from EVERYTHING ingested so far including
+               the current batch (the nb_score face's count store)
+      ppl      unigram LM folded the same way (sampled word counts,
+               top-LM_VOCAB + UNK, integer milli-nats)
+      dup      ≥ 0.8 exact-Jaccard loser vs any LOWER-doc_id doc in
+               the persistent signature/shingle store or earlier in
+               the batch (minhash-banded candidates, MAX_BUCKET cap
+               computed over the WHOLE corpus-so-far band relation —
+               the batch lane's global cap, not a per-part one)
+
+    and the verdict ledger republishes the running per-source ablation
+    (plans.curation.pool_rollup — the batch lane's own aggregate).
+
+    Equivalence contract (tested): with ascending doc_id batches, each
+    batch's verdicts equal plans.curation._pool_doc_verdicts over the
+    CONCATENATED corpus-so-far restricted to the batch's docs (same
+    gate expressions, same folded models), and a single-batch ingest
+    reproduces pool_filter_report cell-for-cell. Verdicts are
+    point-in-time admission decisions: retroactive re-scoring of old
+    docs under a drifted model is the batch lane's offline question,
+    not this gate's.
+
+    Stores under ``store_path``: nbtok/nbdoc (NB counts), lm (sampled
+    word counts), sigs (minhash signatures), sh (doc shingles), shsz
+    (doc shingle counts), verdicts (the ledger). All per-batch
+    overwrite dirs — replay rewrites its own partials and re-reports
+    identically; count stores compact with their associative folds
+    (see poolgate_lm_fold / nb's word fold), the ledger concatenates."""
+    from wally_spark.operators.checkpoint import free_blocks, pin
+    from wally_spark.plans.curation import (
+        LM_VOCAB,
+        PPL_MAX_MNAT,
+        _nb_unk_w,
+        _words_col,
+        nb_doc_counts,
+        nb_model,
+        nb_scored_counts,
+        nb_token_counts,
+        pool_rollup,
+    )
+    from wally_spark.plans.dedup import (
+        BAND_ROWS,
+        MAX_BUCKET,
+        N_HASHES,
+        minhash_signatures,
+        shingles_of,
+    )
+    from wally_spark.plans.quality import _gopher_feat, _gopher_rule_cols
+
+    ensure_store_format(spark, store_path, "poolgate-v1")
+
+    def all_parts(sub: str):
+        dirs = corpus_dirs(spark, f"{store_path}/{sub}")
+        return spark.read.parquet(*dirs) if dirs else None
+
+    def proc(batch_df, batch_id):
+        d = pin(batch_df)
+
+        # -- 1. persist this batch's state partials (own dirs).
+        # NB and the LM both train on the batch lanes' deterministic
+        # md5-quarter doc sample, so the folded models equal the batch
+        # queries' over the concatenated corpus at every step.
+        sampled = F.substring(
+            F.md5(F.col("doc_id").cast("string")), 1, 1
+        ).isin("0", "1", "2", "3")
+        nb_token_counts(d.where(sampled)).write.mode("overwrite").parquet(
+            f"{store_path}/nbtok/b{batch_id}"
+        )
+        nb_doc_counts(d.where(sampled)).write.mode("overwrite").parquet(
+            f"{store_path}/nbdoc/b{batch_id}"
+        )
+        d.where(sampled).select(
+            "doc_id", F.explode(_words_col()).alias("word")
+        ).groupBy("word").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        ).write.mode("overwrite").parquet(f"{store_path}/lm/b{batch_id}")
+        sigs = pin(minhash_signatures(d))
+        sigs.write.mode("overwrite").parquet(f"{store_path}/sigs/b{batch_id}")
+        sh = pin(shingles_of(d))
+        sh.write.mode("overwrite").parquet(f"{store_path}/sh/b{batch_id}")
+        sh.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        ).write.mode("overwrite").parquet(f"{store_path}/shsz/b{batch_id}")
+
+        # -- 2. gopher: stateless conjunction over the batch ----------
+        rules = _gopher_rule_cols()
+        verdict = None
+        for c in rules.values():
+            verdict = c if verdict is None else (verdict & c)
+        g = _gopher_feat(d).select("doc_id", verdict.alias("g_raw"))
+
+        # -- 3. NB: fold counts so far (incl. own), score the batch ---
+        train = (
+            all_parts("nbtok")
+            .groupBy("word")
+            .agg(
+                F.sum("c1").cast("bigint").alias("c1"),
+                F.sum("c0").cast("bigint").alias("c0"),
+            )
+        )
+        doc_tot = all_parts("nbdoc").agg(
+            F.sum("n1").cast("bigint").alias("n1"),
+            F.sum("n0").cast("bigint").alias("n0"),
+        )
+        weights, stats, priors = nb_model(train, doc_tot)
+        tok = d.select("doc_id", F.explode(_words_col()).alias("word"))
+        nb_score = F.col("pw") + F.col("seen_w") + F.col("n_unk") * _nb_unk_w()
+        nb = (
+            nb_scored_counts(tok, weights)
+            .crossJoin(F.broadcast(stats))
+            .crossJoin(F.broadcast(priors))
+            .select("doc_id", (nb_score > 0).alias("nb_raw"))
+        )
+
+        # -- 4. perplexity: fold the sampled LM, score the batch ------
+        lm_train = (
+            all_parts("lm")
+            .groupBy("word")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+        )
+        tot = lm_train.agg(F.sum("c").cast("bigint").alias("t_all"))
+        top = lm_train.orderBy(F.desc("c"), "word").limit(LM_VOCAB)
+        lstats = top.agg(
+            F.sum("c").cast("bigint").alias("t_top"),
+            F.count(F.lit(1)).cast("bigint").alias("v_top"),
+        ).crossJoin(F.broadcast(tot))
+        denom = (F.col("t_all") + F.col("v_top") + 1).cast("double")
+        probs = top.crossJoin(F.broadcast(lstats)).select(
+            "word",
+            F.floor(1000.0 * F.log((F.col("c") + 1).cast("double") / denom))
+            .cast("bigint")
+            .alias("mnat"),
+        )
+        lm_scored = (
+            tok.join(F.broadcast(probs), "word", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_tokens"),
+                F.sum(F.coalesce("mnat", F.lit(0)))
+                .cast("bigint")
+                .alias("seen_mnat"),
+                F.sum(F.when(F.col("mnat").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_unk"),
+            )
+        )
+        # the batch lane's exact integer mnat_per_token expression
+        ppl = lm_scored.crossJoin(F.broadcast(lstats)).select(
+            "doc_id",
+            (
+                F.expr(
+                    "CAST(-(seen_mnat + n_unk * CAST(floor(1000.0 * ln("
+                    "CAST(t_all - t_top + 1 AS DOUBLE) /"
+                    " CAST(t_all + v_top + 1 AS DOUBLE)"
+                    ")) AS BIGINT)) DIV n_tokens AS BIGINT)"
+                )
+                <= PPL_MAX_MNAT
+            ).alias("ppl_raw"),
+        )
+
+        # -- 5. dup: global-cap banded candidates, exact Jaccard ------
+        sig_parts = [sigs] + corpus_probe_parts(
+            spark, f"{store_path}/sigs", exclude_batch=batch_id
+        )
+        all_sigs = sig_parts[0].select("doc_id", *[f"mh{h}" for h in range(N_HASHES)])
+        for p in sig_parts[1:]:
+            all_sigs = all_sigs.unionByName(
+                p.select("doc_id", *[f"mh{h}" for h in range(N_HASHES)])
+            )
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.concat_ws(
+                        ":", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
+                    ).alias("band_key"),
+                )
+                for b in range(N_HASHES // BAND_ROWS)
+            ]
+        )
+        bands = pin(
+            all_sigs.select("doc_id", F.explode(band_structs).alias("b"))
+            .select("doc_id", "b.band_id", "b.band_key")
+        )
+        bsz = bands.groupBy("band_id", "band_key").agg(
+            F.count(F.lit(1)).alias("bsz")
+        )
+        bands_k = bands.join(
+            bsz.where(F.col("bsz") <= MAX_BUCKET), ["band_id", "band_key"]
+        ).select("doc_id", "band_id", "band_key")
+        batch_ids = d.select("doc_id")
+        a, b_ = bands_k.alias("a"), bands_k.alias("b")
+        cand = pin(
+            a.join(
+                b_,
+                (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            # only pairs whose LOSER (doc_b) is in this batch decide
+            # this batch's verdicts
+            .join(
+                batch_ids.select(F.col("doc_id").alias("doc_b")),
+                "doc_b",
+                "left_semi",
+            )
+        )
+        sh_parts = [sh] + corpus_probe_parts(
+            spark, f"{store_path}/sh", exclude_batch=batch_id
+        )
+        all_sh = sh_parts[0].select("doc_id", "shingle")
+        for p in sh_parts[1:]:
+            all_sh = all_sh.unionByName(p.select("doc_id", "shingle"))
+        sz_dirs = corpus_dirs(spark, f"{store_path}/shsz")
+        all_sz = spark.read.parquet(*sz_dirs).groupBy("doc_id").agg(
+            F.sum("n").alias("n")
+        )
+        shared = (
+            cand.join(
+                all_sh.select(F.col("doc_id").alias("doc_a"), "shingle"),
+                "doc_a",
+            )
+            .join(
+                all_sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+                ["doc_b", "shingle"],
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        jac = (
+            shared.join(
+                all_sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+                "doc_a",
+            )
+            .join(
+                all_sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+                "doc_b",
+            )
+        )
+        dup_docs = (
+            jac.where(
+                10000.0 * F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+                >= 8000.0
+            )
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+            .withColumn("is_dup", F.lit(True))
+        )
+
+        # -- 6. verdicts + running ablation ----------------------------
+        v = (
+            d.select("doc_id", "source")
+            .join(g, "doc_id", "left")
+            .join(nb, "doc_id", "left")
+            .join(ppl, "doc_id", "left")
+            .join(dup_docs, "doc_id", "left")
+            .select(
+                "doc_id",
+                "source",
+                F.coalesce("g_raw", F.lit(False)).alias("g_ok"),
+                F.coalesce("nb_raw", F.lit(False)).alias("nb_ok"),
+                F.coalesce("ppl_raw", F.lit(False)).alias("ppl_ok"),
+                F.col("is_dup").isNull().alias("dup_ok"),
+            )
+            .localCheckpoint()
+        )
+        v.write.mode("overwrite").parquet(f"{store_path}/verdicts/b{batch_id}")
+        v.write.mode("overwrite").parquet(f"{out_path}/b{batch_id}")
+        vdirs = corpus_dirs(spark, f"{store_path}/verdicts")
+        ledger = spark.read.parquet(*vdirs)
+        pool_rollup(ledger).write.mode("overwrite").parquet(
+            f"{out_path}/report"
+        )
+        free_blocks(d, sigs, sh, bands, cand)
+
+    return proc
