@@ -184,6 +184,8 @@ def test_no_cartesian_anywhere(spark):
         "dq_referential_audit",  # five 1-row (orphans × total) combines
         "token_source_mi",  # 1-row corpus-token-total (n) side
         "source_token_kl",  # same 1-row n side via kl_terms_from_joint
+        "repetition_mixing_schedule",  # composes token_budget_allocation's
+        # 1-row total-weight side
     }
     offenders = []
     for name in sorted(REGISTRY):
