@@ -707,3 +707,44 @@ def test_alo_lands_into_spool_for_spark(spark, tmp_path):
         bytes(r["value"]).split(b"\t", 2)[2] for r in df.collect()
     )
     assert rows == [b"a", b"b", b"c"]
+
+
+def test_alo_twopc_golden_frames():
+    """Byte-exact golden contract for the 2PC inner frames (tags
+    201-206, no length prefix). Goldens are hand-packed from the
+    INTENDED layout: the reference's own ReplyUncommitted.decode and
+    TwoPCPhase1.encode are copy-paste-broken, so the decoders and
+    docstrings are the authoritative spec here."""
+    from wally_spark.sources.alo import (
+        ListUncommitted,
+        ReplyUncommitted,
+        TwoPCPhase1,
+        TwoPCPhase2,
+        TwoPCReply,
+        WorkersLeft,
+        decode_inner,
+        encode_inner,
+    )
+
+    golden = [
+        (ListUncommitted(77), "c9000000000000004d"),
+        (
+            ReplyUncommitted(77, ("t-1", "tx22")),
+            "ca000000000000004d000000020003742d31000474783232",
+        ),
+        (
+            TwoPCPhase1("txn9", ((3, 10, 20), (9, 0, 7))),
+            "cb000474786e39000000020000000000000003000000000000000a00000000"
+            "00000014000000000000000900000000000000000000000000000007",
+        ),
+        (TwoPCReply("txn9", True), "cc000474786e3901"),
+        (TwoPCPhase2("txn9", False), "cd000474786e3900"),
+        (
+            WorkersLeft(5, ("w1", "worker2")),
+            "ce000000000000000500000002000277310007776f726b657232",
+        ),
+    ]
+    for msg, hexpect in golden:
+        framed = encode_inner(msg)
+        assert framed.hex() == hexpect, type(msg).__name__
+        assert decode_inner(framed) == msg

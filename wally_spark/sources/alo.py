@@ -511,3 +511,167 @@ class ALOIngestServer:
             por = self.acked.get(msg.stream_id, 0)
             return [Ack(0, ((msg.stream_id, por),))]
         return []
+
+
+# --------------------------------------------------------------------------
+# 2PC inner frames (reference connector_wire_messages.py:563-807): the
+# exactly-once extension carried INSIDE the ALO stream (tag byte, NO
+# length prefix — the outer Message frame already delimits them).
+# Clean-room from the documented layouts and decoders; two reference
+# encoder bugs are deliberately NOT reproduced (ReplyUncommitted.decode
+# there decodes an Ack — copy-paste — and TwoPCPhase1.encode drops the
+# `self.` qualifiers, a NameError on any call): this codec implements
+# the INTENDED symmetric layout its docstrings and decoders describe.
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ListUncommitted:
+    """Sink asks the connector for transactions not yet committed
+    (u64 round tag)."""
+
+    rtag: int
+
+    TAG = 201
+
+    def payload(self) -> bytes:
+        return struct.pack(">Q", self.rtag)
+
+    @classmethod
+    def parse(cls, b: bytes) -> "ListUncommitted":
+        return cls(_Cursor(b).u64())
+
+
+@dataclass(frozen=True)
+class ReplyUncommitted:
+    """Connector's answer: u64 rtag, u32 count, u16-prefixed txn ids."""
+
+    rtag: int
+    txn_ids: tuple = ()
+
+    TAG = 202
+
+    def payload(self) -> bytes:
+        return struct.pack(">QI", self.rtag, len(self.txn_ids)) + b"".join(
+            _put_str(t) for t in self.txn_ids
+        )
+
+    @classmethod
+    def parse(cls, b: bytes) -> "ReplyUncommitted":
+        c = _Cursor(b)
+        rtag, n = c.u64(), c.u32()
+        return cls(rtag, tuple(c.lpstr().decode() for _ in range(n)))
+
+
+@dataclass(frozen=True)
+class TwoPCPhase1:
+    """Prepare: u16-prefixed txn id, u32 count, then (u64 stream id,
+    u64 start por, u64 end por) triples naming exactly which spans the
+    transaction covers."""
+
+    txn_id: str
+    where_list: tuple = ()
+
+    TAG = 203
+
+    def payload(self) -> bytes:
+        return (
+            _put_str(self.txn_id)
+            + struct.pack(">I", len(self.where_list))
+            + b"".join(
+                struct.pack(">QQQ", sid, s, e)
+                for sid, s, e in self.where_list
+            )
+        )
+
+    @classmethod
+    def parse(cls, b: bytes) -> "TwoPCPhase1":
+        c = _Cursor(b)
+        txn = c.lpstr().decode()
+        n = c.u32()
+        return cls(txn, tuple((c.u64(), c.u64(), c.u64()) for _ in range(n)))
+
+
+def _phase2r_payload(txn_id: str, commit: bool) -> bytes:
+    return _put_str(txn_id) + (b"\x01" if commit else b"\x00")
+
+
+def _phase2r_parse(b: bytes):
+    c = _Cursor(b)
+    return c.lpstr().decode(), c.take(1) == b"\x01"
+
+
+@dataclass(frozen=True)
+class TwoPCReply:
+    """Connector's vote on a Phase1 (txn id + commit/abort bool)."""
+
+    txn_id: str
+    commit: bool
+
+    TAG = 204
+
+    def payload(self) -> bytes:
+        return _phase2r_payload(self.txn_id, self.commit)
+
+    @classmethod
+    def parse(cls, b: bytes) -> "TwoPCReply":
+        return cls(*_phase2r_parse(b))
+
+
+@dataclass(frozen=True)
+class TwoPCPhase2:
+    """Coordinator's decision (txn id + commit/abort bool)."""
+
+    txn_id: str
+    commit: bool
+
+    TAG = 205
+
+    def payload(self) -> bytes:
+        return _phase2r_payload(self.txn_id, self.commit)
+
+    @classmethod
+    def parse(cls, b: bytes) -> "TwoPCPhase2":
+        return cls(*_phase2r_parse(b))
+
+
+@dataclass(frozen=True)
+class WorkersLeft:
+    """Cluster-shrink notice: u64 rtag + u16-prefixed worker names."""
+
+    rtag: int
+    leaving_workers: tuple = ()
+
+    TAG = 206
+
+    def payload(self) -> bytes:
+        return struct.pack(
+            ">QI", self.rtag, len(self.leaving_workers)
+        ) + b"".join(_put_str(w) for w in self.leaving_workers)
+
+    @classmethod
+    def parse(cls, b: bytes) -> "WorkersLeft":
+        c = _Cursor(b)
+        rtag, n = c.u64(), c.u32()
+        return cls(rtag, tuple(c.lpstr().decode() for _ in range(n)))
+
+
+_TWOPC_FRAMES = (
+    ListUncommitted,
+    ReplyUncommitted,
+    TwoPCPhase1,
+    TwoPCReply,
+    TwoPCPhase2,
+    WorkersLeft,
+)
+_TWOPC_BY_TAG = {f.TAG: f for f in _TWOPC_FRAMES}
+
+
+def encode_inner(msg) -> bytes:
+    """2PC inner framing: u8 tag + payload, NO length prefix (the
+    outer ALO Message already delimits the bytes)."""
+    return struct.pack(">B", msg.TAG) + msg.payload()
+
+
+def decode_inner(body: bytes):
+    return _TWOPC_BY_TAG[body[0]].parse(body[1:])
