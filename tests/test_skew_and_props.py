@@ -781,3 +781,54 @@ def test_pack_attention_boundaries_reconciles(spark, tmp_path):
     assert got[cids[-1]]["carry_out"] == 0
     for c_prev, c_next in zip(cids, cids[1:]):
         assert got[c_prev]["carry_out"] == got[c_next]["carry_in"]
+
+
+def test_simhash_band_pigeonhole_property():
+    """Pure-arithmetic property behind the 8x8-bit banding: ANY pair
+    of 64-bit fingerprints within hamming SIMHASH_BANDS-1 shares at
+    least one band value, and the audit lane's 16x4-bit truth bands
+    are exact to hamming 15 — checked over randomized fingerprints
+    including the signed top band (two's-complement simhash)."""
+    import random
+
+    from wally_spark.plans.dedup import (
+        _SIMHASH_BAND_MASK,
+        SIMHASH_BAND_BITS,
+        SIMHASH_BANDS,
+    )
+
+    rng = random.Random(20260816)
+
+    def to_signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    def bands(h, nb, bits):
+        mask = (1 << bits) - 1
+        return [((h >> (bits * i)) & mask) for i in range(nb)]
+
+    for _ in range(2000):
+        a = rng.getrandbits(64)
+        k = rng.randrange(0, 16)
+        flips = rng.sample(range(64), k)
+        b = a
+        for f in flips:
+            b ^= 1 << f
+        sa, sb = to_signed(a), to_signed(b)
+        # arithmetic >> + mask reads the same bits regardless of sign
+        assert bands(sa & ((1 << 64) - 1), 8, 8) == bands(
+            a, SIMHASH_BANDS, SIMHASH_BAND_BITS
+        )
+        share8 = any(
+            x == y
+            for x, y in zip(
+                bands(a, SIMHASH_BANDS, SIMHASH_BAND_BITS),
+                bands(b, SIMHASH_BANDS, SIMHASH_BAND_BITS),
+            )
+        )
+        share16x4 = any(
+            x == y for x, y in zip(bands(a, 16, 4), bands(b, 16, 4))
+        )
+        if k <= SIMHASH_BANDS - 1:
+            assert share8, (hex(a), hex(b), k)
+        if k <= 15:
+            assert share16x4, (hex(a), hex(b), k)
