@@ -112,8 +112,10 @@ _DRIVER_GREEN = frozenset(
         "nb_calibration", "ngram_coverage", "ntile_order_quartiles",
         "oov_rate_by_source", "open_order_lines_daily", "orders_aging_bands",
         "orders_grouping_sets", "orders_value_percentile_bands",
-        "orders_yoy_growth", "pack_chunks", "part_affinity_jaccard",
+        "orders_yoy_growth", "pack_attention_boundaries", "pack_chunks",
+        "part_affinity_jaccard",
         "part_cooccurrence", "pipeline_merge", "pivot_user_event_totals",
+        "repetition_mixing_schedule", "simhash_recall_audit",
         "pool_filter_report", "price_index_laspeyres",
         "price_quantity_elasticity", "priority_sla_report",
         "q10_returned_items", "q11_important_parts", "q12_priority_class",
@@ -158,29 +160,14 @@ _DRIVER_GREEN = frozenset(
 # Queries whose implementation (or a shared operator they call) changed
 # in the CURRENT round: their green rows describe the old plan, so they
 # re-enter the driver window. Refresh this set each round.
-_CHANGED_THIS_ROUND = frozenset(
+_CHANGED_THIS_ROUND: frozenset = frozenset(
     {
-        # r11 advice fixes: max_len floored at 1 on both engines;
-        # candidate net re-banded 16-bit-prefix -> 8x8 pigeonhole
+        # r12: verify-cost pass — length-difference pre-filter before
+        # the banded Levenshtein verify (plan changed; recall must not)
         "dedup_edit_verified",
-        # r11: OR-amplified banding (simhash_recall_audit measured the
-        # prefix at 1538 bp recall @ T=6 — the 8x8 scheme is exact)
-        "dedup_simhash_pairs",
-        # r11 advice fixes: integer-micro quantization protocol
-        # replaces the BLAS-vs-fold float cosine; zero-norm and
-        # empty-holdout/probe guards
-        "decontaminate_embedding", "embedding_matryoshka_recall",
-        # r11 advice fix: tar walker rejects negative octal sizes
-        # (operators/multimodal changed under this lane)
-        "mm_tar_members",
-        # r11: doc-layout factored into _bpe_token_layout (shared with
-        # the new pack_attention_boundaries lane) — same expressions,
-        # re-verify anyway (the bpe_encode r10 precedent)
-        "bpe_encode_ids",
-        # r11: verdict body factored into _pool_doc_verdicts +
-        # pool_rollup (shared with the new poolgate streaming face) —
-        # same expressions, re-verify anyway
-        "pool_filter_report",
+        # r12: audit lane grew precision/cost columns (candidates
+        # proposed per band scheme, not just recall)
+        "simhash_recall_audit",
     }
 )
 
