@@ -186,6 +186,7 @@ def test_no_cartesian_anywhere(spark):
         "source_token_kl",  # same 1-row n side via kl_terms_from_joint
         "repetition_mixing_schedule",  # composes token_budget_allocation's
         # 1-row total-weight side
+        "simhash_recall_audit",  # 1-row emitted/dropped cost-stats side
     }
     offenders = []
     for name in sorted(REGISTRY):

