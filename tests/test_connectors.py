@@ -748,3 +748,175 @@ def test_alo_twopc_golden_frames():
         framed = encode_inner(msg)
         assert framed.hex() == hexpect, type(msg).__name__
         assert decode_inner(framed) == msg
+
+
+def test_alo_restart_parse_tolerates_empty():
+    """A conforming peer may emit a bare Restart (no address payload:
+    reconnect to the same address) — the reference decoder returns
+    address=None for len(bs)==0 instead of raising; ours must not
+    crash recv_frame on it (r11 advice)."""
+    from wally_spark.sources.alo import Restart, decode_frame
+
+    assert Restart.parse(b"") == Restart("")
+    assert decode_frame(b"\x07") == Restart("")
+    # explicit zero-length address still round-trips
+    assert Restart.parse(b"\x00\x00\x00\x00") == Restart("")
+
+
+def _alo_manual_session(server):
+    """Real socket + server thread; returns (sock, closer)."""
+    import socket
+    import threading
+
+    lsock = socket.socket()
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(1)
+    port = lsock.getsockname()[1]
+
+    def accept_one():
+        conn, _ = lsock.accept()
+        try:
+            server.serve_connection(conn)
+        finally:
+            conn.close()
+
+    t = threading.Thread(target=accept_one, daemon=True)
+    t.start()
+    csock = socket.create_connection(("127.0.0.1", port), timeout=10)
+
+    def close():
+        csock.close()
+        t.join(timeout=10)
+        lsock.close()
+
+    return csock, close
+
+
+def test_alo_credit_accounting_exact():
+    """Flow control: credits granted must equal messages processed —
+    one Ack(1) per Message, positions attached every ack_every-th
+    (the r11 advice found ~2x over-granting let a pipelined client's
+    in-flight window grow without bound)."""
+    from wally_spark.sources.alo import (
+        Ack,
+        ALOIngestServer,
+        Hello,
+        Message,
+        Ok,
+        recv_frame,
+        send_frame,
+    )
+
+    server = ALOIngestServer(
+        cookie="c", land=lambda *a: None, initial_credits=16, ack_every=4
+    )
+    sock, close = _alo_manual_session(server)
+    try:
+        send_frame(sock, Hello("0.0.1", "c", "p", "i"))
+        assert recv_frame(sock) == Ok(16)
+        acks = []
+        for i in range(10):
+            send_frame(sock, Message(1, i, 0, None, b"r%d" % i))
+            reply = recv_frame(sock)
+            assert isinstance(reply, Ack)
+            acks.append(reply)
+        assert sum(a.credits for a in acks) == 10  # exactly 1 per message
+        # positions snapshot rides every ack_every-th reply only
+        assert [bool(a.acks) for a in acks] == [
+            (i + 1) % 4 == 0 for i in range(10)
+        ]
+        assert acks[3].acks == ((1, 4),) and acks[7].acks == ((1, 8),)
+    finally:
+        close()
+
+
+def test_alo_twopc_socket_lifecycle():
+    """2PC transaction lifecycle over a REAL socket (r11 verdict item
+    4): ListUncommitted -> empty ReplyUncommitted; Phase1 -> commit
+    vote + txn remembered; ListUncommitted -> shows it; Phase2 commit
+    -> forgotten; Phase1 + Phase2 ABORT -> acked position rolls back
+    to the span start and the coordinator's replay re-lands the
+    aborted span. Control frames ride stream 0 and never land."""
+    from wally_spark.sources.alo import (
+        Ack,
+        ALOIngestServer,
+        Hello,
+        ListUncommitted,
+        Message,
+        Notify,
+        NotifyAck,
+        Ok,
+        ReplyUncommitted,
+        TwoPCPhase1,
+        TwoPCPhase2,
+        TwoPCReply,
+        decode_inner,
+        encode_inner,
+        recv_frame,
+        send_frame,
+    )
+
+    landed = []
+    server = ALOIngestServer(
+        cookie="c",
+        land=lambda sid, mid, payload: landed.append((sid, mid, payload)),
+        ack_every=1000,  # keep data acks position-less in this test
+    )
+    sock, close = _alo_manual_session(server)
+
+    def twopc(inner):
+        send_frame(sock, Message(0, 0, 0, None, encode_inner(inner)))
+        frames = [recv_frame(sock)]
+        if isinstance(frames[0], Message):  # reply + credit
+            frames.append(recv_frame(sock))
+        return frames
+
+    try:
+        send_frame(sock, Hello("0.0.1", "c", "p", "i"))
+        assert recv_frame(sock) == Ok(16)
+        # land three data records on stream 1
+        for i in range(3):
+            send_frame(sock, Message(1, i, 0, None, b"d%d" % i))
+            assert recv_frame(sock) == Ack(1, ())
+        assert [m for s, m, _ in landed if s == 1] == [0, 1, 2]
+
+        # no txns yet
+        reply, credit = twopc(ListUncommitted(7))
+        assert decode_inner(reply.message) == ReplyUncommitted(7, ())
+        assert credit == Ack(1, ())
+
+        # Phase1 covering the landed span -> commit vote, remembered
+        reply, credit = twopc(TwoPCPhase1("t1", ((1, 0, 3),)))
+        assert decode_inner(reply.message) == TwoPCReply("t1", True)
+        (reply, _) = twopc(ListUncommitted(8))
+        assert decode_inner(reply.message) == ReplyUncommitted(8, ("t1",))
+
+        # Phase2 commit -> resolved, positions intact
+        (credit,) = twopc(TwoPCPhase2("t1", True))
+        assert credit == Ack(1, ())
+        (reply, _) = twopc(ListUncommitted(9))
+        assert decode_inner(reply.message) == ReplyUncommitted(9, ())
+        send_frame(sock, Notify(1, b"1", 3))
+        assert recv_frame(sock) == NotifyAck(True, 1, 3)
+
+        # Phase1 + Phase2 ABORT over [1, 3) -> acked rolls back to 1
+        reply, _ = twopc(TwoPCPhase1("t2", ((1, 1, 3),)))
+        assert decode_inner(reply.message) == TwoPCReply("t2", True)
+        (credit,) = twopc(TwoPCPhase2("t2", False))
+        assert credit == Ack(1, ())
+        send_frame(sock, Notify(1, b"1", 3))
+        assert recv_frame(sock) == NotifyAck(True, 1, 1)
+        # replay of the aborted span re-lands (at-least-once)
+        n_before = len(landed)
+        for i in (1, 2):
+            send_frame(sock, Message(1, i, 0, None, b"d%d" % i))
+            assert recv_frame(sock) == Ack(1, ())
+        assert len(landed) == n_before + 2
+
+        # a malformed Phase1 naming the control stream votes abort
+        reply, _ = twopc(TwoPCPhase1("t3", ((0, 0, 1),)))
+        assert decode_inner(reply.message) == TwoPCReply("t3", False)
+        (reply, _) = twopc(ListUncommitted(10))
+        assert decode_inner(reply.message) == ReplyUncommitted(10, ())
+    finally:
+        close()

@@ -17,10 +17,12 @@ process and the engine's source listener:
   point_of_ref = consumer position; reset = seek).
 
 Spark mapping: the engine side of the socket is `ALOIngestServer`,
-which lands exactly-once-deduplicated records into a SpoolRelay
-directory — the repo's standard connector landing zone — so
-Structured Streaming's file source (with its checkpointed exactly-once
-file tracking) consumes them downstream; the client side is
+which lands records into a SpoolRelay directory — the repo's standard
+connector landing zone — deduplicating replays IN-PROCESS (acked
+positions live in memory: across a server restart the landing is
+at-least-once, and downstream consumers that need exactly-once get it
+from Structured Streaming's checkpointed file tracking over the
+spool); the client side is
 `ALOKafkaClient`, the per-partition round-robin sender. Frames are
 re-implemented clean-room from the wire layout.
 """
@@ -246,6 +248,11 @@ class Restart:
 
     @classmethod
     def parse(cls, b: bytes) -> "Restart":
+        # the reference decoder tolerates a bare Restart (zero-length
+        # payload => reconnect to the same address); mirror it rather
+        # than raising struct.error on a conforming peer
+        if not b:
+            return cls("")
         c = _Cursor(b)
         return cls(c.take(c.u32()).decode())
 
@@ -458,20 +465,33 @@ class ALOKafkaClient:
 @dataclass
 class ALOIngestServer:
     """Engine side of the ALO socket: validates the Hello cookie,
-    grants credits, answers Notify with ITS durable per-stream
+    grants credits, answers Notify with its per-stream resume
     position (at-least-once resume: the server's ack state wins),
     dedupes replayed Messages by (stream_id, message_id), lands
     accepted payloads via ``land`` (e.g. SpoolRelay.push), and
-    replenishes credits with per-stream Acks every ``ack_every``
-    accepted records. point-of-ref convention matches the Kafka face:
-    acked por = last accepted record offset + 1 = next expected."""
+    replenishes one credit per processed Message, attaching the
+    positions snapshot every ``ack_every`` records. point-of-ref
+    convention matches the Kafka face: acked por = last accepted
+    record offset + 1 = next expected.
+
+    Durability: ``acked`` is IN-PROCESS state. Across a server
+    restart the NotifyAck echoes the client's point_of_ref and
+    replayed messages land again — the spool landing is
+    at-least-once; exactly-once is provided downstream by Structured
+    Streaming's checkpointed file tracking over the spool."""
 
     cookie: str
     land: object  # callable(stream_id, message_id, payload)
     initial_credits: int = 16
     ack_every: int = 4
     acked: dict = field(default_factory=dict)
+    txn_state: dict = field(default_factory=dict)  # txn_id -> where_list
     _since_ack: int = 0
+
+    #: stream id 0 is reserved for 2PC control frames (reference:
+    #: aloc_sink_impl.py handle_message dispatches stream 0 to the
+    #: TwoPCFrame decoder; data streams use ids >= 1)
+    TWOPC_STREAM = 0
 
     def serve_connection(self, sock: socket.socket) -> None:
         hello = recv_frame(sock)
@@ -493,24 +513,75 @@ class ALOIngestServer:
             por = self.acked.get(msg.stream_id, msg.point_of_ref)
             return [NotifyAck(True, msg.stream_id, por)]
         if isinstance(msg, Message):
+            if msg.stream_id == self.TWOPC_STREAM:
+                return self._handle_twopc(msg)
             resume = self.acked.get(msg.stream_id, 0)
             if msg.message_id >= resume:  # not a replayed duplicate
                 self.land(msg.stream_id, msg.message_id, msg.message)
                 self.acked[msg.stream_id] = msg.message_id + 1
             self._since_ack += 1
+            # every message replenishes exactly the ONE credit it
+            # consumed (granting ack_every on the ack_every-th message
+            # would hand out ~2x credits per message and let a
+            # pipelined client's in-flight window grow without bound);
+            # the ack_every-th also carries the positions snapshot
             if self._since_ack >= self.ack_every:
                 self._since_ack = 0
-                return [
-                    Ack(
-                        self.ack_every,
-                        tuple(sorted(self.acked.items())),
-                    )
-                ]
+                return [Ack(1, tuple(sorted(self.acked.items())))]
             return [Ack(1, ())]  # replenish the credit, positions later
         if isinstance(msg, EosMessage):
             por = self.acked.get(msg.stream_id, 0)
             return [Ack(0, ((msg.stream_id, por),))]
         return []
+
+    def _handle_twopc(self, msg: "Message") -> list:
+        """Minimal 2PC transaction lifecycle on the reserved control
+        stream (reference: aloc_sink_impl.py handle_message_stream0):
+        ListUncommitted answers with the txn ids still in Phase1 state,
+        Phase1 records the txn's where_list and votes commit, Phase2
+        resolves it — an abort rolls each covered stream's acked
+        position back to the span start so the coordinator's replay
+        re-lands the aborted span (the reference sink's
+        truncate_and_seek_to, expressed in ack state). Replies travel
+        as inner frames inside stream-0 Messages, exactly as received;
+        every control Message also replenishes its one credit."""
+        inner = decode_inner(msg.message or b"")
+        credit = Ack(1, ())
+        if isinstance(inner, ListUncommitted):
+            reply = ReplyUncommitted(
+                inner.rtag, tuple(sorted(self.txn_state))
+            )
+            return [
+                Message(self.TWOPC_STREAM, 0, 0, None, encode_inner(reply)),
+                credit,
+            ]
+        if isinstance(inner, TwoPCPhase1):
+            # vote abort on a malformed prepare (a span naming the
+            # control stream); otherwise remember it as uncommitted
+            ok = all(
+                sid != self.TWOPC_STREAM and s <= e
+                for sid, s, e in inner.where_list
+            )
+            if ok:
+                self.txn_state[inner.txn_id] = tuple(inner.where_list)
+            reply = TwoPCReply(inner.txn_id, ok)
+            return [
+                Message(self.TWOPC_STREAM, 0, 0, None, encode_inner(reply)),
+                credit,
+            ]
+        if isinstance(inner, TwoPCPhase2):
+            wheres = self.txn_state.pop(inner.txn_id, ())
+            if not inner.commit:
+                for sid, start, _end in wheres:
+                    self.acked[sid] = min(
+                        self.acked.get(sid, start), start
+                    )
+            return [credit]
+        if isinstance(inner, WorkersLeft):
+            return [credit]
+        # TwoPCReply/ReplyUncommitted are coordinator-bound: a peer
+        # sending one here is a protocol error (reference raises)
+        return [Error(f"bad stream-0 frame: {type(inner).__name__}")]
 
 
 # --------------------------------------------------------------------------
