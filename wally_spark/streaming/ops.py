@@ -3146,7 +3146,14 @@ def poolgate_foreach_batch(spark, store_path: str, out_path: str):
             bsz.where(F.col("bsz") <= MAX_BUCKET), ["band_id", "band_key"]
         ).select("doc_id", "band_id", "band_key")
         batch_ids = d.select("doc_id")
-        a, b_ = bands_k.alias("a"), bands_k.alias("b")
+        # only pairs whose LOSER (doc_b, the larger id) is in this
+        # batch decide this batch's verdicts — so restrict the b-side
+        # band rows to the batch BEFORE the pair join (r11 advice):
+        # per-batch candidate work then scales with batch x corpus /
+        # bands, not corpus^2 / bands. The bucket cap above stays
+        # computed over the GLOBAL band relation.
+        bands_b = bands_k.join(batch_ids, "doc_id", "left_semi")
+        a, b_ = bands_k.alias("a"), bands_b.alias("b")
         cand = pin(
             a.join(
                 b_,
@@ -3159,13 +3166,6 @@ def poolgate_foreach_batch(spark, store_path: str, out_path: str):
                 F.col("b.doc_id").alias("doc_b"),
             )
             .distinct()
-            # only pairs whose LOSER (doc_b) is in this batch decide
-            # this batch's verdicts
-            .join(
-                batch_ids.select(F.col("doc_id").alias("doc_b")),
-                "doc_b",
-                "left_semi",
-            )
         )
         sh_parts = [sh] + corpus_probe_parts(
             spark, f"{store_path}/sh", exclude_batch=batch_id
