@@ -24,6 +24,12 @@ Binary-safe framing: ``encoding="base64"`` wraps each message so
 payloads may contain newlines; the matching reader decodes with
 ``unbase64``. Text mode writes messages as lines verbatim (the
 reference's newline-framed text convention).
+
+See also ``wally_spark.sources.native``: the PySpark 4.1 Python
+streaming DataSource face (``readStream.format("wally_alo")``) that
+consumes the ALO wire protocol without the disk spool; the spool path
+here remains the fallback for high-rate feeds whose listener must
+scale out separately from the driver.
 """
 
 from __future__ import annotations
