@@ -832,3 +832,82 @@ def test_simhash_band_pigeonhole_property():
             assert share8, (hex(a), hex(b), k)
         if k <= 15:
             assert share16x4, (hex(a), hex(b), k)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 64), st.integers(1, 40)),
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_bestfit_histogram_equals_item_bfd(hist):
+    """The bulk histogram BFD (operators/packing.py) must equal a
+    naive item-by-item best-fit-decreasing simulator on the same
+    items: same bin count, same total padding."""
+    from wally_spark.operators.packing import bestfit_pack_histogram
+
+    capacity = 64
+    # collapse duplicate lengths the way a groupBy would
+    agg = {}
+    for length, n in hist:
+        agg[length] = agg.get(length, 0) + n
+    items = sorted(
+        (length for length, n in agg.items() for _ in range(n)),
+        reverse=True,
+    )
+    bins = []  # remaining capacities
+    for l in items:
+        fits = [c for c in bins if c >= l]
+        if fits:
+            bins[bins.index(min(fits))] = min(fits) - l
+        else:
+            bins.append(capacity - l)
+    got = bestfit_pack_histogram(list(agg.items()), capacity)
+    assert got == (len(bins), sum(bins)), (items, got, bins)
+
+
+def test_pack_bestfit_report_reconciles(spark, tmp_path):
+    """pack_bestfit_report must reconcile with bpe_encode_ids and
+    pack_attention_boundaries on the same corpus: equal total token
+    mass, concat's n_bins == the chunk count, concat's split_events ==
+    the mid-document window starts (Σ carry_in), bestfit's padding
+    consistent with its bin count, and a document longer than one
+    window forcing bestfit split_events > 0."""
+    from wally_spark.plans import REGISTRY
+    from wally_spark.plans.curation import IDS_CHUNK
+
+    base = ["abab abab abab cdcd", "abab cdcd cdcd xyz", "ababab cdc xyz"]
+    docs = [
+        (i, (base[i % 3] + " ") * (10 + 25 * (i % 4)) + "t" + str(i), "en", "w")
+        for i in range(1, 13)
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in docs],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    rep = {
+        r["strategy"]: r
+        for r in REGISTRY["pack_bestfit_report"].spark_fn(spark, sf_dir).collect()
+    }
+    ids = REGISTRY["bpe_encode_ids"].spark_fn(spark, sf_dir).collect()
+    att = REGISTRY["pack_attention_boundaries"].spark_fn(spark, sf_dir).collect()
+
+    total_tokens = sum(r["n_tokens"] for r in ids)
+    assert rep["concat"]["n_tokens"] == total_tokens
+    assert rep["bestfit"]["n_tokens"] == total_tokens
+    assert rep["concat"]["n_bins"] == len(ids)
+    assert rep["concat"]["split_events"] == sum(r["carry_in"] for r in att)
+    assert rep["concat"]["padding_tokens"] == (
+        -total_tokens
+    ) % IDS_CHUNK
+    # bestfit invariants: padding = bins*K - tokens, no doc is ever
+    # cut unless it is longer than a window
+    bf = rep["bestfit"]
+    assert bf["padding_tokens"] == bf["n_bins"] * IDS_CHUNK - total_tokens
+    # at least one base doc repeated 85x crosses a window
+    assert bf["split_events"] > 0
+    assert bf["n_docs"] == rep["concat"]["n_docs"] == 12

@@ -1835,6 +1835,189 @@ def pack_attention_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pack_bestfit_oracle() -> str:
+    """Oracle for ``pack_bestfit_report``: the v-chain + layout CTEs,
+    then item-sequential best-fit-decreasing as a recursive CTE whose
+    state is the list of open-bin remaining capacities (bounded by the
+    item count — the driver checks at sf0.01; the Spark side runs the
+    equivalent bulk histogram algorithm, operators/packing.py)."""
+    parts = _bpe_vchain_parts()
+    tail = """,
+{LAYOUT},
+items AS (
+  SELECT n_tokens % {K} AS l,
+         row_number() OVER (ORDER BY n_tokens % {K} DESC, h, doc_id) AS rn
+  FROM doctot WHERE n_tokens % {K} > 0
+),
+pack AS (
+  SELECT 0::BIGINT AS rn, []::BIGINT[] AS caps
+  UNION ALL
+  SELECT p.rn + 1,
+    CASE WHEN list_min(list_filter(p.caps, c -> c >= i.l)) IS NULL
+         THEN list_append(p.caps, {K} - i.l)
+         ELSE list_append(
+                list_concat(
+                  list_slice(p.caps, 1,
+                    list_position(p.caps,
+                      list_min(list_filter(p.caps, c -> c >= i.l))) - 1),
+                  list_slice(p.caps,
+                    list_position(p.caps,
+                      list_min(list_filter(p.caps, c -> c >= i.l))) + 1,
+                    len(p.caps))),
+                list_min(list_filter(p.caps, c -> c >= i.l)) - i.l)
+    END
+  FROM pack p JOIN items i ON i.rn = p.rn + 1
+),
+bfagg AS (
+  SELECT len(caps)::BIGINT AS loop_bins,
+         coalesce(list_sum(caps), 0)::BIGINT AS loop_pad
+  FROM pack WHERE rn = (SELECT count(*) FROM items)
+),
+tot AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         coalesce(sum(n_tokens), 0)::BIGINT AS n_tokens,
+         coalesce(sum(n_tokens // {K}), 0)::BIGINT AS full_bins,
+         coalesce(sum((n_tokens + {K} - 1) // {K} - 1), 0)::BIGINT
+           AS split_bf,
+         coalesce(sum(CASE WHEN n_tokens % {K} > 0 THEN 1 ELSE 0 END), 0)
+           ::BIGINT AS n_items
+  FROM doctot WHERE n_tokens > 0
+),
+csplit AS (
+  SELECT coalesce(sum((g.off0 + d.n_tokens - 1) // {K} - g.off0 // {K}), 0)
+           ::BIGINT AS split_c
+  FROM doctot d JOIN goff g USING (doc_id) WHERE d.n_tokens > 0
+)
+SELECT 'bestfit' AS strategy, t.n_docs, t.n_items,
+       (t.full_bins + b.loop_bins)::BIGINT AS n_bins, t.n_tokens,
+       b.loop_pad AS padding_tokens,
+       ((10000 * b.loop_pad)
+        // nullif((t.full_bins + b.loop_bins) * {K}, 0))::BIGINT
+         AS waste_bp,
+       t.split_bf AS split_events
+FROM tot t CROSS JOIN bfagg b
+UNION ALL
+SELECT 'concat', t.n_docs, t.n_docs,
+       ((t.n_tokens + {K} - 1) // {K})::BIGINT, t.n_tokens,
+       (({K} - t.n_tokens % {K}) % {K})::BIGINT,
+       ((10000 * (({K} - t.n_tokens % {K}) % {K}))
+        // nullif(((t.n_tokens + {K} - 1) // {K}) * {K}, 0))::BIGINT,
+       c.split_c
+FROM tot t CROSS JOIN csplit c
+ORDER BY strategy""".format(K=IDS_CHUNK, LAYOUT=_bpe_layout_sql())
+    return "WITH RECURSIVE " + ",\n".join(parts) + tail
+
+
+@register(
+    "pack_bestfit_report",
+    oracle=_pack_bestfit_oracle(),
+    tags=("text", "curation", "packing", "iterative"),
+)
+def pack_bestfit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency A/B — the measurement that decides a real
+    training-reader layout (r11 verdict item 6): concat-and-chunk
+    (bpe_encode_ids / pack_chunks' strategy: documents concatenated in
+    md5(doc_id) order, cut every IDS_CHUNK tokens) versus greedy
+    best-fit-decreasing bin packing (docs longer than a window
+    pre-split into full windows + a remainder item; items then packed
+    largest-first into the fullest window that fits — the
+    no-cross-contamination layout of Krell et al. 2021's sequence-
+    packing family). Per strategy: window count, padding tokens,
+    waste_bp, and split_events (times a document is cut mid-stream ==
+    windows that start mid-document, the carry_in count of
+    pack_attention_boundaries' coordinate system).
+
+    Reconciliation contracts (tested): n_tokens equals
+    Σ bpe_encode_ids chunk n_tokens; concat's n_bins equals
+    bpe_encode_ids' chunk count; concat's split_events equals
+    Σ (c1 - c0) over pack_attention_boundaries' spans; bestfit packs
+    with no more bins than concat... plus padding only in open bins.
+
+    Scale shape: BFD is sequential per ITEM but exact over the
+    (length, count) HISTOGRAM, which is bounded by IDS_CHUNK rows
+    regardless of corpus size — operators/packing.py runs the bulk
+    cascade over that bounded relation (the kmeans-centroids driver
+    contract); everything else is one agg over the shared
+    _bpe_token_layout doc layout. Tagged iterative for the plan gate
+    (driver loop builds literal scalars, not a plan)."""
+    from wally_spark.operators.checkpoint import pin
+    from wally_spark.operators.packing import bestfit_pack_stats
+
+    K = IDS_CHUNK
+    _, _, layout = _bpe_token_layout(spark, sf_dir)
+    lay = pin(layout.where(F.col("n_tokens") > 0))
+    hist = (
+        lay.select(F.expr(f"n_tokens % {K}").alias("l"))
+        .where(F.col("l") > 0)
+        .groupBy("l")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    loop_bins, loop_pad = bestfit_pack_stats(hist, K)
+    tot = lay.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.coalesce(F.sum(F.expr(f"n_tokens div {K}")), F.lit(0))
+        .cast("bigint")
+        .alias("full_bins"),
+        F.coalesce(
+            F.sum(F.expr(f"(n_tokens + {K} - 1) div {K} - 1")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("split_bf"),
+        F.coalesce(
+            F.sum(F.expr(f"case when n_tokens % {K} > 0 then 1 else 0 end")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_items"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    f"(off0 + n_tokens - 1) div {K} - off0 div {K}"
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("split_c"),
+    )
+    bf = tot.select(
+        F.lit("bestfit").alias("strategy"),
+        "n_docs",
+        "n_items",
+        (F.col("full_bins") + F.lit(loop_bins))
+        .cast("bigint")
+        .alias("n_bins"),
+        "n_tokens",
+        F.lit(loop_pad).cast("bigint").alias("padding_tokens"),
+        F.expr(
+            f"cast((10000 * {loop_pad}) div"
+            f" nullif((full_bins + {loop_bins}) * {K}, 0) as bigint)"
+        ).alias("waste_bp"),
+        F.col("split_bf").alias("split_events"),
+    )
+    cc = tot.select(
+        F.lit("concat").alias("strategy"),
+        "n_docs",
+        F.col("n_docs").alias("n_items"),
+        F.expr(f"cast((n_tokens + {K} - 1) div {K} as bigint)").alias(
+            "n_bins"
+        ),
+        "n_tokens",
+        F.expr(f"cast(({K} - n_tokens % {K}) % {K} as bigint)").alias(
+            "padding_tokens"
+        ),
+        F.expr(
+            f"cast((10000 * (({K} - n_tokens % {K}) % {K})) div"
+            f" nullif(((n_tokens + {K} - 1) div {K}) * {K}, 0) as bigint)"
+        ).alias("waste_bp"),
+        F.col("split_c").alias("split_events"),
+    )
+    return bf.unionByName(cc).orderBy("strategy")
+
+
 # --- DSIR importance resampling (r7) ----------------------------------------
 DSIR_BUCKETS = 512  # hashed n-gram feature space
 DSIR_TARGET_LANG = "en"  # the "target distribution" seed slice
