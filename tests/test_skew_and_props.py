@@ -911,3 +911,85 @@ def test_pack_bestfit_report_reconciles(spark, tmp_path):
     # at least one base doc repeated 85x crosses a window
     assert bf["split_events"] > 0
     assert bf["n_docs"] == rep["concat"]["n_docs"] == 12
+
+
+def test_bpe_decode_check_sequential_agreement(spark, tmp_path):
+    """bpe_decode_check must agree with a sequential Python
+    encode->decode round-trip: same per-(lang, source) token mass,
+    and every document whose normalized text survives the round trip
+    counts ok (all of them — the id table is consistent by
+    construction; the lane's value is localizing WHERE a drifted
+    table would break)."""
+    from collections import Counter
+
+    from wally_spark.plans import REGISTRY
+    from wally_spark.plans.curation import BPE_ROUNDS
+
+    base = ["abab abab abab cdcd", "abab cdcd  cdcd xyz", "ababab cdc xyz"]
+    docs = [
+        (i, (base[i % 3] + " ") * (3 + i % 5) + "t" + str(i),
+         "en" if i % 2 else "de", "s" + str(i % 2))
+        for i in range(1, 9)
+    ] + [(9, "", "en", "s1")]  # empty doc round-trips to empty
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in docs],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    # sequential trainer (the bpe_encode_ids test's reference)
+    wc = Counter()
+    for _, t, _, _ in docs:
+        for w in t.lower().split():
+            if w:
+                wc[w] += 1
+    words = {tuple(w): tuple(w) for w in wc}
+    for _ in range(BPE_ROUNDS):
+        pc = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc["".join(w)]
+        (a, b), _cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+
+        def merge(syms):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return tuple(out)
+
+        words = {w: merge(syms) for w, syms in words.items()}
+    enc = {"".join(w): s for w, s in words.items()}
+    id_of = {s: i for i, s in enumerate(
+        sorted({s for syms in words.values() for s in syms}))}
+    sym_of = {i: s for s, i in id_of.items()}
+
+    expect = {}
+    for i, t, lg, src in docs:
+        ws = [w for w in t.lower().split() if w]
+        ids = [id_of[s] for w in ws for s in enc[w]]
+        decoded_words, cur = [], []
+        # rebuild words from the decoded stream using the known splits
+        k = 0
+        for w in ws:
+            n = len(enc[w])
+            cur = [sym_of[x] for x in ids[k : k + n]]
+            decoded_words.append("".join(cur))
+            k += n
+        ok = " ".join(decoded_words) == " ".join(ws)
+        st = expect.setdefault((lg, src), [0, 0, 0])
+        st[0] += 1
+        st[1] += 1 if ok else 0
+        st[2] += len(ids)
+
+    got = {
+        (r["lang"], r["source"]): (r["n_docs"], r["n_ok"], r["n_tokens"])
+        for r in REGISTRY["bpe_decode_check"].spark_fn(spark, sf_dir).collect()
+    }
+    assert got == {k: tuple(v) for k, v in expect.items()}
+    # integrity: every doc round-trips
+    assert all(nd == nok for nd, nok, _ in got.values())
