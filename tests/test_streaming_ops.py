@@ -2390,3 +2390,70 @@ def test_poolgate_incremental_matches_batch(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(f"{out}/report").collect()
     )
     assert got_rep3 == got_rep
+
+
+def test_attention_manifest_streaming_equivalence(spark, tmp_path):
+    """Streaming attention-boundary face: after each micro-batch the
+    republished manifest must equal the batch pack_attention_boundaries
+    lane over the concatenated corpus-so-far (same merge retraining,
+    same md5 packing order); replay of the last batch is idempotent;
+    compaction of the doc-word store leaves the manifest byte-identical."""
+    from wally_spark.plans import REGISTRY
+    from wally_spark.streaming.ops import (
+        attention_manifest_foreach_batch,
+        compact_corpus,
+        corpus_dirs,
+    )
+
+    base = ["abab abab abab cdcd", "abab cdcd cdcd xyz", "ababab cdc xyz"]
+    mk = lambda i: (
+        i,
+        (base[i % 3] + " ") * (20 + 40 * (i % 3)) + "t" + str(i),
+        "en",
+        "w",
+        100,
+    )
+    schema = (
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    )
+    batches = [[mk(i) for i in range(1, 5)], [mk(i) for i in range(5, 9)]]
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "manifest")
+    fn = attention_manifest_foreach_batch(spark, store, out)
+
+    def batch_lane_rows(upto):
+        sf_dir = str(tmp_path / f"corpus{upto}")
+        spark.createDataFrame(
+            [r for b in batches[: upto + 1] for r in b], schema
+        ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+        return sorted(
+            tuple(r)
+            for r in REGISTRY["pack_attention_boundaries"]
+            .spark_fn(spark, sf_dir)
+            .collect()
+        )
+
+    def face_rows(where="report"):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{out}/{where}").collect()
+        )
+
+    for i, rows in enumerate(batches):
+        fn(spark.createDataFrame(rows, schema), i)
+        assert face_rows() == batch_lane_rows(i), f"batch {i}"
+
+    final = face_rows()
+    assert face_rows("b1") == final
+
+    # replay idempotence: re-running the last batch republishes the
+    # identical manifest
+    fn(spark.createDataFrame(batches[1], schema), 1)
+    assert face_rows() == final
+
+    # compaction: fold the dw store and re-publish — byte-identical
+    compact_corpus(spark, f"{store}/dw", upto=0)
+    assert len(corpus_dirs(spark, f"{store}/dw")) == 2
+    fn(spark.createDataFrame(batches[1], schema), 1)
+    assert face_rows() == final

@@ -168,6 +168,11 @@ _CHANGED_THIS_ROUND: frozenset = frozenset(
         # r12: audit lane grew precision/cost columns (candidates
         # proposed per band scheme, not just recall)
         "simhash_recall_audit",
+        # r12: merge replay factored into _bpe_encoded_vocab_from_wc
+        # and the layout tail into _layout_from_doctot (shared with
+        # the streaming attention-manifest face) — expressions
+        # byte-identical, re-verify anyway (the r11 factoring rule)
+        "bpe_encode", "bpe_encode_ids", "pack_attention_boundaries",
     }
 )
 

@@ -1374,12 +1374,20 @@ def _bpe_encoded_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     work runs on the vocab only — O(vocab × word_len) per round,
     corpus-size independent — with 1-row broadcast winners and
     per-round pin/free."""
-    from wally_spark.operators.checkpoint import free_blocks, pin
-
-    d = _BPE_D
     docs = _docs(spark, sf_dir)
     tok = docs.select(F.explode(_words_col()).alias("word"))
     wc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    return _bpe_encoded_vocab_from_wc(wc)
+
+
+def _bpe_encoded_vocab_from_wc(wc: DataFrame) -> DataFrame:
+    """The BPE_ROUNDS merge replay over a given (word, c) vocabulary —
+    factored out (expressions byte-identical to the r10 body) so the
+    streaming attention-manifest face can train on the FOLDED corpus
+    vocabulary instead of a parquet directory."""
+    from wally_spark.operators.checkpoint import free_blocks, pin
+
+    d = _BPE_D
     s0 = F.concat(
         F.lit(d),
         F.array_join(
@@ -1547,8 +1555,6 @@ def _bpe_token_layout(spark: SparkSession, sf_dir: str):
     Expressions are byte-identical to the ones bpe_encode_ids carried
     since r10 (plan-identical factoring)."""
     from wally_spark.operators.checkpoint import pin as _pin
-    from wally_spark.operators.prefix import bucket_offsets
-    from wally_spark.plans.sampling import N_PREFIX_BUCKETS
 
     d = _BPE_D
     dd = d + d
@@ -1562,14 +1568,23 @@ def _bpe_token_layout(spark: SparkSession, sf_dir: str):
         "doc_id", F.posexplode(_words_col()).alias("wpos", "word")
     )
     dwj = _pin(dw.join(wsyms, "word"))
+    doctot = dwj.groupBy("doc_id").agg(
+        F.sum(F.size("sy")).cast("bigint").alias("n_tokens")
+    )
+    return wsyms, dwj, _layout_from_doctot(spark, doctot)
+
+
+def _layout_from_doctot(spark: SparkSession, doctot: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens) -> (doc_id, n_tokens, off0): the md5(doc_id)
+    packing order + the distributed two-phase prefix sum — factored
+    (expressions byte-identical to the r11 body) so the streaming
+    attention-manifest face shares the exact coordinate system."""
+    from wally_spark.operators.prefix import bucket_offsets
+    from wally_spark.plans.sampling import N_PREFIX_BUCKETS
+
     h = F.md5(F.col("doc_id").cast("string").cast("binary"))
-    doctot = (
-        dwj.groupBy("doc_id")
-        .agg(F.sum(F.size("sy")).cast("bigint").alias("n_tokens"))
-        .select("doc_id", "n_tokens", h.alias("h"))
-        .withColumn(
-            "bucket", F.conv(F.substring("h", 1, 2), 16, 10).cast("int")
-        )
+    doctot = doctot.select("doc_id", "n_tokens", h.alias("h")).withColumn(
+        "bucket", F.conv(F.substring("h", 1, 2), 16, 10).cast("int")
     )
     boff = bucket_offsets(spark, doctot, "bucket", "n_tokens", N_PREFIX_BUCKETS)
     wb = (
@@ -1577,7 +1592,7 @@ def _bpe_token_layout(spark: SparkSession, sf_dir: str):
         .orderBy("h", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    layout = (
+    return (
         doctot.join(F.broadcast(boff), "bucket")
         .select(
             "doc_id",
@@ -1591,7 +1606,6 @@ def _bpe_token_layout(spark: SparkSession, sf_dir: str):
             .alias("off0"),
         )
     )
-    return wsyms, dwj, layout
 
 
 def _bpe_ids_oracle() -> str:
@@ -1788,6 +1802,14 @@ def pack_attention_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction), and the layout's prefix sum is the bounded
     two-phase bucket scheme. No new shuffle class."""
     _, _, layout = _bpe_token_layout(spark, sf_dir)
+    return attention_manifest_from_layout(layout)
+
+
+def attention_manifest_from_layout(layout: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, off0) -> the per-chunk boundary manifest —
+    factored (expressions byte-identical to the r11 body) so the
+    streaming attention-manifest face republishes the exact batch
+    derivation over its persistent layout."""
     K = IDS_CHUNK
     spans = layout.where(F.col("n_tokens") > 0).select(
         "doc_id",

@@ -3237,3 +3237,76 @@ def poolgate_foreach_batch(spark, store_path: str, out_path: str):
         free_blocks(d, sigs, sh, bands, cand)
 
     return proc
+
+
+def attention_manifest_foreach_batch(spark, store_path: str, out_path: str):
+    """Streaming face of the batch `pack_attention_boundaries` lane —
+    the EOD/attention-reset manifest a CONTINUOUSLY-PACKING training
+    reader consumes (r11 verdict item 8): each micro-batch persists its
+    documents' (doc_id, word, k) counts into a per-batch store dir,
+    then the face retrains the BPE merge table on the FOLDED corpus
+    vocabulary, recomputes every doc's token count, lays the corpus out
+    in the batch lane's md5(doc_id) packing order, and republishes the
+    full per-chunk boundary manifest to ``out_path/b<batch_id>`` plus
+    the stable ``out_path/report``.
+
+    Shares the batch lane's derivation verbatim (curation.py's
+    _bpe_encoded_vocab_from_wc + _layout_from_doctot +
+    attention_manifest_from_layout), so the manifest after batch N
+    equals pack_attention_boundaries over the concatenated corpus —
+    the equivalence the test pins. Retraining per batch is the honest
+    semantics: a new batch shifts merge winners, which can re-tokenize
+    OLD documents — a frozen tokenizer would silently drift from the
+    batch lane.
+
+    Scale shape: the store is vocabulary-shaped per batch (doc-word
+    counts, map-side combined), the fold is one word-keyed aggregate,
+    merge training runs on the folded vocab only (corpus-size
+    independent), the layout is the bounded two-phase prefix sum, and
+    the manifest emits one row per (doc, touched chunk). Idempotence:
+    per-batch overwrite dirs — a foreachBatch replay overwrites its
+    own increment and republishes identically; compaction-safe (the
+    dw store is a count corpus: compact_corpus concatenation keeps the
+    word fold exact)."""
+    from wally_spark.plans.curation import (
+        _BPE_D,
+        _bpe_encoded_vocab_from_wc,
+        _layout_from_doctot,
+        _words_col,
+        attention_manifest_from_layout,
+    )
+
+    ensure_store_format(spark, store_path, "attention-v1")
+
+    def proc(batch_df, batch_id):
+        (
+            batch_df.select("doc_id", F.explode(_words_col()).alias("word"))
+            .groupBy("doc_id", "word")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+            .write.mode("overwrite")
+            .parquet(f"{store_path}/dw/b{batch_id}")
+        )
+        dw = spark.read.parquet(*corpus_dirs(spark, f"{store_path}/dw"))
+        wc = dw.groupBy("word").agg(F.sum("k").cast("bigint").alias("c"))
+        vocab = _bpe_encoded_vocab_from_wc(wc)
+        dd = _BPE_D + _BPE_D
+        wsyms = vocab.select(
+            "word",
+            F.split(F.expr("substring(s, 2, length(s)-2)"), dd).alias("sy"),
+        )
+        doctot = (
+            dw.join(wsyms, "word")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.col("k") * F.size("sy"))
+                .cast("bigint")
+                .alias("n_tokens")
+            )
+        )
+        manifest = attention_manifest_from_layout(
+            _layout_from_doctot(spark, doctot)
+        ).localCheckpoint()
+        manifest.write.mode("overwrite").parquet(f"{out_path}/b{batch_id}")
+        manifest.write.mode("overwrite").parquet(f"{out_path}/report")
+
+    return proc
