@@ -65,7 +65,13 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
 )
 
-__all__ = ["WallyALODataSource", "ALOStreamReader", "register_native"]
+__all__ = [
+    "WallyALODataSource",
+    "WallyUDPDataSource",
+    "ALOStreamReader",
+    "UDPStreamReader",
+    "register_native",
+]
 
 _SCHEMA = (
     "stream_id bigint, message_id bigint, event_time bigint,"
@@ -145,16 +151,15 @@ class _ALOListener:
             pass
 
 
-_LISTENERS: dict[tuple, _ALOListener] = {}
+_LISTENERS: dict[tuple, object] = {}
 _REGISTRY_LOCK = threading.Lock()
 
 
-def _get_listener(host: str, port: int, cookie: str, ack_every: int):
+def _get_or_create_listener(key: tuple, factory):
     with _REGISTRY_LOCK:
-        key = (host, port)
         lst = _LISTENERS.get(key)
         if lst is None:
-            lst = _ALOListener(host, port, cookie, ack_every)
+            lst = factory()
             _LISTENERS[key] = lst
         return lst
 
@@ -166,6 +171,73 @@ def _wal_key(start: dict, end: dict) -> str:
     return hashlib.sha256(blob).hexdigest()[:24]
 
 
+class _BatchWal:
+    """Tiny WAL of IN-FLIGHT batch slices (see module doc): one json
+    file per planned (start, end) range, atomically published, pruned
+    once the range commits. ``binary_cols`` marks which row positions
+    carry bytes (base64 round-trip)."""
+
+    def __init__(self, wal_dir: str, binary_cols: tuple = ()):
+        self.dir = wal_dir
+        self.binary_cols = set(binary_cols)
+
+    def _enc(self, row: tuple) -> list:
+        return [
+            (base64.b64encode(v).decode() if v else None)
+            if i in self.binary_cols
+            else v
+            for i, v in enumerate(row)
+        ]
+
+    def _dec(self, row: list) -> tuple:
+        return tuple(
+            (base64.b64decode(v) if v is not None else None)
+            if i in self.binary_cols
+            else v
+            for i, v in enumerate(row)
+        )
+
+    def write(self, start: dict, end: dict, rows: list) -> None:
+        os.makedirs(self.dir, exist_ok=True)
+        entry = {
+            "start": start,
+            "end": end,
+            "rows": [self._enc(r) for r in rows],
+        }
+        path = os.path.join(self.dir, _wal_key(start, end))
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        os.replace(tmp, path)  # atomic publish
+
+    def read(self, start: dict, end: dict) -> list | None:
+        path = os.path.join(self.dir, _wal_key(start, end))
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            entry = json.load(f)
+        return [self._dec(r) for r in entry["rows"]]
+
+    def prune(self, committed: dict) -> None:
+        """``committed``: str-keyed offset map; an entry whose whole
+        end range is <= committed is no longer needed for replay."""
+        if not os.path.isdir(self.dir):
+            return
+        for name in os.listdir(self.dir):
+            path = os.path.join(self.dir, name)
+            try:
+                with open(path) as f:
+                    entry = json.load(f)
+                done = all(
+                    int(por) <= int(committed.get(sid_s, 0))
+                    for sid_s, por in entry["end"].items()
+                )
+                if done:
+                    os.remove(path)
+            except (OSError, ValueError, KeyError):
+                continue
+
+
 class ALOStreamReader(SimpleDataSourceStreamReader):
     """Driver-side ALO listener + offset bookkeeping (see module doc)."""
 
@@ -174,77 +246,24 @@ class ALOStreamReader(SimpleDataSourceStreamReader):
         self._port = int(options.get("port", "7100"))
         self._cookie = options.get("cookie", "")
         self._ack_every = int(options.get("ack_every", "4"))
-        self._wal = options.get(
+        wal_dir = options.get(
             "wal",
             os.path.join(
                 tempfile.gettempdir(), f"wally_alo_wal_{self._port}"
             ),
         )
+        self._wal = _BatchWal(wal_dir, binary_cols=(3, 4))
         self._listener: _ALOListener | None = None
 
     def _lst(self) -> _ALOListener:
         if self._listener is None:
-            self._listener = _get_listener(
-                self._host, self._port, self._cookie, self._ack_every
+            self._listener = _get_or_create_listener(
+                ("alo", self._host, self._port),
+                lambda: _ALOListener(
+                    self._host, self._port, self._cookie, self._ack_every
+                ),
             )
         return self._listener
-
-    # -- WAL of in-flight batches (executor + restart replay path) ----------
-    def _wal_write(self, start: dict, end: dict, rows: list) -> None:
-        os.makedirs(self._wal, exist_ok=True)
-        entry = {
-            "start": start,
-            "end": end,
-            "rows": [
-                [
-                    sid,
-                    mid,
-                    et,
-                    base64.b64encode(key).decode() if key else None,
-                    base64.b64encode(val or b"").decode(),
-                ]
-                for sid, mid, et, key, val in rows
-            ],
-        }
-        path = os.path.join(self._wal, _wal_key(start, end))
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(entry, f)
-        os.replace(tmp, path)  # atomic publish
-
-    def _wal_read(self, start: dict, end: dict) -> list | None:
-        path = os.path.join(self._wal, _wal_key(start, end))
-        if not os.path.exists(path):
-            return None
-        with open(path) as f:
-            entry = json.load(f)
-        return [
-            (
-                sid,
-                mid,
-                et,
-                base64.b64decode(key) if key else None,
-                base64.b64decode(val),
-            )
-            for sid, mid, et, key, val in entry["rows"]
-        ]
-
-    def _wal_prune(self, committed: dict) -> None:
-        if not os.path.isdir(self._wal):
-            return
-        for name in os.listdir(self._wal):
-            path = os.path.join(self._wal, name)
-            try:
-                with open(path) as f:
-                    entry = json.load(f)
-                done = all(
-                    int(por) <= committed.get(int(sid_s), 0)
-                    for sid_s, por in entry["end"].items()
-                )
-                if done:
-                    os.remove(path)
-            except (OSError, ValueError, KeyError):
-                continue
 
     # -- SimpleDataSourceStreamReader contract ------------------------------
     def initialOffset(self) -> dict:
@@ -266,7 +285,7 @@ class ALOStreamReader(SimpleDataSourceStreamReader):
         if json.dumps(end, sort_keys=True) != json.dumps(
             start, sort_keys=True
         ):
-            self._wal_write(start, end, rows)
+            self._wal.write(start, end, rows)
         return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
@@ -274,16 +293,16 @@ class ALOStreamReader(SimpleDataSourceStreamReader):
             start, sort_keys=True
         ):
             return iter([])
-        rows = self._wal_read(start, end)
+        rows = self._wal.read(start, end)
         if rows is None:
             # same-process fallback only: NEVER create a listener here
             # (executor workers must not race the runner for the bind)
             with _REGISTRY_LOCK:
-                lst = _LISTENERS.get((self._host, self._port))
+                lst = _LISTENERS.get(("alo", self._host, self._port))
             if lst is None:
                 raise RuntimeError(
                     f"wally_alo: no WAL entry for batch {start}..{end} "
-                    f"under {self._wal} and no in-process listener — "
+                    f"under {self._wal.dir} and no in-process listener — "
                     "on a multi-node cluster the 'wal' option must point "
                     "at shared storage (like a checkpointLocation)"
                 )
@@ -311,14 +330,14 @@ class ALOStreamReader(SimpleDataSourceStreamReader):
                 if b:
                     for mid in [m for m in b if m < int(por)]:
                         del b[mid]
-            committed = dict(lst.committed)
-        self._wal_prune(committed)
+            committed = {str(k): v for k, v in lst.committed.items()}
+        self._wal.prune(committed)
 
     def stop(self) -> None:
         if self._listener is not None:
             self._listener.stop()
             with _REGISTRY_LOCK:
-                _LISTENERS.pop((self._host, self._port), None)
+                _LISTENERS.pop(("alo", self._host, self._port), None)
             self._listener = None
 
 
@@ -338,6 +357,138 @@ class WallyALODataSource(DataSource):
         return ALOStreamReader(self.options)
 
 
+class _UDPListener:
+    """One bound UDP socket + in-memory datagram buffer, sequenced by
+    arrival order; shared per (host, port) in this process."""
+
+    def __init__(self, host: str, port: int, max_dgram: int = 65536):
+        self.lock = threading.Lock()
+        self.rows: dict[int, tuple] = {}  # seq -> (seq, value)
+        self.next_seq = 0
+        self._max = max_dgram
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind((host, port))
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._recv_loop, daemon=True)
+        self._thread.start()
+
+    def _recv_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                data, _ = self._sock.recvfrom(self._max)
+            except OSError:
+                return
+            with self.lock:
+                self.rows[self.next_seq] = (self.next_seq, data)
+                self.next_seq += 1
+
+    def stop(self) -> None:
+        self._stop.set()
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+
+class UDPStreamReader(SimpleDataSourceStreamReader):
+    """``readStream.format("wally_udp")`` reader: datagrams sequence
+    by arrival; offsets are {"seq": next}; in-flight batches journal
+    to the shared WAL for executor reads and restart replay. UDP has
+    no replay protocol, so delivery is exactly-once WITHIN a query run
+    (offsets + WAL) and at-most-once across a listener crash — the
+    datagram contract itself (the reference udp_source makes the same
+    trade); the spool relay remains the durable-landing alternative."""
+
+    def __init__(self, options: dict):
+        self._host = options.get("host", "127.0.0.1")
+        self._port = int(options.get("port", "7200"))
+        wal_dir = options.get(
+            "wal",
+            os.path.join(
+                tempfile.gettempdir(), f"wally_udp_wal_{self._port}"
+            ),
+        )
+        self._wal = _BatchWal(wal_dir, binary_cols=(1,))
+        self._listener: _UDPListener | None = None
+
+    def _lst(self) -> _UDPListener:
+        if self._listener is None:
+            self._listener = _get_or_create_listener(
+                ("udp", self._host, self._port),
+                lambda: _UDPListener(self._host, self._port),
+            )
+        return self._listener
+
+    def initialOffset(self) -> dict:
+        self._lst()
+        return {"seq": 0}
+
+    def read(self, start: dict):
+        lst = self._lst()
+        lo = int(start.get("seq", 0))
+        with lst.lock:
+            hi = lst.next_seq
+            rows = [lst.rows[i] for i in range(lo, hi) if i in lst.rows]
+        end = {"seq": hi}
+        if hi > lo:
+            self._wal.write(start, end, rows)
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        lo, hi = int(start.get("seq", 0)), int(end.get("seq", 0))
+        if hi <= lo:
+            return iter([])
+        rows = self._wal.read(start, end)
+        if rows is None:
+            with _REGISTRY_LOCK:
+                lst = _LISTENERS.get(("udp", self._host, self._port))
+            if lst is None:
+                raise RuntimeError(
+                    f"wally_udp: no WAL entry for batch {start}..{end} "
+                    f"under {self._wal.dir} and no in-process listener — "
+                    "on a multi-node cluster the 'wal' option must point "
+                    "at shared storage (like a checkpointLocation)"
+                )
+            with lst.lock:
+                rows = [
+                    lst.rows[i] for i in range(lo, hi) if i in lst.rows
+                ]
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        lst = self._lst()
+        hi = int(end.get("seq", 0))
+        with lst.lock:
+            for i in [i for i in lst.rows if i < hi]:
+                del lst.rows[i]
+        self._wal.prune({"seq": hi})
+
+    def stop(self) -> None:
+        if self._listener is not None:
+            self._listener.stop()
+            with _REGISTRY_LOCK:
+                _LISTENERS.pop(("udp", self._host, self._port), None)
+            self._listener = None
+
+
+class WallyUDPDataSource(DataSource):
+    """``readStream.format("wally_udp")`` — the reference udp_source
+    connector as a first-class streaming source (no spool). Options:
+    host (default 127.0.0.1), port (default 7200), wal."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "wally_udp"
+
+    def schema(self) -> str:
+        return "seq bigint, value binary"
+
+    def simpleStreamReader(self, schema) -> UDPStreamReader:
+        return UDPStreamReader(self.options)
+
+
 def register_native(spark) -> None:
     """Register every native Python DataSource face on the session."""
     spark.dataSource.register(WallyALODataSource)
+    spark.dataSource.register(WallyUDPDataSource)
