@@ -993,3 +993,43 @@ def test_bpe_decode_check_sequential_agreement(spark, tmp_path):
     assert got == {k: tuple(v) for k, v in expect.items()}
     # integrity: every doc round-trips
     assert all(nd == nok for nd, nok, _ in got.values())
+
+
+def test_pack_contamination_reconciles_with_boundaries(spark, tmp_path):
+    """pack_contamination_report shares pack_attention_boundaries'
+    coordinate system: identical chunk spine and per-chunk n_docs; a
+    single-source corpus has zero cross_source windows while mixed
+    languages surface as cross_lang exactly where docs meet."""
+    from wally_spark.plans import REGISTRY
+
+    base = ["abab abab abab cdcd", "abab cdcd cdcd xyz", "ababab cdc xyz"]
+    docs = [
+        (i, (base[i % 3] + " ") * (15 + 10 * (i % 3)) + "t" + str(i),
+         "en" if i % 3 else "de", "web")
+        for i in range(1, 9)
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in docs],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    con = {
+        r["chunk_id"]: r
+        for r in REGISTRY["pack_contamination_report"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    att = {
+        r["chunk_id"]: r
+        for r in REGISTRY["pack_attention_boundaries"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(con) == set(att)
+    for cid, r in con.items():
+        assert r["n_docs"] == att[cid]["n_docs"], cid
+        assert r["cross_source"] == 0  # single source corpus
+        assert r["n_langs"] >= 1 and (r["cross_lang"] == (r["n_langs"] > 1))
+    # languages are mixed in the corpus, so SOME window must be mixed
+    assert any(r["cross_lang"] for r in con.values())

@@ -2193,6 +2193,96 @@ def bpe_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pack_contamination_oracle() -> str:
+    parts = _bpe_vchain_parts()
+    tail = """,
+{LAYOUT},
+spans AS (
+  SELECT g.doc_id, d2.lang, d2.source,
+         (g.off0 // {K})::BIGINT AS c0,
+         ((g.off0 + d.n_tokens - 1) // {K})::BIGINT AS c1
+  FROM goff g JOIN doctot d USING (doc_id)
+  JOIN documents d2 USING (doc_id)
+  WHERE d.n_tokens > 0
+),
+dc AS (
+  SELECT doc_id, lang, source, u AS chunk_id
+  FROM spans, unnest(range(c0, c1 + 1)) AS t(u)
+)
+SELECT chunk_id::BIGINT AS chunk_id,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT source)::BIGINT AS n_sources,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       (CASE WHEN count(DISTINCT source) > 1 THEN 1 ELSE 0 END)::BIGINT
+         AS cross_source,
+       (CASE WHEN count(DISTINCT lang) > 1 THEN 1 ELSE 0 END)::BIGINT
+         AS cross_lang
+FROM dc GROUP BY chunk_id ORDER BY chunk_id""".format(
+        K=IDS_CHUNK, LAYOUT=_bpe_layout_sql()
+    )
+    return "WITH " + ",\n".join(parts) + tail
+
+
+@register(
+    "pack_contamination_report",
+    oracle=_pack_contamination_oracle(),
+    tags=("text", "curation", "packing", "attention"),
+)
+def pack_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-contamination manifest for concat-and-chunk packing: per
+    IDS_CHUNK context window, how many documents, SOURCES, and
+    LANGUAGES contribute tokens, with cross_source / cross_lang flags
+    — the packing artifact a training run inherits when attention is
+    NOT reset at document boundaries (the measurement motivating the
+    no-cross-contamination layouts pack_bestfit_report prices, and the
+    mask pack_attention_boundaries exports). A window flagged
+    cross_lang under causal attention lets, e.g., German tokens attend
+    into an unrelated English document.
+
+    Same coordinate system as bpe_encode_ids (_bpe_token_layout), so
+    per-chunk n_docs reconciles with pack_attention_boundaries'
+    n_docs column exactly (tested). Scale shape: one row per (doc,
+    touched chunk) — never per token; distinct-counts group on
+    chunk_id, uniform by construction."""
+    _, _, layout = _bpe_token_layout(spark, sf_dir)
+    K = IDS_CHUNK
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    spans = (
+        layout.where(F.col("n_tokens") > 0)
+        .join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.expr(f"off0 div {K}").alias("c0"),
+            F.expr(f"(off0 + n_tokens - 1) div {K}").alias("c1"),
+        )
+    )
+    dc = spans.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.sequence("c0", "c1")).alias("chunk_id"),
+    )
+    return (
+        dc.groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.when(F.countDistinct("source") > 1, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("cross_source"),
+            F.when(F.countDistinct("lang") > 1, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("cross_lang"),
+        )
+        .orderBy("chunk_id")
+    )
+
+
 # --- DSIR importance resampling (r7) ----------------------------------------
 DSIR_BUCKETS = 512  # hashed n-gram feature space
 DSIR_TARGET_LANG = "en"  # the "target distribution" seed slice
