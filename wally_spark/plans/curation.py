@@ -2283,6 +2283,218 @@ def pack_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_half_parts(tag: str, cond: str) -> list:
+    """The bpe_merges_r4 unrolled chain, CTE names suffixed ``_tag``
+    and the token stream filtered by ``cond`` — the per-half trainer
+    for bpe_merge_stability."""
+    d, dd = "chr(1)", "chr(1)||chr(1)"
+    parts = [
+        """tok_{g} AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+  FROM documents WHERE {cond}
+),
+wc_{g} AS (SELECT word, count(*) AS c FROM tok_{g} GROUP BY word),
+v0_{g} AS (
+  SELECT {d} || array_to_string(
+           list_transform(range(1, len(word)+1), i -> substr(word, i, 1)),
+           {dd}) || {d} AS s, c
+  FROM wc_{g}
+)""".format(g=tag, cond=cond, d=d, dd=dd)
+    ]
+    for r in range(BPE_ROUNDS):
+        parts.append(
+            """p{r}_{g} AS (
+  SELECT u.a AS a, u.b AS b, sum(c)::BIGINT AS cnt
+  FROM (
+    SELECT list_transform(range(1, len(sy)), i -> {{'a': sy[i], 'b': sy[i+1]}}) AS ps, c
+    FROM (SELECT string_split(substr(s, 2, len(s)-2), {dd}) AS sy, c FROM v{r}_{g})
+  ), unnest(ps) AS t(u)
+  GROUP BY u.a, u.b
+),
+t{r}_{g} AS (SELECT a, b, cnt FROM p{r}_{g} ORDER BY cnt DESC, a, b LIMIT 1)""".format(
+                r=r, g=tag, dd=dd
+            )
+        )
+        if r < BPE_ROUNDS - 1:
+            parts.append(
+                """v{n}_{g} AS (
+  SELECT replace(s, {d}||a||{dd}||b||{d}, {d}||a||b||{d}) AS s, c
+  FROM v{r}_{g} CROSS JOIN t{r}_{g}
+)""".format(r=r, n=r + 1, g=tag, d=d, dd=dd)
+            )
+    return parts
+
+
+_HALF_NIB = "strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1"
+
+
+def _bpe_stability_oracle() -> str:
+    parts = (
+        _bpe_half_parts("h0", f"{_HALF_NIB} < 8")
+        + _bpe_half_parts("h1", f"{_HALF_NIB} >= 8")
+    )
+    wins = ",\n".join(
+        "wins_{g} AS ({u})".format(
+            g=g,
+            u="\nUNION ALL\n".join(
+                f"SELECT {r + 1}::BIGINT AS merge_round, a||b AS merged,"
+                f" cnt FROM t{r}_{g}"
+                for r in range(BPE_ROUNDS)
+            ),
+        )
+        for g in ("h0", "h1")
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + ",\n"
+        + wins
+        + f""",
+spine AS (SELECT (unnest(range({BPE_ROUNDS})) + 1)::BIGINT AS merge_round)
+SELECT s.merge_round,
+       wa.merged AS h0_merged, wa.cnt::BIGINT AS h0_count,
+       wb.merged AS h1_merged, wb.cnt::BIGINT AS h1_count,
+       (CASE WHEN wa.merged IS NOT NULL AND wa.merged = wb.merged
+             THEN 1 ELSE 0 END)::BIGINT AS agree
+FROM spine s
+LEFT JOIN wins_h0 wa USING (merge_round)
+LEFT JOIN wins_h1 wb USING (merge_round)
+ORDER BY s.merge_round"""
+    )
+
+
+@register(
+    "bpe_merge_stability",
+    oracle=_bpe_stability_oracle(),
+    tags=("text", "curation", "tokenizer"),
+)
+def bpe_merge_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training robustness, measured: split the corpus into
+    deterministic md5(doc_id) halves, train the BPE_ROUNDS merge loop
+    independently on each, and report round-by-round whether the two
+    halves pick the SAME winning merge (with both winners and counts).
+    Early-round disagreement means the tokenizer a pipeline trains is
+    an artifact of which shard of the crawl it saw — the go/no-go
+    number before freezing a merge table (the same halves discipline
+    as split_train_holdout).
+
+    Scale shape: each half collapses to its (word, count) vocabulary
+    once; every round is O(vocab x word_len) corpus-size independent
+    with a 1-row pinned winner (the bpe_merges_r4 loop, run twice);
+    the report is BPE_ROUNDS rows off a literal spine, so empty
+    corpora/halves yield NULL winners, never a crash."""
+    from wally_spark.operators.checkpoint import free_blocks, pin
+
+    d = _BPE_D
+    docs = _docs(spark, sf_dir)
+    nib = F.conv(
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
+        ),
+        16,
+        10,
+    ).cast("int")
+
+    def winners(half_docs: DataFrame) -> DataFrame:
+        tok = half_docs.select(F.explode(_words_col()).alias("word"))
+        wc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+        s0 = F.concat(
+            F.lit(d),
+            F.array_join(
+                F.expr(
+                    "transform(sequence(1, length(word)),"
+                    " i -> substring(word, i, 1))"
+                ),
+                d + d,
+            ),
+            F.lit(d),
+        )
+        vocab = pin(wc.select(s0.alias("s"), "c"))
+        outs = []
+        for r in range(BPE_ROUNDS):
+            syms = vocab.select(
+                F.split(
+                    F.expr("substring(s, 2, length(s)-2)"), d + d
+                ).alias("sy"),
+                "c",
+            ).where(F.size("sy") >= 2)
+            pairs = syms.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(sy)-1), i ->"
+                        " struct(element_at(sy, i) AS a,"
+                        " element_at(sy, i+1) AS b))"
+                    )
+                ).alias("p"),
+                "c",
+            ).select(
+                F.col("p.a").alias("a"), F.col("p.b").alias("b"), "c"
+            )
+            agg = pairs.groupBy("a", "b").agg(
+                F.sum("c").cast("bigint").alias("cnt")
+            )
+            top = pin(agg.orderBy(F.desc("cnt"), "a", "b").limit(1))
+            outs.append(
+                top.select(
+                    F.lit(r + 1).cast("bigint").alias("merge_round"),
+                    F.concat("a", "b").alias("merged"),
+                    F.col("cnt"),
+                )
+            )
+            merged_s = F.replace(
+                F.col("s"),
+                F.concat(
+                    F.lit(d), F.col("a"), F.lit(d + d), F.col("b"), F.lit(d)
+                ),
+                F.concat(F.lit(d), F.col("a"), F.col("b"), F.lit(d)),
+            )
+            new_vocab = pin(
+                vocab.crossJoin(F.broadcast(top)).select(
+                    merged_s.alias("s"), "c"
+                )
+            )
+            free_blocks(vocab)
+            vocab = new_vocab
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
+
+    wa = winners(docs.where(nib < 8)).select(
+        "merge_round",
+        F.col("merged").alias("h0_merged"),
+        F.col("cnt").alias("h0_count"),
+    )
+    wb = winners(docs.where(nib >= 8)).select(
+        "merge_round",
+        F.col("merged").alias("h1_merged"),
+        F.col("cnt").alias("h1_count"),
+    )
+    spine = spark.range(1, BPE_ROUNDS + 1).select(
+        F.col("id").cast("bigint").alias("merge_round")
+    )
+    return (
+        spine.join(wa, "merge_round", "left")
+        .join(wb, "merge_round", "left")
+        .select(
+            "merge_round",
+            "h0_merged",
+            F.col("h0_count").cast("bigint").alias("h0_count"),
+            "h1_merged",
+            F.col("h1_count").cast("bigint").alias("h1_count"),
+            F.when(
+                F.col("h0_merged").isNotNull()
+                & (F.col("h0_merged") == F.col("h1_merged")),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("agree"),
+        )
+        .orderBy("merge_round")
+    )
+
+
 # --- DSIR importance resampling (r7) ----------------------------------------
 DSIR_BUCKETS = 512  # hashed n-gram feature space
 DSIR_TARGET_LANG = "en"  # the "target distribution" seed slice
