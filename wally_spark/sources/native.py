@@ -62,14 +62,18 @@ import threading
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 __all__ = [
     "WallyALODataSource",
     "WallyUDPDataSource",
+    "WallyTCPSinkDataSource",
     "ALOStreamReader",
     "UDPStreamReader",
+    "TCPStreamWriter",
     "register_native",
 ]
 
@@ -488,7 +492,70 @@ class WallyUDPDataSource(DataSource):
         return UDPStreamReader(self.options)
 
 
+class TCPStreamWriter(DataSourceStreamWriter):
+    """Per-partition TCP writer: each task opens its own connection
+    (no driver funnel — the TCPSink contract of sinks/__init__.py,
+    now as a first-class v2 sink). Wire modes match TCPSink: newline
+    JSON (default) or ``framed`` raw bytes from a binary ``frame``
+    column (functions/framing.encode_frame, the reference's
+    length-prefixed format). Delivery is at-least-once under task
+    retry — the reference connector protocol's own guarantee; pair
+    with a receiver-side dedup key when exactly-once matters."""
+
+    def __init__(self, options: dict):
+        self._host = options.get("host", "127.0.0.1")
+        self._port = int(options.get("port", "7300"))
+        self._framed = str(options.get("framed", "false")).lower() == "true"
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import json as _json
+
+        n = 0
+        if self._framed:
+            chunks = []
+            for row in iterator:
+                chunks.append(bytes(row["frame"]))
+                n += 1
+            payload = b"".join(chunks)
+        else:
+            lines = []
+            for row in iterator:
+                lines.append(_json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+            payload = "".join(lines).encode()
+        if payload:
+            with socket.create_connection(
+                (self._host, self._port), timeout=10
+            ) as s:
+                s.sendall(payload)
+        return WriterCommitMessage()
+
+    def commit(self, messages, batchId) -> None:
+        return None
+
+    def abort(self, messages, batchId) -> None:
+        return None
+
+
+class WallyTCPSinkDataSource(DataSource):
+    """``writeStream.format("wally_tcp")`` — the TCP sink as a native
+    v2 streaming sink. Options: host (default 127.0.0.1), port
+    (default 7300), framed (send a pre-encoded binary ``frame``
+    column raw instead of newline JSON)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "wally_tcp"
+
+    def schema(self) -> str:
+        return "value binary"
+
+    def streamWriter(self, schema, overwrite) -> TCPStreamWriter:
+        return TCPStreamWriter(self.options)
+
+
 def register_native(spark) -> None:
     """Register every native Python DataSource face on the session."""
     spark.dataSource.register(WallyALODataSource)
     spark.dataSource.register(WallyUDPDataSource)
+    spark.dataSource.register(WallyTCPSinkDataSource)
