@@ -187,6 +187,7 @@ def test_no_cartesian_anywhere(spark):
         "repetition_mixing_schedule",  # composes token_budget_allocation's
         # 1-row total-weight side
         "simhash_recall_audit",  # 1-row emitted/dropped cost-stats side
+        "bloom_dedup_audit",  # four 1-row count-stats combines
     }
     offenders = []
     for name in sorted(REGISTRY):

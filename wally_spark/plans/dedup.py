@@ -1528,6 +1528,448 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- vocabulary growth curve (Heap's law, r12) --------------------------------
+_VG_DECILE = (
+    "(((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1)"
+    " * 16 + "
+    "(strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1))"
+    " * 10) // 256"
+)
+
+
+@register(
+    "tokenizer_vocab_growth",
+    oracle=f"""
+WITH dw AS (
+  SELECT doc_id, {_VG_DECILE} AS decile,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+           AS word
+  FROM documents
+),
+per AS (
+  SELECT decile, count(*)::BIGINT AS n_tokens FROM dw GROUP BY decile
+),
+docs_per AS (
+  SELECT {_VG_DECILE} AS decile, count(*)::BIGINT AS n_docs
+  FROM documents GROUP BY decile
+),
+firsts AS (
+  SELECT min(decile) AS decile FROM dw GROUP BY word
+),
+news AS (
+  SELECT decile, count(*)::BIGINT AS new_words FROM firsts GROUP BY decile
+),
+spine AS (SELECT unnest(range(10))::BIGINT AS decile)
+SELECT s.decile,
+       coalesce(d.n_docs, 0)::BIGINT AS n_docs,
+       coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(n.new_words, 0)::BIGINT AS new_words,
+       sum(coalesce(d.n_docs, 0)) OVER w::BIGINT AS n_docs_cum,
+       sum(coalesce(p.n_tokens, 0)) OVER w::BIGINT AS n_tokens_cum,
+       sum(coalesce(n.new_words, 0)) OVER w::BIGINT AS vocab_cum
+FROM spine s
+LEFT JOIN docs_per d USING (decile)
+LEFT JOIN per p USING (decile)
+LEFT JOIN news n USING (decile)
+WINDOW w AS (ORDER BY s.decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY s.decile
+""",
+    tags=("text", "curation", "tokenizer", "audit"),
+)
+def tokenizer_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heap's law): the corpus ordered into
+    ten deterministic md5(doc_id) deciles, and per decile the token
+    mass plus the count of words seen for the FIRST time — the
+    cumulative (n_tokens_cum, vocab_cum) pairs are the V = K * N^beta
+    curve whose flattening (or failure to flatten) tells a corpus
+    owner whether more crawl still buys vocabulary diversity, and
+    sizes the token id table before a tokenizer freeze.
+
+    Scale shape: one explode + two uniform groupBys (decile has 10
+    values but each group is a partial-aggregated count; the word
+    first-decile groupBy keys on the word — uniform); the running
+    sums window over a LITERAL 10-row spine. Empty corpora yield ten
+    zero rows."""
+    docs = _docs(spark, sf_dir)
+    decile = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.col("doc_id").cast("string").cast("binary")),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            * 10
+        )
+        / 256
+    ).cast("bigint")
+    dw = docs.select(
+        decile.alias("decile"), F.explode(_wg_words()).alias("word")
+    )
+    per = dw.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    docs_per = docs.select(decile.alias("decile")).groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    news = (
+        dw.groupBy("word")
+        .agg(F.min("decile").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_words"))
+    )
+    from pyspark.sql import Window
+
+    spine = spark.range(0, 10).select(
+        F.col("id").cast("bigint").alias("decile")
+    )
+    w = (
+        Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(docs_per, "decile", "left")
+        .join(per, "decile", "left")
+        .join(news, "decile", "left")
+        .select(
+            "decile",
+            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce("n_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.coalesce("new_words", F.lit(0))
+            .cast("bigint")
+            .alias("new_words"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "n_tokens",
+            "new_words",
+            F.sum("n_docs").over(w).cast("bigint").alias("n_docs_cum"),
+            F.sum("n_tokens").over(w).cast("bigint").alias("n_tokens_cum"),
+            F.sum("new_words").over(w).cast("bigint").alias("vocab_cum"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _wg_words():
+    return F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+
+
+# --- Bloom pre-screen audit (r12) --------------------------------------------
+BLOOM_M = 16384  # filter bits
+BLOOM_K = 4  # hash functions
+_BLOOM_NIB = "strpos('0123456789abcdef', substr(h, 1, 1)) - 1"
+
+
+def _bloom_bit_sql(i: int) -> str:
+    # first 4 md5 hex chars as a 16-bit int, folded into [0, BLOOM_M)
+    return (
+        f"(((strpos('0123456789abcdef', substr(md5(h || ':{i}'), 1, 1)) - 1)"
+        f" * 4096 + "
+        f"(strpos('0123456789abcdef', substr(md5(h || ':{i}'), 2, 1)) - 1)"
+        f" * 256 + "
+        f"(strpos('0123456789abcdef', substr(md5(h || ':{i}'), 3, 1)) - 1)"
+        f" * 16 + "
+        f"(strpos('0123456789abcdef', substr(md5(h || ':{i}'), 4, 1)) - 1))"
+        f" % {BLOOM_M})"
+    )
+
+
+@register(
+    "bloom_dedup_audit",
+    oracle=f"""
+WITH contents AS (SELECT DISTINCT md5(text) AS h FROM documents),
+ha AS (SELECT h FROM contents WHERE {_BLOOM_NIB} < 8),
+hb AS (SELECT h FROM contents WHERE {_BLOOM_NIB} >= 8),
+abits AS (
+  SELECT DISTINCT bit FROM (
+    {" UNION ALL ".join(f"SELECT {_bloom_bit_sql(i)} AS bit FROM ha" for i in range(BLOOM_K))})
+),
+bprobe AS (
+  {" UNION ALL ".join(f"SELECT h, {_bloom_bit_sql(i)} AS bit FROM hb" for i in range(BLOOM_K))}
+),
+fp AS (
+  SELECT p.h FROM bprobe p JOIN abits a ON p.bit = a.bit
+  GROUP BY p.h HAVING count(*) = {BLOOM_K}
+),
+stats AS (
+  SELECT (SELECT count(*) FROM ha)::BIGINT AS n_inserted,
+         (SELECT count(*) FROM hb)::BIGINT AS n_probed,
+         (SELECT count(*) FROM abits)::BIGINT AS bits_set,
+         (SELECT count(*) FROM fp)::BIGINT AS fp_count
+)
+SELECT n_inserted, n_probed, bits_set, fp_count,
+       ((10000 * fp_count) // nullif(n_probed, 0))::BIGINT AS fpr_bp,
+       ((10000 * bits_set * bits_set * bits_set * bits_set)
+        // ({BLOOM_M}::BIGINT * {BLOOM_M} * {BLOOM_M} * {BLOOM_M}))
+         ::BIGINT AS expected_bp
+FROM stats
+""",
+    tags=("dedup", "bloom", "audit"),
+)
+def bloom_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-screen false-positive audit — the measurement behind
+    using an m-bit/k-hash Bloom filter as the cheap first pass of
+    exact dedup at 100 TB (probe the filter before paying the
+    content-hash shuffle; a false positive only costs a redundant
+    exact check, never a lost document). Deterministic construction:
+    distinct content hashes split into md5-parity halves, half A's
+    {K} bit positions (md5(h:i) nibbles mod {M}) set the filter, half
+    B (disjoint by construction) probes it; a probe whose {K} bits
+    are all set is a measured false positive. ``expected_bp`` is the
+    load-factor prediction (bits_set/m)^k computed in EXACT integer
+    arithmetic (bits_set^4 < 2^63), so both engines agree
+    bit-for-bit — the measured-vs-predicted pair is the m/k sizing
+    decision.
+
+    Scale shape: bits relations are content-count-sized with a
+    {M}-row distinct filter side (broadcastable); the probe is one
+    uniform equi-join on bit ids; everything aggregates to one
+    row.""".format(K=BLOOM_K, M=BLOOM_M)
+    docs = _docs(spark, sf_dir)
+    contents = docs.select(
+        F.md5(F.col("text").cast("binary")).alias("h")
+    ).distinct()
+    nib = F.conv(F.substring("h", 1, 1), 16, 10).cast("int")
+    ha = contents.where(nib < 8)
+    hb = contents.where(nib >= 8)
+
+    def bits_of(rel: DataFrame) -> DataFrame:
+        return rel.select(
+            "h",
+            F.explode(
+                F.array(
+                    *[
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.col("h"), F.lit(f":{i}")
+                                        ).cast("binary")
+                                    ),
+                                    1,
+                                    4,
+                                ),
+                                16,
+                                10,
+                            ).cast("bigint")
+                            % BLOOM_M
+                        )
+                        for i in range(BLOOM_K)
+                    ]
+                )
+            ).alias("bit"),
+        )
+
+    abits = bits_of(ha).select("bit").distinct()
+    fp = (
+        bits_of(hb)
+        .join(F.broadcast(abits), "bit")
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("k_hit"))
+        .where(F.col("k_hit") == BLOOM_K)
+    )
+    stats = (
+        ha.agg(F.count(F.lit(1)).cast("bigint").alias("n_inserted"))
+        .crossJoin(
+            hb.agg(F.count(F.lit(1)).cast("bigint").alias("n_probed"))
+        )
+        .crossJoin(
+            abits.agg(F.count(F.lit(1)).cast("bigint").alias("bits_set"))
+        )
+        .crossJoin(
+            fp.agg(F.count(F.lit(1)).cast("bigint").alias("fp_count"))
+        )
+    )
+    m4 = BLOOM_M**4
+    return stats.select(
+        "n_inserted",
+        "n_probed",
+        "bits_set",
+        "fp_count",
+        F.expr("cast((10000 * fp_count) div nullif(n_probed, 0) as bigint)")
+        .alias("fpr_bp"),
+        F.expr(
+            "cast((10000 * bits_set * bits_set * bits_set * bits_set)"
+            f" div {m4} as bigint)"
+        ).alias("expected_bp"),
+    )
+
+
+# --- b-bit minhash accuracy audit (r12) --------------------------------------
+BBIT = 4  # bits kept per signature component (Li & König 2010)
+_BBIT_MASK = (1 << BBIT) - 1
+
+
+@register(
+    "minhash_bbit_audit",
+    oracle=f"""
+WITH shingled AS ({{SHINGLES}}),
+exploded AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+),
+{{CAND}},
+sizes AS (SELECT doc_id, count(*) AS n FROM exploded GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN exploded a ON a.doc_id = c.doc_a
+  JOIN exploded b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         ((10000 * ({{FULL_MATCHES}})) // {N_HASHES})::BIGINT
+           AS est_full_bp,
+         (CASE WHEN {1 << BBIT} * ({{BBIT_MATCHES}}) <= {N_HASHES} THEN 0
+               ELSE (10000 * ({1 << BBIT} * ({{BBIT_MATCHES}})
+                              - {N_HASHES}))
+                    // {N_HASHES * ((1 << BBIT) - 1)}
+          END)::BIGINT AS est_b4_bp
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+)
+SELECT e.doc_a, e.doc_b,
+       floor(10000.0 * coalesce(s.inter, 0)
+             / (za.n + zb.n - coalesce(s.inter, 0)))::BIGINT AS exact_bp,
+       e.est_full_bp, e.est_b4_bp,
+       (e.est_full_bp
+        - floor(10000.0 * coalesce(s.inter, 0)
+                / (za.n + zb.n - coalesce(s.inter, 0))))::BIGINT
+         AS err_full_bp,
+       (e.est_b4_bp
+        - floor(10000.0 * coalesce(s.inter, 0)
+                / (za.n + zb.n - coalesce(s.inter, 0))))::BIGINT
+         AS err_b4_bp
+FROM est e
+LEFT JOIN shared s ON s.doc_a = e.doc_a AND s.doc_b = e.doc_b
+JOIN sizes za ON za.doc_id = e.doc_a
+JOIN sizes zb ON zb.doc_id = e.doc_b
+""".format(
+        SHINGLES=_SHINGLES_SQL,
+        CAND=_CAND_SQL,
+        FULL_MATCHES=" + ".join(
+            f"CASE WHEN sa.mh{h} = sb.mh{h} THEN 1 ELSE 0 END"
+            for h in range(N_HASHES)
+        ),
+        BBIT_MATCHES=" + ".join(
+            f"CASE WHEN (sa.mh{h} % {1 << BBIT}) = (sb.mh{h} % {1 << BBIT})"
+            " THEN 1 ELSE 0 END"
+            for h in range(N_HASHES)
+        ),
+    ),
+    tags=("dedup", "lsh", "audit"),
+)
+def minhash_bbit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit MinHash accuracy audit (Li & Konig 2010): per LSH
+    candidate pair, the Jaccard estimate from FULL {N}-component
+    signatures next to the estimate from only the LOW {B} BITS of
+    each component — the 16x-smaller sketch a 100 TB signature store
+    actually ships — with both signed errors against the exact
+    set-Jaccard. The b-bit collision rate c relates to Jaccard J by
+    E[c] = J + (1 - J)/2^b, so the unbiased estimate is
+    (c - 2^-b) / (1 - 2^-b), computed here in exact integer bp
+    (floored, clamped at 0) so both engines agree bit-for-bit.
+
+    Same scale shape as minhash_estimate_audit: candidates are the
+    MAX_BUCKET-capped banded pairs, exact verify is pair-keyed, the
+    sketch comparisons are pure integer expressions per pair.""".format(
+        N=N_HASHES, B=BBIT
+    )
+    cands = pin(dedup_minhash(spark, sf_dir).select("doc_a", "doc_b"))
+    sigs = minhash_signatures(fan_out(_docs(spark, sf_dir), "doc_id"))
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{h}").alias(f"a{h}") for h in range(N_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{h}").alias(f"b{h}") for h in range(N_HASHES)],
+    )
+    full_matches = sum(
+        F.when(F.col(f"a{h}") == F.col(f"b{h}"), 1).otherwise(0)
+        for h in range(N_HASHES)
+    )
+    bbit_matches = sum(
+        F.when(
+            F.col(f"a{h}") % (1 << BBIT) == F.col(f"b{h}") % (1 << BBIT), 1
+        ).otherwise(0)
+        for h in range(N_HASHES)
+    )
+    est = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor((10000 * full_matches) / N_HASHES)
+            .cast("bigint")
+            .alias("est_full_bp"),
+            # unbiased b-bit estimate, exact integer bp:
+            # floor(10000 * (c - 2^-b) / (1 - 2^-b)), c = mb/N
+            #   = floor(10000 * (mb*2^b - N) / (N*(2^b - 1)));
+            # clamped to 0 BEFORE dividing so floor vs trunc can
+            # never disagree across engines on a negative numerator
+            F.when(bbit_matches * (1 << BBIT) <= F.lit(N_HASHES), 0)
+            .otherwise(
+                F.floor(
+                    (10000 * (bbit_matches * (1 << BBIT) - N_HASHES))
+                    / (N_HASHES * ((1 << BBIT) - 1))
+                )
+            )
+            .cast("bigint")
+            .alias("est_b4_bp"),
+        )
+    )
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        cands.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    exact_bp = F.floor(
+        10000.0
+        * F.coalesce(F.col("inter"), F.lit(0))
+        / (F.col("na") + F.col("nb") - F.coalesce(F.col("inter"), F.lit(0)))
+    ).cast("bigint")
+    return (
+        est.join(shared, ["doc_a", "doc_b"], "left")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            exact_bp.alias("exact_bp"),
+            "est_full_bp",
+            "est_b4_bp",
+            (F.col("est_full_bp") - exact_bp)
+            .cast("bigint")
+            .alias("err_full_bp"),
+            (F.col("est_b4_bp") - exact_bp)
+            .cast("bigint")
+            .alias("err_b4_bp"),
+        )
+    )
+
+
 # --- containment (asymmetric Jaccard) on LSH candidates (r8) -----------------
 CONTAIN_T_BP = 7000  # flag pairs where the smaller doc is mostly contained
 
