@@ -1707,8 +1707,8 @@ stats AS (
 )
 SELECT n_inserted, n_probed, bits_set, fp_count,
        ((10000 * fp_count) // nullif(n_probed, 0))::BIGINT AS fpr_bp,
-       ((10000 * bits_set * bits_set * bits_set * bits_set)
-        // ({BLOOM_M}::BIGINT * {BLOOM_M} * {BLOOM_M} * {BLOOM_M}))
+       floor(10000.0 * ((bits_set / {BLOOM_M}.0) * (bits_set / {BLOOM_M}.0)
+              * (bits_set / {BLOOM_M}.0) * (bits_set / {BLOOM_M}.0)))
          ::BIGINT AS expected_bp
 FROM stats
 """,
@@ -1789,7 +1789,11 @@ def bloom_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             fp.agg(F.count(F.lit(1)).cast("bigint").alias("fp_count"))
         )
     )
-    m4 = BLOOM_M**4
+    # expected = floor(10000 * (bits_set/m)^4). 10000*b^4 overflows
+    # int64 once b > ~5500 (found by the sf0.1 sweep under ANSI mode),
+    # so compute in doubles: b/2^14 is EXACT in binary FP and each
+    # multiply is correctly rounded, so both engines agree given the
+    # identical op order spelled out here.
     return stats.select(
         "n_inserted",
         "n_probed",
@@ -1798,8 +1802,9 @@ def bloom_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast((10000 * fp_count) div nullif(n_probed, 0) as bigint)")
         .alias("fpr_bp"),
         F.expr(
-            "cast((10000 * bits_set * bits_set * bits_set * bits_set)"
-            f" div {m4} as bigint)"
+            f"cast(floor(10000.0 * ((bits_set / {BLOOM_M}.0)"
+            f" * (bits_set / {BLOOM_M}.0) * (bits_set / {BLOOM_M}.0)"
+            f" * (bits_set / {BLOOM_M}.0))) as bigint)"
         ).alias("expected_bp"),
     )
 
