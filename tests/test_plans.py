@@ -127,6 +127,22 @@ def test_rfm_no_global_window(spark):
         assert "windowspecdefinition(_gb" in ln, ln
 
 
+def test_ntile_quartiles_no_global_window(spark):
+    """ntile_order_quartiles migrated off its single-partition global
+    ntile window in r13 (the last acknowledged one in the registry —
+    VERDICT r12 "What's wrong" #1). Same gate shape as
+    test_rfm_no_global_window: no ntile function anywhere in the plan,
+    and every window operator partitioned by the prefix bucket."""
+    import re
+
+    plan = _plan(spark, "ntile_order_quartiles", mode="simple")
+    assert not re.search(r"(?<![a-z])ntile\(", plan), plan
+    win_lines = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+    assert win_lines, plan  # the per-bucket rank windows must exist
+    for ln in win_lines:
+        assert "windowspecdefinition(_gb" in ln, ln
+
+
 def test_centroids_partial_aggregation(spark):
     """embedding_centroids must partial-aggregate map-side: the
     exchange carries (label, pos) partial sums, not exploded vector

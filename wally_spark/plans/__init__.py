@@ -62,7 +62,8 @@ _DRIVER_GREEN = frozenset(
         "app_passthrough", "app_word_count", "app_word_count_collect",
         "asof_next_view", "asof_purchase_view", "asof_purchase_view_1h",
         "attribution_last_touch", "basket_rules", "blocklist_terms_filter",
-        "bm25_rank", "bpe_encode", "bpe_encode_ids", "bpe_merge_pairs",
+        "bloom_dedup_audit", "bm25_rank", "bpe_decode_check", "bpe_encode",
+        "bpe_encode_ids", "bpe_merge_pairs", "bpe_merge_stability",
         "bpe_merges_r4", "brand_price_dispersion", "brand_return_rate",
         "chunk_overlap", "cohort_revenue_ltv", "contrastive_pairs",
         "corpus_mix_report", "corpus_shard_manifest",
@@ -103,52 +104,54 @@ _DRIVER_GREEN = frozenset(
         "lang_source_quota", "langid_agreement", "langid_confusion",
         "late_arrival_report", "line_dup_catalog",
         "lineitem_charges_unpivot", "lsh_recall_measured",
-        "lsh_tuning_curve", "minhash_containment", "minhash_estimate_audit",
-        "mm_binary_dup", "mm_byte_stats", "mm_frame_sample",
-        "mm_gif_anim_stats", "mm_image_header", "mm_image_meta",
-        "mm_jpeg_segments", "mm_mp4_boxes", "mm_pcm_silence", "mm_pcm_stats",
-        "mm_phash_dup", "mm_png_chunks", "mm_tar_members", "mm_thumbnail",
-        "mm_wav_header", "mm_zip_entries", "nation_trade_matrix",
-        "nb_calibration", "ngram_coverage", "ntile_order_quartiles",
-        "oov_rate_by_source", "open_order_lines_daily", "orders_aging_bands",
+        "lsh_tuning_curve", "minhash_bbit_audit", "minhash_containment",
+        "minhash_estimate_audit", "mm_binary_dup", "mm_byte_stats",
+        "mm_frame_sample", "mm_gif_anim_stats", "mm_image_header",
+        "mm_image_meta", "mm_jpeg_segments", "mm_mp4_boxes",
+        "mm_pcm_silence", "mm_pcm_stats", "mm_phash_dup", "mm_png_chunks",
+        "mm_tar_members", "mm_thumbnail", "mm_wav_header", "mm_zip_entries",
+        "nation_trade_matrix", "nb_calibration", "ngram_coverage",
+        "ntile_order_quartiles", "oov_rate_by_source",
+        "open_order_lines_daily", "orders_aging_bands",
         "orders_grouping_sets", "orders_value_percentile_bands",
-        "orders_yoy_growth", "pack_attention_boundaries", "pack_chunks",
-        "part_affinity_jaccard",
-        "part_cooccurrence", "pipeline_merge", "pivot_user_event_totals",
-        "repetition_mixing_schedule", "simhash_recall_audit",
-        "pool_filter_report", "price_index_laspeyres",
-        "price_quantity_elasticity", "priority_sla_report",
-        "q10_returned_items", "q11_important_parts", "q12_priority_class",
-        "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
-        "q16_parts_supplier", "q17_small_quantity", "q18_bucketed",
-        "q18_large_customers", "q19_discounted_revenue",
-        "q1_pricing_summary", "q20_significant_suppliers",
-        "q21_suppliers_kept_waiting", "q22_global_sales_opportunity",
-        "q2_best_supplier", "q3_bucketed", "q3_shipping_priority",
-        "q4_order_priority", "q5_local_supplier", "q6_forecast_revenue",
-        "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-        "quality_dup_contingency", "quality_rule_sweep", "quantiles_by_type",
-        "quantiles_exact_check", "range_join_views_before_purchase",
+        "orders_yoy_growth", "pack_attention_boundaries",
+        "pack_bestfit_report", "pack_chunks", "pack_contamination_report",
+        "part_affinity_jaccard", "part_cooccurrence", "pipeline_merge",
+        "pivot_user_event_totals", "pool_filter_report",
+        "price_index_laspeyres", "price_quantity_elasticity",
+        "priority_sla_report", "q10_returned_items", "q11_important_parts",
+        "q12_priority_class", "q13_customer_distribution",
+        "q14_promo_effect", "q15_top_supplier", "q16_parts_supplier",
+        "q17_small_quantity", "q18_bucketed", "q18_large_customers",
+        "q19_discounted_revenue", "q1_pricing_summary",
+        "q20_significant_suppliers", "q21_suppliers_kept_waiting",
+        "q22_global_sales_opportunity", "q2_best_supplier", "q3_bucketed",
+        "q3_shipping_priority", "q4_order_priority", "q5_local_supplier",
+        "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+        "q9_product_profit", "quality_dup_contingency", "quality_rule_sweep",
+        "quantiles_by_type", "quantiles_exact_check",
+        "range_join_views_before_purchase", "repetition_mixing_schedule",
         "resample_1h", "revenue_decile_gains", "revenue_dod_delta",
         "rolling_7d_revenue", "rollup_orders", "running_total",
         "salted_event_totals", "sample_kfold_assign", "sample_pps",
         "sample_reservoir", "sample_stratified", "sample_temperature",
         "schema_drift_report", "semantic_dedup", "session_conversion_lag",
         "session_entry_exit", "setops_viewer_purchasers",
-        "sliding_distinct_users", "source_length_gini", "source_token_kl",
-        "span_corruption_manifest", "split_train_holdout",
-        "supplier_concentration_hhi", "supplier_latency_report",
-        "supplier_redundancy", "text_boilerplate", "text_fingerprint",
-        "text_langid", "text_langid_margin", "text_langid_ngram",
-        "text_lm_bigram", "text_lm_kneser_ney", "text_lm_perplexity",
-        "text_ngram_novelty", "text_pii_scrub", "text_quality",
-        "text_readability", "text_repetition", "text_script_mix",
-        "text_sentence_stats", "text_tokens", "text_word_entropy",
-        "tfidf_top_terms", "time_weighted_avg", "token_budget_allocation",
-        "token_pmi", "token_source_mi", "tokenizer_fertility",
-        "topk_per_key", "url_blocklist", "url_canonical_dedup",
-        "user_activity_gaps", "user_activity_gini", "user_bot_score",
-        "user_burst_minutes", "user_churn_features", "user_event_entropy",
+        "simhash_recall_audit", "sliding_distinct_users",
+        "source_length_gini", "source_token_kl", "span_corruption_manifest",
+        "split_train_holdout", "supplier_concentration_hhi",
+        "supplier_latency_report", "supplier_redundancy", "text_boilerplate",
+        "text_fingerprint", "text_langid", "text_langid_margin",
+        "text_langid_ngram", "text_lm_bigram", "text_lm_kneser_ney",
+        "text_lm_perplexity", "text_ngram_novelty", "text_pii_scrub",
+        "text_quality", "text_readability", "text_repetition",
+        "text_script_mix", "text_sentence_stats", "text_tokens",
+        "text_word_entropy", "tfidf_top_terms", "time_weighted_avg",
+        "token_budget_allocation", "token_pmi", "token_source_mi",
+        "tokenizer_fertility", "tokenizer_vocab_growth", "topk_per_key",
+        "url_blocklist", "url_canonical_dedup", "user_activity_gaps",
+        "user_activity_gini", "user_bot_score", "user_burst_minutes",
+        "user_churn_features", "user_event_entropy",
         "user_purchase_intervals", "user_rfm_segments",
         "user_survival_curve", "value_histogram", "value_outliers",
         "value_winsorized", "vocab_bigrams", "vocab_coverage_curve",
@@ -162,17 +165,12 @@ _DRIVER_GREEN = frozenset(
 # re-enter the driver window. Refresh this set each round.
 _CHANGED_THIS_ROUND: frozenset = frozenset(
     {
-        # r12: verify-cost pass — length-difference pre-filter before
-        # the banded Levenshtein verify (plan changed; recall must not)
-        "dedup_edit_verified",
-        # r12: audit lane grew precision/cost columns (candidates
-        # proposed per band scheme, not just recall)
+        # r13: migrated off the single-partition global ntile window to
+        # operators/prefix.global_ntile (VERDICT r12 "What's wrong" #1)
+        "ntile_order_quartiles",
+        # r13: cost cap — truth relation / A/B columns trimmed per
+        # VERDICT r12 next-round item 6 (recall numbers must not move)
         "simhash_recall_audit",
-        # r12: merge replay factored into _bpe_encoded_vocab_from_wc
-        # and the layout tail into _layout_from_doctot (shared with
-        # the streaming attention-manifest face) — expressions
-        # byte-identical, re-verify anyway (the r11 factoring rule)
-        "bpe_encode", "bpe_encode_ids", "pack_attention_boundaries",
     }
 )
 
