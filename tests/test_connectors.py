@@ -619,7 +619,7 @@ def test_alo_kafka_handshake_ack_and_replay_dedupe(tmp_path):
     landed = []
     server = ALOIngestServer(
         cookie="cookie",
-        land=lambda sid, mid, payload: landed.append((sid, mid, payload)),
+        land=lambda sid, mid, payload, *meta: landed.append((sid, mid, payload)),
         initial_credits=16,
     )
 
@@ -694,7 +694,7 @@ def test_alo_lands_into_spool_for_spark(spark, tmp_path):
     relay = SpoolRelay(str(tmp_path / "spool"), encoding="base64")
     server = ALOIngestServer(
         cookie="cookie",
-        land=lambda sid, mid, payload: relay.push(
+        land=lambda sid, mid, payload, *meta: relay.push(
             b"%d\t%d\t" % (sid, mid) + (payload or b"")
         ),
     )
@@ -859,7 +859,7 @@ def test_alo_twopc_socket_lifecycle():
     landed = []
     server = ALOIngestServer(
         cookie="c",
-        land=lambda sid, mid, payload: landed.append((sid, mid, payload)),
+        land=lambda sid, mid, payload, *meta: landed.append((sid, mid, payload)),
         ack_every=1000,  # keep data acks position-less in this test
     )
     sock, close = _alo_manual_session(server)
@@ -920,3 +920,102 @@ def test_alo_twopc_socket_lifecycle():
         assert decode_inner(reply.message) == ReplyUncommitted(10, ())
     finally:
         close()
+
+
+def test_alo_land_carries_event_time_and_key():
+    """r12 advice (native.py item 1): the land callback receives the
+    wire Message's REAL event_time and key, not hardcoded zeros — the
+    advertised (event_time, key) schema columns must be honest."""
+    from wally_spark.sources.alo import ALOIngestServer, Message
+
+    landed = []
+    server = ALOIngestServer(
+        cookie="c",
+        land=lambda sid, mid, payload, et, key: landed.append(
+            (sid, mid, payload, et, key)
+        ),
+    )
+    server.handle(Message(1, 0, 1234567, b"part-key", b"v0"))
+    server.handle(Message(1, 1, -5, None, b"v1"))
+    assert landed == [
+        (1, 0, b"v0", 1234567, b"part-key"),
+        (1, 1, b"v1", -5, None),
+    ]
+
+
+def test_alo_notify_rewind_is_per_stream():
+    """r12 advice (native.py item 4): a reconnecting client's Notify
+    rewinds ONLY the announced stream to its committed position —
+    other live streams' dedupe state is untouched (the old behavior
+    cleared ALL acked state per connection)."""
+    from wally_spark.sources.alo import ALOIngestServer, Message, Notify, NotifyAck
+
+    committed = {1: 2}
+    server = ALOIngestServer(
+        cookie="c",
+        land=lambda *a: None,
+        resume=lambda sid: committed.get(sid),
+    )
+    # two live streams with landed-but-uncommitted tails
+    for mid in range(4):
+        server.handle(Message(1, mid, 0, None, b"a"))
+        server.handle(Message(2, mid, 0, None, b"b"))
+    assert server.acked == {1: 4, 2: 4}
+    # stream 1 reconnects: rewound to committed=2; stream 2 untouched
+    assert server.handle(Notify(1, b"1", 0)) == [NotifyAck(True, 1, 2)]
+    assert server.acked == {1: 2, 2: 4}
+    # a never-committed stream reconnecting falls back to the client's
+    # point_of_ref (acked entry dropped, buffer dedupe takes over)
+    assert server.handle(Notify(2, b"2", 1)) == [NotifyAck(True, 2, 1)]
+    assert 2 not in server.acked
+
+
+def test_alo_twopc_txn_log_survives_restart(tmp_path):
+    """r12 advice (alo.py item 3): with ``txn_log`` set, Phase1 spans
+    journal to disk before the commit vote, so an abort arriving after
+    a server restart still rolls the covered stream back — and a
+    Phase2 for a txn the server never prepared answers with a protocol
+    Error instead of silently keeping the span."""
+    from wally_spark.sources.alo import (
+        Ack,
+        ALOIngestServer,
+        Error,
+        Message,
+        TwoPCPhase1,
+        TwoPCPhase2,
+        encode_inner,
+    )
+
+    log = str(tmp_path / "txn.json")
+
+    def mk():
+        return ALOIngestServer(cookie="c", land=lambda *a: None, txn_log=log)
+
+    server = mk()
+    for mid in range(5):
+        server.handle(Message(1, mid, 0, None, b"r%d" % mid))
+    out = server.handle(
+        Message(0, 0, 0, None, encode_inner(TwoPCPhase1("t1", ((1, 2, 5),))))
+    )
+    assert isinstance(out[0], Message)  # commit vote rode back
+    assert server.txn_state == {"t1": ((1, 2, 5),)}
+
+    # SERVER RESTART: fresh instance, same txn log
+    server2 = mk()
+    server2.acked = {1: 5}
+    assert server2.txn_state == {"t1": ((1, 2, 5),)}
+    # abort after restart still truncates to the span start
+    out = server2.handle(
+        Message(0, 0, 0, None, encode_inner(TwoPCPhase2("t1", False)))
+    )
+    assert out == [Ack(1, ())]
+    assert server2.acked == {1: 2}
+    # and the resolved txn left the durable log too
+    assert mk().txn_state == {}
+
+    # Phase2 for an unknown txn answers Error (never a silent no-op)
+    out = server2.handle(
+        Message(0, 0, 0, None, encode_inner(TwoPCPhase2("ghost", False)))
+    )
+    assert isinstance(out[0], Error) and "ghost" in out[0].message
+    assert server2.acked == {1: 2}  # state untouched

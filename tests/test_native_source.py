@@ -302,3 +302,93 @@ def test_wally_tcp_native_sink(spark, tmp_path):
     # rate source emits consecutive longs from 0, spread across
     # partitions (one connection each) — the first five must all land
     assert vals >= set(range(5)), sorted(vals)[:10]
+
+
+def test_udp_listener_fast_forward_after_restart(tmp_path):
+    """r12 advice (native.py item 2): after a driver restart the fresh
+    listener's next_seq is 0 while the checkpointed offset is high —
+    the reader fast-forwards the listener so (a) end offsets never
+    regress below start, and (b) datagrams buffered before the first
+    post-restart read are renumbered onto the committed frontier, not
+    silently pruned."""
+    from wally_spark.sources.native import UDPStreamReader, _UDPListener
+
+    port = _free_port()
+    lst = _UDPListener("127.0.0.1", port)
+    try:
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for p in (b"post-restart-0", b"post-restart-1"):
+            s.sendto(p, ("127.0.0.1", port))
+        s.close()
+        deadline = time.time() + 30
+        while lst.next_seq < 2 and time.time() < deadline:
+            time.sleep(0.1)
+        assert lst.next_seq == 2
+
+        # checkpointed start is 10: fast-forward renumbers the buffer
+        lst.fast_forward(10)
+        assert lst.next_seq == 12
+        assert sorted(lst.rows) == [10, 11]
+        assert [lst.rows[i] for i in (10, 11)] == [
+            (10, b"post-restart-0"),
+            (11, b"post-restart-1"),
+        ]
+        # idempotent / never regresses
+        lst.fast_forward(5)
+        assert lst.next_seq == 12 and sorted(lst.rows) == [10, 11]
+
+        # the reader path: read(start=10) serves both rows and hands
+        # Spark a monotone end offset
+        reader = UDPStreamReader(
+            {"host": "127.0.0.1", "port": str(port),
+             "wal": str(tmp_path / "wal")}
+        )
+        reader._listener = lst
+        rows, end = reader.read({"seq": 10})
+        assert end == {"seq": 12}
+        assert [r[1] for r in rows] == [b"post-restart-0", b"post-restart-1"]
+    finally:
+        lst.stop()
+
+
+def test_alo_native_buffer_lands_event_time_and_key():
+    """The native listener's landing buffer carries the wire frame's
+    real event_time/key into the advertised schema columns (r12
+    advice item 1) — exercised over a real socket session."""
+    from wally_spark.sources.alo import (
+        Ack,
+        EosMessage,
+        Hello,
+        Message,
+        Notify,
+        NotifyAck,
+        Ok,
+        recv_frame,
+        send_frame,
+    )
+    from wally_spark.sources.native import _ALOListener
+
+    port = _free_port()
+    lst = _ALOListener("127.0.0.1", port, "c", ack_every=4)
+    try:
+        sock = _connect_with_retry(port)
+        try:
+            send_frame(sock, Hello("0.0.1", "c", "native", "w"))
+            assert isinstance(recv_frame(sock), Ok)
+            send_frame(sock, Notify(1, b"1", 0))
+            assert isinstance(recv_frame(sock), NotifyAck)
+            send_frame(sock, Message(1, 0, 111, b"k0", b"v0"))
+            assert isinstance(recv_frame(sock), Ack)
+            send_frame(sock, Message(1, 1, 222, None, b"v1"))
+            assert isinstance(recv_frame(sock), Ack)
+            send_frame(sock, EosMessage(1))
+            assert isinstance(recv_frame(sock), Ack)
+        finally:
+            sock.close()
+        deadline = time.time() + 30
+        while len(lst.buf.get(1, {})) < 2 and time.time() < deadline:
+            time.sleep(0.1)
+        assert lst.buf[1][0] == (1, 0, 111, b"k0", b"v0")
+        assert lst.buf[1][1] == (1, 1, 222, None, b"v1")
+    finally:
+        lst.stop()

@@ -30,6 +30,8 @@ re-implemented clean-room from the wire layout.
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 import socket
 import struct
 from dataclasses import dataclass, field
@@ -468,25 +470,66 @@ class ALOIngestServer:
     grants credits, answers Notify with its per-stream resume
     position (at-least-once resume: the server's ack state wins),
     dedupes replayed Messages by (stream_id, message_id), lands
-    accepted payloads via ``land`` (e.g. SpoolRelay.push), and
-    replenishes one credit per processed Message, attaching the
-    positions snapshot every ``ack_every`` records. point-of-ref
-    convention matches the Kafka face: acked por = last accepted
-    record offset + 1 = next expected.
+    accepted records via ``land(stream_id, message_id, payload,
+    event_time, key)`` — the full wire Message, so consumers of the
+    advertised (event_time, key) columns see the real frame values,
+    not zeros (r12 advice) — and replenishes one credit per processed
+    Message, attaching the positions snapshot every ``ack_every``
+    records. point-of-ref convention matches the Kafka face: acked
+    por = last accepted record offset + 1 = next expected.
+
+    ``resume`` (optional): callable(stream_id) -> committed por or
+    None, consulted when a stream is (re-)announced via Notify — the
+    per-stream rewind that replaces rewinding ALL streams on every new
+    connection (r12 advice: a reconnect must not reset other clients'
+    dedupe state mid-session).
 
     Durability: ``acked`` is IN-PROCESS state. Across a server
     restart the NotifyAck echoes the client's point_of_ref and
     replayed messages land again — the spool landing is
     at-least-once; exactly-once is provided downstream by Structured
-    Streaming's checkpointed file tracking over the spool."""
+    Streaming's checkpointed file tracking over the spool.
+    ``txn_log`` (optional path) makes the 2PC ``txn_state`` durable
+    the way the reference aloc_sink persists its txn log
+    (aloc_sink_impl.py): Phase1 spans journal to disk before the
+    commit vote goes out, so an abort arriving after a server restart
+    still rolls the covered streams back instead of silently keeping
+    the aborted span."""
 
     cookie: str
-    land: object  # callable(stream_id, message_id, payload)
+    land: object  # callable(stream_id, message_id, payload, event_time, key)
     initial_credits: int = 16
     ack_every: int = 4
     acked: dict = field(default_factory=dict)
     txn_state: dict = field(default_factory=dict)  # txn_id -> where_list
+    resume: object = None  # callable(stream_id) -> committed por | None
+    txn_log: str | None = None
     _since_ack: int = 0
+
+    def __post_init__(self) -> None:
+        if self.txn_log and os.path.exists(self.txn_log):
+            try:
+                with open(self.txn_log) as f:
+                    raw = json.load(f)
+                self.txn_state.update(
+                    {
+                        t: tuple(tuple(w) for w in ws)
+                        for t, ws in raw.items()
+                    }
+                )
+            except (OSError, ValueError):
+                pass  # unreadable log: start empty, overwrite on next txn
+
+    def _persist_txns(self) -> None:
+        if not self.txn_log:
+            return
+        tmp = self.txn_log + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {t: [list(w) for w in ws] for t, ws in self.txn_state.items()},
+                f,
+            )
+        os.replace(tmp, self.txn_log)  # atomic publish
 
     #: stream id 0 is reserved for 2PC control frames (reference:
     #: aloc_sink_impl.py handle_message dispatches stream 0 to the
@@ -510,6 +553,16 @@ class ALOIngestServer:
 
     def handle(self, msg) -> list:
         if isinstance(msg, Notify):
+            if self.resume is not None:
+                # per-stream rewind: a (re)announced stream replays from
+                # the COMMITTED position (the consumer may not have
+                # committed everything a previous session landed) —
+                # other streams' dedupe state is untouched
+                committed = self.resume(msg.stream_id)
+                if committed is None:
+                    self.acked.pop(msg.stream_id, None)
+                else:
+                    self.acked[msg.stream_id] = committed
             por = self.acked.get(msg.stream_id, msg.point_of_ref)
             return [NotifyAck(True, msg.stream_id, por)]
         if isinstance(msg, Message):
@@ -517,7 +570,13 @@ class ALOIngestServer:
                 return self._handle_twopc(msg)
             resume = self.acked.get(msg.stream_id, 0)
             if msg.message_id >= resume:  # not a replayed duplicate
-                self.land(msg.stream_id, msg.message_id, msg.message)
+                self.land(
+                    msg.stream_id,
+                    msg.message_id,
+                    msg.message,
+                    msg.event_time,
+                    msg.key,
+                )
                 self.acked[msg.stream_id] = msg.message_id + 1
             self._since_ack += 1
             # every message replenishes exactly the ONE credit it
@@ -564,13 +623,26 @@ class ALOIngestServer:
             )
             if ok:
                 self.txn_state[inner.txn_id] = tuple(inner.where_list)
+                self._persist_txns()  # journal BEFORE the commit vote
             reply = TwoPCReply(inner.txn_id, ok)
             return [
                 Message(self.TWOPC_STREAM, 0, 0, None, encode_inner(reply)),
                 credit,
             ]
         if isinstance(inner, TwoPCPhase2):
-            wheres = self.txn_state.pop(inner.txn_id, ())
+            if inner.txn_id not in self.txn_state:
+                # unknown txn (never prepared here, or prepared by a
+                # server whose txn log was lost): silently treating an
+                # abort as a no-op would KEEP the aborted span — answer
+                # with a protocol Error so the coordinator knows the
+                # rollback did not happen (r12 advice; the reference
+                # raises on an unknown txn)
+                return [
+                    Error(f"2PC phase2 for unknown txn {inner.txn_id!r}"),
+                    credit,
+                ]
+            wheres = self.txn_state.pop(inner.txn_id)
+            self._persist_txns()
             if not inner.commit:
                 for sid, start, _end in wheres:
                     self.acked[sid] = min(

@@ -88,15 +88,28 @@ class _ALOListener:
     positions; shared by every reader instance in this process that
     names the same (host, port)."""
 
-    def __init__(self, host: str, port: int, cookie: str, ack_every: int):
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        cookie: str,
+        ack_every: int,
+        txn_log: str | None = None,
+    ):
         from wally_spark.sources.alo import ALOIngestServer
 
         self.lock = threading.Lock()
         # buf[sid] = {mid: (sid, mid, event_time, key, value)}
         self.buf: dict[int, dict[int, tuple]] = {}
         self.committed: dict[int, int] = {}
+        if txn_log:
+            os.makedirs(os.path.dirname(txn_log) or ".", exist_ok=True)
         self.server = ALOIngestServer(
-            cookie=cookie, land=self._land, ack_every=ack_every
+            cookie=cookie,
+            land=self._land,
+            resume=self._resume,
+            ack_every=ack_every,
+            txn_log=txn_log,
         )
         self._lsock = socket.socket()
         self._lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -121,12 +134,12 @@ class _ALOListener:
     def _serve_one(self, conn: socket.socket) -> None:
         # a reconnecting client must replay from the COMMITTED offset
         # (Spark may not have committed everything a previous session
-        # landed), so resume state rewinds to committed before Notify
-        # is answered; the buffer dedupes re-pushed uncommitted rows
-        # by (stream_id, message_id)
-        with self.lock:
-            self.server.acked.clear()
-            self.server.acked.update(self.committed)
+        # landed): the server's ``resume`` hook (self._resume) rewinds
+        # the announced stream to committed when its Notify arrives —
+        # PER STREAM, so one client's reconnect no longer resets the
+        # dedupe state of other live streams on this listener (r12
+        # advice); the buffer dedupes re-pushed uncommitted rows by
+        # (stream_id, message_id)
         try:
             self.server.serve_connection(conn)
         except OSError:
@@ -137,13 +150,29 @@ class _ALOListener:
             except OSError:
                 pass
 
-    def _land(self, sid: int, mid: int, payload: bytes | None) -> None:
+    def _resume(self, sid: int):
+        """Committed por for a (re-)announced stream, or None if the
+        stream has never committed (consulted by the server on Notify
+        — the per-stream rewind)."""
+        with self.lock:
+            return self.committed.get(sid)
+
+    def _land(
+        self,
+        sid: int,
+        mid: int,
+        payload: bytes | None,
+        event_time: int = 0,
+        key: bytes | None = None,
+    ) -> None:
+        # full wire Message lands: the advertised (event_time, key)
+        # columns carry the frame's real values (r12 advice)
         with self.lock:
             self.buf.setdefault(sid, {})[mid] = (
                 sid,
                 mid,
-                0,
-                None,
+                event_time,
+                key,
                 payload or b"",
             )
 
@@ -264,7 +293,13 @@ class ALOStreamReader(SimpleDataSourceStreamReader):
             self._listener = _get_or_create_listener(
                 ("alo", self._host, self._port),
                 lambda: _ALOListener(
-                    self._host, self._port, self._cookie, self._ack_every
+                    self._host,
+                    self._port,
+                    self._cookie,
+                    self._ack_every,
+                    # 2PC txn spans journal beside the batch WAL: an
+                    # abort arriving after a restart still rolls back
+                    txn_log=os.path.join(self._wal.dir, "txn.json"),
                 ),
             )
         return self._listener
@@ -387,6 +422,26 @@ class _UDPListener:
                 self.rows[self.next_seq] = (self.next_seq, data)
                 self.next_seq += 1
 
+    def fast_forward(self, lo: int) -> None:
+        """Re-sequence a fresh listener at the checkpointed position:
+        after a driver restart ``next_seq`` restarts at 0 while the
+        checkpointed offset is high, so without this the reader would
+        hand Spark a non-monotonic end offset and datagrams sequenced
+        below the old committed position would be pruned unserved (r12
+        advice). Datagrams already buffered (arrived between bind and
+        the first post-restart ``read``) are renumbered onto
+        ``lo, lo+1, ...`` in arrival order — preserved, not dropped;
+        loss remains bounded to the documented at-most-once window
+        (datagrams sent while no listener was bound)."""
+        with self.lock:
+            if self.next_seq >= lo:
+                return
+            buffered = [self.rows[i] for i in sorted(self.rows)]
+            self.rows = {
+                lo + j: (lo + j, row[1]) for j, row in enumerate(buffered)
+            }
+            self.next_seq = lo + len(buffered)
+
     def stop(self) -> None:
         self._stop.set()
         try:
@@ -431,6 +486,7 @@ class UDPStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         lst = self._lst()
         lo = int(start.get("seq", 0))
+        lst.fast_forward(lo)  # post-restart: never regress below start
         with lst.lock:
             hi = lst.next_seq
             rows = [lst.rows[i] for i in range(lo, hi) if i in lst.rows]
