@@ -204,6 +204,8 @@ def test_no_cartesian_anywhere(spark):
         # 1-row total-weight side
         "simhash_recall_audit",  # 1-row emitted/dropped cost-stats side
         "bloom_dedup_audit",  # four 1-row count-stats combines
+        "tokenizer_unigram_lm",  # 1-row vocab-total (cost normalizer)
+        # and 1-row vocab-size sides per EM round
     }
     offenders = []
     for name in sorted(REGISTRY):

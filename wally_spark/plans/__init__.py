@@ -32,6 +32,7 @@ from wally_spark.plans import sequence  # noqa: F401,E402
 from wally_spark.plans import web  # noqa: F401,E402
 from wally_spark.plans import behavior  # noqa: F401,E402
 from wally_spark.plans import llm_ext  # noqa: F401,E402
+from wally_spark.plans import unigram  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.

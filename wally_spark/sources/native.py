@@ -95,6 +95,7 @@ class _ALOListener:
         cookie: str,
         ack_every: int,
         txn_log: str | None = None,
+        initial_credits: int = 16,
     ):
         from wally_spark.sources.alo import ALOIngestServer
 
@@ -108,6 +109,7 @@ class _ALOListener:
             cookie=cookie,
             land=self._land,
             resume=self._resume,
+            initial_credits=initial_credits,
             ack_every=ack_every,
             txn_log=txn_log,
         )
@@ -279,6 +281,9 @@ class ALOStreamReader(SimpleDataSourceStreamReader):
         self._port = int(options.get("port", "7100"))
         self._cookie = options.get("cookie", "")
         self._ack_every = int(options.get("ack_every", "4"))
+        # credit window = max client in-flight messages: the throughput
+        # knob for pipelined senders (tools/loadgen.py measures it)
+        self._credits = int(options.get("credits", "16"))
         wal_dir = options.get(
             "wal",
             os.path.join(
@@ -300,6 +305,7 @@ class ALOStreamReader(SimpleDataSourceStreamReader):
                     # 2PC txn spans journal beside the batch WAL: an
                     # abort arriving after a restart still rolls back
                     txn_log=os.path.join(self._wal.dir, "txn.json"),
+                    initial_credits=self._credits,
                 ),
             )
         return self._listener
@@ -383,7 +389,8 @@ class ALOStreamReader(SimpleDataSourceStreamReader):
 class WallyALODataSource(DataSource):
     """``readStream.format("wally_alo")`` — at-least-once connector
     wire protocol as a first-class streaming source. Options: host
-    (default 127.0.0.1), port (default 7100), cookie, ack_every."""
+    (default 127.0.0.1), port (default 7100), cookie, ack_every,
+    credits (client in-flight window, default 16)."""
 
     @classmethod
     def name(cls) -> str:
