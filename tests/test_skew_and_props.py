@@ -1033,3 +1033,74 @@ def test_pack_contamination_reconciles_with_boundaries(spark, tmp_path):
         assert r["n_langs"] >= 1 and (r["cross_lang"] == (r["n_langs"] > 1))
     # languages are mixed in the corpus, so SOME window must be mixed
     assert any(r["cross_lang"] for r in con.values())
+
+
+def test_simhash_audit_ab_gate_rederivable():
+    """r13: the 6x10/5x12 geometry A/B left the default audit run
+    (priced and rejected in r12 — cost-creep cap), gated behind
+    SIMHASH_AUDIT_AB. The gate must stay LIVE: re-executing the module
+    with the flag flipped must regenerate a DuckDB-runnable oracle
+    whose A/B columns appear and whose shared columns (n_true, band8
+    recall) are unchanged from the default geometry set."""
+    import duckdb
+
+    from tests.conftest import SF_SMALL
+
+    src = open("wally_spark/plans/dedup.py").read()
+    src = src.replace("SIMHASH_AUDIT_AB = False", "SIMHASH_AUDIT_AB = True")
+    ns = {}
+    import wally_spark.plans.registry as reg
+
+    real = reg.register
+
+    captured = {}
+
+    def fake_register(name, oracle=None, tags=()):
+        def deco(f):
+            captured[name] = oracle
+            return f
+
+        return deco
+
+    reg.register = fake_register
+    try:
+        exec(compile(src, "dedup_ab.py", "exec"), ns)
+    finally:
+        reg.register = real
+    sql = captured["simhash_recall_audit"]
+    assert "c_b6x10" in sql and "c_b5x12" in sql and "emitted_b5x12" in sql
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    try:
+        rows = con.execute(sql).fetchall()
+        cols = [d[0] for d in con.execute(f"DESCRIBE ({sql})").fetchall()]
+    finally:
+        con.close()
+    by = [dict(zip(cols, r)) for r in rows]
+    assert {r["t"] for r in by} == {6, 12}
+
+    from wally_spark.plans import REGISTRY
+
+    default_sql = REGISTRY["simhash_recall_audit"].oracle
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    try:
+        drows = con.execute(default_sql).fetchall()
+        dcols = [
+            d[0] for d in con.execute(f"DESCRIBE ({default_sql})").fetchall()
+        ]
+    finally:
+        con.close()
+    dby = {r["t"]: r for r in (dict(zip(dcols, x)) for x in drows)}
+    for r in by:
+        base = dby[r["t"]]
+        for shared in ("n_true", "caught_band8", "recall_band8_bp",
+                       "emitted_band8", "truth_n_docs"):
+            assert r[shared] == base[shared], (shared, r, base)

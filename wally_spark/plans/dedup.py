@@ -656,29 +656,38 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- measured simhash band recall vs exact hamming ground truth (r11) -------
-# Ground truth generator: 16 bands x 4 bits — pigeonhole-exact for
-# hamming <= 15, so it misses NO pair at either audited threshold.
-# 4-bit bands are NOT a production candidate generator (16 values per
-# band => O(n²/16) pairs); they are the bounded-corpus audit
-# instrument, the role lsh_recall_measured's exact-Jaccard truth plays
-# for the minhash family. At 100 TB the audit runs on a sample.
-#
-# HARD CORPUS BOUND (r11 advice): a 4-bit band has only 16 values, so
-# once the corpus passes 16 * MAX_BUCKET = 65,536 docs EVERY truth
-# bucket exceeds the cap and the ground-truth relation silently
-# empties. The lane reports `truth_dropped_rows` (band rows excluded
-# by the cap) so a hollowed-out truth reads as dropped > 0, never as
-# measured recall; past the bound, run the audit on a <= 65k sample.
-_TRUTH_BANDS, _TRUTH_BITS = 16, 4
+# Ground truth generator (r13 rework): broadcast all-pairs hamming —
+# every doc pair evaluated once against bit_count(xor), the
+# ann_bruteforce shape. The r11-r12 generator was a 16x4-bit
+# pigeonhole band join; MEASURED at sf0.1 it emitted 43.1M banded
+# pair rows (the dup-heavy corpus re-emits every near-dup cluster in
+# every band) vs C(5000, 2) = 12.5M for plain all-pairs — on an audit
+# corpus the "candidate generator" was 3.4x MORE work than exhaustive
+# comparison, plus a 65,536-doc silent-hollowing bound (capped truth
+# buckets) it needed a tripwire column for. All-pairs is smaller,
+# shuffle-free (one broadcast of the bounded audit corpus), and
+# exact at EVERY threshold with no hollowing regime. The quadratic
+# cost is the audit's own semantics; the corpus bound is now purely
+# a cost statement — `truth_n_docs` reports the broadcast size, and
+# past ~100k docs the audit runs on a documented sample, as before.
+_TRUTH_MAX_DOCS = 100_000  # guidance bound: n² pair evals + broadcast
 SIMHASH_AUDIT_TS = (HAMMING_T, 12)  # dedup_simhash_pairs / edit_verified nets
 # Candidate geometries A/B'd by the audit: the production 8x8 scheme
 # and the two denser-band alternatives the r11 verdict asked to price
 # (fewer/larger bands emit fewer candidate pairs but catch fewer true
 # pairs at T=12 — both cover the low 60 bits, top 4 unused).
-_AUDIT_SCHEMES = (
-    ("band8", SIMHASH_BANDS, SIMHASH_BAND_BITS),
-    ("b6x10", 6, 10),
-    ("b5x12", 5, 12),
+# A/B geometry columns, priced in r12 and RETIRED from the default run
+# (r13, verdict cost-creep flag): b6x10 measured 6879 bp recall @ T=12
+# for 2.19M emitted, b5x12 4134 bp for 834k — both below the 9000 bp
+# bar, so the 8x8 production scheme stays. The conclusion is recorded
+# here and in TUNING.md; carrying the losing geometries in every run
+# tripled the audit's caught-column and emitted-stats mass. Flip
+# SIMHASH_AUDIT_AB = True to re-derive the full A/B (oracle and Spark
+# sides both generate from the same scheme table).
+SIMHASH_AUDIT_AB = False
+_AB_SCHEMES = (("b6x10", 6, 10), ("b5x12", 5, 12))
+_AUDIT_SCHEMES = (("band8", SIMHASH_BANDS, SIMHASH_BAND_BITS),) + (
+    _AB_SCHEMES if SIMHASH_AUDIT_AB else ()
 )
 
 
@@ -723,12 +732,7 @@ _AUDIT_STATS_SQL = ",\n    ".join(
         for nm, nb, bits in _AUDIT_SCHEMES
     ]
     + [
-        f"(SELECT coalesce(sum(bsz), 0)::BIGINT FROM"
-        f" (SELECT count(*) AS bsz FROM sim,"
-        f" (SELECT unnest(range({_TRUTH_BANDS})) AS band)"
-        f" GROUP BY band, (simhash >> ({_TRUTH_BITS} * band))"
-        f" & {(1 << _TRUTH_BITS) - 1}) q"
-        f" WHERE bsz > {MAX_BUCKET}) AS truth_dropped_rows"
+        "(SELECT count(*)::BIGINT FROM sim) AS truth_n_docs"
     ]
 )
 
@@ -737,22 +741,11 @@ _AUDIT_STATS_SQL = ",\n    ".join(
     "simhash_recall_audit",
     oracle=f"""
 WITH {_SIMHASH_CTES},
-g AS (
-  SELECT doc_id, simhash, bucket, band,
-         (simhash >> ({_TRUTH_BITS} * band)) & {(1 << _TRUTH_BITS) - 1} AS bv
-  FROM sim, (SELECT unnest(range({_TRUTH_BANDS})) AS band)
-),
-g_k AS (
-  SELECT * FROM (
-    SELECT *, count(*) OVER (PARTITION BY band, bv) AS bsz FROM g)
-  WHERE bsz <= {MAX_BUCKET}
-),
 truth AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming,
          {_AUDIT_CAUGHT_SQL}
-  FROM g_k a JOIN g_k b
-    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
   WHERE bit_count(xor(a.simhash, b.simhash)) <= {max(SIMHASH_AUDIT_TS)}
 ),
 stats AS (SELECT
@@ -767,55 +760,44 @@ def simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding schemes vs EXACT hamming ground truth — the
     lsh_recall_measured discipline applied to the simhash family
     (r10 verdict item 3; cost columns r11 verdict item 2). Truth =
-    ALL pairs within hamming {TM}, generated exactly by
-    {TB}x{TBITS}-bit pigeonhole bands. Each truth pair is scored
-    CAUGHT under (a) the retired 16-bit prefix bucket, (b) the
-    production 8x8-bit scheme, (c/d) the 6x10 / 5x12 alternatives,
+    ALL pairs within hamming {TM}, generated exactly by a broadcast
+    all-pairs hamming scan (r13 rework — MEASURED smaller than the
+    old 16x4 pigeonhole band join on the dup-heavy corpus: 12.5M
+    pair evals vs 43.1M banded emissions at sf0.1, with no
+    hollow-truth bound). Each truth pair is scored CAUGHT under the
+    retired 16-bit prefix bucket and the production 8x8-bit scheme,
     at T={TS[0]} (dedup_simhash_pairs) and T={TS[1]}
-    (dedup_edit_verified's candidate net).
+    (dedup_edit_verified's candidate net); the 6x10 / 5x12 geometry
+    A/B columns priced in r12 are gated behind SIMHASH_AUDIT_AB.
 
     Cost side: `emitted_<scheme>` = sum over capped buckets of
     C(bsz, 2) — the scheme's banded-join emission mass (its shuffle
     cost and an upper bound on distinct candidates); `caught_<scheme>`
     at T is exactly the scheme's Levenshtein verify mass at that net.
-    Measured at sf0.1: band8 9031 bp recall @ T=12 / 4.06M emitted;
-    b6x10 6879 bp / 2.19M; b5x12 4134 bp / 834k — the alternatives
-    fall below the 9000 bp bar, so 8x8 stays (the A/B the r11 verdict
-    asked to price). `truth_dropped_rows` > 0 flags a hollowed-out
-    truth relation past the 65,536-doc bound (see _TRUTH_BANDS note).
+    Measured at sf0.1: band8 9031 bp recall @ T=12 / 5.09M emitted;
+    the r12 A/B priced b6x10 at 6879 bp / 2.19M and b5x12 at 4134 bp
+    / 834k — both below the 9000 bp bar, so 8x8 stays.
+    `truth_n_docs` reports the broadcast corpus size; past
+    ~{TMAX:,} docs the quadratic audit runs on a documented sample
+    (the truth relation is exact at ANY size — the bound is cost,
+    not correctness, unlike the old capped-bucket hollowing).
 
-    Scale shape: the truth join shuffles on (band, bv) short rows with
-    the MAX_BUCKET cap mirrored in the oracle; caught-ness is a pure
-    expression over the pair's two fingerprints (no per-scheme
-    re-bucketing); the emitted counts are groupBy-count rollups of the
+    Scale shape: ONE broadcast of the bounded audit corpus (doc_id,
+    simhash, bucket — ~16 B/doc) against a partitioned scan: no
+    shuffle, no explode, n² cheap bit-ops spread across partitions;
+    caught-ness is a pure expression over the pair's two
+    fingerprints; the emitted counts are groupBy-count rollups of
     band rows (never pair materialization); ONE pinned pair relation
     feeds both threshold rollups.""".format(
         TM=max(SIMHASH_AUDIT_TS),
-        TB=_TRUTH_BANDS,
-        TBITS=_TRUTH_BITS,
+        TMAX=_TRUTH_MAX_DOCS,
         TS=SIMHASH_AUDIT_TS,
     )
     from functools import reduce
 
     d = pin(dedup_simhash(spark, sf_dir))
-    g = d.select(
-        "doc_id",
-        "simhash",
-        "bucket",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("simhash", _TRUTH_BITS * i).bitwiseAND(
-                        F.lit((1 << _TRUTH_BITS) - 1)
-                    )
-                    for i in range(_TRUTH_BANDS)
-                ]
-            )
-        ).alias("band", "bv"),
-    )
-    sizes = g.groupBy("band", "bv").agg(F.count(F.lit(1)).alias("bsz"))
-    g = g.join(sizes.where(F.col("bsz") <= MAX_BUCKET), ["band", "bv"])
-    a, b = g.alias("a"), g.alias("b")
+    a = d.select("doc_id", "simhash", "bucket").alias("a")
+    b = d.select("doc_id", "simhash", "bucket").alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
 
     def scheme_eq(side_a, side_b, nbands, nbits):
@@ -839,13 +821,11 @@ def simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias(f"c_{nm}")
         for nm, nb, bits in _AUDIT_SCHEMES
     ]
+    # broadcast all-pairs truth: the bounded audit corpus (~16 B/doc)
+    # broadcasts once; each partition of the probe side scans it with
+    # cheap bit-ops — every pair evaluated exactly once, no shuffle
     truth = pin(
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
         .where(ham <= max(SIMHASH_AUDIT_TS))
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -853,7 +833,6 @@ def simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ham.cast("bigint").alias("hamming"),
             *caught_cols,
         )
-        .distinct()
     )
     names = ["prefix"] + [s[0] for s in _AUDIT_SCHEMES]
     rollups = [
@@ -917,12 +896,8 @@ def simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("band", "bv")
         )
         stats = stats.crossJoin(emitted(rows, f"emitted_{nm}"))
-    dropped = sizes.where(F.col("bsz") > MAX_BUCKET).agg(
-        F.coalesce(F.sum("bsz"), F.lit(0))
-        .cast("bigint")
-        .alias("truth_dropped_rows")
-    )
-    return out.crossJoin(stats.crossJoin(dropped)).orderBy("t")
+    n_docs = d.agg(F.count(F.lit(1)).cast("bigint").alias("truth_n_docs"))
+    return out.crossJoin(stats.crossJoin(n_docs)).orderBy("t")
 
 
 def _n_embedding_blocks(n_vectors: int, target_block_rows: int = 4096) -> int:
