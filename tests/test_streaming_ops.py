@@ -2457,3 +2457,78 @@ def test_attention_manifest_streaming_equivalence(spark, tmp_path):
     assert len(corpus_dirs(spark, f"{store}/dw")) == 2
     fn(spark.createDataFrame(batches[1], schema), 1)
     assert face_rows() == final
+
+
+def test_decode_check_streaming_equivalence(spark, tmp_path):
+    """Streaming decode-check face: after each micro-batch the
+    republished per-(lang, source) round-trip report must equal the
+    batch bpe_decode_check lane over the concatenated corpus-so-far
+    (same merge retraining, same id table, same reconstruction);
+    replay of the last batch is idempotent; compaction of BOTH stores
+    leaves the report byte-identical. An empty document and a doc with
+    repeated separators exercise the normalization edge the verdict
+    column depends on."""
+    from wally_spark.plans import REGISTRY
+    from wally_spark.streaming.ops import (
+        compact_corpus,
+        corpus_dirs,
+        decode_check_foreach_batch,
+    )
+
+    base = ["abab abab abab cdcd", "abab  cdcd cdcd xyz", "ababab cdc xyz"]
+    mk = lambda i: (
+        i,
+        (base[i % 3] + " ") * (5 + 10 * (i % 3)) + "t" + str(i),
+        "en" if i % 2 else "de",
+        "w" + str(i % 2),
+        100,
+    )
+    schema = (
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    )
+    batches = [
+        [mk(i) for i in range(1, 5)] + [(99, "", "en", "w0", 0)],
+        [mk(i) for i in range(5, 9)],
+    ]
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "decode")
+    fn = decode_check_foreach_batch(spark, store, out)
+
+    def batch_lane_rows(upto):
+        sf_dir = str(tmp_path / f"corpus{upto}")
+        spark.createDataFrame(
+            [r for b in batches[: upto + 1] for r in b], schema
+        ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+        return sorted(
+            tuple(r)
+            for r in REGISTRY["bpe_decode_check"]
+            .spark_fn(spark, sf_dir)
+            .collect()
+        )
+
+    def face_rows(where="report"):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{out}/{where}").collect()
+        )
+
+    for i, rows in enumerate(batches):
+        fn(spark.createDataFrame(rows, schema), i)
+        got, want = face_rows(), batch_lane_rows(i)
+        assert got == want, f"batch {i}: {got} != {want}"
+    # the report is a real integrity signal: every doc round-trips
+    final = face_rows()
+    assert all(r[2] == r[3] for r in final), final  # n_docs == n_ok
+    assert face_rows("b1") == final
+
+    # replay idempotence
+    fn(spark.createDataFrame(batches[1], schema), 1)
+    assert face_rows() == final
+
+    # compaction of both stores: byte-identical report
+    compact_corpus(spark, f"{store}/dw", upto=0)
+    compact_corpus(spark, f"{store}/docs", upto=0)
+    assert len(corpus_dirs(spark, f"{store}/dw")) == 2
+    fn(spark.createDataFrame(batches[1], schema), 1)
+    assert face_rows() == final

@@ -172,6 +172,10 @@ _CHANGED_THIS_ROUND: frozenset = frozenset(
         # r13: cost cap — truth relation / A/B columns trimmed per
         # VERDICT r12 next-round item 6 (recall numbers must not move)
         "simhash_recall_audit",
+        # r13: report body factored into curation.decode_check_report
+        # (shared with the streaming decode-check face) — expressions
+        # byte-identical, re-verify anyway (the factoring rule)
+        "bpe_decode_check",
     }
 )
 

@@ -3310,3 +3310,85 @@ def attention_manifest_foreach_batch(spark, store_path: str, out_path: str):
         manifest.write.mode("overwrite").parquet(f"{out_path}/report")
 
     return proc
+
+
+def decode_check_foreach_batch(spark, store_path: str, out_path: str):
+    """Streaming face of the batch `bpe_decode_check` lane — the
+    tokenizer round-trip INTEGRITY MONITOR run continuously (r12
+    verdict item 5: id-table drift is an ingest-time event, so the
+    check is most valuable per micro-batch, not per offline audit).
+    Each batch persists its documents' ordered word stream
+    (doc_id, wpos, word) and metadata (doc_id, lang, source, norm_md5)
+    into per-batch store dirs, then retrains the BPE merge table on
+    the FOLDED corpus vocabulary, re-encodes every document symbol ->
+    dense id, decodes back through the same table, reconstructs each
+    document in (word, symbol) order and verifies md5 against the
+    stored normalized original — republishing the per-(lang, source)
+    n_docs / n_ok / token-mass report to ``out_path/b<batch_id>`` and
+    the stable ``out_path/report``.
+
+    Shares the batch lane's report body verbatim
+    (plans/curation.decode_check_report — the
+    attention_manifest_foreach_batch retrain-on-folded-vocabulary
+    pattern), so the report after batch N equals `bpe_decode_check`
+    over the concatenated corpus — the equivalence the test pins.
+    Retraining per batch is the honest semantics: a new batch shifts
+    merge winners and re-tokenizes OLD documents; the round-trip must
+    hold under the CURRENT table, exactly as the batch lane checks.
+
+    Scale shape: the dw store is token-mass-shaped (one row per word
+    occurrence — the same class as the lane's own toks explode), the
+    docs store one row per document; the fold is one word-keyed
+    aggregate; merge training runs on the folded vocabulary only; the
+    decode joins broadcast the bounded id table. Idempotence:
+    per-batch overwrite dirs — replay overwrites its own increment and
+    republishes identically; compaction-safe for BOTH stores (rows
+    carry their own order in wpos — concatenation loses nothing)."""
+    from wally_spark.plans.curation import (
+        _BPE_D,
+        _bpe_encoded_vocab_from_wc,
+        _words_col,
+        decode_check_report,
+    )
+
+    ensure_store_format(spark, store_path, "decode-check-v1")
+
+    def proc(batch_df, batch_id):
+        (
+            batch_df.select(
+                "doc_id", F.posexplode(_words_col()).alias("wpos", "word")
+            )
+            .write.mode("overwrite")
+            .parquet(f"{store_path}/dw/b{batch_id}")
+        )
+        (
+            batch_df.select(
+                "doc_id",
+                "lang",
+                "source",
+                F.md5(
+                    F.concat_ws(" ", _words_col()).cast("binary")
+                ).alias("norm_md5"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{store_path}/docs/b{batch_id}")
+        )
+        dw = spark.read.parquet(*corpus_dirs(spark, f"{store_path}/dw"))
+        docs = spark.read.parquet(
+            *corpus_dirs(spark, f"{store_path}/docs")
+        )
+        wc = dw.groupBy("word").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        vocab = _bpe_encoded_vocab_from_wc(wc)
+        dd = _BPE_D + _BPE_D
+        wsyms = vocab.select(
+            "word",
+            F.split(F.expr("substring(s, 2, length(s)-2)"), dd).alias("sy"),
+        )
+        dwj = dw.join(wsyms, "word")
+        report = decode_check_report(docs, wsyms, dwj).localCheckpoint()
+        report.write.mode("overwrite").parquet(f"{out_path}/b{batch_id}")
+        report.write.mode("overwrite").parquet(f"{out_path}/report")
+
+    return proc
