@@ -132,3 +132,26 @@ def test_unigram_plan_is_vocab_bounded(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "windowspecdefinition" not in plan.lower()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_fertility_reconciles_with_training_metrics(spark):
+    """unigram_fertility_by_source's per-group token mass must sum to
+    EXACTLY tokenizer_unigram_lm's round-2 corpus n_tokens (same
+    trained chain, same round-2 segmentation) — the reconciliation
+    that catches a drifted per-word token relation."""
+    from wally_spark.plans import REGISTRY
+
+    fert = REGISTRY["unigram_fertility_by_source"].spark_fn(
+        spark, SF_SMALL
+    ).collect()
+    metrics = {
+        r["round"]: r
+        for r in REGISTRY["tokenizer_unigram_lm"].spark_fn(
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert sum(r["n_tokens"] for r in fert) == metrics[2]["n_tokens"]
+    assert sum(r["n_words"] for r in fert) > 0
+    for r in fert:
+        if r["n_words"]:
+            assert r["fertility_milli"] == 1000 * r["n_tokens"] // r["n_words"]

@@ -169,14 +169,32 @@ def verify_on_demand_clusters(
             .select("doc_a", "doc_b", "ca", "cb")
         )
         # Boruvka choice: every live component takes its minimum
-        # incident edge — map-side min aggregate, no window, no skew
+        # incident edge in HASH order — map-side min aggregate, no
+        # window, no skew. Hash order, not (doc_a, doc_b) order: the
+        # id order is adversarial (measured at sf0.1 — low-id hub
+        # docs with degenerate fingerprints dominate every
+        # component's min id-ordered edge and fail verification,
+        # 14/4915 round-1 passes on a ~90%-true candidate set); a
+        # deterministic hash makes the choice an unbiased draw from
+        # the component's incident candidates.
         inc = live.select(
             F.col("ca").alias("c"), "doc_a", "doc_b"
         ).unionByName(live.select(F.col("cb").alias("c"), "doc_a", "doc_b"))
         chosen = pin(
             inc.groupBy("c")
-            .agg(F.min(F.struct("doc_a", "doc_b")).alias("e"))
-            .select(F.col("e.doc_a").alias("doc_a"), F.col("e.doc_b").alias("doc_b"))
+            .agg(
+                F.min(
+                    F.struct(
+                        F.xxhash64("doc_a", "doc_b").alias("h"),
+                        "doc_a",
+                        "doc_b",
+                    )
+                ).alias("e")
+            )
+            .select(
+                F.col("e.doc_a").alias("doc_a"),
+                F.col("e.doc_b").alias("doc_b"),
+            )
             .distinct()
         )
         n_chosen = chosen.count()
