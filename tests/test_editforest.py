@@ -65,19 +65,35 @@ def test_forest_clusters_match_full_verify(spark):
 
 
 def test_forest_round_cap_fallback_is_exact(spark):
-    """With max_rounds=1 the cap fallback verifies the remaining
+    """With max_rounds=1 and the pre-probe forced onto the dense path
+    (bail_pass_bp=0), the cap fallback verifies the remaining
     cross-component tail in one pass — same components, just at a
-    higher verify price."""
+    higher verify price. And with the probe left at its default on
+    this sparse corpus (~2% pass rate), the probe must skip the loop
+    entirely (rounds == 0) and still land the same components."""
     from wally_spark.operators.editforest import verify_on_demand_clusters
     from wally_spark.plans.llm_ext import _EDIT_MAX, EDIT_KEEP_BP
 
+    want = _full_verify_clusters(spark, SF_SMALL)
+
     cand, prefixes = _inputs(spark, SF_SMALL)
     clusters, stats = verify_on_demand_clusters(
-        cand, prefixes, EDIT_KEEP_BP, _EDIT_MAX, max_rounds=1
+        cand, prefixes, EDIT_KEEP_BP, _EDIT_MAX, max_rounds=1,
+        bail_pass_bp=0,
     )
     got = sorted((r["doc_id"], r["cluster"]) for r in clusters.collect())
-    assert got == _full_verify_clusters(spark, SF_SMALL)
+    assert got == want
     assert stats["rounds"] == 1 and stats["fallback_verified"] >= 0
+
+    cand, prefixes = _inputs(spark, SF_SMALL)
+    clusters, stats = verify_on_demand_clusters(
+        cand, prefixes, EDIT_KEEP_BP, _EDIT_MAX
+    )
+    got = sorted((r["doc_id"], r["cluster"]) for r in clusters.collect())
+    assert got == want
+    assert stats["rounds"] == 0, stats  # probe skipped the loop
+    assert stats["probe_pass_bp"] is not None
+    assert stats["probe_pass_bp"] < 2000, stats
 
 
 def test_forest_saves_verifications_on_dense_clusters(spark):

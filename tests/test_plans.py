@@ -206,6 +206,8 @@ def test_no_cartesian_anywhere(spark):
         "bloom_dedup_audit",  # four 1-row count-stats combines
         "tokenizer_unigram_lm",  # 1-row vocab-total (cost normalizer)
         # and 1-row vocab-size sides per EM round
+        "unigram_fertility_by_source",  # same 1-row cost-normalizer
+        # sides via the shared trained chain
     }
     offenders = []
     for name in sorted(REGISTRY):

@@ -2,12 +2,26 @@
 (r12 verdict item 7, exploratory).
 
 `dedup_edit_verified` prices every candidate pair through the banded
-Levenshtein verifier, but its candidates are ~90% true pairs inside
-dense near-dup clusters — and the downstream consumers
-(`dedup_clusters`, `dedup_keep_best`) need only the CLUSTER structure.
-Connectivity needs O(docs) verified edges, not O(pairs): a spanning
-forest of each cluster carries the same components as the full
-verified pair set.
+Levenshtein verifier, but the downstream consumers (`dedup_clusters`,
+`dedup_keep_best`) need only the CLUSTER structure. Connectivity
+needs O(docs) verified edges, not O(pairs): a spanning forest of
+each cluster carries the same components as the full verified pair
+set — a large win whenever the candidate -> verify PASS RATE is
+high (candidates mostly true edge-dup pairs).
+
+MEASURED REGIME (r13 A/B, recorded in BASELINE.md): on the repo's
+synthetic corpora the simhash candidate net is hamming-precise but
+edit-LOOSE — pass rates are 0.05% (sf0.1), 5% (sf1 dupstress) — so
+the forest contracts nothing and plain full-verify + CC is cheaper
+(sf1: 202.8 s vs 287.9 s for one wasted round + fallback). The
+operator therefore PRE-PROBES a hash-sample of candidates and goes
+straight to the exact one-pass fallback below ``bail_pass_bp``,
+making it never-worse than full-verify + CC by more than the probe;
+the dense-regime savings (4x+ fewer verifications on near-clique
+clusters) are pinned by the synthetic test. NOT wired into
+dedup_edit_verified (r12 verdict item 7: "adopt only if the win is
+real" — on these corpora it is not); available for corpora whose
+candidate generator is verify-tight.
 
 ``verify_on_demand_clusters`` grows that forest Boruvka-style:
 
@@ -20,18 +34,17 @@ verified pair set.
     JVM banded Levenshtein), contract passed edges with the min-label
     connected-components operator, subtract chosen from pending.
 
-Each round verifies at most one edge per live component; on a
-DENSE near-dup corpus (the dedup_edit_verified regime — ~90% of
-candidates are true pairs) the first contraction absorbs most docs
-into their clusters and the bulk of the candidate mass becomes
-intra-component — skipped unverified. Total verified work is
-O(docs + tail) instead of O(candidate pairs). On a SPARSE corpus
-(low verify pass rate) Boruvka degrades — each component burns one
-false edge per round (measured at sf0.001: 2% pass rate, 452 chosen
--> 9 passed) — so the loop BAILS to the exact fallback when a
-round's pass rate drops below ``bail_pass_bp`` or ``max_rounds``
-is hit: every remaining cross-component candidate verifies in one
-pass. EXACTNESS in all regimes: an edge is skipped only when its
+Each round verifies at most one edge per live component; in the
+dense regime the first contraction absorbs most docs into their
+clusters and the bulk of the candidate mass becomes intra-component
+— skipped unverified: total verified work is O(docs + tail) instead
+of O(candidate pairs). In the sparse regime Boruvka degrades — each
+component burns one false edge per round (measured at sf0.001: 2%
+pass rate, 452 chosen -> 9 passed) — so the pre-probe skips the
+loop outright below ``bail_pass_bp``, a mid-loop bail catches a
+probe that sampled unluckily, and ``max_rounds`` bounds the dense
+path: in every exit the remaining cross-component candidates verify
+in one exact pass. EXACTNESS in all regimes: an edge is skipped only when its
 endpoints are already connected by verified-passed edges, and a
 failed edge is discarded exactly as the full verify discards it, so
 the final components equal connected components over the complete
@@ -60,6 +73,7 @@ def verify_on_demand_clusters(
     edit_max: int,
     max_rounds: int = 3,
     bail_pass_bp: int = 2000,
+    probe_edges: int = 2048,
 ) -> tuple:
     """``cand``: (doc_a, doc_b) candidate pairs (doc_a < doc_b);
     ``prefixes``: (doc_id, prefix) normalized verify texts;
@@ -83,6 +97,7 @@ def verify_on_demand_clusters(
         "passed": 0,
         "skipped_unverified": 0,
         "fallback_verified": 0,
+        "probe_pass_bp": None,
     }
 
     def _verify(edges: DataFrame) -> DataFrame:
@@ -151,7 +166,29 @@ def verify_on_demand_clusters(
             ).select("doc_id", labels["comp"].alias("comp"))
         )
 
-    for _ in range(max_rounds):
+    # Pre-probe: verify a deterministic hash-sample of the candidates
+    # first. When the sampled pass rate is below the bail threshold,
+    # the forest cannot contract anything worth the round machinery
+    # (measured: sf1 dupstress runs a 5% pass rate and the one wasted
+    # round + pending rebuild cost +42% over plain full verify) — go
+    # STRAIGHT to the one-pass exact fallback, making the operator
+    # never-worse than full-verify + CC by more than the probe.
+    n_probe = min(probe_edges, stats["candidates"])
+    if n_probe:
+        probe = pin(
+            pending.orderBy(
+                F.xxhash64("doc_a", "doc_b"), "doc_a", "doc_b"
+            ).limit(n_probe)
+        )
+        n_probe_pass = _verify(probe).count()
+        stats["probe_pass_bp"] = 10000 * n_probe_pass // n_probe
+        free_blocks(probe)
+        dense = 10000 * n_probe_pass >= bail_pass_bp * n_probe
+    else:
+        dense = False
+    rounds_budget = max_rounds if dense else 0
+
+    for _ in range(rounds_budget):
         live = (
             pending.join(
                 comp.select(
