@@ -39,15 +39,35 @@ def resolve_checkpoint_dir(spark, explicit: str | None = None) -> str | None:
 
 
 def pin(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
-    """Materialize ``df`` and truncate its lineage — reliably when a
-    checkpoint dir is configured (see module docstring), else in
-    executor storage via localCheckpoint."""
+    """Truncate ``df``'s lineage and arrange for one-shot
+    materialization — reliably when a checkpoint dir is configured
+    (see module docstring), else in executor storage via
+    localCheckpoint.
+
+    The local checkpoint is EAGER by default. A lazy variant
+    (``spark.wally.pin.eager=false``) was A/B-measured in r13: it won
+    2-15% on lanes whose pins sit above shuffles (AQE materializes
+    those stages at ``toRdd`` time anyway, so laziness only skips the
+    final block-write job), but lost 40-80% on lanes whose pinned plan
+    has NO shuffle at the top (broadcast-join dwj in the BPE layout,
+    the banded LSH relation in contrastive_pairs): there nothing
+    materializes at pin time and every consumer recomputes the guarded
+    plan — exactly the multi-consumer recompute pin() exists to
+    prevent. Eager is the safe default; the conf knob remains for
+    per-session experiments.
+
+    Determinism contract: every pinned lineage in this repo is a pure
+    function of its inputs (md5-derived sampling, no rand)."""
     spark = df.sparkSession
     d = resolve_checkpoint_dir(spark, checkpoint_dir)
     if d:
         spark.sparkContext.setCheckpointDir(d)
         return df.checkpoint()
-    return df.localCheckpoint()
+    eager = (
+        str(spark.conf.get("spark.wally.pin.eager", "true")).lower()
+        != "false"
+    )
+    return df.localCheckpoint(eager=eager)
 
 
 def free_blocks(*dfs: DataFrame) -> None:
@@ -61,6 +81,23 @@ def free_blocks(*dfs: DataFrame) -> None:
     in files)."""
     for df in dfs:
         try:
+            spark = df.sparkSession
+            # Lazy-pin sessions (spark.wally.pin.eager=false): the
+            # frame's blocks are read by the FINAL consumer action,
+            # which runs AFTER the loop-body free_blocks call —
+            # unpersisting here strands that action ("checkpoint block
+            # rdd_N not found", reproduced at sf0.1 in r13). Under
+            # lazy pinning the whole call is therefore a no-op and the
+            # ContextCleaner reclaims blocks when the Python-side
+            # references die (the documented best-effort fallback).
+            eager = (
+                str(
+                    spark.conf.get("spark.wally.pin.eager", "true")
+                ).lower()
+                != "false"
+            )
+            if not eager:
+                continue
             df._jdf.queryExecution().analyzed().rdd().unpersist(False)
         except Exception:
             pass

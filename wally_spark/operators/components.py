@@ -26,6 +26,29 @@ from wally_spark.operators.checkpoint import free_blocks as _free_blocks
 from wally_spark.operators.checkpoint import pin as _pin
 
 
+def _shuffle_width(spark) -> int:
+    """The cluster's own shuffle sizing knob, with a sane fallback."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
+def _prepartition_on(spark) -> bool:
+    """Whether iterative-graph edge relations are pinned pre-hash-
+    partitioned on their per-round join key (spark.wally.graph
+    .prepartition, default true). One exchange at pin time buys every
+    propagation round a shuffle-free probe side when the join is
+    sort-merge/shuffled-hash — the regime of any real corpus, where
+    the label/rank side is far too large to broadcast."""
+    return (
+        str(
+            spark.conf.get("spark.wally.graph.prepartition", "true")
+        ).lower()
+        != "false"
+    )
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
@@ -52,7 +75,16 @@ def connected_components(
     # checkpoint the (possibly expensive) edge plan BEFORE the
     # symmetrizing union — otherwise both union branches recompute it
     e0 = ckpt(edges.select(F.col(src).alias("es"), F.col(dst).alias("ed")))
-    sym = ckpt(e0.union(e0.select(F.col("ed"), F.col("es"))))
+    # Pinned pre-partitioned on es (r13): every propagation round
+    # joins sym on es, so hash-partitioning it once inside the pin
+    # elides the per-round edge exchange (localCheckpoint preserves
+    # outputPartitioning; width = the cluster's own sizing knob).
+    # Guarded by spark.wally.graph.prepartition for same-session A/B.
+    spark = edges.sparkSession
+    sym_plan = e0.union(e0.select(F.col("ed"), F.col("es")))
+    if _prepartition_on(spark):
+        sym_plan = sym_plan.repartition(_shuffle_width(spark), "es")
+    sym = ckpt(sym_plan)
     _free_blocks(e0)  # sym is materialized; the pre-union copy is dead
     # propagate ONLY over vertices that appear in an edge — in a dedup
     # graph that's a tiny fraction of the corpus, so the per-round

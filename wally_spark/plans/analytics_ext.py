@@ -204,11 +204,23 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pin(
-        cp.select(F.col("c").alias("src"), F.col("p").alias("dst")).union(
-            cp.select(F.col("p").alias("src"), F.col("c").alias("dst"))
-        )
+    # Pin the symmetrized edges ALREADY hash-partitioned on src at the
+    # cluster's own width (r13, guide §2.4 "two operations keyed the
+    # same way share one exchange"): localCheckpoint preserves
+    # outputPartitioning, so every round's edges⋈share join, the
+    # nodes distinct, and the deg aggregate all reuse this one
+    # exchange instead of re-shuffling the edge list 3x per round.
+    from wally_spark.operators.components import (
+        _prepartition_on,
+        _shuffle_width,
     )
+
+    edge_plan = cp.select(F.col("c").alias("src"), F.col("p").alias("dst")).union(
+        cp.select(F.col("p").alias("src"), F.col("c").alias("dst"))
+    )
+    if _prepartition_on(spark):
+        edge_plan = edge_plan.repartition(_shuffle_width(spark), "src")
+    edges = pin(edge_plan)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")

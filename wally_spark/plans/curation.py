@@ -1411,6 +1411,11 @@ def _bpe_encoded_vocab_from_wc(wc: DataFrame) -> DataFrame:
             "c",
         ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "c")
         agg = pairs.groupBy("a", "b").agg(F.sum("c").cast("bigint").alias("cnt"))
+        # The winner stays pinned even though it has one consumer: an
+        # unpinned agg+limit subtree inside new_vocab's broadcast made
+        # the replay 2-6x SLOWER (measured r13 — each round's AQE
+        # materialization re-executed the deepened lineage), so the
+        # per-round barrier is load-bearing, not overhead.
         top = pin(agg.orderBy(F.desc("cnt"), "a", "b").limit(1))
         merged_s = F.replace(
             F.col("s"),

@@ -511,31 +511,43 @@ def simhash_of(docs: DataFrame) -> DataFrame:
         "hi", F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint")
     ).withColumn("lo", F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint"))
 
-    def bit(j):
+    # The 64 per-bit vote counters, the 64 majority CASEs, and the two
+    # weighted folds are built as SQL TEXT and parsed by a handful of
+    # F.expr calls (r13): the former Column-algebra spelling issued
+    # ~700 py4j round-trips (~3 ms each on this host) — 1.7-2.6 s of
+    # driver-side DataFrame-BUILD time per consumer lane, 3x the
+    # fingerprint's actual execution. Expression semantics are
+    # unchanged operator-for-operator (shiftright & 1, coalesce 0,
+    # CASE majority, bigint weights with the -2^63 top bit), so the
+    # plan and results are identical; only the construction path
+    # differs. Four lanes consume this builder (dedup_simhash,
+    # dedup_simhash_pairs, simhash_recall_audit, dedup_edit_verified).
+    def bit_sql(j: int) -> str:
         half, off = ("hi", j - 32) if j >= 32 else ("lo", j)
-        return F.coalesce(
-            F.shiftright(F.col(half), off).bitwiseAND(F.lit(1)), F.lit(0)
-        )
+        return f"coalesce((shiftright({half}, {off}) & 1), 0)"
 
     agg = toks.groupBy("doc_id").agg(
-        F.count("tok").alias("n"),
-        *[F.sum(bit(j)).alias(f"c{j}") for j in range(64)],
+        F.expr("count(tok) AS n"),
+        *[F.expr(f"sum({bit_sql(j)}) AS c{j}") for j in range(64)],
     )
-    maj = [
-        F.when(2 * F.col(f"c{j}") > F.col("n"), F.lit(1)).otherwise(F.lit(0))
-        for j in range(64)
+    maj_sql = [
+        f"(CASE WHEN 2 * c{j} > n THEN 1 ELSE 0 END)" for j in range(64)
     ]
     # two's-complement: weight for bit 63 is -2^63
-    weights = [F.lit(1 << j).cast("bigint") for j in range(63)] + [
-        F.lit(-9223372036854775808)
+    weights_sql = [f"CAST({1 << j} AS BIGINT)" for j in range(63)] + [
+        "CAST(-9223372036854775808 AS BIGINT)"
     ]
-    simhash = sum((m * w for m, w in zip(maj[1:], weights[1:])), maj[0] * weights[0])
-    bucket = sum(
-        (m * F.lit(1 << (j - 48)).cast("bigint") for j, m in enumerate(maj[49:64], 49)),
-        maj[48] * F.lit(1).cast("bigint"),
+    simhash_sql = " + ".join(
+        f"{m} * {w}" for m, w in zip(maj_sql, weights_sql)
+    )
+    bucket_sql = " + ".join(
+        f"{maj_sql[j]} * CAST({1 << (j - 48)} AS BIGINT)"
+        for j in range(48, 64)
     )
     return agg.select(
-        "doc_id", simhash.alias("simhash"), bucket.alias("bucket")
+        "doc_id",
+        F.expr(simhash_sql).alias("simhash"),
+        F.expr(bucket_sql).alias("bucket"),
     )
 
 

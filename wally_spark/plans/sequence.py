@@ -967,10 +967,23 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c") >= KCORE_EDGE_SUPPORT)
         .select("pa", "pb")
     )
-    adj = pin(
-        edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    # Pinned pre-partitioned on src (r13, the graph_pagerank move):
+    # every LPA round joins adj on src, so hash-partitioning it once
+    # inside the pin elides the per-round adjacency exchange —
+    # localCheckpoint preserves outputPartitioning.
+    from wally_spark.operators.components import (
+        _prepartition_on,
+        _shuffle_width,
     )
+
+    adj_plan = edges.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(
+        edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    if _prepartition_on(spark):
+        adj_plan = adj_plan.repartition(_shuffle_width(spark), "src")
+    adj = pin(adj_plan)
     labels = adj.select(F.col("src").alias("v")).distinct().select(
         "v", F.col("v").alias("label")
     )
