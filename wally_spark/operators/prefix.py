@@ -114,7 +114,23 @@ def global_ntile_multi(
         # know the row count should pass it in
         total_rows = df.count()
     frac = min(1.0, NTILE_SAMPLE_TARGET / max(1, total_rows))
-    fracs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    # Wide literal constructs in this operator (the percentile
+    # fraction array, the per-spec 63-CASE bucket expression, the
+    # 64-literal offset arrays) are built as SQL TEXT parsed by one
+    # F.expr each (r13): the Column-algebra spelling cost ~300 py4j
+    # round-trips PER SPEC (~1 s/spec of driver-side build time on
+    # this host, 3 specs in user_rfm_segments), dwarfing the actual
+    # execution. Parsed trees and results are identical — and
+    # exactness never depended on the cut values anyway (they only
+    # shape bucket balance; see step 2 of the docstring).
+    fracs = F.expr(
+        "array({})".format(
+            ", ".join(
+                f"CAST('{i / n_buckets!r}' AS DOUBLE)"
+                for i in range(1, n_buckets)
+            )
+        )
+    )
     def _sample_cuts(sample_frac: float) -> list[list[float]]:
         src = df if sample_frac >= 1.0 else df.where(hash_frac < F.lit(sample_frac))
         row = src.agg(
@@ -141,16 +157,40 @@ def global_ntile_multi(
     while any(c.startswith(gb_prefix) for c in df.columns):
         gb_prefix += "_"
     gb = [f"{gb_prefix}{i}" for i in range(len(sks))]
+    skc = [f"{gb_prefix}s{i}" for i in range(len(sks))]
 
-    bucketed = df
-    for i, sk in enumerate(sks):
-        # literal cut comparisons — codegen-friendly (no interpreted
-        # HOF), and bucket assignment cannot drift between jobs
-        bucket = sum(
-            (F.when(sk > F.lit(c), 1).otherwise(0) for c in cuts[i]),
-            start=F.lit(0),
-        )
-        bucketed = bucketed.withColumn(gb[i], bucket.cast("int"))
+    def _dlit(c) -> str:
+        # exact SQL double literal: repr round-trips finite doubles;
+        # Spark's string->double cast accepts 'Infinity' spellings
+        v = float(c)
+        if v != v:
+            return "CAST('NaN' AS DOUBLE)"
+        if v == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if v == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    # literal cut comparisons — codegen-friendly (no interpreted HOF),
+    # and bucket assignment cannot drift between jobs; one parsed
+    # expression per spec instead of 63 Column ops (see note above)
+    bucketed = df.select(
+        "*", *[sk.alias(skc[i]) for i, sk in enumerate(sks)]
+    ).select(
+        "*",
+        *[
+            F.expr(
+                "CAST({} AS INT)".format(
+                    " + ".join(
+                        f"(CASE WHEN {skc[i]} > {_dlit(c)} THEN 1 ELSE 0 END)"
+                        for c in cuts[i]
+                    )
+                    or "0"
+                )
+            ).alias(gb[i])
+            for i in range(len(sks))
+        ],
+    )
 
     # ONE job for every spec's per-bucket counts: explode each row into
     # (spec dim, bucket) and aggregate — specs × n_buckets output rows.
@@ -192,13 +232,14 @@ def global_ntile_multi(
         rn = F.row_number().over(
             Window.partitionBy(gb[i]).orderBy(sort_key.asc(), *tiebreaks)
         )
-        # literal offset lookup (n_buckets longs) — no join
-        r = (
-            F.element_at(
-                F.array(*[F.lit(o) for o in offs[i]]), F.col(gb[i]) + 1
+        # literal offset lookup (n_buckets longs) — no join; one
+        # parsed array instead of 64 F.lit round-trips
+        off_arr = F.expr(
+            "element_at(array({}), {} + 1)".format(
+                ", ".join(f"{o}L" for o in offs[i]), gb[i]
             )
-            + rn
-        ).cast("long")
+        )
+        r = (off_arr + rn).cast("long")
         if n < k:
             tile = r  # every tile holds at most one row
         else:
@@ -206,7 +247,7 @@ def global_ntile_multi(
                 r <= cutr, F.floor((r - 1) / (q + 1)) + 1
             ).otherwise(rem + F.floor((r - cutr - 1) / q) + 1)
         out = out.withColumn(out_col, tile.cast("long"))
-    return out.drop(*gb)
+    return out.drop(*gb, *skc)
 
 
 def global_ntile(

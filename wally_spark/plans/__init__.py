@@ -176,6 +176,19 @@ _CHANGED_THIS_ROUND: frozenset = frozenset(
         # (shared with the streaming decode-check face) — expressions
         # byte-identical, re-verify anyway (the factoring rule)
         "bpe_decode_check",
+        # r13 optimization: simhash_of rebuilt as SQL text (same parsed
+        # plan) — all four consumer lanes re-enter the window
+        "dedup_simhash",
+        "dedup_simhash_pairs",
+        "dedup_edit_verified",
+        # r13 optimization: pre-partitioned pinned edge lists
+        "graph_pagerank",
+        "graph_label_prop",
+        "dedup_clusters",
+        # r13 optimization: global_ntile_multi wide literals rebuilt as
+        # SQL text (same parsed plan; cuts never affect exactness)
+        "user_rfm_segments",
+        "revenue_decile_gains",
     }
 )
 
