@@ -32,3 +32,19 @@ def collect_id_matrix(df: DataFrame, id_col: str, vec_col: str):
         return ids, np.zeros((0, 0), dtype=np.float64)
     mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
     return ids, mat
+
+
+def collect_rows(df: DataFrame, max_rows: int) -> list:
+    """Collect a BOUNDED relation's rows to the driver — the sanctioned
+    route for plans that re-enter a tiny computed relation into later
+    plan text as LITERALS (iterative-training winners, bucket cuts).
+    The caller owns the boundedness argument (document it at the call
+    site); the bound is enforced, not hinted: more than ``max_rows``
+    rows raises instead of silently ballooning driver state."""
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"collect_rows: relation exceeded its documented bound "
+            f"({len(rows)} > {max_rows} rows)"
+        )
+    return rows

@@ -189,6 +189,31 @@ _CHANGED_THIS_ROUND: frozenset = frozenset(
         # SQL text (same parsed plan; cuts never affect exactness)
         "user_rfm_segments",
         "revenue_decile_gains",
+        # r13 optimization: BPE replay literal winners (bit-identical
+        # merge list, new plumbing) — all family lanes re-verify
+        "bpe_merges_r4",
+        "bpe_encode",
+        "bpe_encode_ids",
+        "bpe_merge_stability",
+        "pack_attention_boundaries",
+        "pack_bestfit_report",
+        "pack_contamination_report",
+        # r13 optimization: shingle_stream HOF spelling (same multiset)
+        "dedup_minhash",
+        "dedup_ngram_jaccard",
+        "dup_rate_report",
+        "cross_source_dup_report",
+        "minhash_estimate_audit",
+        "minhash_bbit_audit",
+        "dedup_keep_best",
+        "dedup_cluster_size_hist",
+        "curation_pipeline",
+        "pool_filter_report",
+        "repetition_mixing_schedule",
+        "decontaminate_minhash",
+        "minhash_containment",
+        "lsh_tuning_curve",
+        "lsh_recall_measured",
     }
 )
 

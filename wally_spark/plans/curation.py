@@ -1229,7 +1229,7 @@ def bpe_merges_r4(spark: SparkSession, sf_dir: str) -> DataFrame:
     (free_blocks), so pinned storage stays O(1 round). Winning-pair
     frames are 1 row each. Empty corpus => empty vocab => LIMIT 1
     yields zero rows => empty result, no NULL poison."""
-    from wally_spark.operators.checkpoint import free_blocks, pin
+    from wally_spark.operators.checkpoint import pin
 
     d = _BPE_D
     tok = _docs(spark, sf_dir).select(F.explode(_words_col()).alias("word"))
@@ -1243,46 +1243,19 @@ def bpe_merges_r4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(d),
     )
     vocab = pin(wc.select(s0.alias("s"), "c"))
-    outs = []
-    for r in range(BPE_ROUNDS):
-        syms = vocab.select(
-            F.split(F.expr("substring(s, 2, length(s)-2)"), d + d).alias("sy"), "c"
-        ).where(F.size("sy") >= 2)
-        pairs = syms.select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(sy)-1),"
-                    " i -> struct(element_at(sy, i) AS a, element_at(sy, i+1) AS b))"
-                )
-            ).alias("p"),
-            "c",
-        ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "c")
-        agg = pairs.groupBy("a", "b").agg(F.sum("c").cast("bigint").alias("cnt"))
-        top = pin(agg.orderBy(F.desc("cnt"), "a", "b").limit(1))
-        outs.append(
-            top.select(
-                F.lit(r + 1).cast("bigint").alias("merge_round"),
-                F.col("a").alias("pair_a"),
-                F.col("b").alias("pair_b"),
-                F.concat("a", "b").alias("merged"),
-                F.col("cnt").alias("pair_count"),
-            )
-        )
-        if r < BPE_ROUNDS - 1:
-            merged_s = F.replace(
-                F.col("s"),
-                F.concat(F.lit(d), F.col("a"), F.lit(d + d), F.col("b"), F.lit(d)),
-                F.concat(F.lit(d), F.col("a"), F.col("b"), F.lit(d)),
-            )
-            new_vocab = pin(
-                vocab.crossJoin(F.broadcast(top)).select(merged_s.alias("s"), "c")
-            )
-            free_blocks(vocab)
-            vocab = new_vocab
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.orderBy("merge_round")
+    # r13: the per-round winner comes back as a literal (see
+    # _bpe_replay_winners) — the output relation is then a pure
+    # driver-side literal table instead of a union of four pinned
+    # 1-row frames.
+    winners = _bpe_replay_winners(vocab)
+    return spark.createDataFrame(
+        [
+            (r + 1, a, b, a + b, cnt)
+            for r, (a, b, cnt) in enumerate(winners)
+        ],
+        "merge_round bigint, pair_a string, pair_b string, "
+        "merged string, pair_count bigint",
+    ).orderBy("merge_round")
 
 
 # --- BPE tokenizer APPLY (r9) ------------------------------------------------
@@ -1380,26 +1353,32 @@ def _bpe_encoded_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bpe_encoded_vocab_from_wc(wc)
 
 
-def _bpe_encoded_vocab_from_wc(wc: DataFrame) -> DataFrame:
-    """The BPE_ROUNDS merge replay over a given (word, c) vocabulary —
-    factored out (expressions byte-identical to the r10 body) so the
-    streaming attention-manifest face can train on the FOLDED corpus
-    vocabulary instead of a parquet directory."""
-    from wally_spark.operators.checkpoint import free_blocks, pin
+def _bpe_replay_winners(vocab: DataFrame) -> list:
+    """Run the BPE_ROUNDS merge loop over a pinned ``(…, s, c)``
+    symbol-string vocabulary, returning the list of winning
+    ``(a, b, cnt)`` rounds (shorter than BPE_ROUNDS iff some round had
+    no pair — after which the oracle's ``CROSS JOIN t{r}`` empties the
+    vocabulary, reproduced by ``_bpe_apply_winners``).
+
+    r13 shape: each round's winner (ORDER BY cnt DESC, a, b LIMIT 1 —
+    deterministic) is a ONE-row relation; it comes back to the driver
+    through the bounded ``operators/matrix.collect_rows`` route and
+    re-enters the next round's plan as LITERALS. The former spelling
+    pinned the winner and broadcast it into a crossJoin: 2 eager-pin
+    jobs + a broadcast build per round, all for one row. Literal
+    winners need 1 job per round (the count itself) and let the merged
+    vocabulary stay a LAZY chain of literal `replace`s over the single
+    pinned base — no per-round materialization at all. Winners and
+    therefore results are bit-identical; only the plumbing of one row
+    differs."""
+    from wally_spark.operators.matrix import collect_rows
 
     d = _BPE_D
-    s0 = F.concat(
-        F.lit(d),
-        F.array_join(
-            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
-            d + d,
-        ),
-        F.lit(d),
-    )
-    vocab = pin(wc.select("word", s0.alias("s"), "c"))
+    winners = []
     for _ in range(BPE_ROUNDS):
         syms = vocab.select(
-            F.split(F.expr("substring(s, 2, length(s)-2)"), d + d).alias("sy"), "c"
+            F.split(F.expr("substring(s, 2, length(s)-2)"), d + d).alias("sy"),
+            "c",
         ).where(F.size("sy") >= 2)
         pairs = syms.select(
             F.explode(
@@ -1411,23 +1390,52 @@ def _bpe_encoded_vocab_from_wc(wc: DataFrame) -> DataFrame:
             "c",
         ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "c")
         agg = pairs.groupBy("a", "b").agg(F.sum("c").cast("bigint").alias("cnt"))
-        # The winner stays pinned even though it has one consumer: an
-        # unpinned agg+limit subtree inside new_vocab's broadcast made
-        # the replay 2-6x SLOWER (measured r13 — each round's AQE
-        # materialization re-executed the deepened lineage), so the
-        # per-round barrier is load-bearing, not overhead.
-        top = pin(agg.orderBy(F.desc("cnt"), "a", "b").limit(1))
-        merged_s = F.replace(
-            F.col("s"),
-            F.concat(F.lit(d), F.col("a"), F.lit(d + d), F.col("b"), F.lit(d)),
-            F.concat(F.lit(d), F.col("a"), F.col("b"), F.lit(d)),
+        # bound = 1 by construction (LIMIT 1)
+        rows = collect_rows(agg.orderBy(F.desc("cnt"), "a", "b").limit(1), 1)
+        if not rows:
+            break
+        a, b = rows[0]["a"], rows[0]["b"]
+        winners.append((a, b, rows[0]["cnt"]))
+        vocab = vocab.withColumn(
+            "s", F.replace("s", F.lit(d + a + d + d + b + d), F.lit(d + a + b + d))
         )
-        new_vocab = pin(
-            vocab.crossJoin(F.broadcast(top)).select("word", merged_s.alias("s"), "c")
-        )
-        free_blocks(vocab)
-        vocab = new_vocab
-    return vocab
+    return winners
+
+
+def _bpe_apply_winners(vocab: DataFrame, winners: list, rounds: int) -> DataFrame:
+    """Apply a literal merge list to a symbol-string vocabulary —
+    nested `replace`s, plus the oracle's empty-vocabulary semantics:
+    if training stopped early (no pair in some round ≤ rounds), the
+    reference CROSS JOIN against the empty winner relation empties the
+    vocabulary, so mirror that exactly."""
+    d = _BPE_D
+    if len(winners) < rounds:
+        return vocab.where(F.lit(False))
+    s = F.col("s")
+    for a, b, _ in winners[:rounds]:
+        s = F.replace(s, F.lit(d + a + d + d + b + d), F.lit(d + a + b + d))
+    return vocab.withColumn("s", s)
+
+
+def _bpe_encoded_vocab_from_wc(wc: DataFrame) -> DataFrame:
+    """The BPE_ROUNDS merge replay over a given (word, c) vocabulary —
+    factored out (winner-for-winner identical to the r10 body) so the
+    streaming attention-manifest face can train on the FOLDED corpus
+    vocabulary instead of a parquet directory."""
+    from wally_spark.operators.checkpoint import pin
+
+    d = _BPE_D
+    s0 = F.concat(
+        F.lit(d),
+        F.array_join(
+            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+            d + d,
+        ),
+        F.lit(d),
+    )
+    vocab = pin(wc.select("word", s0.alias("s"), "c"))
+    winners = _bpe_replay_winners(vocab)
+    return _bpe_apply_winners(vocab, winners, BPE_ROUNDS)
 
 
 @register(
@@ -2403,7 +2411,7 @@ def bpe_merge_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a 1-row pinned winner (the bpe_merges_r4 loop, run twice);
     the report is BPE_ROUNDS rows off a literal spine, so empty
     corpora/halves yield NULL winners, never a crash."""
-    from wally_spark.operators.checkpoint import free_blocks, pin
+    from wally_spark.operators.checkpoint import pin
 
     d = _BPE_D
     docs = _docs(spark, sf_dir)
@@ -2416,6 +2424,9 @@ def bpe_merge_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("int")
 
     def winners(half_docs: DataFrame) -> DataFrame:
+        # the bpe_merges_r4 loop (r13 literal-winner spelling via
+        # _bpe_replay_winners: one counting job per round, no pinned
+        # 1-row frames) — run once per half
         tok = half_docs.select(F.explode(_words_col()).alias("word"))
         wc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
         s0 = F.concat(
@@ -2430,55 +2441,11 @@ def bpe_merge_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(d),
         )
         vocab = pin(wc.select(s0.alias("s"), "c"))
-        outs = []
-        for r in range(BPE_ROUNDS):
-            syms = vocab.select(
-                F.split(
-                    F.expr("substring(s, 2, length(s)-2)"), d + d
-                ).alias("sy"),
-                "c",
-            ).where(F.size("sy") >= 2)
-            pairs = syms.select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(sy)-1), i ->"
-                        " struct(element_at(sy, i) AS a,"
-                        " element_at(sy, i+1) AS b))"
-                    )
-                ).alias("p"),
-                "c",
-            ).select(
-                F.col("p.a").alias("a"), F.col("p.b").alias("b"), "c"
-            )
-            agg = pairs.groupBy("a", "b").agg(
-                F.sum("c").cast("bigint").alias("cnt")
-            )
-            top = pin(agg.orderBy(F.desc("cnt"), "a", "b").limit(1))
-            outs.append(
-                top.select(
-                    F.lit(r + 1).cast("bigint").alias("merge_round"),
-                    F.concat("a", "b").alias("merged"),
-                    F.col("cnt"),
-                )
-            )
-            merged_s = F.replace(
-                F.col("s"),
-                F.concat(
-                    F.lit(d), F.col("a"), F.lit(d + d), F.col("b"), F.lit(d)
-                ),
-                F.concat(F.lit(d), F.col("a"), F.col("b"), F.lit(d)),
-            )
-            new_vocab = pin(
-                vocab.crossJoin(F.broadcast(top)).select(
-                    merged_s.alias("s"), "c"
-                )
-            )
-            free_blocks(vocab)
-            vocab = new_vocab
-        out = outs[0]
-        for o in outs[1:]:
-            out = out.unionByName(o)
-        return out
+        ws = _bpe_replay_winners(vocab)
+        return spark.createDataFrame(
+            [(r + 1, a + b, cnt) for r, (a, b, cnt) in enumerate(ws)],
+            "merge_round bigint, merged string, cnt bigint",
+        )
 
     wa = winners(docs.where(nib < 8)).select(
         "merge_round",

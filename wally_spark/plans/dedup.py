@@ -102,16 +102,39 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shingle_stream(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) MULTISET — 3-word shingles via posexplode +
-    window lead()s (all codegen; the array-transform spelling runs
-    interpreted). No per-doc distinct: minhash is invariant to shingle
-    multiplicity, so signature consumers skip that work entirely. The
-    per-doc sort reuses the fan_out doc_id partitioning. Use
-    ``shingles_of`` where SET semantics matter (Jaccard)."""
-    from pyspark.sql import Window
+    """(doc_id, shingle) MULTISET — 3-word shingles. No per-doc
+    distinct: minhash is invariant to shingle multiplicity, so
+    signature consumers skip that work entirely. Use ``shingles_of``
+    where SET semantics matter (Jaccard).
 
+    Two spellings, A/B-gated by ``spark.wally.shingle.hof`` (r13):
+    the default array-transform HOF runs interpreted per row but adds
+    ZERO shuffle — at 100 TB the alternative window spelling exchanges
+    and sorts the ENTIRE token stream by doc_id (locally that exchange
+    happens to be absorbed by fan_out's repartition, which is a no-op
+    at scale, so the local plans undersell the window's true cost).
+    Guide §2.4: remove the shuffle outright."""
     words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
     d = docs.select("doc_id", words.alias("words")).where(F.size("words") >= 3)
+    hof = (
+        str(
+            docs.sparkSession.conf.get("spark.wally.shingle.hof", "true")
+        ).lower()
+        != "false"
+    )
+    if hof:
+        shingles = F.transform(
+            F.sequence(F.lit(1), F.size("words") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("words", i),
+                F.element_at("words", i + 1),
+                F.element_at("words", i + 2),
+            ),
+        )
+        return d.select("doc_id", F.explode(shingles).alias("shingle"))
+    from pyspark.sql import Window
+
     toks = d.select("doc_id", F.posexplode("words").alias("p0", "w"))
     win = Window.partitionBy("doc_id").orderBy("p0")
     w2 = F.lead("w", 2).over(win)
