@@ -23,6 +23,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="+")
     ap.add_argument("--conf", required=True)
+    ap.add_argument(
+        "--values",
+        default="true,false",
+        help="comma-separated pair of conf values for the two arms",
+    )
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
@@ -36,12 +41,14 @@ def main() -> int:
     for wq in ("q6_forecast_revenue", "mm_image_meta", "win_tumbling"):
         REGISTRY[wq].spark_fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
 
+    arms = tuple(args.values.split(","))
+    assert len(arms) == 2, "--values needs exactly two comma-separated values"
     out = {}
     for name in args.names:
         qd = REGISTRY[name]
-        best = {"true": None, "false": None}
+        best = {arms[0]: None, arms[1]: None}
         for _ in range(args.reps):
-            for arm in ("true", "false"):
+            for arm in arms:
                 spark.conf.set(args.conf, arm)
                 t0 = time.perf_counter()
                 qd.spark_fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
@@ -50,7 +57,11 @@ def main() -> int:
                     best[arm] = dt
                 spark.sparkContext._jvm.System.gc()
         out[name] = {k: round(v, 3) for k, v in best.items()}
-        print(f"{name}: {args.conf}=true {best['true']:.3f}s  =false {best['false']:.3f}s", flush=True)
+        print(
+            f"{name}: {args.conf}={arms[0]} {best[arms[0]]:.3f}s"
+            f"  ={arms[1]} {best[arms[1]]:.3f}s",
+            flush=True,
+        )
     print(json.dumps(out, indent=1))
     return 0
 

@@ -24,6 +24,12 @@ def get_spark(app_name: str = "wally_spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # r13 (guide §3.1): let the planner pick shuffled-hash join when
+        # its size conditions are met — A/B-measured contrastive_pairs
+        # -17%, pool_filter_report -6%, join-heavy TPC-H lanes neutral.
+        # Safe with AQE sizing; SMJ remains the fallback whenever the
+        # build side estimate exceeds the per-partition threshold.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("WALLY_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
