@@ -11,6 +11,7 @@ driver collect). Run: python bench.py [--sf-dir DIR] [--repeat N]
 from __future__ import annotations
 
 import argparse
+import gc
 import json
 import os
 import sys
@@ -70,8 +71,17 @@ def main() -> int:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
-        # a 67-query sweep ages the session (shuffle files, JVM heap);
-        # collect between queries so query N doesn't pay query N-1's GC
+        # a full-registry sweep ages the session (pinned checkpoint
+        # blocks, broadcasts, shuffle state). The JVM can only free
+        # those once the py4j proxies holding their DataFrame/RDD
+        # references are dropped — and CPython frees the proxy CYCLES
+        # only on a cyclic-GC pass. Without the explicit gc.collect()
+        # the tail of the sweep measured up to +85% aging tax
+        # (contrastive_pairs 9.70 s at position 18 vs 5.18 fresh,
+        # r13); with it the same position measures 5.25 s. Python GC
+        # first, then JVM GC so the ContextCleaner acts on the freed
+        # references in the same breath.
+        gc.collect()
         spark.sparkContext._jvm.System.gc()
 
     out = {

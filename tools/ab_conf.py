@@ -11,6 +11,7 @@ both arms equally) and reports per-arm minimums.
 from __future__ import annotations
 
 import argparse
+import gc
 import json
 import os
 import sys
@@ -55,6 +56,7 @@ def main() -> int:
                 dt = time.perf_counter() - t0
                 if best[arm] is None or dt < best[arm]:
                     best[arm] = dt
+                gc.collect()  # free py4j proxies so ContextCleaner can act (see bench.py)
                 spark.sparkContext._jvm.System.gc()
         out[name] = {k: round(v, 3) for k, v in best.items()}
         print(

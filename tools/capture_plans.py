@@ -14,6 +14,7 @@ Python-eval nodes.
 from __future__ import annotations
 
 import argparse
+import gc
 import io
 import json
 import os
@@ -87,6 +88,7 @@ def main() -> int:
                 f"  min-of-{args.time}: {best:.3f}s"
                 f" (build {best_b:.3f} / exec {best_e:.3f})"
             )
+            gc.collect()  # free py4j proxies so ContextCleaner can act (see bench.py)
             spark.sparkContext._jvm.System.gc()
         print(line, flush=True)
     if timings:

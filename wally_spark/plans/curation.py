@@ -1719,13 +1719,22 @@ def bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("woff"),
     )
     goff = layout.select("doc_id", "off0")
+    # r13 (guide §3.3 "explode before a join multiplies the shuffle"):
+    # attach the doc-level global offset BEFORE the symbol posexplode —
+    # the doc-keyed join then carries one row per word occurrence
+    # instead of one per token (~3x fewer join rows at any scale);
+    # gpos = off0 + woff + spos is associative, rows identical.
     toks = (
-        dwoff.select("doc_id", "woff", F.posexplode("sy").alias("spos", "sym"))
-        .join(goff, "doc_id")
+        dwoff.join(goff, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("off0") + F.col("woff")).alias("base"),
+            F.posexplode("sy").alias("spos", "sym"),
+        )
         .select(
             "doc_id",
             "sym",
-            (F.col("off0") + F.col("woff") + F.col("spos")).alias("gpos"),
+            (F.col("base") + F.col("spos")).alias("gpos"),
         )
     )
     return (

@@ -255,6 +255,18 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the band join shuffles on band_key (uniform), so cost is
     O(candidates), not O(n²)."""
     sigs = minhash_signatures(fan_out(_docs(spark, sf_dir), "doc_id"))
+    return minhash_band_candidates(sigs)
+
+
+def minhash_band_candidates(sigs: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs from a (doc_id, mh0..mh7) signature
+    relation — dedup_minhash's body, factored (r13) so audit lanes
+    that ALSO read the signatures (minhash_estimate_audit,
+    minhash_bbit_audit, minhash_containment) can pin `sigs` once and
+    derive candidates from the pinned relation instead of recomputing
+    the corpus shingle+minhash pass per consumer (guide §1.2 step 1:
+    one corpus pass, not two). Expressions byte-identical to the
+    pre-factor body — the plain dedup_minhash plan is unchanged."""
     # one explode instead of a 4-way union: the union shape makes Spark
     # recompute the signature aggregation per branch
     band_structs = F.array(
@@ -340,13 +352,21 @@ cand AS (
 )"""
 
 
-def _candidate_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _candidate_jaccard(
+    spark: SparkSession, sf_dir: str, cands: DataFrame | None = None
+) -> DataFrame:
     """(doc_a, doc_b, jac_bp_expr-ready cols): exact Jaccard computed
     ONLY on minhash candidate pairs. The shingle join is keyed by the
     candidate pair, so cost is O(candidates × shingles-per-doc) — a hot
     shingle in k docs no longer produces k² rows (the round-1 full
-    self-join was quadratic on hot shingles at the 100 TB target)."""
-    cands = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    self-join was quadratic on hot shingles at the 100 TB target).
+
+    ``cands`` (r13): callers that already hold the candidate pairs —
+    e.g. derived from a pinned signature relation they also read for
+    other columns — pass them in so the minhash chain is not rebuilt
+    here (guide §1.2 step 1). Default spelling unchanged."""
+    if cands is None:
+        cands = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
     sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -1482,8 +1502,13 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates with NO shared shingle (possible: banding matches on
     signature collisions) audit as exact_bp=0 via the left join —
     exactly the false-positive rows the report exists to count."""
-    cands = pin(dedup_minhash(spark, sf_dir).select("doc_a", "doc_b"))
-    sigs = minhash_signatures(fan_out(_docs(spark, sf_dir), "doc_id"))
+    # r13 (guide §1.2 step 1): pin the signature relation ONCE and
+    # derive both the candidate pairs and the estimate columns from
+    # it — the old spelling ran the corpus shingle+minhash aggregate
+    # twice (once inside dedup_minhash, once for `est`). sigs is
+    # n_docs × 9 narrow columns — cheap to pin at any corpus size.
+    sigs = pin(minhash_signatures(fan_out(_docs(spark, sf_dir), "doc_id")))
+    cands = pin(minhash_band_candidates(sigs).select("doc_a", "doc_b"))
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{h}").alias(f"a{h}") for h in range(N_HASHES)],
@@ -1900,8 +1925,10 @@ def minhash_bbit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch comparisons are pure integer expressions per pair.""".format(
         N=N_HASHES, B=BBIT
     )
-    cands = pin(dedup_minhash(spark, sf_dir).select("doc_a", "doc_b"))
-    sigs = minhash_signatures(fan_out(_docs(spark, sf_dir), "doc_id"))
+    # r13: one pinned signature pass feeds candidates AND both sketch
+    # estimates (see minhash_estimate_audit — same restructure).
+    sigs = pin(minhash_signatures(fan_out(_docs(spark, sf_dir), "doc_id")))
+    cands = pin(minhash_band_candidates(sigs).select("doc_a", "doc_b"))
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{h}").alias(f"a{h}") for h in range(N_HASHES)],
@@ -2469,9 +2496,16 @@ def lsh_recall_measured(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-keyed signature joins attach (mh0..mh7) per side; ONE
     aggregate computes all four configs' conditional sums; a 4-row
     stack unpivots. Int64-safe throughout."""
-    jac = _candidate_jaccard(spark, sf_dir)
+    # r13: ONE pinned signature pass feeds the candidate generator and
+    # both per-side signature joins — the old spelling ran the corpus
+    # shingle+minhash aggregate three times (cands chain, sa, sb).
+    sigs = pin(minhash_signatures(fan_out(_docs(spark, sf_dir), "doc_id")))
+    jac = _candidate_jaccard(
+        spark,
+        sf_dir,
+        cands=minhash_band_candidates(sigs).select("doc_a", "doc_b"),
+    )
     t = jac.where(_jac_bp() >= float(LSH_TRUTH_BP)).select("doc_a", "doc_b")
-    sigs = minhash_signatures(fan_out(_docs(spark, sf_dir), "doc_id"))
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{h}").alias(f"amh{h}") for h in range(N_HASHES)],
