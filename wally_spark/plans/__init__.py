@@ -214,6 +214,11 @@ _CHANGED_THIS_ROUND: frozenset = frozenset(
         "minhash_containment",
         "lsh_tuning_curve",
         "lsh_recall_measured",
+        # r13 optimization: mirror explode (one einsum, no Union
+        # recompute) + zero-copy Arrow cosine (pair_cos_scored)
+        "embedding_knn_graph",
+        "contrastive_pairs",
+        "dedup_embedding_lsh",
     }
 )
 

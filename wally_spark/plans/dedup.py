@@ -1109,6 +1109,57 @@ def _pair_cos_udf(ea, eb):
     return _PAIR_COS_UDF(ea, eb)
 
 
+def pair_cos_scored(df: DataFrame, ka: str, kb: str, ea: str, eb: str) -> DataFrame:
+    """(ka, kb, cos) from a pair relation carrying both embedding
+    arrays — ONE zero-copy Arrow einsum per batch via ``mapInArrow``
+    (guide §4.2): the list column's values buffer reshapes straight to
+    an (n, dim) float64 matrix, where the pandas_udf route first
+    materializes a per-row object array (Series.tolist() →
+    np.array — measured +30% on the 810k-pair knn batch, r13). The
+    cosine doubles are bit-identical to ``_pair_cos_udf``'s (same
+    numpy expressions); callers keep their scalar post-expressions
+    (floor/filter/nudge) in the JVM so each lane's oracle arithmetic
+    stays visible at the call site. Only the four named columns cross
+    the boundary (guide §4.1: mapInArrow ships every column you pass)."""
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        def mat(col):
+            arr = (
+                col.combine_chunks()
+                if isinstance(col, pa.ChunkedArray)
+                else col
+            )
+            return (
+                arr.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+                .reshape(len(arr), -1)
+            )
+
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                yield pa.RecordBatch.from_arrays(
+                    [rb.column(0), rb.column(1), pa.array([], type=pa.float64())],
+                    names=[ka, kb, "cos"],
+                )
+                continue
+            ma, mb = mat(rb.column(2)), mat(rb.column(3))
+            dots = np.einsum("ij,ij->i", ma, mb)
+            cos = dots / (np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1))
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), rb.column(1), pa.array(cos, type=pa.float64())],
+                names=[ka, kb, "cos"],
+            )
+
+    return df.select(ka, kb, ea, eb).mapInArrow(
+        gen, f"{ka} bigint, {kb} bigint, cos double"
+    )
+
+
 # --- LSH-prefiltered embedding dedup: the 100 TB path ---
 @register("dedup_embedding_lsh", oracle=_embedding_lsh_oracle(), tags=("dedup", "embedding", "lsh"))
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1156,9 +1207,9 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (
-        pairs.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .withColumn("cos", _pair_cos_udf(F.col("ea"), F.col("eb")))
+        pair_cos_scored(
+            pairs.join(ea, "vec_a").join(eb, "vec_b"), "vec_a", "vec_b", "ea", "eb"
+        )
         .where(F.col("cos") > 0.4)
         .select(
             "vec_a",

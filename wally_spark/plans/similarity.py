@@ -984,7 +984,7 @@ def _knn_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vid").alias("src"), F.col("c.vid").alias("dst"))
         .dropDuplicates(["src", "dst"])
     )
-    from wally_spark.plans.dedup import _pair_cos_udf
+    from wally_spark.plans.dedup import pair_cos_scored
 
     se = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("se"))
     de = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("de"))
@@ -994,25 +994,41 @@ def _knn_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB's cosine over FLOAT[] stays in float32 (measured 3.5e-8
     # off, enough to cross a bp boundary); in float64 both engines
     # agree to ~1e-15 and the nudge absorbs exact-boundary cases.
+    # (cosine itself: one zero-copy Arrow einsum — pair_cos_scored.)
     scored = (
-        cand.join(se, "src")
-        .join(de, "dst")
+        pair_cos_scored(
+            cand.join(se, "src").join(de, "dst"), "src", "dst", "se", "de"
+        )
         .withColumn(
             "cos_bp",
-            F.floor(
-                10000.0 * _pair_cos_udf(F.col("se"), F.col("de")) + 1e-9
-            ).cast("bigint"),
+            F.floor(10000.0 * F.col("cos") + 1e-9).cast("bigint"),
         )
         .select("src", "dst", "cos_bp")
     )
-    # NOT pinned: measured — materializing 800k scored rows costs more
-    # than the second branch's recompute (exchange reuse shares the
-    # candidate join; only the cheap mirror projection differs)
-    return scored.unionByName(
-        scored.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "cos_bp"
+    # r13 (guide §1.2 step 1 — don't compute things twice): the old
+    # mirror spelling `scored.unionByName(scored.select(dst, src, ...))`
+    # planned the ENTIRE candidate subtree twice — at any scale where
+    # the per-side joins broadcast there is no Exchange for reuse to
+    # share, so both Union branches re-ran the band self-join AND the
+    # Arrow einsum (plan evidence: two ArrowEvalPython nodes,
+    # plans/r13/embedding_knn_graph_prof1.txt ops 45/91). Emit both
+    # directions from ONE scored pass instead: a 2-element inline
+    # explode per undirected pair — identical multiset, one einsum.
+    pair = F.explode(
+        F.array(
+            F.struct(
+                F.col("src").alias("src"),
+                F.col("dst").alias("dst"),
+                F.col("cos_bp").alias("cos_bp"),
+            ),
+            F.struct(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                F.col("cos_bp").alias("cos_bp"),
+            ),
         )
     )
+    return scored.select(pair.alias("p")).select("p.src", "p.dst", "p.cos_bp")
 
 
 # --- contrastive-pair mining (r10) --------------------------------------------
