@@ -303,8 +303,45 @@ def minhash_band_candidates(sigs: DataFrame) -> DataFrame:
     bands_k = bands.join(
         sizes.where(F.col("bsz") <= MAX_BUCKET), ["band_id", "band_key"]
     ).select("doc_id", "band_id", "band_key")
-    a = bands_k.alias("a")
-    b_ = bands_k.alias("b")
+    # r13 (guide §2.4 — remove the shuffle outright): the old spelling
+    # deduplicated multi-band collisions with a pair-keyed groupBy — a
+    # candidate-sized Exchange. Instead, fold each doc's SURVIVING band
+    # keys into one array (tiny map-side-combined aggregate: n_docs ×
+    # n_bands rows in, n_docs out), re-derive the band rows by
+    # exploding that array so every row carries its doc's full key set
+    # for free, and emit each pair ONLY from its first shared band —
+    # a codegen CASE filter, no dedup shuffle. shared_bands is the
+    # same null-rejecting-equality count over the two arrays (bands
+    # dropped by the bucket cap are null slots, so the count equals
+    # the old per-surviving-band join count exactly).
+    n_bands = N_HASHES // BAND_ROWS
+    # ss is pinned: the explode below feeds BOTH self-join branches,
+    # and without the pin each branch would re-run the aggregate's
+    # exchange (measured: doubles the lane). One row per doc — tiny.
+    ss = pin(bands_k.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.max(F.when(F.col("band_id") == i, F.col("band_key")))
+                for i in range(n_bands)
+            ]
+        ).alias("ss")
+    ))
+    bke = ss.select(
+        "doc_id", "ss", F.posexplode("ss").alias("band_id", "band_key")
+    ).where(F.col("band_key").isNotNull())
+    a = bke.alias("a")
+    b_ = bke.alias("b")
+    first_match = (
+        "CASE "
+        + " ".join(
+            f"WHEN a.ss[{i}] = b.ss[{i}] THEN {i}" for i in range(n_bands)
+        )
+        + " END"
+    )
+    shared = " + ".join(
+        f"(CASE WHEN a.ss[{i}] = b.ss[{i}] THEN 1 ELSE 0 END)"
+        for i in range(n_bands)
+    )
     return (
         a.join(
             b_,
@@ -312,14 +349,12 @@ def minhash_band_candidates(sigs: DataFrame) -> DataFrame:
             & (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        .where(F.expr(f"a.band_id = {first_match}"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr(f"CAST({shared} AS BIGINT)").alias("shared_bands"),
         )
-        # per (pair, band_id) the equi-join emits at most one row, so a
-        # plain count equals count(DISTINCT band_id) without the
-        # distinct-aggregate expand (oracle keeps the DISTINCT spelling
-        # — same value by construction)
-        .agg(F.count(F.lit(1)).alias("shared_bands"))
     )
 
 
@@ -364,7 +399,19 @@ def _candidate_jaccard(
     ``cands`` (r13): callers that already hold the candidate pairs —
     e.g. derived from a pinned signature relation they also read for
     other columns — pass them in so the minhash chain is not rebuilt
-    here (guide §1.2 step 1). Default spelling unchanged."""
+    here (guide §1.2 step 1).
+
+    r13 NEGATIVE result (do not retry): pinning one DISTINCT shingle
+    relation and deriving signatures + sizes + both join sides from it
+    (minhash over the distinct set equals minhash over the multiset —
+    min is duplicate-invariant) was interleave-A/B-measured a clear
+    REGRESSION: pool_filter_report +48%, lsh_recall_measured +31%,
+    minhash_containment +17%, dedup_ngram_jaccard +7%. The eager
+    materialization of 260k shingle strings costs more than four
+    codegen recomputes of the same pass (parquet pages OS-cached,
+    shingling is one whole-stage-codegen map), and pin-carrying
+    callers (lsh_recall_measured) pay the shingle pass twice. The
+    recompute spelling below is the measured winner."""
     if cands is None:
         cands = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
     sh = _shingles(spark, sf_dir)
@@ -1196,6 +1243,13 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = banded.join(
         sizes.where(F.col("bsz") <= PAIR_EMIT_BUCKET), ["band_id", "band_sig"]
     )
+    # r13 NEGATIVE result (do not retry): the first-shared-band
+    # dedup-free pair emission that wins in minhash_band_candidates
+    # LOSES here (2.53 -> 3.81 s measured A/B, min-of-3): the
+    # hyperplane band_sig values are wide, so carrying every vec's
+    # full sig ARRAY through both sides of the self-join shuffle
+    # costs more than the pair-keyed dropDuplicates it removes. Same
+    # measured loss on _knn_scored (similarity.py). Kept spelling:
     a = banded.select(F.col("vec_id").alias("vec_a"), "band_id", "band_sig")
     b = banded.select(F.col("vec_id").alias("vec_b"), "band_id", "band_sig")
     pairs = (
