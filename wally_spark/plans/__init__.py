@@ -185,6 +185,17 @@ _CHANGED_THIS_ROUND: frozenset = frozenset(
         "graph_pagerank",
         "graph_label_prop",
         "dedup_clusters",
+        # r13 optimization: operators/baskets self-join-free co-purchase
+        # pair build (identical multiset, two exchanges instead of
+        # four); graph_kcore additionally gained the fixpoint early exit
+        "part_cooccurrence",
+        "part_affinity_jaccard",
+        "basket_rules",
+        "graph_triangle_count",
+        "graph_clustering_coeff",
+        "graph_degree_assortativity",
+        "graph_link_prediction",
+        "graph_kcore",
         # r13 optimization: global_ntile_multi wide literals rebuilt as
         # SQL text (same parsed plan; cuts never affect exactness)
         "user_rfm_segments",

@@ -803,25 +803,23 @@ def part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair mining: the top part pairs that co-occur in
     the same order. The self-join is keyed on l_orderkey, so fanout per
     order is bounded by items-per-order (≤7 in TPC-H) — pairs-per-order
-    is O(k²) with tiny k, never a cross join. Shuffles: one distinct on
-    (order, part), one equi-join on orderkey, one pair groupBy; the
-    final top-20 compiles to TakeOrderedAndProject (per-partition heaps,
-    no global sort). Fully deterministic order: (support desc, part_a,
-    part_b) is a unique key."""
+    is O(k²) with tiny k, never a cross join. Shuffles (r13, the
+    operators/baskets self-join-free spelling): one order-keyed
+    collect_set, one pair groupBy — the distinct exchange and the
+    orderkey equi-join are gone; the final top-20 compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort). Fully
+    deterministic order: (support desc, part_a, part_b) is a unique
+    key."""
+    from wally_spark.operators.baskets import basket_pair_counts
+
     li = load_tables(spark, sf_dir)["lineitem"]
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        basket_pair_counts(li, "l_orderkey", "l_partkey")
+        .select(
+            F.col("pa").cast("bigint").alias("part_a"),
+            F.col("pb").cast("bigint").alias("part_b"),
+            F.col("c").cast("bigint").alias("n_orders"),
         )
-        .groupBy(
-            F.col("a.l_partkey").cast("bigint").alias("part_a"),
-            F.col("b.l_partkey").cast("bigint").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
         .where(F.col("n_orders") >= 2)
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)

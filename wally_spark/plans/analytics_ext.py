@@ -88,23 +88,20 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     assumption, no driver materialization. Raising EDGE_SUPPORT is the
     knob that keeps the edge set sparse at 100 TB.
     """
+    from wally_spark.operators.baskets import basket_pair_counts
     from wally_spark.operators.skew import salted_join
 
     li = load_tables(spark, sf_dir)["lineitem"]
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = op.alias("a"), op.alias("b")
+    # r13: operators/baskets self-join-free edge build (identical pair
+    # multiset; two exchanges instead of four, no SMJ — see baskets.py)
     edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("c"))
+        basket_pair_counts(li, "l_orderkey", "l_partkey")
         .where(F.col("c") >= EDGE_SUPPORT)
         .select("pa", "pb")
     )
     # the support-pruned edge set is referenced 4× (e1/e2/e3 +
     # n_edges); materialize once instead of recomputing the distinct +
-    # basket self-join per reference. pin() upgrades to a RELIABLE
+    # basket pair build per reference. pin() upgrades to a RELIABLE
     # checkpoint when spark.wally.checkpointDir / WALLY_CHECKPOINT_DIR
     # is set — at 100 TB an executor-pinned copy dies with its executor
     edges = pin(edges)
@@ -490,27 +487,25 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle is exact by construction.
 
     Scale shape: identical pair generation to part_cooccurrence
-    (order-keyed self-join, fanout bounded by items-per-order); item
-    counts join on single part ids with no broadcast hint (the part
-    dimension scales with SF; AQE broadcasts when actually small);
-    the basket total is a 1-row broadcast side; final ranking is a
-    distributed top-k."""
+    (r13: the operators/baskets self-join-free spelling — per-order
+    item sets + array-HOF pair explode, fanout still bounded by
+    items-per-order); item counts join on single part ids with no
+    broadcast hint (the part dimension scales with SF; AQE broadcasts
+    when actually small); the basket total is a 1-row broadcast side;
+    final ranking is a distributed top-k."""
+    from wally_spark.operators.baskets import basket_item_sets, basket_pairs
+
     li = load_tables(spark, sf_dir)["lineitem"]
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    n = op.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"))
-    item = op.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    sets = basket_item_sets(li, "l_orderkey", "l_partkey")
+    n = sets.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    item = (
+        sets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    a, b = op.alias("a"), op.alias("b")
     pair = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        basket_pairs(sets)
+        .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
         .where(F.col("c_ab") >= BASKET_MIN_SUP)
     )
@@ -1001,15 +996,12 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver state. Moment sums are int64: |r| bounds need deg²·E <
     2^63, i.e. safe to ~10^6-degree hubs on 10^10-edge graphs;
     beyond that, mean-center first (two-pass) before squaring."""
+    from wally_spark.operators.baskets import basket_pair_counts
+
     li = load_tables(spark, sf_dir)["lineitem"]
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = op.alias("a"), op.alias("b")
+    # r13: operators/baskets self-join-free edge build (see baskets.py)
     edges = pin(
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("c"))
+        basket_pair_counts(li, "l_orderkey", "l_partkey")
         .where(F.col("c") >= EDGE_SUPPORT)
         .select("pa", "pb")
     )
@@ -1299,17 +1291,13 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     2*10^4*tri fit comfortably (tri per node <= deg² <= 10^12 would
     need deg ~10^6 — a support-pruned co-purchase graph caps far
     below; raise EDGE_SUPPORT if a corpus ever approaches it)."""
+    from wally_spark.operators.baskets import basket_pair_counts
     from wally_spark.operators.skew import salted_join
 
     li = load_tables(spark, sf_dir)["lineitem"]
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = op.alias("a"), op.alias("b")
+    # r13: operators/baskets self-join-free edge build (see baskets.py)
     edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("c"))
+        basket_pair_counts(li, "l_orderkey", "l_partkey")
         .where(F.col("c") >= EDGE_SUPPORT)
         .select("pa", "pb")
     )
@@ -1540,17 +1528,13 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins; the existing-edge check is a composite-key anti-join; final
     cut is orderBy+limit → TakeOrderedAndProject (distributed partial
     top-K, no global sort). Raising EDGE_SUPPORT is the 100 TB dial."""
+    from wally_spark.operators.baskets import basket_pair_counts
     from wally_spark.operators.skew import salted_join
 
     li = load_tables(spark, sf_dir)["lineitem"]
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = op.alias("a"), op.alias("b")
+    # r13: operators/baskets self-join-free edge build (see baskets.py)
     edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        basket_pair_counts(li, "l_orderkey", "l_partkey", "cnt")
         .where(F.col("cnt") >= EDGE_SUPPORT)
         .select("pa", "pb")
     )
