@@ -225,6 +225,12 @@ _CHANGED_THIS_ROUND: frozenset = frozenset(
         "minhash_containment",
         "lsh_tuning_curve",
         "lsh_recall_measured",
+        # r13 optimization: pool_filter_report merged NB+perplexity
+        # scoring pass (one token stream, one doc-keyed aggregate);
+        # text_lm_perplexity's model build factored as _ppl_model —
+        # its own plan byte-identical, re-verify anyway (the
+        # factoring rule). pool_filter_report itself re-entered above.
+        "text_lm_perplexity",
         # r13 optimization: mirror explode (one einsum, no Union
         # recompute) + zero-copy Arrow cosine (pair_cos_scored)
         "embedding_knn_graph",

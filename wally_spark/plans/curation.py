@@ -531,9 +531,51 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the r5 verdict's last scale-killer: the uncapped vocab broadcast);
     scoring is one explode + broadcast left-join + per-doc aggregate —
     one shuffle keyed doc_id; the 1-row stats combines are broadcast
-    (allow-listed)."""
+    (allow-listed). Model build factored as _ppl_model (r13) so
+    pool_filter_report's merged token-gate pass shares the identical
+    expressions."""
     docs = _docs(spark, sf_dir)
     tok = docs.select("doc_id", F.explode(_words_col()).alias("word"))
+    probs, stats = _ppl_model(docs)
+    scored = (
+        tok.join(F.broadcast(probs), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce("mnat", F.lit(0))).cast("bigint").alias("seen_mnat"),
+            F.sum(F.when(F.col("mnat").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unk"),
+        )
+    )
+    unk_mnat = F.floor(
+        1000.0
+        * F.log(
+            (F.col("t_all") - F.col("t_top") + 1).cast("double")
+            / (F.col("t_all") + F.col("v_top") + 1).cast("double")
+        )
+    ).cast("bigint")
+    nll = -(F.col("seen_mnat") + F.col("n_unk") * unk_mnat)
+    return scored.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "n_tokens",
+        nll.cast("bigint").alias("nll_mnat"),
+        F.expr(
+            "CAST(-(seen_mnat + n_unk * CAST(floor(1000.0 * ln("
+            "CAST(t_all - t_top + 1 AS DOUBLE) / CAST(t_all + v_top + 1 AS DOUBLE)"
+            ")) AS BIGINT)) DIV n_tokens AS BIGINT)"
+        ).alias("mnat_per_token"),
+    )
+
+
+def _ppl_model(docs: DataFrame):
+    """(probs, stats) of the CCNet-style unigram LM — the model half
+    of text_lm_perplexity, factored so pool_filter_report's merged
+    scoring pass builds the IDENTICAL broadcast (same expressions,
+    same integer-milli-nat floor) without re-spelling it. probs is
+    (word, mnat), ≤ LM_VOCAB rows by construction; stats is the 1-row
+    (t_top, v_top, t_all) combine both consumers fold the UNK mass
+    from."""
     sampled = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
         "0", "1", "2", "3"
     )
@@ -558,34 +600,7 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mnat"),
     )
-    scored = (
-        tok.join(F.broadcast(probs), "word", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.coalesce("mnat", F.lit(0))).cast("bigint").alias("seen_mnat"),
-            F.sum(F.when(F.col("mnat").isNull(), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_unk"),
-        )
-    )
-    unk_mnat = F.floor(
-        1000.0
-        * F.log(
-            (F.col("t_all") - F.col("t_top") + 1).cast("double") / denom
-        )
-    ).cast("bigint")
-    nll = -(F.col("seen_mnat") + F.col("n_unk") * unk_mnat)
-    return scored.crossJoin(F.broadcast(stats)).select(
-        "doc_id",
-        "n_tokens",
-        nll.cast("bigint").alias("nll_mnat"),
-        F.expr(
-            "CAST(-(seen_mnat + n_unk * CAST(floor(1000.0 * ln("
-            "CAST(t_all - t_top + 1 AS DOUBLE) / CAST(t_all + v_top + 1 AS DOUBLE)"
-            ")) AS BIGINT)) DIV n_tokens AS BIGINT)"
-        ).alias("mnat_per_token"),
-    )
+    return probs, stats
 
 
 # --- ExactSubstr-style duplicated-span report -------------------------------
@@ -2940,13 +2955,13 @@ def pool_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal: what dropping that gate would recover). Docs with no
     tokens fail the token-based gates (NULL → FALSE) in both engines.
 
-    Scale shape: pure composition — each gate is the registered
-    lane's own plan (gopher: one codegen scan; NB + perplexity:
-    explode + bounded-broadcast model join + doc-keyed aggregate;
-    dup: minhash-banded candidates only), stitched by four uniform
+    Scale shape: composition over the gates' own plan shapes (gopher:
+    one codegen scan; NB + perplexity: ONE shared explode +
+    bounded-broadcast model joins + a single doc-keyed aggregate —
+    the two token-gate scoring passes are merged, r13; dup:
+    minhash-banded candidates only), stitched by three uniform
     doc-keyed left joins and collapsed to a |sources|-bounded rollup.
-    No new shuffle class beyond the gates themselves; the report adds
-    exactly one doc-keyed join per gate."""
+    No new shuffle class beyond the gates themselves."""
     return pool_rollup(_pool_doc_verdicts(spark, sf_dir))
 
 
@@ -2960,23 +2975,69 @@ def _pool_doc_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines)."""
     from wally_spark.plans.dedup import _candidate_jaccard, _jac_bp
 
-    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    corpus = _docs(spark, sf_dir)
+    docs = corpus.select("doc_id", "source")
     g = (
         _REG["gopher_rules"]
         .spark_fn(spark, sf_dir)
         .select("doc_id", F.col("verdict").alias("g_raw"))
     )
-    nb = (
-        _REG["doc_nb_classifier"]
-        .spark_fn(spark, sf_dir)
-        .select("doc_id", (F.col("pred_en") == 1).alias("nb_raw"))
+    # NB + perplexity gates in ONE corpus pass (r13): both lanes score
+    # as explode + bounded-broadcast model join + doc-keyed aggregate,
+    # so the report folds them into a single token stream with two
+    # broadcast joins and ONE doc-keyed aggregate (full-corpus
+    # scan+explode+shuffle 2x -> 1x). The models are the lanes' own
+    # factored builds (nb_model / _ppl_model) and every downstream
+    # gate expression is the standalone lane's exact integer
+    # milli-nat arithmetic, so the booleans are bit-identical.
+    sampled = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1", "2", "3"
     )
-    ppl = (
-        _REG["text_lm_perplexity"]
-        .spark_fn(spark, sf_dir)
+    weights, nstats, priors = nb_model(
+        nb_token_counts(corpus.where(sampled)),
+        nb_doc_counts(corpus.where(sampled)),
+    )
+    probs, pstats = _ppl_model(corpus)
+    tok = corpus.select("doc_id", F.explode(_words_col()).alias("word"))
+    per_doc = (
+        tok.join(F.broadcast(weights), "word", "left")
+        .join(F.broadcast(probs), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.coalesce("w", F.lit(0))).cast("bigint").alias("seen_w"),
+            F.sum(F.when(F.col("w").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unk"),
+            F.sum(F.coalesce("mnat", F.lit(0))).cast("bigint").alias("seen_mnat"),
+            F.sum(F.when(F.col("mnat").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("ppl_unk"),
+        )
+    )
+    nb_score = F.col("pw") + F.col("seen_w") + F.col("n_unk") * _nb_unk_w()
+    scored = (
+        per_doc.crossJoin(F.broadcast(nstats))
+        .crossJoin(F.broadcast(priors))
         .select(
             "doc_id",
-            (F.col("mnat_per_token") <= PPL_MAX_MNAT).alias("ppl_raw"),
+            "n_tokens",
+            "seen_mnat",
+            "ppl_unk",
+            (nb_score > 0).alias("nb_raw"),
+        )
+        .crossJoin(F.broadcast(pstats))
+        .select(
+            "doc_id",
+            "nb_raw",
+            (
+                F.expr(
+                    "CAST(-(seen_mnat + ppl_unk * CAST(floor(1000.0 * ln("
+                    "CAST(t_all - t_top + 1 AS DOUBLE) / CAST(t_all + v_top + 1 AS DOUBLE)"
+                    ")) AS BIGINT)) DIV n_tokens AS BIGINT)"
+                )
+                <= PPL_MAX_MNAT
+            ).alias("ppl_raw"),
         )
     )
     dups = (
@@ -2988,8 +3049,7 @@ def _pool_doc_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         docs.join(g, "doc_id", "left")
-        .join(nb, "doc_id", "left")
-        .join(ppl, "doc_id", "left")
+        .join(scored, "doc_id", "left")
         .join(dups, "doc_id", "left")
         .select(
             "doc_id",
