@@ -528,6 +528,24 @@ def run_send(args) -> dict:
     return result
 
 
+def _wait_udp_bound(port: int, timeout: float = 60.0) -> None:
+    """Block until a UDP socket is bound on ``port`` (/proc/net/udp
+    scan, Linux). The wally_udp source binds lazily at first batch
+    planning, so a sender must not start before this returns."""
+    want = f":{port:04X}"
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        for p in ("/proc/net/udp", "/proc/net/udp6"):
+            try:
+                with open(p) as f:
+                    if any(want in ln.split()[1] for ln in f.readlines()[1:]):
+                        return
+            except OSError:
+                continue
+        time.sleep(0.2)
+    raise TimeoutError(f"no UDP listener bound on {port} within {timeout}s")
+
+
 def run_udp(args) -> dict:
     port = args.port or _free_port()
     result: dict = {
@@ -585,16 +603,26 @@ def run_udp(args) -> dict:
             .start()
         )
         try:
-            time.sleep(3)
+            # UDP is fire-and-forget: unlike the ALO sender (whose
+            # Hello/Ok handshake blocks until the listener accepts),
+            # nothing synchronizes the blast with the source's lazy
+            # bind at first batch planning — a fixed sleep raced it
+            # and measured 100% loss on a slow host. Wait for the
+            # socket to actually appear.
+            _wait_udp_bound(port, timeout=60.0)
             t0 = time.time_ns()
             result.update(send_all())
             deadline = time.time() + 60
-            # UDP is lossy by contract: stop waiting when counts settle
+            # UDP is lossy by contract: stop waiting when counts settle.
+            # Don't start settle-counting at zero — the FIRST micro-batch
+            # (planning + WAL journal) can take several seconds on a slow
+            # host, and bailing on 4 s of stable-zero reported 100% loss
+            # for rows that were sitting in the listener buffer.
             last, settle = -1, 0
             while time.time() < deadline and settle < 8:
-                if counter.rows == last:
+                if counter.rows == last and counter.rows > 0:
                     settle += 1
-                else:
+                elif counter.rows != last:
                     settle, last = 0, counter.rows
                 time.sleep(0.5)
             wall = (time.time_ns() - t0) / 1e9
