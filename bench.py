@@ -22,6 +22,37 @@ import time
 HEADLINE: list[str] = []
 
 
+def update_record(
+    prev: dict | None, timings: dict[str, float], sf, cpus: int
+) -> tuple[dict, dict[str, float], int]:
+    """Merge this sweep into the (sf, cpus)-keyed record map.
+
+    Returns (records, merged_queries, sweeps) where `merged_queries`
+    is the per-query min across sweeps AT THIS (sf, cpus) only —
+    sweeps at a different core count or scale factor live under their
+    own key and never contaminate each other (VERDICT r13 #2).
+    """
+    records = dict((prev or {}).get("records", {}))
+    # migrate a pre-r14 record (merged map lived in `queries`,
+    # no cpus key — those sweeps all ran at 32 cores)
+    if prev and "records" not in prev and "queries" in prev:
+        old_key = f"sf={prev.get('sf')},cpus={prev.get('cpus', 32)}"
+        records[old_key] = {
+            "queries": prev["queries"],
+            "sweeps": prev.get("sweeps", 1),
+        }
+    rec_key = f"sf={sf},cpus={cpus}"
+    rec = records.get(rec_key)
+    if rec and set(rec.get("queries", ())) == set(timings):
+        merged = {k: round(min(v, rec["queries"][k]), 3) for k, v in timings.items()}
+        sweeps = rec.get("sweeps", 1) + 1
+    else:
+        merged = dict(timings)
+        sweeps = 1
+    records[rec_key] = {"queries": merged, "sweeps": sweeps}
+    return records, merged, sweeps
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -84,12 +115,14 @@ def main() -> int:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
 
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
     out = {
         "metric": "headline_query_wall_time",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
     }
     # The driver stores only the ~2000-char TAIL of stdout (BENCH_r02
     # was truncated mid-line and failed to parse), so: (1) the complete
@@ -101,12 +134,16 @@ def main() -> int:
     # re-run (the BASELINE.md adjudication protocol) must not clobber
     # the sweep artifact with a partial map.
     #
-    # Full sweeps MERGE by per-query min across sweeps (r5 verdict #3:
-    # one contended sweep must not manufacture gate failures — r4's
-    # "regression" was host noise on byte-identical code). The record
-    # carries `sweeps` (how many merged) and `sweep_value` (THIS
-    # sweep's raw total) so the merge is visible, not hidden; a changed
-    # query set or sf resets the record, as does --fresh.
+    # r14 measurement contract (VERDICT r13 "What's wrong" #2): the
+    # PRINTED line carries THIS RUN's per-query values and total —
+    # never a min merged across earlier sweeps — so the driver's
+    # number measures this run, and two runs at different core counts
+    # produce independent values (credible scaling ratios). The
+    # per-query min across sweeps (r5 noise protocol) still exists,
+    # but only as a side record in BENCH_FULL.json (`merged_queries`),
+    # keyed on (sf, cpus): a sweep merges into the record only when
+    # BOTH match; a different core count or scale factor keeps its
+    # own record under `records` rather than contaminating this one.
     if not args.queries:
         path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
@@ -118,23 +155,18 @@ def main() -> int:
                     prev = json.load(f)
             except (OSError, ValueError):
                 prev = None
-        if (
-            prev
-            and prev.get("sf") == out["sf"]
-            and set(prev.get("queries", ())) == set(timings)
-        ):
-            out["queries"] = {
-                k: round(min(v, prev["queries"][k]), 3)
-                for k, v in timings.items()
-            }
-            out["sweeps"] = prev.get("sweeps", 1) + 1
-        else:
-            out["sweeps"] = 1
-        out["sweep_value"] = out["value"]
-        out["value"] = round(sum(out["queries"].values()), 3)
+        records, merged, sweeps = update_record(prev, timings, out["sf"], cpus)
+        full = {
+            **out,  # this run's queries/value — what the driver saw
+            "sweeps": sweeps,
+            "merged_queries": merged,
+            "merged_value": round(sum(merged.values()), 3),
+            "records": records,
+        }
         with open(path, "w") as f:
-            json.dump(out, f, indent=1)
-        timings = out["queries"]
+            json.dump(full, f, indent=1)
+        out["sweeps"] = sweeps
+        out["merged_value"] = full["merged_value"]
     kept: dict[str, float] = {}
     for k, v in sorted(timings.items(), key=lambda kv: -kv[1]):
         trial = {**out, "queries": {**kept, k: v}, "queries_full": "BENCH_FULL.json"}

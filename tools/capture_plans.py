@@ -32,7 +32,14 @@ def main() -> int:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--top", type=int, default=0, help="add the N slowest per BENCH_FULL.json")
     ap.add_argument("--time", type=int, default=0, help="min-of-N noop timing per query")
-    ap.add_argument("--outdir", default=os.path.join(REPO, "plans", "r13"))
+    ap.add_argument("--outdir", default=os.path.join(REPO, "plans", "r14"))
+    ap.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        help="name=value spark conf(s) to set before building plans "
+        "(e.g. a knob's 'before' arm)",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -52,6 +59,9 @@ def main() -> int:
     os.makedirs(args.outdir, exist_ok=True)
     spark = get_spark("wally_spark-plancap")
     spark.sparkContext.setLogLevel("ERROR")
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        spark.conf.set(k, v)
     # warm the machinery like bench.py so --time numbers are comparable
     if args.time:
         for wq in ("q6_forecast_revenue", "mm_image_meta", "win_tumbling"):

@@ -166,76 +166,25 @@ _DRIVER_GREEN = frozenset(
 # re-enter the driver window. Refresh this set each round.
 _CHANGED_THIS_ROUND: frozenset = frozenset(
     {
-        # r13: migrated off the single-partition global ntile window to
-        # operators/prefix.global_ntile (VERDICT r12 "What's wrong" #1)
-        "ntile_order_quartiles",
-        # r13: cost cap — truth relation / A/B columns trimmed per
-        # VERDICT r12 next-round item 6 (recall numbers must not move)
-        "simhash_recall_audit",
-        # r13: report body factored into curation.decode_check_report
-        # (shared with the streaming decode-check face) — expressions
-        # byte-identical, re-verify anyway (the factoring rule)
-        "bpe_decode_check",
-        # r13 optimization: simhash_of rebuilt as SQL text (same parsed
-        # plan) — all four consumer lanes re-enter the window
-        "dedup_simhash",
-        "dedup_simhash_pairs",
-        "dedup_edit_verified",
-        # r13 optimization: pre-partitioned pinned edge lists
+        # r14 (optimization round 2): graph edge pre-partition default
+        # reverted to OFF (VERDICT r13 #1 — the r13 claim was falsified;
+        # the pin-time repartition was a pure added exchange). Plans of
+        # the five consumer lanes change (repartition node gone).
         "graph_pagerank",
         "graph_label_prop",
         "dedup_clusters",
-        # r13 optimization: operators/baskets self-join-free co-purchase
-        # pair build (identical multiset, two exchanges instead of
-        # four); graph_kcore additionally gained the fixpoint early exit
-        "part_cooccurrence",
-        "part_affinity_jaccard",
-        "basket_rules",
-        "graph_triangle_count",
-        "graph_clustering_coeff",
-        "graph_degree_assortativity",
-        "graph_link_prediction",
-        "graph_kcore",
-        # r13 optimization: global_ntile_multi wide literals rebuilt as
-        # SQL text (same parsed plan; cuts never affect exactness)
-        "user_rfm_segments",
-        "revenue_decile_gains",
-        # r13 optimization: BPE replay literal winners (bit-identical
-        # merge list, new plumbing) — all family lanes re-verify
-        "bpe_merges_r4",
-        "bpe_encode",
-        "bpe_encode_ids",
-        "bpe_merge_stability",
-        "pack_attention_boundaries",
-        "pack_bestfit_report",
-        "pack_contamination_report",
-        # r13 optimization: shingle_stream HOF spelling (same multiset)
-        "dedup_minhash",
-        "dedup_ngram_jaccard",
-        "dup_rate_report",
-        "cross_source_dup_report",
-        "minhash_estimate_audit",
-        "minhash_bbit_audit",
         "dedup_keep_best",
         "dedup_cluster_size_hist",
-        "curation_pipeline",
+        # r14: banded-Levenshtein equality short-circuit (editforest
+        # .edit_distance; levenshtein(x,x,k)==0 by construction)
+        "dedup_edit_verified",
+        # r14: NB+PPL model builds share one sampled-corpus word
+        # aggregate inside the report (bit-identical models); the
+        # standalone lanes' plans are unchanged but re-verify anyway
+        # (the factoring rule)
         "pool_filter_report",
-        "repetition_mixing_schedule",
-        "decontaminate_minhash",
-        "minhash_containment",
-        "lsh_tuning_curve",
-        "lsh_recall_measured",
-        # r13 optimization: pool_filter_report merged NB+perplexity
-        # scoring pass (one token stream, one doc-keyed aggregate);
-        # text_lm_perplexity's model build factored as _ppl_model —
-        # its own plan byte-identical, re-verify anyway (the
-        # factoring rule). pool_filter_report itself re-entered above.
         "text_lm_perplexity",
-        # r13 optimization: mirror explode (one einsum, no Union
-        # recompute) + zero-copy Arrow cosine (pair_cos_scored)
-        "embedding_knn_graph",
-        "contrastive_pairs",
-        "dedup_embedding_lsh",
+        "doc_nb_classifier",
     }
 )
 

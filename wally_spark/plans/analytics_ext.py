@@ -201,12 +201,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # Pin the symmetrized edges ALREADY hash-partitioned on src at the
-    # cluster's own width (r13, guide §2.4 "two operations keyed the
-    # same way share one exchange"): localCheckpoint preserves
-    # outputPartitioning, so every round's edges⋈share join, the
-    # nodes distinct, and the deg aggregate all reuse this one
-    # exchange instead of re-shuffling the edge list 3x per round.
+    # r14: the r13 pre-partition-inside-the-pin claim was falsified
+    # (VERDICT r13 #1): under AQE localCheckpoint yields a LogicalRDD
+    # with UnknownPartitioning, so every round still plans its own
+    # edge Exchange and the pin-time repartition was a pure ADDED
+    # exchange. Default off (see components._prepartition_on); AQE's
+    # runtime stage cache dedupes the canonically-identical per-round
+    # edge exchanges into one materialized shuffle anyway.
     from wally_spark.operators.components import (
         _prepartition_on,
         _shuffle_width,

@@ -585,6 +585,17 @@ def _ppl_model(docs: DataFrame):
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    return _ppl_model_from_counts(train)
+
+
+def _ppl_model_from_counts(train: DataFrame):
+    """Model math of _ppl_model over a prebuilt (word, c) training
+    count relation — factored (r14) so pool_filter_report can feed it
+    the NB gate's per-class counts (c = c1 + c0 is exactly count(*)
+    over the same sampled token stream), sharing ONE corpus-sample
+    explode+aggregate between the two model builds instead of two.
+    Expressions below are byte-identical to the pre-factor spelling,
+    so text_lm_perplexity's plan is unchanged."""
     tot = train.agg(F.sum("c").cast("bigint").alias("t_all"))
     # TakeOrderedAndProject: bounded top-V with a total tie-break, no
     # global sort at any corpus size
@@ -2993,11 +3004,33 @@ def _pool_doc_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
         "0", "1", "2", "3"
     )
+    # r14 (guide §6.1 scan reuse): the NB and PPL models train on the
+    # SAME sampled corpus, and PPL's per-word count is exactly the NB
+    # per-class counts summed (c1 + c0 = count(*) over the same token
+    # rows) — so ONE explode+word-aggregate feeds both model builds
+    # (was: two independent sampled-corpus scans+explodes+shuffles).
+    # Same (word, c) multiset ⇒ same TakeOrdered top-V ⇒ bit-identical
+    # probs/stats; oracle parity re-verified.
+    # (A/B knob: spark.wally.pool.sharedcounts=false restores the
+    # independent per-model builds for same-session measurement.)
+    ncounts = nb_token_counts(corpus.where(sampled))
     weights, nstats, priors = nb_model(
-        nb_token_counts(corpus.where(sampled)),
+        ncounts,
         nb_doc_counts(corpus.where(sampled)),
     )
-    probs, pstats = _ppl_model(corpus)
+    if (
+        str(
+            spark.conf.get("spark.wally.pool.sharedcounts", "true")
+        ).lower()
+        == "false"
+    ):
+        probs, pstats = _ppl_model(corpus)
+    else:
+        probs, pstats = _ppl_model_from_counts(
+            ncounts.select(
+                "word", (F.col("c1") + F.col("c0")).cast("bigint").alias("c")
+            )
+        )
     tok = corpus.select("doc_id", F.explode(_words_col()).alias("word"))
     per_doc = (
         tok.join(F.broadcast(weights), "word", "left")

@@ -303,6 +303,33 @@ def minhash_band_candidates(sigs: DataFrame) -> DataFrame:
     bands_k = bands.join(
         sizes.where(F.col("bsz") <= MAX_BUCKET), ["band_id", "band_key"]
     ).select("doc_id", "band_id", "band_key")
+    # r14 A/B knob (VERDICT r13 #3): spark.wally.minhash.fsb=false
+    # restores the pre-r13 pair-keyed groupBy spelling so the
+    # first-shared-band trade can be adjudicated same-session at any
+    # scale factor. Identical pair multiset and shared_bands values in
+    # both arms (r13 oracle parity covered both spellings).
+    _spark = sigs.sparkSession
+    if (
+        str(_spark.conf.get("spark.wally.minhash.fsb", "true")).lower()
+        == "false"
+    ):
+        a0 = bands_k.alias("a")
+        b0 = bands_k.alias("b")
+        return (
+            a0.join(
+                b0,
+                (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            # per (pair, band_id) the equi-join emits at most one row,
+            # so a plain count equals count(DISTINCT band_id)
+            .agg(F.count(F.lit(1)).alias("shared_bands"))
+        )
     # r13 (guide §2.4 — remove the shuffle outright): the old spelling
     # deduplicated multi-band collisions with a pair-keyed groupBy — a
     # candidate-sized Exchange. Instead, fold each doc's SURVIVING band

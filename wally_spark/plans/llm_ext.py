@@ -617,6 +617,9 @@ def dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         C=EDIT_PREFIX_CHARS,
         B=EDIT_KEEP_BP,
     )
+    from wally_spark.operators.editforest import (
+        edit_distance as _edit_distance,
+    )
     from wally_spark.plans.dedup import (
         dedup_simhash,
         simhash_candidate_pairs,
@@ -681,8 +684,11 @@ def dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             # satisfy edit_bp <= EDIT_KEEP_BP anyway. 8x8 banding
             # multiplied true candidates ~20x (by design — measured
             # 9075 bp recall); this keeps the verify linear in the
-            # band, 46.9 -> ~7 s at sf0.1.
-            F.levenshtein("pa", "pb", _EDIT_MAX).cast("bigint").alias("edit"),
+            # band, 46.9 -> ~7 s at sf0.1. r14: equality short-circuit
+            # (operators/editforest.edit_distance) skips the DP for
+            # identical prefixes — the dominant true-pair case on
+            # duplicate-heavy corpora.
+            _edit_distance("pa", "pb", _EDIT_MAX).cast("bigint").alias("edit"),
             # floor at 1: two empty prefixes (zero-token docs DO get
             # all-zero simhashes and pair in bucket 0) have edit 0 /
             # max_len 0 — without the floor the oracle's integer div

@@ -976,10 +976,12 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c") >= KCORE_EDGE_SUPPORT)
         .select("pa", "pb")
     )
-    # Pinned pre-partitioned on src (r13, the graph_pagerank move):
-    # every LPA round joins adj on src, so hash-partitioning it once
-    # inside the pin elides the per-round adjacency exchange —
-    # localCheckpoint preserves outputPartitioning.
+    # r14: prepartition default OFF — the r13 claim was falsified
+    # (VERDICT r13 #1): localCheckpoint under AQE yields
+    # UnknownPartitioning, so every LPA round still plans its own
+    # adjacency Exchange; AQE's runtime stage cache serves them from
+    # one materialized shuffle, and the pin-time repartition was a
+    # pure added exchange.
     from wally_spark.operators.components import (
         _prepartition_on,
         _shuffle_width,

@@ -2842,8 +2842,12 @@ def editdedup_against_corpus_foreach_batch(spark, sigs_path: str, out_path: str)
     def _verify(l_pre, r_pre):
         # banded threshold Levenshtein, same soundness argument as the
         # batch lane: a passing pair's edit is <= _EDIT_MAX, past-band
-        # rows return -1 and fail the >= 0 guard
-        edit = F.levenshtein(l_pre, r_pre, _EDIT_MAX)
+        # rows return -1 and fail the >= 0 guard. r14: equality
+        # short-circuit shared with the batch lane (editforest
+        # .edit_distance) — verbatim re-ingests are the common case.
+        from wally_spark.operators.editforest import edit_distance
+
+        edit = edit_distance(l_pre, r_pre, _EDIT_MAX)
         mx = F.greatest(F.length(l_pre), F.length(r_pre))
         return (edit >= 0) & ((10000 * edit) <= EDIT_KEEP_BP * mx)
 

@@ -54,6 +54,16 @@ def _read(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+# fan_out partition-count memo (r14): df.rdd.getNumPartitions() runs
+# the FULL physical planning of the input per call (tens of ms of
+# driver time × ~28 call sites). Every fan_out input is, by contract,
+# a narrow projection/filter of a parquet scan, and scan splits are
+# computed from file sizes + session conf — never from the read
+# schema or pushed filters — so the count is a pure function of
+# (session, input file set) and can be probed once.
+_NPART_MEMO: dict[tuple[int, tuple[str, ...]], int] = {}
+
+
 def fan_out(df: DataFrame, *keys: str) -> DataFrame:
     """Redistribute a scan across the cluster ONLY when it yields
     fewer partitions than cores — the local small-file case (one
@@ -66,9 +76,32 @@ def fan_out(df: DataFrame, *keys: str) -> DataFrame:
     groupBy(key) can reuse the partitioning (exchange elided when
     spark.sql.shuffle.partitions matches). Predicate pushdown and
     column pruning pass through RepartitionByExpression, so scans stay
-    pruned (asserted in tests/test_plans.py)."""
+    pruned (asserted in tests/test_plans.py).
+
+    CONTRACT: the input must be a narrow projection/filter of a file
+    scan (every call site is) — the partition-count memo assumes the
+    count is determined by the scanned files alone."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    memo_key = None
+    n = None
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:
+        files = ()
+    memo_on = (
+        str(
+            df.sparkSession.conf.get("spark.wally.fanout.memo", "true")
+        ).lower()
+        != "false"
+    )
+    if files and memo_on:
+        memo_key = (id(df.sparkSession), files)
+        n = _NPART_MEMO.get(memo_key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if memo_key is not None:
+            _NPART_MEMO[memo_key] = n
+    if n < sc.defaultParallelism:
         if keys:
             return df.repartition(sc.defaultParallelism, *keys)
         return df.repartition(sc.defaultParallelism)
