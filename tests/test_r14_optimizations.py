@@ -90,9 +90,10 @@ def test_fan_out_memoises_partition_probe(spark, monkeypatch):
 
 
 def test_minhash_fsb_knob_arms_identical(spark):
-    """spark.wally.minhash.fsb=false restores the pre-r13 pair-keyed
-    groupBy spelling; both arms must emit the identical candidate
-    multiset (doc_a, doc_b, shared_bands)."""
+    """The default (r14) is the pair-keyed groupBy spelling;
+    spark.wally.minhash.fsb=true selects the r13 first-shared-band
+    arm. Both arms must emit the identical candidate multiset
+    (doc_a, doc_b, shared_bands)."""
     from wally_spark.plans.registry import REGISTRY
 
     fn = REGISTRY["dedup_minhash"].spark_fn
@@ -101,12 +102,12 @@ def test_minhash_fsb_knob_arms_identical(spark):
         return sorted(map(tuple, fn(spark, SF_SMALL).collect()))
 
     base = rows()
-    spark.conf.set("spark.wally.minhash.fsb", "false")
+    spark.conf.set("spark.wally.minhash.fsb", "true")
     try:
-        old_arm = rows()
+        fsb_arm = rows()
     finally:
         spark.conf.unset("spark.wally.minhash.fsb")
-    assert old_arm == base and len(base) > 0
+    assert fsb_arm == base and len(base) > 0
 
 
 def test_graph_prepartition_defaults_off(spark):

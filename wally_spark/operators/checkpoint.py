@@ -38,7 +38,11 @@ def resolve_checkpoint_dir(spark, explicit: str | None = None) -> str | None:
     return os.environ.get("WALLY_CHECKPOINT_DIR") or None
 
 
-def pin(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
+def pin(
+    df: DataFrame,
+    checkpoint_dir: str | None = None,
+    eager: bool | None = None,
+) -> DataFrame:
     """Truncate ``df``'s lineage and arrange for one-shot
     materialization — reliably when a checkpoint dir is configured
     (see module docstring), else in executor storage via
@@ -56,6 +60,16 @@ def pin(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
     prevent. Eager is the safe default; the conf knob remains for
     per-session experiments.
 
+    The ``eager`` parameter (r14) lets a call site override the
+    session default for pins that are KNOWN to sit directly above a
+    shuffle: AQE materializes the shuffle stages at toRdd time even
+    for a lazy localCheckpoint, so laziness skips only the final
+    block-write job (a pure fixed cost locally) while the truncated
+    lineage still protects every consumer from recomputing the plan
+    below the exchange. Leave it None (session default, eager) for
+    any pin whose plan top is NOT a shuffle — r13 measured 40-80%
+    losses there under lazy pinning.
+
     Determinism contract: every pinned lineage in this repo is a pure
     function of its inputs (md5-derived sampling, no rand)."""
     spark = df.sparkSession
@@ -63,10 +77,11 @@ def pin(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
     if d:
         spark.sparkContext.setCheckpointDir(d)
         return df.checkpoint()
-    eager = (
-        str(spark.conf.get("spark.wally.pin.eager", "true")).lower()
-        != "false"
-    )
+    if eager is None:
+        eager = (
+            str(spark.conf.get("spark.wally.pin.eager", "true")).lower()
+            != "false"
+        )
     return df.localCheckpoint(eager=eager)
 
 

@@ -185,6 +185,25 @@ _CHANGED_THIS_ROUND: frozenset = frozenset(
         "pool_filter_report",
         "text_lm_perplexity",
         "doc_nb_classifier",
+        # r14: minhash_band_candidates default reverted to the
+        # pair-keyed groupBy spelling (VERDICT r13 #3 adjudicated at
+        # sf0.1 + sf1: pair-keyed wins or ties everywhere; knob
+        # spark.wally.minhash.fsb=true keeps the r13 arm measurable).
+        # Identical multiset — every consumer lane re-verified.
+        "dedup_minhash",
+        "dedup_ngram_jaccard",
+        "dup_rate_report",
+        "cross_source_dup_report",
+        "minhash_estimate_audit",
+        "minhash_bbit_audit",
+        "minhash_containment",
+        "curation_pipeline",
+        "repetition_mixing_schedule",
+        "decontaminate_minhash",
+        "lsh_tuning_curve",
+        "lsh_recall_measured",
+        "bloom_dedup_audit",
+        "host_curation_report",
     }
 )
 

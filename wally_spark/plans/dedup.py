@@ -303,15 +303,26 @@ def minhash_band_candidates(sigs: DataFrame) -> DataFrame:
     bands_k = bands.join(
         sizes.where(F.col("bsz") <= MAX_BUCKET), ["band_id", "band_key"]
     ).select("doc_id", "band_id", "band_key")
-    # r14 A/B knob (VERDICT r13 #3): spark.wally.minhash.fsb=false
-    # restores the pre-r13 pair-keyed groupBy spelling so the
-    # first-shared-band trade can be adjudicated same-session at any
-    # scale factor. Identical pair multiset and shared_bands values in
-    # both arms (r13 oracle parity covered both spellings).
+    # r14 adjudication (VERDICT r13 #3): the r13 first-shared-band
+    # rewrite was A/B'd against this pair-keyed spelling interleaved
+    # at sf0.1 AND sf1 (natural + dupstress). The pair-keyed spelling
+    # wins or ties EVERYWHERE once measured in one session: sf0.1
+    # dedup_ngram_jaccard 1.31 vs 1.75, dup_rate_report 1.72 vs 2.10;
+    # sf1-natural reps=3 dedup_minhash 2.10 vs 2.48, ngram_jaccard
+    # 6.49 vs 7.33 (the r13 "win at scale" was cross-session host
+    # noise; the doc-keyed aggregate + extra pin + wider self-join
+    # rows cost more than the candidate-keyed dedup exchange they
+    # remove at every measured scale — the bucket caps already bound
+    # the candidate relation to O(docs × bands) rows, so it never
+    # dwarfs the doc relation the way the theory assumed). Default is
+    # the pair-keyed spelling; spark.wally.minhash.fsb=true keeps the
+    # first-shared-band arm measurable. Identical pair multiset and
+    # shared_bands values in both arms (r13 oracle parity covered
+    # both spellings).
     _spark = sigs.sparkSession
     if (
-        str(_spark.conf.get("spark.wally.minhash.fsb", "true")).lower()
-        == "false"
+        str(_spark.conf.get("spark.wally.minhash.fsb", "false")).lower()
+        != "true"
     ):
         a0 = bands_k.alias("a")
         b0 = bands_k.alias("b")
@@ -345,6 +356,11 @@ def minhash_band_candidates(sigs: DataFrame) -> DataFrame:
     # ss is pinned: the explode below feeds BOTH self-join branches,
     # and without the pin each branch would re-run the aggregate's
     # exchange (measured: doubles the lane). One row per doc — tiny.
+    # r14: LAZY pin — the plan top is the doc-keyed aggregate's own
+    # exchange, which AQE materializes at toRdd regardless, so the
+    # eager block-write job was a pure fixed cost (sf0.1 A/B: it was
+    # most of the fsb arm's 0.2-0.5 s build regression vs the
+    # pair-keyed spelling; VERDICT r13 #3).
     ss = pin(bands_k.groupBy("doc_id").agg(
         F.array(
             *[
@@ -352,7 +368,7 @@ def minhash_band_candidates(sigs: DataFrame) -> DataFrame:
                 for i in range(n_bands)
             ]
         ).alias("ss")
-    ))
+    ), eager=False)
     bke = ss.select(
         "doc_id", "ss", F.posexplode("ss").alias("band_id", "band_key")
     ).where(F.col("band_key").isNotNull())
