@@ -645,7 +645,7 @@ def dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select(
         "doc_id", prefix.alias("prefix")
     )
-    v = (
+    joined = (
         cand.join(
             docs.select(
                 F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa")
@@ -672,7 +672,70 @@ def dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" <= {EDIT_KEEP_BP}"
             )
         )
-        .select(
+        .select("doc_a", "doc_b", "hamming", "pa", "pb")
+    )
+    # The verify kernel. r14 (guide §4.2): the banded JVM levenshtein
+    # was ~86 s of the ~110 s sf1 lane (~102 µs per pair-core —
+    # UTF8String walks UTF-8 bytes per char access inside the DP, and
+    # 99%+ of candidates run the whole band only to prove edit > k).
+    # The default routes whole Arrow batches through a compiled C
+    # kernel (operators/editkernel: same banded DP + early abandon on
+    # pre-decoded UTF-32 code points, ~11 µs/pair single-core,
+    # result-identical — unit-gated against F.levenshtein on random
+    # unicode). Only the five needed columns cross the boundary.
+    # Knob: spark.wally.edit.kernel=jvm keeps the JVM expression
+    # (also the automatic fallback when no C compiler exists on the
+    # driver host).
+    kernel = str(
+        spark.conf.get("spark.wally.edit.kernel", "native")
+    ).lower()
+    if kernel == "native":
+        from wally_spark.operators.editkernel import load_kernel
+
+        if load_kernel() is None:
+            kernel = "jvm"
+    if kernel == "native":
+        _k = int(_EDIT_MAX)
+
+        def _verify_batches(it):
+            import numpy as np
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+
+            from wally_spark.operators.editkernel import lev_batch_np
+
+            for batch in it:
+                pa_c = batch.column(3)
+                pb_c = batch.column(4)
+                edit = lev_batch_np(pa_c, pb_c, _k)
+                max_len = np.maximum(
+                    np.maximum(
+                        _pc.utf8_length(pa_c)
+                        .cast(_pa.int64())
+                        .to_numpy(zero_copy_only=False),
+                        _pc.utf8_length(pb_c)
+                        .cast(_pa.int64())
+                        .to_numpy(zero_copy_only=False),
+                    ),
+                    1,
+                )
+                yield _pa.RecordBatch.from_arrays(
+                    [
+                        batch.column(0),
+                        batch.column(1),
+                        batch.column(2),
+                        _pa.array(edit, type=_pa.int64()),
+                        _pa.array(max_len, type=_pa.int64()),
+                    ],
+                    names=["doc_a", "doc_b", "hamming", "edit", "max_len"],
+                )
+
+        v = joined.mapInArrow(
+            _verify_batches,
+            "doc_a long, doc_b long, hamming long, edit long, max_len long",
+        )
+    else:
+        v = joined.select(
             "doc_a",
             "doc_b",
             "hamming",
@@ -698,7 +761,6 @@ def dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("max_len"),
         )
-    )
     return (
         v.where(
             (F.col("edit") >= 0)
