@@ -2987,12 +2987,44 @@ def _pool_doc_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wally_spark.plans.dedup import _candidate_jaccard, _jac_bp
 
     corpus = _docs(spark, sf_dir)
-    docs = corpus.select("doc_id", "source")
-    g = (
-        _REG["gopher_rules"]
-        .spark_fn(spark, sf_dir)
-        .select("doc_id", F.col("verdict").alias("g_raw"))
-    )
+    # r14 (guide §2.4 — remove the shuffle outright): the gopher gate
+    # is a stateless row-wise rule bundle, so computing it INLINE on
+    # the same scan that supplies (doc_id, source) deletes the
+    # corpus-sized docs⋈gopher equi-join (two exchanges + SMJ/SHJ of
+    # two corpus-sized relations) and one full document scan. The
+    # verdict expression is the gopher_rules lane's own conjunction
+    # over _gopher_feat (the streaming poolgate face already computes
+    # it this way), so g_raw is bit-identical per doc.
+    # Knob: spark.wally.pool.inlinegopher=false restores the join.
+    if (
+        str(
+            spark.conf.get("spark.wally.pool.inlinegopher", "true")
+        ).lower()
+        == "false"
+    ):
+        docs_g = (
+            corpus.select("doc_id", "source")
+            .join(
+                _REG["gopher_rules"]
+                .spark_fn(spark, sf_dir)
+                .select("doc_id", F.col("verdict").alias("g_raw")),
+                "doc_id",
+                "left",
+            )
+        )
+    else:
+        from wally_spark.plans.quality import (
+            _gopher_feat,
+            _gopher_rule_cols,
+        )
+
+        _rules = _gopher_rule_cols()
+        _verdict = None
+        for _c in _rules.values():
+            _verdict = _c if _verdict is None else (_verdict & _c)
+        docs_g = _gopher_feat(corpus, "source").select(
+            "doc_id", "source", _verdict.alias("g_raw")
+        )
     # NB + perplexity gates in ONE corpus pass (r13): both lanes score
     # as explode + bounded-broadcast model join + doc-keyed aggregate,
     # so the report folds them into a single token stream with two
@@ -3081,7 +3113,7 @@ def _pool_doc_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_dup", F.lit(True))
     )
     return (
-        docs.join(g, "doc_id", "left")
+        docs_g
         .join(scored, "doc_id", "left")
         .join(dups, "doc_id", "left")
         .select(
