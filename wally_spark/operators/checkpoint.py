@@ -85,6 +85,33 @@ def pin(
     return df.localCheckpoint(eager=eager)
 
 
+def pin_shuffle_top(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
+    """``pin`` for plans whose TOP is an exchange-fed aggregate /
+    window (r14): AQE materializes the shuffle stages at toRdd time
+    even for a lazy localCheckpoint, so the eager final block-write
+    job is a pure fixed cost — lazy skips it while the truncated
+    lineage still guards every consumer, and the only recomputable
+    part is the cheap post-shuffle map. Measured on the minhash
+    sigs/cands pins: the eager job was most of the BUILD time of the
+    audit lanes (see OPTIMIZATION_r14.md).
+
+    Use ONLY where the pinned plan top sits directly above its own
+    exchange; for shuffle-free tops lazy pinning loses 40-80% (r13
+    A/B) — keep plain pin() there. NEVER pass one of these frames to
+    ``free_blocks`` (unpersisting a lazy pin strands consumers).
+
+    A/B knob: spark.wally.pin.lazyshuffletop=false restores eager."""
+    lazy = (
+        str(
+            df.sparkSession.conf.get(
+                "spark.wally.pin.lazyshuffletop", "true"
+            )
+        ).lower()
+        != "false"
+    )
+    return pin(df, checkpoint_dir, eager=not lazy)
+
+
 def free_blocks(*dfs: DataFrame) -> None:
     """Drop the executor-storage blocks pinning a (local)checkpointed
     DataFrame. Local checkpoints truncate lineage, so the blocks are

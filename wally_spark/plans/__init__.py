@@ -204,6 +204,13 @@ _CHANGED_THIS_ROUND: frozenset = frozenset(
         "lsh_recall_measured",
         "bloom_dedup_audit",
         "host_curation_report",
+        # r14: shuffle-top pins (sigs/cands/fingerprint relations) now
+        # lazy-localCheckpoint (pin_shuffle_top) — same plan, same
+        # blocks, one fewer eager job per pin; re-verify consumers.
+        "dedup_winnowing",
+        "dedup_simhash",
+        "dedup_simhash_pairs",
+        "simhash_recall_audit",
     }
 )
 

@@ -286,7 +286,7 @@ def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(collisions), and the signature re-join is two uniform doc-keyed
     probes. No shingle-level join at all (that is the exact lane's
     cost)."""
-    from wally_spark.operators.checkpoint import pin
+    from wally_spark.operators.checkpoint import pin, pin_shuffle_top
     from wally_spark.plans.dedup import (
         BAND_ROWS,
         MAX_BUCKET,
@@ -295,7 +295,7 @@ def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures,
     )
 
-    sigs = pin(
+    sigs = pin_shuffle_top(
         minhash_signatures(fan_out(_ddocs(spark, sf_dir), "doc_id"))
     )  # consumed by the band explode + both signature re-joins
     band_structs = F.array(

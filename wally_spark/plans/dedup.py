@@ -29,7 +29,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from wally_spark.operators.checkpoint import pin
+from wally_spark.operators.checkpoint import pin, pin_shuffle_top
 from wally_spark.plans.registry import register
 from wally_spark.tables import fan_out, load_tables
 
@@ -796,7 +796,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize once: the self-join would otherwise run the whole
     # fingerprint computation once per side; pin() upgrades to a
     # reliable checkpoint when a checkpoint dir is configured
-    d = pin(dedup_simhash(spark, sf_dir))
+    d = pin_shuffle_top(dedup_simhash(spark, sf_dir))
     return simhash_candidate_pairs(d, HAMMING_T)
 
 
@@ -940,7 +940,7 @@ def simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from functools import reduce
 
-    d = pin(dedup_simhash(spark, sf_dir))
+    d = pin_shuffle_top(dedup_simhash(spark, sf_dir))
     a = d.select("doc_id", "simhash", "bucket").alias("a")
     b = d.select("doc_id", "simhash", "bucket").alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
@@ -1655,8 +1655,8 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it — the old spelling ran the corpus shingle+minhash aggregate
     # twice (once inside dedup_minhash, once for `est`). sigs is
     # n_docs × 9 narrow columns — cheap to pin at any corpus size.
-    sigs = pin(minhash_signatures(fan_out(_docs(spark, sf_dir), "doc_id")))
-    cands = pin(minhash_band_candidates(sigs).select("doc_a", "doc_b"))
+    sigs = pin_shuffle_top(minhash_signatures(fan_out(_docs(spark, sf_dir), "doc_id")))
+    cands = pin_shuffle_top(minhash_band_candidates(sigs).select("doc_a", "doc_b"))
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{h}").alias(f"a{h}") for h in range(N_HASHES)],
@@ -2075,8 +2075,8 @@ def minhash_bbit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r13: one pinned signature pass feeds candidates AND both sketch
     # estimates (see minhash_estimate_audit — same restructure).
-    sigs = pin(minhash_signatures(fan_out(_docs(spark, sf_dir), "doc_id")))
-    cands = pin(minhash_band_candidates(sigs).select("doc_a", "doc_b"))
+    sigs = pin_shuffle_top(minhash_signatures(fan_out(_docs(spark, sf_dir), "doc_id")))
+    cands = pin_shuffle_top(minhash_band_candidates(sigs).select("doc_a", "doc_b"))
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{h}").alias(f"a{h}") for h in range(N_HASHES)],
@@ -2360,9 +2360,9 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     and three consumers read it (sizes, bucket cap, pair join) — the
     A/B measured 1.85 s lazy vs 1.28 s pinned at sf0.1 (contrast
     embedding_kcenter, where pinning the CHEAP-to-derive comps lost)."""
-    from wally_spark.operators.checkpoint import pin
+    from wally_spark.operators.checkpoint import pin_shuffle_top
 
-    fps = pin(winnow_fingerprints(fan_out(_docs(spark, sf_dir), "doc_id")))
+    fps = pin_shuffle_top(winnow_fingerprints(fan_out(_docs(spark, sf_dir), "doc_id")))
     nfp = fps.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     from pyspark.sql import Window as W
     bucketed = fps.withColumn(
@@ -2647,7 +2647,7 @@ def lsh_recall_measured(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13: ONE pinned signature pass feeds the candidate generator and
     # both per-side signature joins — the old spelling ran the corpus
     # shingle+minhash aggregate three times (cands chain, sa, sb).
-    sigs = pin(minhash_signatures(fan_out(_docs(spark, sf_dir), "doc_id")))
+    sigs = pin_shuffle_top(minhash_signatures(fan_out(_docs(spark, sf_dir), "doc_id")))
     jac = _candidate_jaccard(
         spark,
         sf_dir,

@@ -41,7 +41,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from wally_spark.operators.checkpoint import pin
+from wally_spark.operators.checkpoint import pin, pin_shuffle_top
 from wally_spark.plans.registry import register
 from wally_spark.tables import fan_out, load_tables
 
@@ -625,7 +625,7 @@ def dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_candidate_pairs,
     )
 
-    d = pin(dedup_simhash(spark, sf_dir))
+    d = pin_shuffle_top(dedup_simhash(spark, sf_dir))
     cand = simhash_candidate_pairs(d, EDIT_CAND_HAMMING)
     # Spread the verify stage across the full cluster width: the
     # candidate relation is BYTES-small (3 longs/row) so AQE coalesces
